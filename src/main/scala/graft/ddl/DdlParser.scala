@@ -1,0 +1,157 @@
+package graft.ddl
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.types._
+import scala.util.matching.Regex
+
+/** Foreign-key edge of the relational catalog.
+  * Mirrors the reference's FK-catalog scan output (run_engine.py:122-140). */
+final case class Fk(table: String, column: String, refTable: String,
+    refColumn: String, onDeleteCascade: Boolean)
+
+/** One table of the catalog: Spark schema + constraint metadata.
+  * Field-level facts (SQL type, declared length, precision/scale,
+  * identity flag, generation-safety) live in StructField.metadata, the
+  * Spark-native place for column metadata (SURVEY.md §1.1/§1.2). */
+final case class TableDef(name: String, schema: StructType, pk: Seq[String], fks: Seq[Fk]) {
+  def safeFields: Seq[StructField] =
+    schema.fields.toSeq.filter(f => f.metadata.getBoolean(DdlParser.MetaSafe) &&
+      !f.metadata.getBoolean(DdlParser.MetaIdentity))
+}
+
+/** Parsed catalog of the full DDL script. */
+final case class Catalog(tables: Map[String, TableDef], order: Seq[String]) {
+  def apply(name: String): TableDef = tables(name)
+  def allFks: Seq[Fk] = order.flatMap(t => tables(t).fks)
+}
+
+/** Minimal T-SQL DDL reader for SSMS-generated scripts — the Spark-side
+  * equivalent of the reference's schema introspection: instead of querying
+  * INFORMATION_SCHEMA at runtime (run_engine.py:85-140), we parse the DDL
+  * once into a driver-side catalog of StructTypes and drive everything
+  * from it. Scope is exactly what the 85-table corpus needs (SURVEY.md
+  * §7.4): column grammar, PK/FK/IDENTITY, encoding fallback, GO split,
+  * batch filters. Index/WITH(...) physical noise is ignored.
+  */
+object DdlParser {
+  val MetaSqlType = "sqlType"
+  val MetaMaxLength = "maxLength"   // -1 == nvarchar(max), like CHARACTER_MAXIMUM_LENGTH
+  val MetaPrecision = "precision"
+  val MetaScale = "scale"
+  val MetaIdentity = "identity"
+  val MetaSafe = "safe"             // in the generation whitelist (run_engine.py:28-34)
+
+  /** SQL-script file source: UTF-16 with UTF-8(-BOM) fallback
+    * (reference behavior: apply_mssql.py:7-10,124-129). */
+  def readSqlFile(path: String): String = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    try new String(bytes, StandardCharsets.UTF_16)
+    catch { case _: Throwable => stripBom(new String(bytes, StandardCharsets.UTF_8)) }
+  }
+  private def stripBom(s: String) = if (s.startsWith("﻿")) s.substring(1) else s
+
+  /** GO-batch splitter: `^\s*GO\s*$`, multiline + case-insensitive
+    * (apply_mssql.py:12-15). */
+  def splitGoBatches(sql: String): Seq[String] =
+    sql.split("(?mi)^\\s*GO\\s*$").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** DDL batch filters (apply_mssql.py:69-83): drop CREATE DATABASE /
+    * FILENAME= batches and USE [master] stubs. */
+  def filterBatches(batches: Seq[String]): Seq[String] =
+    batches.filterNot { b =>
+      val u = b.toUpperCase
+      u.contains("CREATE DATABASE") || u.contains("FILENAME =") ||
+        (u.contains("USE [MASTER]") && b.length < 40)
+    }
+
+  /** The generator's type whitelist (SAFE_TYPES, run_engine.py:28-34). */
+  val SafeTypes: Set[String] = Set(
+    "int", "bigint", "smallint", "tinyint", "bit",
+    "decimal", "numeric", "money", "smallmoney", "float", "real",
+    "datetime", "smalldatetime", "date", "time", "datetime2",
+    "char", "varchar", "nchar", "nvarchar", "text", "ntext",
+    "uniqueidentifier")
+
+  /** MSSQL type → Catalyst type (SURVEY.md §1.2 table). */
+  def sparkType(sqlType: String, precision: Int, scale: Int): DataType = sqlType match {
+    case "int" => IntegerType
+    case "bigint" => LongType
+    case "smallint" => ShortType
+    case "tinyint" => ShortType
+    case "bit" => BooleanType
+    case "decimal" | "numeric" => DecimalType(math.max(precision, 1), math.max(scale, 0))
+    case "money" => DecimalType(19, 4)
+    case "smallmoney" => DecimalType(10, 4)
+    case "float" => DoubleType
+    case "real" => FloatType
+    case "date" => DateType
+    case "datetime" | "smalldatetime" | "datetime2" | "datetimeoffset" => TimestampType
+    case "time" => StringType        // Spark has no TIME type (§1.2)
+    case "timestamp" => BinaryType   // rowversion; excluded from generation
+    case "varbinary" | "binary" | "image" => BinaryType
+    case _ => StringType             // n(var)char, (n)text, uniqueidentifier, xml…
+  }
+
+  private val ColRe: Regex =
+    """^\s*\[(\w+)\]\s+\[(\w+)\](?:\((\d+|max)(?:,\s*(\d+))?\))?\s*(IDENTITY\(\d+,\s*\d+\)\s*)?(NOT NULL|NULL)\s*,?\s*$""".r
+  private val CreateRe: Regex = """(?s)CREATE TABLE \[dbo\]\.\[(\w+)\]\((.*)""".r
+  private val PkColRe: Regex = """\[(\w+)\]\s+(?:ASC|DESC)""".r
+  private val FkRe: Regex =
+    """(?s)ALTER TABLE \[dbo\]\.\[(\w+)\]\s+WITH (?:NO)?CHECK ADD\s+CONSTRAINT \[\w+\] FOREIGN KEY\(\[(\w+)\]\)\s*REFERENCES \[dbo\]\.\[(\w+)\] \(\[(\w+)\]\)(\s*ON DELETE CASCADE)?""".r
+
+  /** Parse a full SSMS script into the catalog. */
+  def parse(sql: String): Catalog = {
+    val batches = filterBatches(splitGoBatches(sql))
+    var tables = Vector.empty[(String, StructType, Seq[String])]
+    var fks = Vector.empty[Fk]
+
+    batches.foreach {
+      case CreateRe(name, body) =>
+        // Column section runs until the CONSTRAINT/closing lines.
+        val fields = body.linesIterator.takeWhile(l =>
+          !l.trim.startsWith("CONSTRAINT") && !l.trim.startsWith(") ON")).flatMap {
+          case ColRe(col, typ, len, scale, ident, nullness) =>
+            val precision = (Option(len), typ) match {
+              case (Some("max"), _) => -1
+              case (Some(p), _) => p.toInt
+              case (None, "datetime2" | "datetimeoffset" | "time") => 7
+              case _ => 0
+            }
+            val sc = Option(scale).map(_.toInt).getOrElse(0)
+            val isIdent = ident != null
+            val md = new MetadataBuilder()
+              .putString(MetaSqlType, typ)
+              .putLong(MetaMaxLength,
+                if (Set("char", "varchar", "nchar", "nvarchar", "text", "ntext").contains(typ))
+                  precision.toLong else 0L)
+              .putLong(MetaPrecision, precision.toLong)
+              .putLong(MetaScale, sc.toLong)
+              .putBoolean(MetaIdentity, isIdent)
+              .putBoolean(MetaSafe, SafeTypes.contains(typ))
+              .build()
+            Some(StructField(col, sparkType(typ, precision, sc), nullness == "NULL", md))
+          case _ => None
+        }.toVector
+        val pk = {
+          val pkSection = body.split("PRIMARY KEY", 2)
+          if (pkSection.length == 2)
+            PkColRe.findAllMatchIn(pkSection(1).split("\\)WITH")(0)).map(_.group(1)).toSeq
+          else Seq.empty
+        }
+        tables :+= ((name, StructType(fields), pk))
+      case b => FkRe.findFirstMatchIn(b).foreach { m =>
+        fks :+= Fk(m.group(1), m.group(2), m.group(3), m.group(4), m.group(5) != null)
+      }
+    }
+
+    val fksByTable = fks.groupBy(_.table)
+    val defs = tables.map { case (n, st, pk) =>
+      n -> TableDef(n, st, pk, fksByTable.getOrElse(n, Vector.empty))
+    }.toMap
+    Catalog(defs, tables.map(_._1))
+  }
+
+  /** Parse the reference script (convenience for tests/pipeline). */
+  def parseFile(path: String): Catalog = parse(readSqlFile(path))
+}

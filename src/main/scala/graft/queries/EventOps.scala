@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Time-series / sessionization operators over the `events` fixture.
+  *
+  * These are the batch twins of the streaming surface
+  * (graft.streaming.EventStream): identical session semantics, expressed
+  * with lag + windowed prefix sums so the DuckDB oracle can verify them.
+  *
+  * Scale design: everything partitions by user_id (the natural key at
+  * 100 TB — sessions never cross users, so a single hash shuffle on
+  * user_id serves every window here); bucketed aggregations go through
+  * exact integer epoch arithmetic, never float time math.
+  */
+object EventOps {
+
+  private val GapUs = 30L * 60 * 1000000 // 30-minute session gap, microseconds
+
+  /** Gap-based sessionization: lag → new-session flag → prefix-sum
+    * session ids → per-session aggregates. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || unix_micros(col("ts")) - col("prev_us") > GapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        asDbl(sum(dec("value"))).as("sum_value"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Tumbling 1-hour windows via exact integer epoch bucketing. */
+  def hourlyEventStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("hr_bucket", floor(unix_micros(col("ts")) / lit(3600000000L)))
+      .groupBy("hr_bucket", "event_type")
+      .agg(count(lit(1)).as("n"), asDbl(sum(dec("value"))).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hr_bucket", "event_type")
+
+  /** Native Spark `window()` tumbling aggregation, projected to epoch
+    * seconds so the oracle can reproduce it with integer arithmetic. */
+  def tumbling5min(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (unix_micros(col("w.start")) / 1000000L).cast("long").as("w_start_epoch"),
+        col("event_type"), col("n"))
+      .orderBy("w_start_epoch", "event_type")
+
+  /** Markov-style transition counts: lag(event_type) per user → bigram
+    * frequencies. */
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Top-5 users by total event value (exact decimal), with dense rank. */
+  def topUsersByValue(s: SparkSession, d: String): DataFrame = {
+    val agg = events(s, d)
+      .groupBy("user_id")
+      .agg(sum(dec("value")).as("sv"), count(lit(1)).as("n_events"))
+    agg
+      .withColumn("rk", row_number().over(Window.orderBy(col("sv").desc, col("user_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("rk"), col("user_id"), asDbl(col("sv")).as("total_value"), col("n_events"))
+      .orderBy("rk")
+  }
+
+  // --- DuckDB oracle twins -------------------------------------------------
+
+  private val D = "DECIMAL(18,2)"
+
+  val defs: Map[String, QueryDef] = Map(
+    "e01_sessionize" -> QueryDef(sessionize _,
+      s"""WITH x AS (SELECT user_id, event_id, ts, value,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_us IS NULL
+         |        OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
+         |g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+         |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
+
+    "e02_hourly_event_stats" -> QueryDef(hourlyEventStats _,
+      s"""SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket, event_type,
+         |  COUNT(*) AS n, CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value,
+         |  COUNT(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY hr_bucket, event_type""".stripMargin),
+
+    "e03_tumbling_5min" -> QueryDef(tumbling5min _,
+      """SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS w_start_epoch,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_epoch, event_type""".stripMargin),
+
+    "e04_event_transitions" -> QueryDef(eventTransitions _,
+      """WITH x AS (SELECT user_id, event_type, ts, event_id,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, COUNT(*) AS n FROM x
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin),
+
+    "e05_top_users_by_value" -> QueryDef(topUsersByValue _,
+      s"""WITH a AS (SELECT user_id, SUM(CAST(value AS $D)) AS sv, COUNT(*) AS n_events
+         |  FROM events GROUP BY user_id),
+         |r AS (SELECT user_id, sv, n_events,
+         |    ROW_NUMBER() OVER (ORDER BY sv DESC, user_id ASC) AS rk FROM a)
+         |SELECT rk, user_id, CAST(sv AS DOUBLE) AS total_value, n_events
+         |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin)
+  )
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Relational operator surface (SURVEY.md §2.1–§2.5, §2.9).
+  *
+  * The reference's own relational ops are small-metadata scans, equi
+  * joins, limits and group-bys (SURVEY.md §2.1–§2.5); here they are
+  * re-expressed as declarative DataFrame plans over the fixture star
+  * schema, plus the §2.9 "absent in reference, provided by Catalyst"
+  * surface (windows, set ops, rollup/cube, semi/anti joins) that the
+  * capability matrix requires.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - dimension joins (region/nation/supplier/part) are explicitly
+  *    `broadcast()` — no shuffle of the fact table;
+  *  - fact-fact joins key on the join column and rely on AQE for skew;
+  *  - every aggregate is map-side partial (sum/count/min/max over
+  *    decimals), so shuffle volume is |groups|, not |rows|;
+  *  - filters/projections sit directly on the parquet scan so Catalyst
+  *    pushes them down (verified via explain: PushedFilters/ReadSchema).
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan → pushed filter → 4 partial
+    * aggregates. Shuffle cardinality = |returnflag × linestatus| ≈ 6. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        asDbl(sum(dec("l_quantity"))).as("sum_qty"),
+        asDbl(sum(dec("l_extendedprice"))).as("sum_base_price"),
+        asDbl(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))).as("sum_disc_price"),
+        asDbl(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")) * (lit(1) + dec("l_tax")))).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + predicate pushdown: only 4 of 11 lineitem columns are
+    * read and the filter reaches the parquet reader. */
+  def filterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** 4-way join: fact ⋈ fact on orderkey, then dims broadcast.
+    * Mirrors the FK-edge joins of SURVEY.md §2.3 J5. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d); val o = orders(s, d)
+    val c = customer(s, d); val n = nation(s, d)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        asDbl(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))).as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  def ordersByPriority(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), asDbl(sum(dec("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+
+  /** Dimension chain region⋈nation⋈customer — both dims broadcast. */
+  def regionCustomerCount(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"), countDistinct(col("n_nationkey")).as("n_nations"))
+      .orderBy("r_name")
+
+  /** Left-semi join ≡ EXISTS (absent in reference; Catalyst built-in). */
+  def semiJoinBigSpenders(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Left-anti join ≡ NOT EXISTS. */
+  def antiJoinNoOrders(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Top-k (SURVEY.md §2.5 O2 generalized with ordering): TakeOrderedAndProject,
+    * no full sort — each partition keeps k rows, driver merges. */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .limit(25)
+
+  /** Ranking window: top-3 orders per customer (deterministic tiebreak). */
+  def windowTop3PerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Analytic window: per-supplier running quantity (exact decimal sum). */
+  def windowRunningQty(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    lineitem(s, d)
+      .withColumn("running_qty", asDbl(sum(dec("l_quantity")).over(w)))
+      .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  /** Set ops (absent in reference — §2.9). EXCEPT/INTERSECT are distinct
+    * set semantics in both Spark and ANSI SQL. */
+  def exceptNations(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .except(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  def intersectNations(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .intersect(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .orderBy("nationkey")
+
+  def unionNations(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .union(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+
+  /** Distinct aggregation (absent in reference — §2.9). */
+  def distinctPartsPerFlag(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP with sentinel labels (portable across engines; fixture values
+    * never collide with 'ALL'). */
+  def rollupLineitem(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(asDbl(sum(dec("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** CUBE over order status × priority. */
+  def cubeOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), asDbl(sum(dec("o_totalprice"))).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** Date bucketing + derived average (double division of exact operands
+    * — deterministic in both engines). */
+  def monthlyOrderStats(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("sp"))
+      .select(col("yr"), col("mo"), col("n_orders"),
+        asDbl(col("sp")).as("sum_price"),
+        (asDbl(col("sp")) / col("n_orders")).as("avg_price"))
+      .orderBy("yr", "mo")
+
+  /** CASE WHEN bucketing. */
+  def acctbalBuckets(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 1000, "low")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), asDbl(sum(dec("c_acctbal"))).as("sum_bal"))
+      .orderBy("bucket")
+
+  /** Scalar string-function surface (SURVEY.md §2.6 incidental funcs). */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 1, 5).as("name5"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"),
+        concat_ws("#", col("c_mktsegment"), col("c_name")).as("seg_name"),
+        regexp_replace(col("c_name"), "[0-9]+", "N").as("name_norm"))
+      .orderBy("c_custkey")
+
+  /** GROUP BY ... HAVING. */
+  def havingNations(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust") > 50)
+      .orderBy("c_nationkey")
+
+  /** Orders above their customer's average — derived-table self join.
+    * The comparison is done by cross-multiplication (price × n > sum) so
+    * both engines compare exact decimals, never divided floats. */
+  def aboveAvgOrders(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val perCust = o.groupBy("o_custkey")
+      .agg(sum(dec("o_totalprice")).as("s"), count(lit(1)).as("n"))
+      .withColumnRenamed("o_custkey", "k")
+    o.join(perCust, col("o_custkey") === col("k"))
+      .filter(dec("o_totalprice") * col("n") > col("s"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  /** IN-list + BETWEEN + date predicates, all pushed to the scan. */
+  def priorityInDates(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_orderdate").between(
+          lit("1997-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")) &&
+        col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_orderkey")
+
+  /** Fact ⋈ two broadcast dims + aggregate: revenue by part brand. */
+  def brandRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        asDbl(sum(dec("l_quantity"))).as("sum_qty"),
+        asDbl(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))).as("revenue"))
+      .orderBy("p_brand")
+
+  // --- DuckDB oracle twins -------------------------------------------------
+
+  private val D = "DECIMAL(18,2)"
+  private def sumd(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
+
+  val defs: Map[String, QueryDef] = Map(
+    "q01_pricing_summary" -> QueryDef(pricingSummary _,
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumd("l_quantity")} AS sum_qty,
+         |  ${sumd("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D)) * (1 + CAST(l_tax AS $D))) AS DOUBLE) AS sum_charge,
+         |  COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    "q02_filter_project" -> QueryDef(filterProject _,
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "q03_revenue_by_nation" -> QueryDef(revenueByNation _,
+      s"""SELECT n_name,
+         |  CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue,
+         |  COUNT(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    "q04_orders_by_priority" -> QueryDef(ordersByPriority _,
+      s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, ${sumd("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderpriority, o_orderstatus
+         |ORDER BY o_orderpriority, o_orderstatus""".stripMargin),
+
+    "q05_region_customer_count" -> QueryDef(regionCustomerCount _,
+      """SELECT r_name, COUNT(*) AS n_cust, COUNT(DISTINCT n_nationkey) AS n_nations
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin),
+
+    "q06_semi_join_big_spenders" -> QueryDef(semiJoinBigSpenders _,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q07_anti_join_no_orders" -> QueryDef(antiJoinNoOrders _,
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q08_topk_orders" -> QueryDef(topkOrders _,
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""".stripMargin),
+
+    "q09_window_top3_per_customer" -> QueryDef(windowTop3PerCustomer _,
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin),
+
+    "q10_window_running_qty" -> QueryDef(windowRunningQty _,
+      s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         |  CAST(SUM(CAST(l_quantity AS $D)) OVER (
+         |    PARTITION BY l_suppkey
+         |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DOUBLE) AS running_qty
+         |FROM lineitem
+         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin),
+
+    "q11_except_nations" -> QueryDef(exceptNations _,
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+
+    "q12_intersect_nations" -> QueryDef(intersectNations _,
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+
+    "q13_union_nations" -> QueryDef(unionNations _,
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY nationkey""".stripMargin),
+
+    "q14_distinct_parts_per_flag" -> QueryDef(distinctPartsPerFlag _,
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q15_rollup_lineitem" -> QueryDef(rollupLineitem _,
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  ${sumd("l_quantity")} AS sum_qty, COUNT(*) AS n
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin),
+
+    "q16_cube_orders" -> QueryDef(cubeOrders _,
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n, ${sumd("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin),
+
+    "q17_monthly_order_stats" -> QueryDef(monthlyOrderStats _,
+      s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+         |  COUNT(*) AS n_orders, ${sumd("o_totalprice")} AS sum_price,
+         |  ${sumd("o_totalprice")} / COUNT(*) AS avg_price
+         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin),
+
+    "q18_acctbal_buckets" -> QueryDef(acctbalBuckets _,
+      s"""SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+         |            WHEN c_acctbal < 1000 THEN 'low'
+         |            WHEN c_acctbal < 5000 THEN 'mid'
+         |            ELSE 'high' END AS bucket,
+         |  COUNT(*) AS n, ${sumd("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    "q19_string_funcs" -> QueryDef(stringFuncs _,
+      """SELECT c_custkey, UPPER(c_name) AS uname, LOWER(c_mktsegment) AS lseg,
+        |  CAST(LENGTH(c_name) AS INT) AS name_len, SUBSTR(c_name, 1, 5) AS name5,
+        |  LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad,
+        |  CONCAT_WS('#', c_mktsegment, c_name) AS seg_name,
+        |  REGEXP_REPLACE(c_name, '[0-9]+', 'N', 'g') AS name_norm
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "q20_having_nations" -> QueryDef(havingNations _,
+      """SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |GROUP BY c_nationkey HAVING COUNT(*) > 50 ORDER BY c_nationkey""".stripMargin),
+
+    "q21_above_avg_orders" -> QueryDef(aboveAvgOrders _,
+      s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+         |FROM orders o
+         |JOIN (SELECT o_custkey AS k, SUM(CAST(o_totalprice AS $D)) AS s, COUNT(*) AS n
+         |      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k
+         |WHERE CAST(o.o_totalprice AS $D) * a.n > a.s
+         |ORDER BY o.o_orderkey""".stripMargin),
+
+    "q22_priority_in_dates" -> QueryDef(priorityInDates _,
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                      AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q23_brand_revenue" -> QueryDef(brandRevenue _,
+      s"""SELECT p_brand, COUNT(*) AS n_items, ${sumd("l_quantity")} AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  )
+}

@@ -1,0 +1,289 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Text-analysis + deduplication operators over the `documents` fixture —
+  * the LLM-training-data-pipeline surface (task brief; BASELINE.json
+  * north_star): exact dedup, MinHash+LSH near-dedup, SimHash, n-gram
+  * Jaccard, language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * Portability contract with the DuckDB oracle: all hashing is derived
+  * from md5 (identical in every engine) via the first 8 hex chars → int,
+  * never from engine-native hash functions. All scores are integer
+  * arithmetic with at most one final float division, so values are
+  * bit-identical across engines.
+  *
+  * Scale design: every operator is a pure per-row map followed by a
+  * keyed aggregation — shingle explosion is the only row amplifier
+  * (×~len per doc) and it feeds a partial (map-side) MIN/SUM, so shuffle
+  * volume is |docs| × (8 minhashes | 16 bits), not |shingles|. The LSH
+  * band join shuffles only (band, h1, h2) keys — the classic
+  * O(n·bands) candidate generation, no O(n²) anywhere.
+  */
+object TextOps {
+
+  /** lowercase → strip non-alphanumerics → collapse runs of spaces. */
+  private def norm(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  private val NormSqlDuck =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Portable 32-bit content hash: first 8 hex chars of md5 → BIGINT. */
+  private def sid(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  // 8 independent universal-hash parameters for MinHash (fixed primes).
+  private[queries] val MhA = Seq(1299721L, 2750161L, 4256233L, 5800079L, 7368787L, 8960453L, 10570841L, 12195257L)
+  private[queries] val MhB = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
+  private val P31 = 2147483647L
+
+  /** doc_id → distinct 5-char shingles of the normalized text. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 5)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(nrm) - 4), i -> substring(nrm, i, 5))")).as("sh"))
+      .distinct()
+
+  private val ShinglesSqlDuck =
+    s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+       |s AS (SELECT DISTINCT doc_id,
+       |        substr(nrm, CAST(unnest(generate_series(1, length(nrm) - 4)) AS INT), 5) AS sh
+       |      FROM n WHERE length(nrm) >= 5),
+       |ids AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS sid FROM s)""".stripMargin
+
+  /** Exact deduplication: group identical texts, keep the lowest id.
+    * At 100 TB: group by md5 digest (fixed 16 bytes) instead of the full
+    * text so shuffle rows are tiny — represented here by carrying the
+    * digest through the aggregation. */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_md5")
+      .orderBy("keep_id")
+
+  /** MinHash signatures: 8 permutations min-hashed over 5-gram shingles. */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    val withSid = shingles(s, d).withColumn("sid", sid(col("sh")))
+    val aggs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * col("sid") + lit(b), lit(P31))).as(s"mh$j")
+    }
+    withSid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+  }
+
+  /** LSH candidate pairs + exact n-gram Jaccard verification.
+    * 4 bands × 2 rows: pairs agreeing on any band are candidates; each
+    * candidate pair is then verified with the exact shingle-set Jaccard.
+    * Only candidates are ever joined — no quadratic blowup. */
+  def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
+    )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.h1"), col("bd.h2"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
+          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("a_id", "b_id"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** 16-bit SimHash over whitespace tokens (with multiplicity). */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 1)
+      .select(col("doc_id"), explode(split(col("nrm"), " ")).as("tok"))
+      .withColumn("tid", sid(col("tok")))
+    toks
+      .select(col("doc_id"), col("tid"), explode(expr("sequence(0, 15)")).as("b"))
+      .withColumn("bit", floor(col("tid") / pow(lit(2.0), col("b"))).cast("long") % 2)
+      .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
+      .groupBy("doc_id", "b").agg(sum(col("contrib")).as("v"))
+      .withColumn("bitval",
+        when(col("v") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
+      .groupBy("doc_id").agg(sum(col("bitval")).as("simhash16"))
+      .orderBy("doc_id")
+  }
+
+  /** Occurrence count of a marker inside a padded haystack (replace-diff
+    * trick — identical non-overlapping left-to-right semantics in every
+    * engine; the diff is always an exact multiple of the marker length). */
+  private def occ(h: Column, w: String): Column =
+    (length(h) - length(expr(s"replace(${h.toString}, '$w', '')"))) / lit(w.length)
+
+  /** Language ID via stop-word marker scoring (n-gram heuristic). */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val doc = documents(s, d)
+      .withColumn("pad", concat(lit(" "), norm(col("text")), lit(" ")))
+    def score(ws: Seq[String]): Column =
+      ws.map(w => occ(col("pad"), w)).reduce(_ + _)
+    val scored = doc
+      .withColumn("s_en", score(Seq(" the ", " and ", " of ", " is ")))
+      .withColumn("s_de", score(Seq(" der ", " und ", " die ", " ist ")))
+      .withColumn("s_fr", score(Seq(" le ", " la ", " et ", " les ")))
+      .withColumn("s_es", score(Seq(" el ", " los ", " las ", " y ")))
+      .withColumn("s_zh",
+        occ(col("text"), "的") + occ(col("text"), "是") + occ(col("text"), "了"))
+    scored.withColumn("pred_lang",
+        when(col("s_zh") >= greatest(col("s_en"), col("s_de"), col("s_fr"), col("s_es")) && col("s_zh") > 0, "zh")
+          .when(col("s_en") >= greatest(col("s_de"), col("s_fr"), col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .select("doc_id", "lang", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  /** Token counts: raw whitespace tokens and normalized tokens. */
+  def tokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("nrm", norm(col("text")))
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_raw_tokens"),
+        size(split(col("nrm"), " ")).as("n_tokens"),
+        length(col("text")).cast("int").as("n_chars_raw"),
+        length(col("nrm")).cast("int").as("n_chars_norm"))
+      .orderBy("doc_id")
+
+  /** Quality metrics: punctuation/digit/upper counts + one final ratio. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_upper", length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", "")))
+      .withColumn("n_digit", length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("n_punct", length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+      .withColumn("n_spaces", length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+      .withColumn("alpha_ratio",
+        (col("n_chars") - col("n_digit") - col("n_punct") - col("n_spaces")).cast("double") / col("n_chars"))
+      .select("doc_id", "n_chars", "n_upper", "n_digit", "n_punct", "n_spaces", "alpha_ratio")
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over the normalized text. */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
+      .orderBy("doc_id")
+
+  // --- DuckDB oracle twins -------------------------------------------------
+
+  private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+    s"MIN(($a * sid + $b) % $P31) AS mh$j"
+  }.mkString(",\n  ")
+
+  private val OccDuck = (h: String, w: String) =>
+    s"(length($h) - length(replace($h, '$w', ''))) / ${w.length}"
+
+  val defs: Map[String, QueryDef] = Map(
+    "t01_dedup_exact" -> QueryDef(dedupExact _,
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin),
+
+    "t02_minhash_signatures" -> QueryDef(minhashSignatures _,
+      s"""$ShinglesSqlDuck
+         |SELECT doc_id,
+         |  $mhSelect
+         |FROM ids GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "t03_lsh_near_dup_pairs" -> QueryDef(lshNearDupPairs _,
+      s"""$ShinglesSqlDuck,
+         |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig UNION ALL
+         |  SELECT doc_id, 1, mh2, mh3 FROM sig UNION ALL
+         |  SELECT doc_id, 2, mh4, mh5 FROM sig UNION ALL
+         |  SELECT doc_id, 3, mh6, mh7 FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+         |          AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN s sa ON sa.doc_id = c.a_id
+         |          JOIN s sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+         |          GROUP BY c.a_id, c.b_id)
+         |SELECT c.a_id, c.b_id, COALESCE(i.inter, 0) AS inter,
+         |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / (za.sz + zb.sz - COALESCE(i.inter, 0)) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+         |JOIN sizes za ON za.doc_id = c.a_id
+         |JOIN sizes zb ON zb.doc_id = c.b_id
+         |WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5
+         |ORDER BY 1, 2""".stripMargin),
+
+    "t04_simhash" -> QueryDef(simhash _,
+      s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
+         |        FROM n WHERE length(nrm) >= 1),
+         |tid AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tid FROM tok),
+         |bits AS (SELECT doc_id, tid, CAST(unnest(generate_series(0, 15)) AS INT) AS b FROM tid),
+         |contrib AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN CAST(FLOOR(tid / 2 ** b) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM bits GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS simhash16
+         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "t05_lang_id" -> QueryDef(langId _,
+      s"""WITH p AS (SELECT doc_id, lang, text,
+         |    ' ' || $NormSqlDuck || ' ' AS pad FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${OccDuck("pad", " the ")} + ${OccDuck("pad", " and ")} + ${OccDuck("pad", " of ")} + ${OccDuck("pad", " is ")} AS s_en,
+         |  ${OccDuck("pad", " der ")} + ${OccDuck("pad", " und ")} + ${OccDuck("pad", " die ")} + ${OccDuck("pad", " ist ")} AS s_de,
+         |  ${OccDuck("pad", " le ")} + ${OccDuck("pad", " la ")} + ${OccDuck("pad", " et ")} + ${OccDuck("pad", " les ")} AS s_fr,
+         |  ${OccDuck("pad", " el ")} + ${OccDuck("pad", " los ")} + ${OccDuck("pad", " las ")} + ${OccDuck("pad", " y ")} AS s_es,
+         |  ${OccDuck("text", "的")} + ${OccDuck("text", "是")} + ${OccDuck("text", "了")} AS s_zh
+         |  FROM p)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_zh >= GREATEST(s_en, s_de, s_fr, s_es) AND s_zh > 0 THEN 'zh'
+         |       WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin),
+
+    "t06_token_stats" -> QueryDef(tokenStats _,
+      s"""SELECT doc_id,
+         |  CAST(LEN(string_split_regex(trim(text), '\\s+')) AS INT) AS n_raw_tokens,
+         |  CAST(LEN(string_split($NormSqlDuck, ' ')) AS INT) AS n_tokens,
+         |  CAST(LENGTH(text) AS INT) AS n_chars_raw,
+         |  CAST(LENGTH($NormSqlDuck) AS INT) AS n_chars_norm
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "t07_quality_score" -> QueryDef(qualityScore _,
+      """SELECT doc_id,
+        |  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[A-Z]', '', 'g')) AS INT) AS n_upper,
+        |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS INT) AS n_digit,
+        |  CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
+        |  CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS INT) AS n_spaces,
+        |  CAST(LENGTH(text) - (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+        |     - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+        |     - (LENGTH(text) - LENGTH(replace(text, ' ', ''))) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "t08_fingerprint" -> QueryDef(fingerprint _,
+      s"""SELECT doc_id, md5($NormSqlDuck) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,77 @@
+package graft.ddl
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-corpus test (SURVEY.md §5): the full reference DDL parses to
+  * exactly the counted inventory — 85 tables, 131 FKs, 85 PKs, 4 identity
+  * columns — and representative tables (FIXTURES.md §B) map to the right
+  * Catalyst types. */
+class DdlParserSpec extends AnyFunSuite {
+  lazy val cat: Catalog = DdlParser.parseFile("/root/reference/script.sql")
+
+  test("parses the whole corpus: 85 tables / 131 FKs / 85 PKs / 4 identity") {
+    assert(cat.order.size == 85)
+    assert(cat.allFks.size == 131)
+    assert(cat.tables.values.count(_.pk.nonEmpty) == 85)
+    val identCols = cat.tables.values.flatMap(_.schema.fields)
+      .count(_.metadata.getBoolean(DdlParser.MetaIdentity))
+    assert(identCols == 4)
+  }
+
+  test("column census matches the survey (1431 data_rules columns ⊆ parsed)") {
+    val total = cat.tables.values.map(_.schema.size).sum
+    assert(total >= 1431, s"expected >=1431 columns, got $total")
+  }
+
+  test("Ulke: nvarchar PK, GUID tenant (FIXTURES.md B1)") {
+    val u = cat("Ulke")
+    assert(u.pk == Seq("NumKod"))
+    assert(u.schema("NumKod").dataType == StringType)
+    assert(u.schema("NumKod").metadata.getLong(DdlParser.MetaMaxLength) == 3)
+    assert(u.schema("Ad").metadata.getLong(DdlParser.MetaMaxLength) == 100)
+    assert(u.schema("TenantId").dataType == StringType)
+    assert(!u.schema("NumKod").nullable)
+  }
+
+  test("Banka: identity int PK + FK to Ulke (FIXTURES.md B2)") {
+    val b = cat("Banka")
+    assert(b.pk == Seq("Id"))
+    assert(b.schema("Id").dataType == IntegerType)
+    assert(b.schema("Id").metadata.getBoolean(DdlParser.MetaIdentity))
+    val fk = b.fks.find(_.column == "UlkeNumKod").get
+    assert(fk.refTable == "Ulke" && fk.refColumn == "NumKod")
+  }
+
+  test("CariHareket: widest type mix (FIXTURES.md B4)") {
+    val c = cat("CariHareket")
+    assert(c.schema("Tutar").dataType == DecimalType(25, 6))
+    assert(c.schema("KdvOran").dataType == FloatType)
+    assert(c.schema("BelgeTarih").dataType == DateType)
+    assert(c.schema("FormBaBsTarih").dataType == TimestampType)
+    assert(c.schema("DvzTL").dataType == ShortType)
+    // rowversion excluded from generation via the whitelist
+    assert(!c.schema("RowVersion").metadata.getBoolean(DdlParser.MetaSafe))
+    assert(c.schema("BelgeNo").metadata.getLong(DdlParser.MetaMaxLength) == 20)
+  }
+
+  test("rarity cases: nvarchar(max) = -1, time→string, bigint, cascade FKs") {
+    val maxCols = cat.tables.values.flatMap(_.schema.fields).filter(f =>
+      f.metadata.getString(DdlParser.MetaSqlType) == "nvarchar" &&
+        f.metadata.getLong(DdlParser.MetaMaxLength) == -1)
+    assert(maxCols.size == 64, s"expected 64 nvarchar(max), got ${maxCols.size}")
+    assert(cat.allFks.count(_.onDeleteCascade) == 19)
+    val timeCols = cat.tables.values.flatMap(_.schema.fields)
+      .filter(_.metadata.getString(DdlParser.MetaSqlType) == "time")
+    assert(timeCols.nonEmpty && timeCols.forall(_.dataType == StringType))
+  }
+
+  test("GO splitter + batch filters (apply_mssql.py semantics)") {
+    val batches = DdlParser.splitGoBatches("A\nGO\nB\n  go  \nC")
+    assert(batches == Seq("A", "B", "C"))
+    val kept = DdlParser.filterBatches(Seq(
+      "CREATE DATABASE [x]", "USE [master]", "CREATE TABLE t(...)",
+      "ALTER DATABASE x MODIFY FILE ( FILENAME = 'x' )"))
+    assert(kept == Seq("CREATE TABLE t(...)"))
+  }
+}
