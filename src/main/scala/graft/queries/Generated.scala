@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.ddl.{Catalog, DdlParser}
+import graft.gen.{GeneratePipeline, Generator}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship capability — DDL introspection + deterministic
+  * FK-consistent generation (SURVEY.md §3.1) — exposed through the graded
+  * query surface.
+  *
+  * g01/g02 carry literal-VALUES oracles: the engine's catalog inventory
+  * and generation-slice summary are fully deterministic (seeded hashes,
+  * fixed epoch), so the expected outputs are frozen constants any SQL
+  * engine can produce. g03 exposes raw generated rows (rows-only check;
+  * values derive from xxhash64, not expressible in portable SQL).
+  */
+object Generated {
+
+  private val Script = "/root/reference/script.sql"
+  @volatile private var cached: Catalog = _
+  private def catalog: Catalog = {
+    if (cached == null) cached = DdlParser.parseFile(Script)
+    cached
+  }
+
+  /** Catalog inventory: the parsed-DDL census (SURVEY.md §5 corpus test). */
+  def catalogInventory(s: SparkSession, d: String): DataFrame = {
+    val cat = catalog
+    val targets = cat.order.filterNot(GeneratePipeline.skipTable)
+    import s.implicits._
+    Seq((
+      cat.order.size.toLong,
+      cat.tables.values.map(_.schema.size).sum.toLong,
+      cat.allFks.size.toLong,
+      cat.tables.values.flatMap(_.schema.fields)
+        .count(_.metadata.getBoolean(DdlParser.MetaIdentity)).toLong,
+      cat.allFks.count(_.onDeleteCascade).toLong,
+      targets.size.toLong,
+      graft.deps.Deps.waves(targets, cat.allFks).size.toLong
+    )).toDF("n_tables", "n_columns", "n_fks", "n_identity", "n_cascade_fks",
+      "n_generated_tables", "n_waves")
+  }
+
+  private val SliceTables = Seq("Ulke", "Il", "Banka", "VergiDairesi", "BankaSube")
+
+  private def sliceCatalog: Catalog = {
+    val cat = catalog
+    val keep = SliceTables.filter(cat.tables.contains).toSet
+    Catalog(
+      cat.tables.view.filterKeys(keep).toMap.map { case (k, v) =>
+        k -> v.copy(fks = v.fks.filter(f => keep(f.refTable)))
+      },
+      cat.order.filter(keep))
+  }
+
+  /** Generation-slice summary: per table of the Ulke→Banka FK chain,
+    * row count / distinct-PK count / FK-integrity violations of the
+    * deterministically generated frame (seed 42, 15 rows — the
+    * reference's ROW_COUNT, run_engine.py:18). */
+  def generationSlice(s: SparkSession, d: String): DataFrame = {
+    val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+    GeneratePipeline.run(s, sliceCatalog, rowCount = 15, seed = 42,
+      (t, df) => frames(t) = df.cache())
+    val cat = sliceCatalog
+    val summaries = frames.toSeq.sortBy(_._1).map { case (t, df) =>
+      val td = cat(t)
+      val pk = td.pk.head
+      val fkBad: Long = td.fks.filter(f => frames.contains(f.refTable)).map { f =>
+        df.select(col(f.column)).filter(col(f.column).isNotNull)
+          .join(frames(f.refTable).select(col(f.refColumn).as(f.column)),
+            Seq(f.column), "left_anti").count()
+      }.sum
+      (t, df.count(), df.select(pk).distinct().count(), fkBad)
+    }
+    import s.implicits._
+    summaries.toDF("table_name", "n_rows", "n_pk_distinct", "n_fk_violations")
+      .orderBy("table_name")
+  }
+
+  /** Raw generated rows for Banka (identity PK + FK into Ulke) —
+    * deterministic; checked rows-only by the driver, property-checked in
+    * GeneratorSpec. */
+  def generatedBanka(s: SparkSession, d: String): DataFrame = {
+    val cat = catalog
+    val ulkeKeys = Generator.tableDf(s, cat("Ulke"), 15, 42)
+      .select("NumKod").limit(1000).collect().map(_.getString(0)).toSeq
+    Generator.tableDf(s, cat("Banka"), 15, 42, Map("Ulke" -> ulkeKeys))
+      .orderBy("Id")
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "g01_catalog_inventory" -> QueryDef(catalogInventory _,
+      """SELECT * FROM (VALUES (CAST(85 AS BIGINT), CAST(1431 AS BIGINT),
+        |  CAST(131 AS BIGINT), CAST(4 AS BIGINT), CAST(19 AS BIGINT),
+        |  CAST(77 AS BIGINT), CAST(8 AS BIGINT)))
+        |t(n_tables, n_columns, n_fks, n_identity, n_cascade_fks,
+        |  n_generated_tables, n_waves)""".stripMargin),
+
+    "g02_generation_slice" -> QueryDef(generationSlice _, GenSliceOracle),
+
+    "g03_generated_banka" -> QueryDef(generatedBanka _, None)
+  )
+
+  /** Frozen from a reference run (deterministic — see class doc).
+    * n_pk_distinct of 1 for Ulke/VergiDairesi is faithful reference
+    * behavior: KOD-keyword values truncate to the tiny declared PK
+    * length and collide (run_engine.py:73,252-253). */
+  private lazy val GenSliceOracle: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  ('Banka', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('BankaSube', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('Il', CAST(15 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('Ulke', CAST(15 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('VergiDairesi', CAST(15 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT)))
+      |t(table_name, n_rows, n_pk_distinct, n_fk_violations)
+      |ORDER BY table_name""".stripMargin)
+}
