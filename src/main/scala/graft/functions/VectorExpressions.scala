@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Whole-stage-codegen'd dot product over two array<double> columns.
+  *
+  * Why a custom Expression (SURVEY-brief preference (b)): the built-in
+  * composition `aggregate(zip_with(a, b, *), 0D, +)` evaluates its
+  * lambdas interpreted, one boxed call per element — measured 108 s for
+  * the 2 000² near-dup pair scan at sf0.1. This expression compiles to a
+  * tight primitive loop inside WholeStageCodegen (same plan: 0.4 s).
+  *
+  * Semantics are identical to the sequential left fold: elements are
+  * accumulated in array order in IEEE double — the cross-engine
+  * bit-reproducibility contract of graft.queries.VectorOps holds.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_d"
+
+  // manual input check (ExpectsInputTypes needs the sql-private
+  // AbstractDataType in Spark 4): both children must be array<double>
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_d expects (array<double>, array<double>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0d
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductD =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Register `dot_d` in the session's function registry (idempotent).
+    * Registry + call_function is the stable public route to a custom
+    * Expression in Spark 4 (Column no longer exposes raw Expressions). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_d", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+
+  /** Column API for DotProductD (requires register(spark) once). */
+  def dot_d(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("dot_d", a, b)
+}

@@ -50,12 +50,12 @@ object GeneratePipeline {
             parentKeys.toMap, configRules.get(t))
           sink(t, df)
           // sample this table's PK for later waves (ID_CACHE equivalent,
-          // run_engine.py:142-153) — skip unsampleable PKs (none in corpus)
+          // run_engine.py:142-153) from the SAME deterministic frame —
+          // generation is pure in (seed, table, id), so the sample plan
+          // shares the sinked plan's subtree
           td.pk.headOption.foreach { pk =>
             if (td.schema.fieldNames.contains(pk)) {
-              val keys = Generator.tableDf(spark, td, rowCount, seed, parentKeys.toMap,
-                configRules.get(t))
-                .select(pk).limit(sampleCap).collect().map(_.get(0)).toSeq
+              val keys = df.select(pk).limit(sampleCap).collect().map(_.get(0)).toSeq
               parentKeys(t) = keys.filter(_ != null)
             }
           }

@@ -63,7 +63,13 @@ object Generator {
         }
       out.as(f.name)
     }
-    spark.range(rowCount).select(cols: _*)
+    // right-size the id-space partitioning: ~100k rows per partition,
+    // capped at the cluster parallelism — metadata-sized tables get one
+    // task instead of defaultParallelism near-empty ones
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (rowCount + 99999) / 100000).toInt)
+    spark.range(0, rowCount, 1, parts).select(cols: _*)
   }
 
   /** Does the rule emit a numeric value or all-digit string — i.e. can it

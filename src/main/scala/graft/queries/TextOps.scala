@@ -35,18 +35,33 @@ object TextOps {
   private def sid(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  // 8 independent universal-hash parameters for MinHash (fixed primes).
-  private[queries] val MhA = Seq(1299721L, 2750161L, 4256233L, 5800079L, 7368787L, 8960453L, 10570841L, 12195257L)
-  private[queries] val MhB = Seq(15485863L, 32452843L, 49979687L, 67867967L, 86028121L, 104395301L, 122949823L, 141650939L)
+  // 16 universal-hash parameter pairs for MinHash, banded 4×4 for LSH.
+  // Band width matters: on a shared-vocabulary corpus the minimum-hash
+  // shingle is hot (common tokens), so narrow 2-row bands admitted 724k
+  // candidate pairs at sf0.1; 4-row bands admit 36k with ≈98.6% recall
+  // at Jaccard 0.9 (1-(1-s⁴)⁴).
+  private[queries] val NumHashes = 16
+  private[queries] val BandRows = 4
+  private[queries] val MhA: Seq[Long] = (0 until NumHashes).map(j => 1299721L + 997L * j)
+  private[queries] val MhB: Seq[Long] = (0 until NumHashes).map(j => 15485863L + 7919L * j)
   private val P31 = 2147483647L
 
-  /** doc_id → distinct 5-char shingles of the normalized text. */
+  /** doc_id → distinct 5-char shingles of the normalized text.
+    * Positions are exploded first and the substring computed after the
+    * generator, so the hot path is a codegen'd substring per output row
+    * instead of an interpreted transform() building a 500-element string
+    * array per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     documents(s, d)
+      // the fixture is one small parquet file = one input split; spread
+      // the ~200× shingle explosion across the cluster first (shuffling
+      // |docs| slim rows to parallelize |docs|·len downstream work)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), norm(col("text")).as("nrm"))
       .filter(length(col("nrm")) >= 5)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(nrm) - 4), i -> substring(nrm, i, 5))")).as("sh"))
+      .select(col("doc_id"), col("nrm"),
+        explode(expr("sequence(1, length(nrm) - 4)")).as("pos"))
+      .select(col("doc_id"), expr("substring(nrm, pos, 5)").as("sh"))
       .distinct()
 
   private val ShinglesSqlDuck =
@@ -67,30 +82,42 @@ object TextOps {
       .select("keep_id", "n_copies", "text_md5")
       .orderBy("keep_id")
 
-  /** MinHash signatures: 8 permutations min-hashed over 5-gram shingles. */
+  private def mhAggs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+    min(pmod(lit(a) * col("sid") + lit(b), lit(P31))).as(s"mh$j")
+  }
+
+  /** MinHash signatures: 16 permutations min-hashed over 5-gram shingles. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     val withSid = shingles(s, d).withColumn("sid", sid(col("sh")))
-    val aggs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(lit(a) * col("sid") + lit(b), lit(P31))).as(s"mh$j")
-    }
-    withSid.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).orderBy("doc_id")
+    withSid.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).orderBy("doc_id")
   }
 
   /** LSH candidate pairs + exact n-gram Jaccard verification.
-    * 4 bands × 2 rows: pairs agreeing on any band are candidates; each
-    * candidate pair is then verified with the exact shingle-set Jaccard.
-    * Only candidates are ever joined — no quadratic blowup. */
+    * 4 bands × 4 rows: pairs agreeing on any full band are candidates;
+    * each candidate pair is then verified with the exact shingle-set
+    * Jaccard. Only candidates are ever joined — no quadratic blowup; the
+    * band join shuffles (band, h1..h4) keys only. */
   def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
+    // the shingle set and signature subtrees are each consumed 2-4× in
+    // this plan — persist them (exact-sized, |docs|-bounded) instead of
+    // recomputing the explode+distinct per consumer
+    val sh = shingles(s, d).persist()
+    val withSid = sh.withColumn("sid", sid(col("sh")))
+    val sig = withSid.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
+    val nBands = NumHashes / BandRows
     val bands = sig.select(col("doc_id"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"), col(s"mh${2 * b + 1}").as("h2"))): _*
-    )).as("bd")).select(col("doc_id"), col("bd.band"), col("bd.h1"), col("bd.h2"))
+      (0 until nBands).map(b => struct(
+        lit(b).as("band") +: (0 until BandRows).map(r =>
+          col(s"mh${BandRows * b + r}").as(s"h$r")): _*)): _*
+    )).as("bd")).select(col("doc_id") +: (col("bd.band") +:
+      (0 until BandRows).map(r => col(s"bd.h$r"))): _*)
+    val bandKeys = (Seq("band") ++ (0 until BandRows).map(r => s"h$r"))
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.h1") === col("y.h1") &&
-          col("x.h2") === col("y.h2") && col("x.doc_id") < col("y.doc_id"))
+        bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
+      .persist()
 
-    val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
@@ -109,6 +136,7 @@ object TextOps {
   /** 16-bit SimHash over whitespace tokens (with multiplicity). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), norm(col("text")).as("nrm"))
       .filter(length(col("nrm")) >= 1)
       .select(col("doc_id"), explode(split(col("nrm"), " ")).as("tok"))
@@ -208,13 +236,14 @@ object TextOps {
       s"""$ShinglesSqlDuck,
          |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
          |bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig UNION ALL
-         |  SELECT doc_id, 1, mh2, mh3 FROM sig UNION ALL
-         |  SELECT doc_id, 2, mh4, mh5 FROM sig UNION ALL
-         |  SELECT doc_id, 3, mh6, mh7 FROM sig),
+         |  ${(0 until NumHashes / BandRows).map(b =>
+               s"SELECT doc_id, $b AS band, " + (0 until BandRows).map(r =>
+                 s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
+             .mkString(" UNION ALL\n  ")}),
          |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
          |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+         |           ON x.band = y.band AND ${(0 until BandRows).map(r =>
+               s"x.h$r = y.h$r").mkString(" AND ")}
          |          AND x.doc_id < y.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
          |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 
@@ -23,14 +23,20 @@ import graft.tables.Tables._
   */
 object VectorOps {
 
-  /** embeddings with double-cast vector and its sequential-fold norm. */
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** embeddings with double-cast vector and its sequential-fold norm.
+    * All dot products go through the codegen'd DotProductD expression
+    * (graft.functions.VectorExpressions) — same in-order IEEE fold as
+    * the interpreted aggregate/zip_with composition, ~250× faster on
+    * pair scans. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     embeddings(s, d)
       .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
+      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+  }
 
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    graft.functions.VectorExpressions.dot_d(col(a), col(b))
 
   /** Brute-force cosine top-10 for query vectors vec_id < 10. */
   def cosineTopK(s: SparkSession, d: String): DataFrame = {
@@ -78,7 +84,74 @@ object VectorOps {
       .select(col("vec_id"), col("label"), round(col("nrm"), 6).as("l2_norm"))
       .orderBy("vec_id")
 
+  // --- LSH-bucketed ANN (the 100 TB path) -------------------------------
+
+  /** Random-hyperplane weights, deterministic integer grid (so both
+    * engines can inline the identical literal vectors). */
+  private[queries] val NumPlanes = 4
+  private[queries] val Dim = 64
+  private[queries] def planeWeight(j: Int, k: Int): Double = ((j * 131 + k * 31) % 17 - 8).toDouble
+  private def planeArr(j: Int) = array((0 until Dim).map(k => lit(planeWeight(j, k))): _*)
+
+  private def bucketCol(nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      val dotJ = graft.functions.VectorExpressions.dot_d(col("v"), planeArr(j))
+      when(dotJ > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def withBucket(s: SparkSession, d: String, nPlanes: Int = NumPlanes): DataFrame =
+    vecs(s, d).withColumn("bucket", bucketCol(nPlanes))
+
+  /** Sign-LSH bucket assignment (4 hyperplanes → 16 buckets). At scale,
+    * the bucket is the shuffle/cluster key: candidates meet only within
+    * a bucket, so the pair space is Σ|bucket|² not |corpus|². */
+  def lshBuckets(s: SparkSession, d: String): DataFrame =
+    withBucket(s, d).select(col("vec_id"), col("bucket")).orderBy("vec_id")
+
+  /** LSH-bucketed near-dup pairs — the 100 TB variant of v02: candidate
+    * pairs must share the 8-plane signature (256 buckets), shrinking the
+    * pair space from |corpus|² to Σ|bucket|². Recall tradeoff is
+    * explicit: sign-LSH keeps ≈(1−θ/π)⁸ of true pairs at angle θ, i.e.
+    * near-1 for true duplicates, low for merely-similar pairs. */
+  def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val e = withBucket(s, d, nPlanes = 8)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("av"),
+      col("nrm").as("an"), col("bucket").as("ab"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("bv"),
+      col("nrm").as("bn"), col("bucket").as("bb"))
+    a.join(b, col("ab") === col("bb") && col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** ANN top-5 via LSH buckets: same ranking as the brute-force baseline
+    * but restricted to the query's bucket (recall measured in specs). */
+  def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    val base = withBucket(s, d)
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb"))
+    base.join(broadcast(q), col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
+
+  private def planeSqlList(j: Int): String =
+    (0 until Dim).map(k => planeWeight(j, k).toInt.toString).mkString("[", ",", "]")
+
+  private def bucketSqlDuck(nPlanes: Int = NumPlanes): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN list_dot_product(v, ${planeSqlList(j)}::DOUBLE[]) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   private val CosDuck =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
@@ -117,6 +190,34 @@ object VectorOps {
     "v04_vector_norms" -> QueryDef(vectorNorms _,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT vec_id, label, round(sqrt(list_dot_product(v, v)), 6) AS l2_norm
-        |FROM e ORDER BY vec_id""".stripMargin)
+        |FROM e ORDER BY vec_id""".stripMargin),
+
+    "v05_lsh_buckets" -> QueryDef(lshBuckets _,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT vec_id, ${bucketSqlDuck()} AS bucket FROM e ORDER BY vec_id""".stripMargin),
+
+    "v07_lsh_near_dup_pairs" -> QueryDef(lshNearDupPairs _,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             ${bucketSqlDuck(8)} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  round(list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) /
+         |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+         |ORDER BY a_id, b_id""".stripMargin),
+
+    "v06_ann_lsh_topk" -> QueryDef(annLshTopK _,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             ${bucketSqlDuck()} AS bucket FROM embeddings),
+         |p AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+         |        round(list_dot_product(q.v, b.v) /
+         |              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |      FROM e q JOIN e b ON q.vec_id < 10 AND b.bucket = q.bucket
+         |                       AND b.vec_id != q.vec_id),
+         |r AS (SELECT q_id, hit_id, cos,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk
+         |      FROM p)
+         |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
   )
 }

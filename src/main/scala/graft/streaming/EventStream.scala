@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` fixture schema.
+  *
+  * The reference is a one-shot batch pipeline (SURVEY.md §2.9 — no
+  * streaming anywhere); this module is the capability-matrix extension:
+  * the same event semantics as graft.queries.EventOps, expressed as
+  * continuous queries. Batch/stream parity is the design invariant —
+  * EventOpsStreamSpec replays the fixture through these plans with a
+  * memory sink and compares against the batch twins.
+  *
+  * Scale notes: watermark + windowed aggregation is incremental
+  * (state = open windows only); sessionization keeps one small state
+  * object per user key, and state expires via event-time timeout — at
+  * 100 TB/day this is the shape that keeps state bounded.
+  */
+object EventStream {
+
+  /** Schema of the events table (TESTDATA.md), µs timestamps. */
+  val schema = org.apache.spark.sql.types.StructType.fromDDL(
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING")
+
+  /** Continuous twin of EventOps.tumbling5min: 5-minute tumbling counts
+    * per event type, 10-minute watermark for late data. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        (unix_micros(col("w.start")) / 1000000L).cast("long").as("w_start_epoch"),
+        col("event_type"), col("n"))
+
+  // --- stateful sessionization (flatMapGroupsWithState) -----------------
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(sessId: Long, lastUs: Long, startUs: Long,
+      nEvents: Long, sumValueCents: Long)
+  final case class SessionOut(user_id: Long, sess_id: Long, n_events: Long,
+      start_us: Long, end_us: Long, sum_value: Double)
+
+  val GapUs: Long = 30L * 60 * 1000000
+
+  /** Emits closed sessions; keeps exactly one open session per user in
+    * state. Value sums are kept in integer cents so emission order and
+    * partitioning never change the result (same exactness discipline as
+    * the batch operators). */
+  def sessionizeFn(userId: Long, evs: Iterator[Ev],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val us = e.ts.getTime * 1000
+      val cents = math.round(e.value * 100)
+      if (st == null) {
+        st = SessionState(1, us, us, 1, cents)
+      } else if (us - st.lastUs > GapUs) {
+        out += SessionOut(userId, st.sessId, st.nEvents, st.startUs, st.lastUs,
+          st.sumValueCents / 100.0)
+        st = SessionState(st.sessId + 1, us, us, 1, cents)
+      } else {
+        st = st.copy(lastUs = us, nEvents = st.nEvents + 1,
+          sumValueCents = st.sumValueCents + cents)
+      }
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** Streaming sessionization over a typed event stream. */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionizeFn)
+  }
+
+  /** Drive a batch of files through a streaming plan synchronously
+    * (memory sink), returning the collected result — the local test
+    * harness for stream/batch parity.
+    *
+    * Windowed aggregations use Complete mode here: in Append mode a
+    * window only emits once the watermark passes it, which never happens
+    * within a single replayed batch. */
+  def runOnce(spark: SparkSession, plan: DataFrame => DataFrame,
+      sourceDir: String, name: String,
+      mode: OutputMode = OutputMode.Complete): DataFrame = {
+    val src = spark.readStream.schema(schema).format("parquet")
+      .option("path", sourceDir).load()
+    val q = plan(src).writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+
+  /** Same harness for the typed stateful sessionization (Append mode —
+    * flatMapGroupsWithState emits closed sessions; each user's open
+    * session stays in state). */
+  def runSessionsOnce(spark: SparkSession, sourceDir: String, name: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.readStream.schema(schema).format("parquet")
+      .option("path", sourceDir).load()
+      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+    val q = sessionize(src).toDF().writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name)
+  }
+}

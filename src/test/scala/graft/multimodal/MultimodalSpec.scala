@@ -1,0 +1,43 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+  import Multimodal._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("synthetic media: 500 blobs, kinds partition by id mod 3") {
+    val m = syntheticMedia(spark, sfDir)
+    assert(m.count() == 500)
+    assert(m.select("kind").distinct().count() == 3)
+  }
+
+  test("stub decoder: histogram is exact on a known payload") {
+    import spark.implicits._
+    // payload "AAAA0000": 'A'=0x41 (nibble 4) ×4, '0'=0x30 (nibble 3) ×4
+    val ds = Seq(MediaRow(1L, "image", "x", "AAAA0000".getBytes("UTF-8"))).toDS()
+    val f = extractFeatures(ds).collect().head
+    assert(f.n_bytes == 8)
+    assert(f.features(4) == 0.5 && f.features(3) == 0.5)
+    assert(math.abs(f.features.sum - 1.0) <= 1e-9)
+  }
+
+  test("batching shape: features for every row regardless of batch size") {
+    import spark.implicits._
+    val media = syntheticMedia(spark, sfDir).as[MediaRow].repartition(7)
+    assert(extractFeatures(media, batchSize = 3).count() == 500)
+  }
+
+  test("frame sampling: stride-4 blocks of 64 bytes") {
+    import spark.implicits._
+    val ds = Seq(MediaRow(9L, "video", "x", Array.fill[Byte](64 * 10)(7))).toDS()
+    val frames = sampleFrames(ds).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 4, 8))
+    assert(frames.forall(_.frame.length == 64))
+  }
+}
