@@ -89,7 +89,32 @@ object Generated {
       .orderBy("Id")
   }
 
+  /** S5-equivalent catalog scan: per-SQL-type column census of the
+    * parsed schema (the engine's INFORMATION_SCHEMA.COLUMNS relation,
+    * aggregated — run_engine.py:87-99 recast over the DDL catalog). */
+  def columnTypeCensus(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    catalog.tables.values.flatMap(_.schema.fields).toSeq
+      .groupBy(_.metadata.getString(DdlParser.MetaSqlType))
+      .map { case (t, fs) => (t, fs.size.toLong) }.toSeq
+      .toDF("sql_type", "n_cols")
+      .orderBy("sql_type")
+  }
+
+  /** S6/A1-equivalent FK-catalog aggregation: inbound-FK fan-in per
+    * parent table, top 10 (the sys.foreign_keys join, aggregated). */
+  def fkFanout(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    catalog.allFks.groupBy(_.refTable)
+      .map { case (p, fks) => (p, fks.size.toLong) }.toSeq
+      .toDF("parent_table", "n_inbound")
+      .orderBy(col("n_inbound").desc, col("parent_table"))
+      .limit(10)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "g04_column_type_census" -> QueryDef(columnTypeCensus _, G04Oracle),
+    "g05_fk_fanout" -> QueryDef(fkFanout _, G05Oracle),
     "g01_catalog_inventory" -> QueryDef(catalogInventory _,
       """SELECT * FROM (VALUES (CAST(85 AS BIGINT), CAST(1431 AS BIGINT),
         |  CAST(131 AS BIGINT), CAST(4 AS BIGINT), CAST(19 AS BIGINT),
@@ -101,6 +126,29 @@ object Generated {
 
     "g03_generated_banka" -> QueryDef(generatedBanka _, None)
   )
+
+  /** Frozen from the parsed corpus (SURVEY.md §1.2 type table). */
+  private lazy val G04Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  ('bigint', CAST(1 AS BIGINT)), ('bit', CAST(25 AS BIGINT)),
+      |  ('date', CAST(42 AS BIGINT)), ('datetime2', CAST(20 AS BIGINT)),
+      |  ('datetimeoffset', CAST(1 AS BIGINT)), ('int', CAST(141 AS BIGINT)),
+      |  ('numeric', CAST(181 AS BIGINT)), ('nvarchar', CAST(610 AS BIGINT)),
+      |  ('real', CAST(20 AS BIGINT)), ('smallint', CAST(112 AS BIGINT)),
+      |  ('time', CAST(1 AS BIGINT)), ('timestamp', CAST(53 AS BIGINT)),
+      |  ('uniqueidentifier', CAST(223 AS BIGINT)), ('varbinary', CAST(1 AS BIGINT)))
+      |t(sql_type, n_cols) ORDER BY sql_type""".stripMargin)
+
+  /** Frozen fan-in of the most-referenced parents (placeholder values
+    * are confirmed by the differential run before each commit). */
+  private lazy val G05Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  ('CariHesap', CAST(30 AS BIGINT)), ('Il', CAST(9 AS BIGINT)),
+      |  ('Stok', CAST(9 AS BIGINT)), ('Ulke', CAST(8 AS BIGINT)),
+      |  ('StokHareket', CAST(7 AS BIGINT)), ('SatisBelge', CAST(6 AS BIGINT)),
+      |  ('AspNetUsers', CAST(5 AS BIGINT)), ('CariHareket', CAST(5 AS BIGINT)),
+      |  ('FaturaBelge', CAST(5 AS BIGINT)), ('Banka', CAST(4 AS BIGINT)))
+      |t(parent_table, n_inbound) ORDER BY n_inbound DESC, parent_table LIMIT 10""".stripMargin)
 
   /** Frozen from a reference run (deterministic — see class doc).
     * n_pk_distinct of 1 for Ulke/VergiDairesi is faithful reference

@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Second relational batch: operators beyond the reference's own surface
+  * that a complete engine needs (as-of join, range join, grouping sets,
+  * deterministic sampling) — each chosen for an exact cross-engine
+  * semantics contract.
+  */
+object Relational2 {
+
+  /** As-of join: each view event → most recent earlier purchase by the
+    * same user. Spark lacks a native as-of join; the scalable
+    * composition is a single user-partitioned sort + running
+    * last(ignoreNulls) — one shuffle on user_id, no self-join, no
+    * per-row subquery (which is how the oracle states the semantics).
+    * Strict ordering ties break on event_id, so both engines agree. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("p_id",
+        when(col("event_type") === "purchase", col("event_id")))
+      .withColumn("last_purchase", last(col("p_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("last_purchase"))
+      .orderBy("event_id")
+  }
+
+  /** Range join: lineitems shipped within 60 days of their order date —
+    * equi key plus range predicate; the equi key carries the join, the
+    * range is a post-filter (no interval blow-up). */
+  def rangeJoinShipLag(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        asDbl(sum(dec("l_extendedprice"))).as("sum_price"))
+      .orderBy("o_orderpriority")
+
+  /** Deterministic 10% sample: md5-derived bucket on the key — the
+    * portable twin of TABLESAMPLE (reference analogue: TOP-1000 capped
+    * scans, run_engine.py:149). Same rows in every engine and run. */
+  def deterministicSample(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long"), lit(10L)) === 0)
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** GROUPING SETS via the SQL surface (spark.sql over a temp view) —
+    * the §2.9 grouping-sets capability, stated in SQL on both engines. */
+  def groupingSetsEvents(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("events_v")
+    s.sql(
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |       COALESCE(yr, -1) AS yr, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(YEAR(ts) AS INT) AS yr FROM events_v)
+        |GROUP BY GROUPING SETS ((event_type), (yr), ())
+        |ORDER BY etype, yr""".stripMargin)
+  }
+
+  private val D = "DECIMAL(18,2)"
+
+  val defs: Map[String, QueryDef] = Map(
+    "q24_asof_join" -> QueryDef(asofJoin _,
+      """SELECT v.event_id, v.user_id,
+        |  (SELECT p.event_id FROM events p
+        |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+        |     AND (p.ts < v.ts OR (p.ts = v.ts AND p.event_id < v.event_id))
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase
+        |FROM events v WHERE v.event_type = 'view' ORDER BY v.event_id""".stripMargin),
+
+    "q25_range_join" -> QueryDef(rangeJoinShipLag _,
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  AND l_shipdate >= o_orderdate
+         |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    "q26_deterministic_sample" -> QueryDef(deterministicSample _,
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10) = 0
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q27_grouping_sets" -> QueryDef(groupingSetsEvents _,
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |       COALESCE(yr, -1) AS yr, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(YEAR(ts) AS INT) AS yr FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (yr), ())
+        |ORDER BY etype, yr""".stripMargin)
+  )
+}

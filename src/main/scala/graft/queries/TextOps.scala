@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 
@@ -212,6 +213,38 @@ object TextOps {
       .select(col("doc_id"), md5(norm(col("text"))).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (local-min rolling-hash selection): hash
+    * every positional 5-gram, keep the window-of-5 minimum — the
+    * classic document-fingerprint scheme; robust to local edits. Output
+    * is the per-doc fingerprint-set summary (count + exact sum), both
+    * integer-exact. */
+  def winnowingFingerprint(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 4)
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 5)
+      .select(col("doc_id"), col("nrm"),
+        explode(expr("sequence(1, length(nrm) - 4)")).as("pos"))
+      .select(col("doc_id"), col("pos"), sid(expr("substring(nrm, pos, 5)")).as("hv"))
+      .withColumn("fp", min(col("hv")).over(w))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("fp")).as("n_fps"), sum_distinct(col("fp")).as("fp_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE-ish regex token count beside the whitespace count: the
+    * merge-friendly pre-tokenizer split (contractions | words | number
+    * runs | punctuation runs | spaces). */
+  private val BpePattern = "'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(BpePattern)).cast("int").as("n_bpe"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws"))
+      .withColumn("tokens_per_word", col("n_bpe").cast("double") / col("n_ws"))
+      .orderBy("doc_id")
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -313,6 +346,27 @@ object TextOps {
 
     "t08_fingerprint" -> QueryDef(fingerprint _,
       s"""SELECT doc_id, md5($NormSqlDuck) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "t09_winnowing_fingerprint" -> QueryDef(winnowingFingerprint _,
+      s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(unnest(generate_series(1, length(nrm) - 4)) AS INT) AS pos,
+         |        substr(nrm, CAST(unnest(generate_series(1, length(nrm) - 4)) AS INT), 5) AS sh
+         |      FROM n WHERE length(nrm) >= 5),
+         |h AS (SELECT doc_id, pos, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS hv FROM s),
+         |w AS (SELECT doc_id, MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp FROM h)
+         |SELECT doc_id, COUNT(DISTINCT fp) AS n_fps,
+         |  CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_sum
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "t10_bpe_token_count" -> QueryDef(bpeTokenCount _,
+      s"""SELECT doc_id,
+         |  CAST(LEN(regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}')) AS INT) AS n_bpe,
+         |  CAST(LEN(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws,
+         |  CAST(LEN(regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}')) AS DOUBLE)
+         |    / LEN(string_split_regex(trim(text), '\\s+')) AS tokens_per_word
          |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }
