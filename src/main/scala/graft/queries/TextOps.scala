@@ -70,7 +70,7 @@ object TextOps {
        |s AS (SELECT DISTINCT doc_id,
        |        substr(nrm, CAST(unnest(generate_series(1, length(nrm) - 4)) AS INT), 5) AS sh
        |      FROM n WHERE length(nrm) >= 5),
-       |ids AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS sid FROM s)""".stripMargin
+       |ids AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS sid FROM s)""".stripMargin
 
   /** Exact deduplication: group identical texts, keep the lowest id.
     * At 100 TB: group by md5 digest (fixed 16 bytes) instead of the full
@@ -101,10 +101,13 @@ object TextOps {
   def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
     // the shingle set and signature subtrees are each consumed 2-4× in
     // this plan — persist them (exact-sized, |docs|-bounded) instead of
-    // recomputing the explode+distinct per consumer
-    val sh = shingles(s, d).persist()
-    val withSid = sh.withColumn("sid", sid(col("sh")))
-    val sig = withSid.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*).persist()
+    // recomputing the explode+distinct per consumer. All downstream
+    // joins/aggregations key on the 8-byte sid, never the shingle text
+    // (same hash in the oracle, so set cardinalities agree by
+    // construction).
+    val sh = shingles(s, d).select(col("doc_id"), sid(col("sh")).as("sid"))
+      .distinct().persist()
+    val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
     val nBands = NumHashes / BandRows
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until nBands).map(b => struct(
@@ -117,15 +120,14 @@ object TextOps {
         bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")).distinct()
-      .persist()
 
+    // zero-overlap candidates can never reach jaccard ≥ 0.5, so the
+    // verification is a pure inner-join chain keyed on 8-byte sids
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh")), "a_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sid")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sid")), Seq("b_id", "sid"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    cand.join(inter, Seq("a_id", "b_id"), "left")
-      .na.fill(0L, Seq("inter"))
       .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
       .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
@@ -278,19 +280,18 @@ object TextOps {
          |           ON x.band = y.band AND ${(0 until BandRows).map(r =>
                s"x.h$r = y.h$r").mkString(" AND ")}
          |          AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM s GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id),
          |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
          |          FROM cand c
-         |          JOIN s sa ON sa.doc_id = c.a_id
-         |          JOIN s sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+         |          JOIN ids sa ON sa.doc_id = c.a_id
+         |          JOIN ids sb ON sb.doc_id = c.b_id AND sb.sid = sa.sid
          |          GROUP BY c.a_id, c.b_id)
-         |SELECT c.a_id, c.b_id, COALESCE(i.inter, 0) AS inter,
-         |  CAST(COALESCE(i.inter, 0) AS DOUBLE) / (za.sz + zb.sz - COALESCE(i.inter, 0)) AS jaccard
-         |FROM cand c
-         |LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
-         |JOIN sizes za ON za.doc_id = c.a_id
-         |JOIN sizes zb ON zb.doc_id = c.b_id
-         |WHERE CAST(COALESCE(i.inter, 0) AS DOUBLE) / (za.sz + zb.sz - COALESCE(i.inter, 0)) >= 0.5
+         |SELECT i.a_id, i.b_id, i.inter,
+         |  CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.a_id
+         |JOIN sizes zb ON zb.doc_id = i.b_id
+         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
          |ORDER BY 1, 2""".stripMargin),
 
     "t04_simhash" -> QueryDef(simhash _,

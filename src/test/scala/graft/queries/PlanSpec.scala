@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan hygiene: the properties that matter at 100 TB, asserted
+  * on the actual plans (the "explain and iterate" loop, frozen as specs).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    graft.SparkEntry.all(name).fn(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters"), "filters must push down")
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(l_quantity.*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(l_returnflag,R\\).*"), p)
+    // column pruning: the 11-column lineitem scan reads only what's needed
+    assert(!p.contains("l_partkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q03: dimension join is broadcast, fact agg is partial") {
+    val p = plan("q03_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), "nation must broadcast")
+    assert(p.contains("HashAggregate"), "aggregation must be hash-based")
+  }
+
+  test("q05/q23: all dims broadcast — zero fact-table shuffles before agg") {
+    assert(plan("q05_region_customer_count").contains("BroadcastHashJoin"))
+    val p23 = plan("q23_brand_revenue")
+    assert(p23.split("BroadcastHashJoin").length >= 3, "both dims broadcast")
+    assert(!p23.contains("SortMergeJoin"), "no sort-merge for broadcastable dims")
+  }
+
+  test("q01: map-side partial aggregation + codegen after execution") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum"), "aggregation must be map-side partial")
+    assert(p.contains("HashAggregate"))
+    // AQE finalizes codegen spans only at execution time
+    val df = graft.SparkEntry.all("q01_pricing_summary").fn(spark, d)
+    df.collect()
+    // "*(n)" is the WholeStageCodegen marker in the compact plan string
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q08: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q08_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("v01: cosine top-k uses the codegen'd dot_d expression") {
+    val p = plan("v01_cosine_topk")
+    assert(p.contains("dot_d"), "custom expression must be in the plan")
+    assert(p.contains("BroadcastNestedLoopJoin"), "10-row query side must broadcast")
+  }
+
+  test("semi/anti joins plan as join strategies, not subquery re-execution") {
+    assert(plan("q06_semi_join_big_spenders").contains("LeftSemi"))
+    assert(plan("q07_anti_join_no_orders").contains("LeftAnti"))
+  }
+}
