@@ -143,6 +143,41 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  // --- IVF (inverted-file) ANN — the partition-pruned scale path --------
+
+  /** IVF top-5: coarse-quantize the corpus to 16 centroids (vectors
+    * 0..15 play the trained codebook — deterministic), assign every
+    * vector to its nearest centroid cell, then answer queries by probing
+    * only their 2 nearest cells. At 100 TB the cell is the storage
+    * partition: a query touches 2/16ths of the data, and the codebook is
+    * a broadcast. Exact ranking inside the probed cells. */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val aff = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid").asc)))
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val base = e.join(cells, "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(probes, "q_id")
+    base.join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -206,6 +241,30 @@ object VectorOps {
          |WHERE round(list_dot_product(a.v, b.v) /
          |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
          |ORDER BY a_id, b_id""".stripMargin),
+
+    "v08_ivf_topk" -> QueryDef(ivfTopK _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e q ON q.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |r AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p)
+        |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
     "v06_ann_lsh_topk" -> QueryDef(annLshTopK _,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
