@@ -83,6 +83,17 @@ object EventOps {
       .orderBy("rk")
   }
 
+  /** JSON scalar functions over the props payload (§2.9 capability:
+    * absent in the reference, provided by Spark SQL) — extract, type,
+    * aggregate with exact integer math. */
+  def jsonProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private val D = "DECIMAL(18,2)"
@@ -118,6 +129,13 @@ object EventOps {
         |SELECT prev_type, event_type, COUNT(*) AS n FROM x
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin),
+
+    "e06_json_props" -> QueryDef(jsonProps _,
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "e05_top_users_by_value" -> QueryDef(topUsersByValue _,
       s"""WITH a AS (SELECT user_id, SUM(CAST(value AS $D)) AS sv, COUNT(*) AS n_events
