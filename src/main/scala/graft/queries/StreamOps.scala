@@ -1,0 +1,66 @@
+package graft.queries
+
+import graft.streaming.EventStream
+import graft.tables.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming operators on the graded surface: each query executes a REAL
+  * Structured Streaming job (parquet source → stateful/windowed plan →
+  * memory sink, drained synchronously) and returns its result table.
+  * The oracles state the same semantics in batch SQL — closed sessions
+  * are exactly the batch sessions minus each user's final (still-open)
+  * one, and finalized windows are plain tumbling buckets — so the
+  * streaming path is hash-verified like every batch operator.
+  */
+object StreamOps {
+
+  /** Replay the events fixture as a µs-timestamped stream source. */
+  private def streamSource(s: SparkSession, d: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Stateful sessionization through flatMapGroupsWithState; emits the
+    * closed sessions (open per-user tails stay in state). */
+  def streamSessions(s: SparkSession, d: String): DataFrame =
+    EventStream.runSessionsOnce(s, streamSource(s, d), "graft_stream_sessions")
+      .select("user_id", "sess_id", "n_events", "start_us", "end_us", "sum_value")
+      .orderBy("user_id", "sess_id")
+
+  /** Watermarked tumbling windows, drained in Complete mode. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s, EventStream.tumblingCounts, streamSource(s, d),
+        "graft_stream_tumbling")
+      .orderBy("w_start_epoch", "event_type")
+
+  private val D = "DECIMAL(18,2)"
+
+  val defs: Map[String, QueryDef] = Map(
+    "s01_stream_sessions" -> QueryDef(streamSessions _,
+      s"""WITH x AS (SELECT user_id, event_id, ts, value,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_us IS NULL
+         |        OR epoch_us(ts) - prev_us > ${EventStream.GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
+         |g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f),
+         |sess AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+         |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         |    CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |  FROM g GROUP BY user_id, sess_id),
+         |last AS (SELECT user_id, MAX(sess_id) AS last_sess FROM sess GROUP BY user_id)
+         |SELECT s.user_id, s.sess_id, s.n_events, s.start_us, s.end_us, s.sum_value
+         |FROM sess s JOIN last l ON s.user_id = l.user_id
+         |WHERE s.sess_id < l.last_sess
+         |ORDER BY s.user_id, s.sess_id""".stripMargin),
+
+    "s02_stream_tumbling" -> QueryDef(streamTumbling _,
+      """SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS w_start_epoch,
+        |  event_type, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_epoch, event_type""".stripMargin)
+  )
+}

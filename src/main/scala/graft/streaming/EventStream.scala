@@ -57,7 +57,9 @@ object EventStream {
     var st = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
     evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      val us = e.ts.getTime * 1000
+      // full microsecond precision: getTime is ms-truncated, the
+      // sub-ms remainder lives in getNanos
+      val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
       val cents = math.round(e.value * 100)
       if (st == null) {
         st = SessionState(1, us, us, 1, cents)
