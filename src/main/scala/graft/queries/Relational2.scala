@@ -66,9 +66,81 @@ object Relational2 {
         |ORDER BY etype, yr""".stripMargin)
   }
 
+  /** Exact interpolated percentiles (both engines implement the
+    * standard (n−1)·p linear interpolation over the sorted values). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Pearson correlation assembled from exact decimal sums — the
+    * order-independent formulation (built-in corr() accumulates float
+    * moments in partial-agg order and is NOT hash-stable): every Σ is
+    * exact decimal, the float formula runs once on identical operands
+    * in both engines. */
+  def manualCorr(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec("l_quantity")).as("sx"),
+        sum(dec("l_extendedprice")).as("sy"),
+        sum(dec("l_quantity") * dec("l_extendedprice")).as("sxy"),
+        sum(dec("l_quantity") * dec("l_quantity")).as("sxx"),
+        sum(dec("l_extendedprice") * dec("l_extendedprice")).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round((col("n") * asDbl(col("sxy")) - asDbl(col("sx")) * asDbl(col("sy"))) /
+          (sqrt(col("n") * asDbl(col("sxx")) - asDbl(col("sx")) * asDbl(col("sx"))) *
+            sqrt(col("n") * asDbl(col("syy")) - asDbl(col("sy")) * asDbl(col("sy")))), 6)
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** Deterministic collect-aggregation: sorted distinct list rendered as
+    * a string (collect_set alone is order-nondeterministic — sorting is
+    * what makes it a verifiable operator). */
+  def sortedCollect(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(concat_ws(",", sort_array(collect_set(col("c_mktsegment")))).as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("n_name")
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    "q28_percentiles" -> QueryDef(percentiles _,
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q29_manual_corr" -> QueryDef(manualCorr _,
+      s"""WITH a AS (SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(l_quantity AS $D)) AS sx,
+         |    SUM(CAST(l_extendedprice AS $D)) AS sy,
+         |    SUM(CAST(l_quantity AS $D) * CAST(l_extendedprice AS $D)) AS sxy,
+         |    SUM(CAST(l_quantity AS $D) * CAST(l_quantity AS $D)) AS sxx,
+         |    SUM(CAST(l_extendedprice AS $D) * CAST(l_extendedprice AS $D)) AS syy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+         |    (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+         |     sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    AS corr_qty_price
+         |FROM a ORDER BY l_returnflag""".stripMargin),
+
+    "q30_sorted_collect" -> QueryDef(sortedCollect _,
+      """SELECT n_name,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+        |  COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin),
     "q24_asof_join" -> QueryDef(asofJoin _,
       """SELECT v.event_id, v.user_id,
         |  (SELECT p.event_id FROM events p

@@ -155,6 +155,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** End-to-end dedup materialization: the corpus minus near-duplicates.
+    * Canonical-keep policy: within each ≥0.9-Jaccard pair the lower
+    * doc_id survives (higher ids anti-joined away) — the standard
+    * "keep first" rule, fully deterministic. */
+  def dedupApply(s: SparkSession, d: String): DataFrame = {
+    val dupes = lshNearDupPairs(s, d)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+    documents(s, d)
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Occurrence count of a marker inside a padded haystack (replace-diff
     * trick — identical non-overlapping left-to-right semantics in every
     * engine; the diff is always an exact multiple of the marker length). */
@@ -361,6 +375,34 @@ object TextOps {
          |SELECT doc_id, COUNT(DISTINCT fp) AS n_fps,
          |  CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_sum
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "t11_dedup_apply" -> QueryDef(dedupApply _,
+      s"""$ShinglesSqlDuck,
+         |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until NumHashes / BandRows).map(b =>
+               s"SELECT doc_id, $b AS band, " + (0 until BandRows).map(r =>
+                 s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
+             .mkString(" UNION ALL\n  ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND ${(0 until BandRows).map(r =>
+               s"x.h$r = y.h$r").mkString(" AND ")}
+         |          AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN ids sa ON sa.doc_id = c.a_id
+         |          JOIN ids sb ON sb.doc_id = c.b_id AND sb.sid = sa.sid
+         |          GROUP BY c.a_id, c.b_id),
+         |dupes AS (SELECT DISTINCT i.b_id
+         |          FROM inter i
+         |          JOIN sizes za ON za.doc_id = i.a_id
+         |          JOIN sizes zb ON zb.doc_id = i.b_id
+         |          WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
+         |ORDER BY d.doc_id""".stripMargin),
 
     "t10_bpe_token_count" -> QueryDef(bpeTokenCount _,
       s"""SELECT doc_id,
