@@ -27,7 +27,11 @@ object Relational2 {
         when(col("event_type") === "purchase", col("event_id")))
       .withColumn("last_purchase", last(col("p_id"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "view")
-      .select(col("event_id"), col("user_id"), col("last_purchase"))
+      // views before any purchase → -1 sentinel (keeps the output column
+      // non-nullable: nullable int64 → pandas float64 coercion would make
+      // the oracle hash-compare fragile)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("last_purchase"), lit(-1L)).as("last_purchase"))
       .orderBy("event_id")
   }
 
@@ -110,9 +114,27 @@ object Relational2 {
         count(lit(1)).as("n_cust"))
       .orderBy("n_name")
 
+  /** Pivot: order counts per priority × status, statuses as columns
+    * (Spark's relational pivot; the oracle states it as conditional
+    * aggregation — the same plan both ways). */
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    "q31_pivot_status" -> QueryDef(pivotStatus _,
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
     "q28_percentiles" -> QueryDef(percentiles _,
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -143,10 +165,10 @@ object Relational2 {
         |GROUP BY n_name ORDER BY n_name""".stripMargin),
     "q24_asof_join" -> QueryDef(asofJoin _,
       """SELECT v.event_id, v.user_id,
-        |  (SELECT p.event_id FROM events p
+        |  COALESCE((SELECT p.event_id FROM events p
         |   WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
         |     AND (p.ts < v.ts OR (p.ts = v.ts AND p.event_id < v.event_id))
-        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase
+        |   ORDER BY p.ts DESC, p.event_id DESC LIMIT 1), -1) AS last_purchase
         |FROM events v WHERE v.event_type = 'view' ORDER BY v.event_id""".stripMargin),
 
     "q25_range_join" -> QueryDef(rangeJoinShipLag _,

@@ -126,13 +126,20 @@ object VectorOps {
       .orderBy("a_id", "b_id")
   }
 
-  /** ANN top-5 via LSH buckets: same ranking as the brute-force baseline
-    * but restricted to the query's bucket (recall measured in specs). */
+  /** ANN top-5 via multi-probe LSH: the query searches its own bucket
+    * plus the 4 buckets at Hamming distance 1 (single-plane flips) —
+    * the standard multi-probe trick that buys recall without more
+    * tables. Single-probe recall@5 measured 0.08 on this corpus
+    * (near-orthogonal vectors, neighbor angles ≈ 66°); multi-probe ≤1
+    * lifts it several-fold while still scanning 5/16ths of the corpus
+    * (VectorRecallSpec reports both paths). */
   def annLshTopK(s: SparkSession, d: String): DataFrame = {
     val base = withBucket(s, d)
+    val flips = Seq(0) ++ (0 until NumPlanes).map(1 << _)
     val q = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qn"), col("bucket").as("qb"))
+        col("nrm").as("qn"), col("bucket").as("qb0"))
+      .withColumn("qb", explode(array(flips.map(f => expr(s"qb0 ^ $f")): _*)))
     base.join(broadcast(q), col("qb") === col("bucket") && col("q_id") =!= col("vec_id"))
       .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
       .withColumn("rk", row_number().over(
@@ -269,11 +276,15 @@ object VectorOps {
     "v06_ann_lsh_topk" -> QueryDef(annLshTopK _,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
          |             ${bucketSqlDuck()} AS bucket FROM embeddings),
-         |p AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+         |probes AS (SELECT vec_id AS q_id, xor(bucket, f.f) AS pbucket
+         |           FROM e, (VALUES (0), (1), (2), (4), (8)) f(f)
+         |           WHERE vec_id < 10),
+         |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
          |        round(list_dot_product(q.v, b.v) /
          |              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         |      FROM e q JOIN e b ON q.vec_id < 10 AND b.bucket = q.bucket
-         |                       AND b.vec_id != q.vec_id),
+         |      FROM probes pr
+         |      JOIN e q ON q.vec_id = pr.q_id
+         |      JOIN e b ON b.bucket = pr.pbucket AND b.vec_id != pr.q_id),
          |r AS (SELECT q_id, hit_id, cos,
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk
          |      FROM p)

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: the approximate paths trade recall for pruning — make
+  * the tradeoff measured, not assumed. */
+class VectorRecallSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  val d = "/root/testdata/sf0.001"
+
+  private def hits(name: String): Map[Long, Set[Long]] =
+    graft.SparkEntry.all(name).fn(spark, d)
+      .select("q_id", "hit_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+
+  test("IVF(2-probe) and LSH top-5 recall vs exact top-5") {
+    val exact = hits("v01_cosine_topk").map { case (q, s) => q -> s.take(5) }
+    // exact top-5 = first 5 ranks of v01's top-10 — recompute properly:
+    val exact5 = graft.SparkEntry.all("v01_cosine_topk").fn(spark, d)
+      .filter(org.apache.spark.sql.functions.col("rk") <= 5)
+      .select("q_id", "hit_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val per = exact5.map { case (q, ex) =>
+        approx.get(q).map(ap => (ap & ex).size.toDouble / ex.size).getOrElse(0d)
+      }
+      per.sum / per.size
+    }
+    val rIvf = recall(hits("v08_ivf_topk"))
+    val rLsh = recall(hits("v06_ann_lsh_topk"))
+    info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f")
+    assert(rIvf >= 0.3, s"IVF recall degenerate: $rIvf")
+    assert(rLsh >= 0.3, s"LSH recall degenerate: $rLsh")
+    assert(exact.nonEmpty)
+  }
+}
