@@ -94,6 +94,19 @@ object EventOps {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** Weekly cohort retention: users bucketed by first-seen week, counted
+    * per (cohort, active week) — two keyed aggregations over integer
+    * epoch weeks, the standard retention triangle. */
+  def weeklyCohorts(s: SparkSession, d: String): DataFrame = {
+    val wk = floor(unix_micros(col("ts")) / lit(604800000000L))
+    val ev = events(s, d).withColumn("wk", wk)
+    val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    ev.join(cohorts, "user_id")
+      .groupBy("cohort_wk", "wk")
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+      .orderBy("cohort_wk", "wk")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private val D = "DECIMAL(18,2)"
@@ -129,6 +142,15 @@ object EventOps {
         |SELECT prev_type, event_type, COUNT(*) AS n FROM x
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type ORDER BY prev_type, event_type""".stripMargin),
+
+    "e07_weekly_cohorts" -> QueryDef(weeklyCohorts _,
+      """WITH ev AS (SELECT user_id, CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+        |SELECT c.cohort_wk, ev.wk, COUNT(DISTINCT ev.user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM ev JOIN c ON ev.user_id = c.user_id
+        |GROUP BY c.cohort_wk, ev.wk ORDER BY c.cohort_wk, ev.wk""".stripMargin),
 
     "e06_json_props" -> QueryDef(jsonProps _,
       """SELECT event_type, COUNT(*) AS n,

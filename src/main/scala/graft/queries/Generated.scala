@@ -112,7 +112,30 @@ object Generated {
       .limit(10)
   }
 
+  /** Bulk-generation summary: scale-dependent row count (250k rows at
+    * the bench SF, 5k at the correctness SF) over the 76-column
+    * CariHareket — the generator's throughput surface. Output is an
+    * aggregate so Verify writes a one-row summary, not the bulk data;
+    * values are deterministic (frozen oracle for the sf0.01 path). */
+  def generationBulk(s: SparkSession, d: String): DataFrame = {
+    val rows = if (d.contains("sf0.1")) 250000L else 5000L
+    val df = Generator.tableDf(s, catalog("CariHareket"), rows, seed = 42)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("Id")).as("n_ids"),
+      countDistinct(col("TenantId")).as("n_tenants"),
+      min(length(col("BelgeNo"))).as("min_belgeno_len"),
+      max(length(col("BelgeNo"))).as("max_belgeno_len"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "g06_generation_bulk" -> QueryDef(generationBulk _,
+      // frozen for the sf0.01 branch (5000 rows, seed 42): GUID PK and
+      // tenant ids are md5-derived per row — fully distinct; BelgeNo is
+      // a keyword-free nvarchar(20) → title-cased word, 3..9 chars
+      """SELECT * FROM (VALUES (CAST(5000 AS BIGINT), CAST(5000 AS BIGINT),
+        |  CAST(5000 AS BIGINT), 4, 8))
+        |t(n_rows, n_ids, n_tenants, min_belgeno_len, max_belgeno_len)""".stripMargin),
     "g04_column_type_census" -> QueryDef(columnTypeCensus _, G04Oracle),
     "g05_fk_fanout" -> QueryDef(fkFanout _, G05Oracle),
     "g01_catalog_inventory" -> QueryDef(catalogInventory _,

@@ -19,6 +19,18 @@ object MediaOps {
         |  substr(to_base64(encode(text)), 1, 8) AS prefix_b64
         |FROM documents ORDER BY media_id""".stripMargin),
 
-    "m02_feature_summary" -> QueryDef(Multimodal.featureSummary _, None)
+    // the stub decoder is a byte-histogram — which SQL can also state
+    // (hex-nibble counting over the payload), so even the mapPartitions
+    // path is hash-verified, not just rows-only
+    "m02_feature_summary" -> QueryDef(Multimodal.featureSummary _,
+      """WITH m AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+        |             octet_length(encode(text)) AS n FROM documents),
+        |b AS (SELECT doc_id, n,
+        |        substr(hx, 2 * CAST(unnest(generate_series(1, n)) AS INT) - 1, 1) AS hi
+        |      FROM m)
+        |SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+        |  round(CAST(COUNT(CASE WHEN hi = '0' THEN 1 END) AS DOUBLE) / MAX(n), 6) AS f_low,
+        |  round(CAST(COUNT(CASE WHEN hi = '7' THEN 1 END) AS DOUBLE) / MAX(n), 6) AS f_mid
+        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin)
   )
 }
