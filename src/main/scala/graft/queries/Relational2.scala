@@ -125,9 +125,52 @@ object Relational2 {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
+  /** Bag-semantics union (UNION ALL) beside the set-semantics q13:
+    * row counts per source tag prove duplicates are preserved. */
+  def unionAllNations(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey"))
+      .unionAll(supplier(s, d).select(col("s_nationkey").as("nationkey")))
+      .groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+
+  /** Window navigation family: first/last/lead/nth over per-supplier
+    * shipment history in one pass of the same window frame. */
+  def windowNavigation(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lineitem(s, d)
+      .withColumn("first_ship", first(col("l_shipdate")).over(full))
+      .withColumn("last_ship", last(col("l_shipdate")).over(full))
+      .withColumn("next_qty", lead(col("l_quantity"), 1, -1d).over(w))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_suppkey"), col("first_ship"), col("last_ship"),
+        col("l_quantity").as("first_qty"), col("next_qty"))
+      .orderBy("l_suppkey")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    "q32_union_all" -> QueryDef(unionAllNations _,
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin),
+
+    "q33_window_navigation" -> QueryDef(windowNavigation _,
+      """SELECT l_suppkey, first_ship, last_ship, first_qty, next_qty FROM (
+        |  SELECT l_suppkey, l_quantity AS first_qty,
+        |    FIRST_VALUE(l_shipdate) OVER w2 AS first_ship,
+        |    LAST_VALUE(l_shipdate) OVER w2 AS last_ship,
+        |    COALESCE(LEAD(l_quantity, 1) OVER w1, -1) AS next_qty,
+        |    ROW_NUMBER() OVER w1 AS rn
+        |  FROM lineitem
+        |  WINDOW w1 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |         w2 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin),
     "q31_pivot_status" -> QueryDef(pivotStatus _,
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",

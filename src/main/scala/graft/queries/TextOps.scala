@@ -198,6 +198,14 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Language-ID confusion matrix: actual × predicted counts — the
+    * aggregate accuracy view of t05. */
+  def langConfusion(s: SparkSession, d: String): DataFrame =
+    langId(s, d)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
   /** Token counts: raw whitespace tokens and normalized tokens. */
   def tokenStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -375,6 +383,26 @@ object TextOps {
          |SELECT doc_id, COUNT(DISTINCT fp) AS n_fps,
          |  CAST(SUM(DISTINCT fp) AS BIGINT) AS fp_sum
          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "t12_lang_confusion" -> QueryDef(langConfusion _,
+      s"""WITH p AS (SELECT doc_id, lang, text,
+         |    ' ' || $NormSqlDuck || ' ' AS pad FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${OccDuck("pad", " the ")} + ${OccDuck("pad", " and ")} + ${OccDuck("pad", " of ")} + ${OccDuck("pad", " is ")} AS s_en,
+         |  ${OccDuck("pad", " der ")} + ${OccDuck("pad", " und ")} + ${OccDuck("pad", " die ")} + ${OccDuck("pad", " ist ")} AS s_de,
+         |  ${OccDuck("pad", " le ")} + ${OccDuck("pad", " la ")} + ${OccDuck("pad", " et ")} + ${OccDuck("pad", " les ")} AS s_fr,
+         |  ${OccDuck("pad", " el ")} + ${OccDuck("pad", " los ")} + ${OccDuck("pad", " las ")} + ${OccDuck("pad", " y ")} AS s_es,
+         |  ${OccDuck("text", "的")} + ${OccDuck("text", "是")} + ${OccDuck("text", "了")} AS s_zh
+         |  FROM p),
+         |pred AS (SELECT doc_id, lang,
+         |  CASE WHEN s_zh >= GREATEST(s_en, s_de, s_fr, s_es) AND s_zh > 0 THEN 'zh'
+         |       WHEN s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de >= GREATEST(s_fr, s_es) THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |  FROM sc)
+         |SELECT lang, pred_lang, COUNT(*) AS n FROM pred
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin),
 
     "t11_dedup_apply" -> QueryDef(dedupApply _,
       s"""$ShinglesSqlDuck,
