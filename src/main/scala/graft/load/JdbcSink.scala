@@ -58,4 +58,22 @@ object JdbcSink {
     try df.write.mode("append").jdbc(t.url, table, props(t))
     finally if (toggleConstraints) execute(t, EnableAll)
   }
+
+  /** The column set a relational INSERT may carry for `td`: identity
+    * columns (DB-assigned), non-whitelisted types (rowversion,
+    * varbinary) and system columns are projected away — the reference
+    * excludes exactly these from its insert frame
+    * (run_engine.py:105,243-244). Parquet sinks keep the full schema
+    * (those columns ride as NULL/sequence); JDBC targets must not. */
+  def insertProjection(df: DataFrame, td: graft.ddl.TableDef): DataFrame = {
+    val keep = td.safeFields.map(_.name)
+      .filterNot(graft.gen.Generator.SkipCols.contains)
+    df.select(keep.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Generated-table append: insert projection + constraint-toggled
+    * bulk write — the end-to-end K1 path for a generated TableDef. */
+  def appendGenerated(df: DataFrame, td: graft.ddl.TableDef, t: Target,
+      toggleConstraints: Boolean = true): Unit =
+    append(insertProjection(df, td), t, td.name, toggleConstraints)
 }
