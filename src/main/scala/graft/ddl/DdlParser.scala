@@ -43,11 +43,33 @@ object DdlParser {
   val MetaSafe = "safe"             // in the generation whitelist (run_engine.py:28-34)
 
   /** SQL-script file source: UTF-16 with UTF-8(-BOM) fallback
-    * (reference behavior: apply_mssql.py:7-10,124-129). */
-  def readSqlFile(path: String): String = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    try new String(bytes, StandardCharsets.UTF_16)
-    catch { case _: Throwable => stripBom(new String(bytes, StandardCharsets.UTF_8)) }
+    * (reference behavior: apply_mssql.py:7-10,124-129). Unlike Python's
+    * decode, `new String(bytes, UTF_16)` never throws (malformed input
+    * becomes U+FFFD), so the fallback must be driven by a strict
+    * CharsetDecoder (REPORT) plus a BOM sniff — otherwise a UTF-8 script
+    * silently decodes as garbage and the parse yields an empty catalog. */
+  def readSqlFile(path: String): String =
+    decodeSqlBytes(Files.readAllBytes(Paths.get(path)))
+
+  private[ddl] def decodeSqlBytes(bytes: Array[Byte]): String = {
+    def strict(cs: java.nio.charset.Charset): String = {
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    }
+    if (bytes.length >= 3 && bytes(0) == 0xEF.toByte &&
+        bytes(1) == 0xBB.toByte && bytes(2) == 0xBF.toByte)
+      new String(bytes, 3, bytes.length - 3, StandardCharsets.UTF_8)
+    else if (bytes.length >= 2 &&
+        ((bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte) ||
+         (bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)))
+      new String(bytes, StandardCharsets.UTF_16) // BOM-directed, like SSMS output
+    else
+      try strict(StandardCharsets.UTF_16)
+      catch { case _: java.nio.charset.CharacterCodingException =>
+        stripBom(new String(bytes, StandardCharsets.UTF_8))
+      }
   }
   private def stripBom(s: String) = if (s.startsWith("﻿")) s.substring(1) else s
 

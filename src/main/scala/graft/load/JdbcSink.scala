@@ -72,8 +72,12 @@ object JdbcSink {
   }
 
   /** Generated-table append: insert projection + constraint-toggled
-    * bulk write — the end-to-end K1 path for a generated TableDef. */
+    * bulk write — the end-to-end K1 path for a generated TableDef.
+    * `quoteTable` must produce the dialect's exact-case identifier
+    * (e.g. DerbyDdl.q) or mode("append")'s existence probe resolves a
+    * different table and silently creates a second one. */
   def appendGenerated(df: DataFrame, td: graft.ddl.TableDef, t: Target,
-      toggleConstraints: Boolean = true): Unit =
-    append(insertProjection(df, td), t, td.name, toggleConstraints)
+      toggleConstraints: Boolean = true,
+      quoteTable: String => String = identity): Unit =
+    append(insertProjection(df, td), t, quoteTable(td.name), toggleConstraints)
 }

@@ -33,8 +33,12 @@ object EventOps {
       .groupBy("user_id", "sess_id")
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("ts")).as("start_ts"),
-        max(col("ts")).as("end_ts"),
+        // Epoch-µs longs, not raw timestamps: the fixture is TIMESTAMP(NANOS)
+        // and DuckDB keeps the nanos Spark truncates, so raw min/max ts
+        // hash-mismatch sub-µs. µs-truncation is monotone, so
+        // min(unix_micros(ts)) == unix_micros(min(ts)) either way.
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
         asDbl(sum(dec("value"))).as("sum_value"))
       .orderBy("user_id", "sess_id")
   }
@@ -120,7 +124,8 @@ object EventOps {
          |        OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
          |g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
-         |SELECT user_id, sess_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         |SELECT user_id, sess_id, COUNT(*) AS n_events,
+         |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin),
 

@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * FK-consistent generation (SURVEY.md §3.1) — exposed through the graded
   * query surface.
   *
-  * g01/g02 carry literal-VALUES oracles: the engine's catalog inventory
-  * and generation-slice summary are fully deterministic (seeded hashes,
-  * fixed epoch), so the expected outputs are frozen constants any SQL
-  * engine can produce. g03 exposes raw generated rows (rows-only check;
-  * values derive from xxhash64, not expressible in portable SQL).
+  * Every query here carries a literal-VALUES oracle: generation is fully
+  * deterministic (seeded hashes, fixed epoch), so expected outputs are
+  * frozen constants any SQL engine can produce — g03 freezes the raw
+  * generated Banka rows themselves (the formula is xxhash64-derived and
+  * not portable SQL, but the output is).
   */
 object Generated {
 
@@ -44,7 +44,7 @@ object Generated {
 
   private val SliceTables = Seq("Ulke", "Il", "Banka", "VergiDairesi", "BankaSube")
 
-  private def sliceCatalog: Catalog = {
+  private[queries] def sliceCatalog: Catalog = {
     val cat = catalog
     val keep = SliceTables.filter(cat.tables.contains).toSet
     Catalog(
@@ -101,6 +101,18 @@ object Generated {
       .orderBy("sql_type")
   }
 
+  /** Live JDBC round-trip audit (K1/K4/S9 against embedded Derby):
+    * deploy retargeted DDL → generate → bulk-append → re-arm constraints
+    * → read back + integrity audit. pk_rearmed=false rows are the
+    * faithful reference quirk (degenerate truncated PKs collide;
+    * run_engine.py:73,252-253 — Derby, unlike MSSQL's no-revalidate
+    * CHECK CONSTRAINT all, refuses to arm a violated constraint). */
+  def jdbcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.load.JdbcRoundTrip.run(s, sliceCatalog, rowCount = 15, seed = 42)
+      .toDF().orderBy("table_name")
+  }
+
   /** S6/A1-equivalent FK-catalog aggregation: inbound-FK fan-in per
     * parent table, top 10 (the sys.foreign_keys join, aggregated). */
   def fkFanout(s: SparkSession, d: String): DataFrame = {
@@ -147,8 +159,47 @@ object Generated {
 
     "g02_generation_slice" -> QueryDef(generationSlice _, GenSliceOracle),
 
-    "g03_generated_banka" -> QueryDef(generatedBanka _, None)
+    "g03_generated_banka" -> QueryDef(generatedBanka _, G03Oracle),
+
+    "g07_jdbc_roundtrip" -> QueryDef(jdbcRoundTrip _,
+      // frozen audit of the Derby round-trip (deterministic: seed 42,
+      // 15 rows): every table loads and reads back 15 rows with zero FK
+      // violations; PKs re-arm only where generated keys are distinct
+      // (Banka/BankaSube identity); FKs re-arm only onto armed PKs
+      // (BankaSube→Banka is the one armed edge).
+      """SELECT * FROM (VALUES
+        |  ('Banka', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), TRUE, 1, 0),
+        |  ('BankaSube', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), TRUE, 2, 1),
+        |  ('Il', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), FALSE, 1, 0),
+        |  ('Ulke', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), FALSE, 0, 0),
+        |  ('VergiDairesi', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), FALSE, 1, 0))
+        |t(table_name, n_loaded, n_readback, n_fk_bad, pk_rearmed, n_fks, n_fks_rearmed)
+        |ORDER BY table_name""".stripMargin)
   )
+
+  /** Frozen from the deterministic generator output (seed 42, 15 rows;
+    * re-freeze via `runMain graft.Dump g03_generated_banka` if generation
+    * logic changes). The reference quirks are intentional: KOD-keyword
+    * truncation collapses Kod/UlkeNumKod to 'AUT' (run_engine.py:73,
+    * 252-253), Ad draws from the first-name lexicon. */
+  private lazy val G03Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  (1, 'AUT', 'Selin', 'AUTO-220', 'AUT', '063ae07b-de23-43d3-b34f-13bd61c37767'),
+      |  (2, 'AUT', 'Kemal', 'AUTO-859', 'AUT', 'f91bf92e-70d6-4ad3-38f8-571deb7a89a0'),
+      |  (3, 'AUT', 'Ayşe', 'AUTO-225', 'AUT', 'dc4c3901-5136-41e1-668a-19c737997ce4'),
+      |  (4, 'AUT', 'Osman', 'AUTO-727', 'AUT', '0a670be7-e0de-49f9-362f-cd4ad3001cba'),
+      |  (5, 'AUT', 'Selin', 'AUTO-774', 'AUT', 'c76bc4d7-e5e6-4981-74c3-cdb2c54dab0f'),
+      |  (6, 'AUT', 'Zeynep', 'AUTO-988', 'AUT', 'b8446d6b-4136-4bac-2455-1ce2d9d47896'),
+      |  (7, 'AUT', 'Ali', 'AUTO-218', 'AUT', '1d7e4bea-9b6a-458c-8238-6c648bd10a10'),
+      |  (8, 'AUT', 'Kemal', 'AUTO-914', 'AUT', '953f61e8-2730-423c-d21f-b892ea8184e2'),
+      |  (9, 'AUT', 'Zeynep', 'AUTO-332', 'AUT', '02616e07-f801-4ca1-a778-ee504ae84031'),
+      |  (10, 'AUT', 'Gül', 'AUTO-955', 'AUT', '6d2a599f-f7b4-4324-4eab-0ff71a5d5ce9'),
+      |  (11, 'AUT', 'Murat', 'AUTO-752', 'AUT', '44a8761f-2b79-43db-0268-61655602cca0'),
+      |  (12, 'AUT', 'Mehmet', 'AUTO-909', 'AUT', '04fdfda5-5efd-45f6-7fed-7cd54427cd06'),
+      |  (13, 'AUT', 'Cem', 'AUTO-557', 'AUT', '053b4922-5a6c-4133-3868-f6ec1eb17d41'),
+      |  (14, 'AUT', 'Ali', 'AUTO-946', 'AUT', '1382bec1-b63f-4499-9466-0d7b5cdee2f6'),
+      |  (15, 'AUT', 'Fatma', 'AUTO-796', 'AUT', '708aedad-c4b8-484e-ed84-5cd3c6e54694'))
+      |t(Id, Kod, Ad, SwiftKodu, UlkeNumKod, TenantId) ORDER BY Id""".stripMargin)
 
   /** Frozen from the parsed corpus (SURVEY.md §1.2 type table). */
   private lazy val G04Oracle: Option[String] = Some(

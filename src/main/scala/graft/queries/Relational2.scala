@@ -150,6 +150,26 @@ object Relational2 {
       .orderBy("l_suppkey")
   }
 
+  /** Decorrelated scalar subquery: customers whose balance is above
+    * their nation's average. The oracle states the semantics as a
+    * correlated scalar subquery per row; the engine decorrelates it into
+    * a pre-aggregation (map-side partial, |nations| rows) broadcast back
+    * onto the scan — no per-row subquery, no fact-table shuffle. The
+    * above-average test is stated division-free in exact decimals
+    * (bal·n > Σbal), so the row set is bit-identical in both engines. */
+  def aboveAvgSpenders(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey"), dec("c_acctbal").as("bal"))
+    val stats = c.groupBy("c_nationkey")
+      .agg(sum(col("bal")).as("nat_sum"), count(lit(1)).as("nat_n"))
+    c.join(broadcast(stats), "c_nationkey")
+      .filter(col("bal") * col("nat_n") > col("nat_sum"))
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_above"))
+      .join(broadcast(stats), "c_nationkey")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_above"), col("nat_n").as("n_total"))
+      .orderBy("n_name")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -226,6 +246,20 @@ object Relational2 {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 10) = 0
         |ORDER BY c_custkey""".stripMargin),
+
+    "q34_above_avg_spenders" -> QueryDef(aboveAvgSpenders _,
+      // the semantics contract, stated correlated (DuckDB decorrelates
+      // internally; the engine decorrelates explicitly — same rows)
+      s"""SELECT n_name,
+         |  CAST(SUM(CASE WHEN CAST(c.c_acctbal AS $D) *
+         |      (SELECT COUNT(*) FROM customer c2
+         |       WHERE c2.c_nationkey = c.c_nationkey)
+         |    > (SELECT SUM(CAST(c3.c_acctbal AS $D)) FROM customer c3
+         |       WHERE c3.c_nationkey = c.c_nationkey)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |  COUNT(*) AS n_total
+         |FROM customer c JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
 
     "q27_grouping_sets" -> QueryDef(groupingSetsEvents _,
       """SELECT COALESCE(event_type, 'ALL') AS etype,

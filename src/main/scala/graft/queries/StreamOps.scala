@@ -15,14 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object StreamOps {
 
+  // One fixture snapshot per (session, dir): s01 and s02 each run twice
+  // per bench pass, and re-writing the full events table for every
+  // invocation both doubles the streaming query cost and leaks temp dirs.
+  private val sourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
   /** Replay the events fixture as a µs-timestamped stream source. */
-  private def streamSource(s: SparkSession, d: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-    Tables.events(s, d)
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+  private def streamSource(s: SparkSession, d: String): String =
+    sourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
+  /** A deliberately at-least-once copy of the fixture: every event
+    * delivered twice (two identical parquet files) — the input shape a
+    * replayed/retried ingest produces, which s03's dedup must collapse. */
+  private val dupSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def dupStreamSource(s: SparkSession, d: String): String =
+    dupSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.write.mode("overwrite").parquet(dir)
+      ev.write.mode("append").parquet(dir)
+      dir
+    })
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
     * closed sessions (open per-user tails stay in state). */
@@ -36,6 +58,22 @@ object StreamOps {
     EventStream.runOnce(s, EventStream.tumblingCounts, streamSource(s, d),
         "graft_stream_tumbling")
       .orderBy("w_start_epoch", "event_type")
+
+  /** Watermarked streaming dedup: the at-least-once (doubled) stream is
+    * collapsed back to exactly-once by stateful dropDuplicates keyed on
+    * (event_id, ts) — including the event-time column is what lets the
+    * watermark expire dedup state, the shape that stays bounded on an
+    * unbounded replayed ingest. The streaming job does the dedup (Append
+    * mode); the per-type counts over the drained sink then prove every
+    * duplicate was dropped (they equal the original fixture's counts —
+    * the oracle — not 2×). */
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s,
+        ev => ev.withWatermark("ts", "10 minutes").dropDuplicates("event_id", "ts"),
+        dupStreamSource(s, d), "graft_stream_dedup",
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
 
   private val D = "DECIMAL(18,2)"
 
@@ -61,6 +99,12 @@ object StreamOps {
     "s02_stream_tumbling" -> QueryDef(streamTumbling _,
       """SELECT CAST(FLOOR(epoch_us(ts) / 300000000) * 300 AS BIGINT) AS w_start_epoch,
         |  event_type, COUNT(*) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY w_start_epoch, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY w_start_epoch, event_type""".stripMargin),
+
+    // the input stream carries every event TWICE; matching the plain
+    // single-copy counts proves the stateful dedup dropped each duplicate
+    "s03_stream_dedup" -> QueryDef(streamDedup _,
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 }

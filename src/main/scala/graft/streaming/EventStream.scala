@@ -56,10 +56,12 @@ object EventStream {
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     var st = state.getOption.orNull
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-    evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      // full microsecond precision: getTime is ms-truncated, the
-      // sub-ms remainder lives in getNanos
-      val us = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+    // Sort by full-µs time: getTime alone is ms-truncated, so two events
+    // inside the same millisecond would order by event_id and shift
+    // session boundaries vs the batch/oracle ORDER BY ts, event_id.
+    def usOf(e: Ev): Long = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+    evs.toSeq.sortBy(e => (usOf(e), e.event_id)).foreach { e =>
+      val us = usOf(e)
       val cents = math.round(e.value * 100)
       if (st == null) {
         st = SessionState(1, us, us, 1, cents)

@@ -1,0 +1,85 @@
+package graft.load
+
+import graft.ddl.{Catalog, DdlParser}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live end-to-end test of the K1/K4/S9 surface against embedded Derby —
+  * a REAL database connection, not statement-text assertions: deploy
+  * retargeted DDL, bulk-append generated rows through the Spark JDBC
+  * writer, re-arm constraints, read back through spark.read.jdbc. */
+class JdbcRoundTripSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  lazy val cat: Catalog = DdlParser.parseFile("/root/reference/script.sql")
+
+  private def slice: Catalog = {
+    val keep = Set("Ulke", "Il", "Banka", "VergiDairesi", "BankaSube")
+    Catalog(
+      cat.tables.view.filterKeys(keep).toMap.map { case (k, v) =>
+        k -> v.copy(fks = v.fks.filter(f => keep(f.refTable)))
+      },
+      cat.order.filter(keep))
+  }
+
+  test("S9: database-existence probe + create-if-absent") {
+    val url = s"jdbc:derby:memory:graft_s9_${System.nanoTime()}"
+    assert(!JdbcRoundTrip.databaseExists(url), "fresh in-memory DB must not exist")
+    JdbcRoundTrip.ensureDatabase(url)
+    assert(JdbcRoundTrip.databaseExists(url), "ensureDatabase must create it")
+    // idempotent
+    JdbcRoundTrip.ensureDatabase(url)
+    assert(JdbcRoundTrip.databaseExists(url))
+  }
+
+  test("K1/K4: full generate → append → re-arm → readback round-trip") {
+    val reports = JdbcRoundTrip.run(spark, slice, rowCount = 15, seed = 42)
+    assert(reports.map(_.table_name) ==
+      Seq("Banka", "BankaSube", "Il", "Ulke", "VergiDairesi"))
+
+    // every table loads and reads back all rows through a live connection
+    reports.foreach { r =>
+      assert(r.n_loaded == 15, s"${r.table_name} loaded")
+      assert(r.n_readback == 15, s"${r.table_name} readback")
+      assert(r.n_fk_bad == 0, s"${r.table_name} FK-consistent")
+    }
+
+    val byName = reports.map(r => r.table_name -> r).toMap
+    // identity PKs are distinct → re-arm succeeds; degenerate truncated
+    // PKs (reference quirk) collide → Derby refuses to arm them
+    assert(byName("Banka").pk_rearmed && byName("BankaSube").pk_rearmed)
+    assert(!byName("Ulke").pk_rearmed && !byName("Il").pk_rearmed &&
+      !byName("VergiDairesi").pk_rearmed)
+    // the one FK whose parent PK armed (BankaSube→Banka) re-arms, which
+    // also proves the loaded data satisfies it (Derby validates on ADD)
+    assert(byName("BankaSube").n_fks_rearmed == 1)
+    assert(byName("Banka").n_fks_rearmed == 0) // parent Ulke PK unarmed
+  }
+
+  test("K1: appended values survive the round-trip byte-for-byte") {
+    import graft.gen.Generator
+    val url = s"jdbc:derby:memory:graft_vals_${System.nanoTime()}"
+    val target = JdbcSink.Target(url, "", "")
+    JdbcRoundTrip.ensureDatabase(url)
+    try {
+      val td = slice("Ulke")
+      JdbcSink.execute(target, Seq(DerbyDdl.createTableSql(td)))
+        .head.foreach(e => fail(s"create: $e"))
+      val df = Generator.tableDf(spark, td, 15, 42)
+      JdbcSink.appendGenerated(df, td, target, toggleConstraints = false,
+        quoteTable = DerbyDdl.q)
+      val back = spark.read.jdbc(url, DerbyDdl.q("Ulke"), JdbcSink.props(target))
+      val expected = JdbcSink.insertProjection(df, td)
+        .orderBy("TenantId").collect().toSeq
+      val got = back.select(expected.head.schema.fieldNames.map(
+        org.apache.spark.sql.functions.col).toSeq: _*)
+        .orderBy("TenantId").collect().toSeq
+      assert(got == expected, "read-back rows must equal the written rows")
+    } finally {
+      try java.sql.DriverManager.getConnection(s"$url;drop=true").close()
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+}

@@ -64,6 +64,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), "10-row query side must broadcast")
   }
 
+  test("q34: decorrelated subquery broadcasts the nation stats — no fact shuffle join") {
+    val p = plan("q34_above_avg_spenders")
+    assert(p.contains("BroadcastHashJoin"), "pre-aggregated stats must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the customer scan must never shuffle-join")
+    assert(p.contains("partial_sum"), "nation stats must aggregate map-side first")
+  }
+
   test("semi/anti joins plan as join strategies, not subquery re-execution") {
     assert(plan("q06_semi_join_big_spenders").contains("LeftSemi"))
     assert(plan("q07_anti_join_no_orders").contains("LeftAnti"))
