@@ -33,10 +33,11 @@ object EventOps {
       .groupBy("user_id", "sess_id")
       .agg(
         count(lit(1)).as("n_events"),
-        // Epoch-µs longs, not raw timestamps: the fixture is TIMESTAMP(NANOS)
-        // and DuckDB keeps the nanos Spark truncates, so raw min/max ts
-        // hash-mismatch sub-µs. µs-truncation is monotone, so
-        // min(unix_micros(ts)) == unix_micros(min(ts)) either way.
+        // Epoch-µs longs, not raw timestamps: projecting integers keeps the
+        // oracle comparison in one exact domain regardless of how each engine
+        // serializes TIMESTAMP. (The fixture carries no sub-µs precision —
+        // every ts has ns % 1000 == 0 across all SFs, measured round 2 — so
+        // this is a serialization convention, not a precision guard.)
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"),
         asDbl(sum(dec("value"))).as("sum_value"))
@@ -122,8 +123,8 @@ object EventOps {
          |  FROM events),
          |f AS (SELECT *, CASE WHEN prev_us IS NULL
          |        OR epoch_us(ts) - prev_us > ${GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
-         |g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f)
+         |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM f)
          |SELECT user_id, sess_id, COUNT(*) AS n_events,
          |  MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value

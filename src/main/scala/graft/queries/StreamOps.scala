@@ -84,8 +84,8 @@ object StreamOps {
          |  FROM events),
          |f AS (SELECT *, CASE WHEN prev_us IS NULL
          |        OR epoch_us(ts) - prev_us > ${EventStream.GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
-         |g AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM f),
+         |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM f),
          |sess AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
          |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
          |    CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value

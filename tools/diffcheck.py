@@ -15,6 +15,30 @@ import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def type_label(t):
+    """Canonical label for an Arrow type, at the granularity the driver's
+    serialized-hash gate distinguishes. Integer WIDTH matters (DuckDB
+    HUGEINT exports as decimal128 — the exact drift that shipped e01/s01
+    broken twice); string/binary storage flavors do not."""
+    import pyarrow as pa
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{type_label(t.value_type)}>"
+    if pa.types.is_timestamp(t):
+        return f"timestamp[{t.unit}]"
+    if pa.types.is_integer(t):
+        # Width-insensitive: the driver's hash gate accepts Spark int32 vs
+        # DuckDB BIGINT (e05/q09/v01/v06/v08 all hash-pass with that drift);
+        # only the escape out of the integer class (HUGEINT → decimal128)
+        # breaks it, and that is caught by the decimal branch above.
+        return "int"
+    return str(t)  # float/double, bool, date32, ... compare exactly
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -28,15 +52,25 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            got = con.execute(
-                "SELECT * FROM read_parquet(" + repr(files) + ")").df()
-            exp = con.execute(oracle[name]).df()
+            got_tbl = con.execute(
+                "SELECT * FROM read_parquet(" + repr(files) + ")").arrow()
+            exp_tbl = con.execute(oracle[name]).arrow()
+            got, exp = got_tbl.to_pandas(), exp_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: exec error {e}"); n_fail += 1; continue
         g = got.reindex(sorted(got.columns), axis=1)
         e = exp.reindex(sorted(exp.columns), axis=1)
         if list(g.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}")
+            n_fail += 1; continue
+        # Type fidelity: the driver hash-compares SERIALIZED values, so a
+        # DuckDB HUGEINT vs Spark BIGINT column fails its gate even when
+        # every value compares equal in pandas. Catch that drift here.
+        gt = {f.name: type_label(f.type) for f in got_tbl.schema}
+        et = {f.name: type_label(f.type) for f in exp_tbl.schema}
+        tbad = [f"{c}: spark={gt[c]} oracle={et[c]}" for c in g.columns if gt[c] != et[c]]
+        if tbad:
+            print(f"FAIL {name}: dtype drift — " + "; ".join(tbad))
             n_fail += 1; continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); n_fail += 1; continue
