@@ -38,6 +38,8 @@ object Bench {
     // consumer filtering/summing by metric double-counts the total.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","sf":"$sfDir"}""")
+    queries.TextOps.clearCaches()
+    queries.StreamOps.clearCaches()
     spark.stop()
   }
 }

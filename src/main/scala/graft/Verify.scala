@@ -40,6 +40,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    queries.TextOps.clearCaches()
+    queries.StreamOps.clearCaches()
     spark.stop()
   }
 }

@@ -65,11 +65,25 @@ object DdlParser {
         ((bytes(0) == 0xFF.toByte && bytes(1) == 0xFE.toByte) ||
          (bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)))
       new String(bytes, StandardCharsets.UTF_16) // BOM-directed, like SSMS output
-    else
-      try strict(StandardCharsets.UTF_16)
-      catch { case _: java.nio.charset.CharacterCodingException =>
-        stripBom(new String(bytes, StandardCharsets.UTF_8))
-      }
+    else {
+      // Content heuristic before attempting UTF-16: strict decoding alone
+      // does NOT close the hole — for BOM-less ASCII/UTF-8 of even length,
+      // big-endian UTF-16 decodes "successfully" to CJK garbage (almost
+      // every 16-bit unit is a valid code point; only odd length or stray
+      // surrogates REPORT). Real UTF-16 SQL text is ~50% NUL bytes, so a
+      // NUL-free input is UTF-8/ASCII: decode it as UTF-8 first.
+      val hasNul = bytes.exists(_ == 0)
+      if (!hasNul)
+        try strict(StandardCharsets.UTF_8)
+        catch { case _: java.nio.charset.CharacterCodingException =>
+          strict(StandardCharsets.UTF_16)
+        }
+      else
+        try strict(StandardCharsets.UTF_16)
+        catch { case _: java.nio.charset.CharacterCodingException =>
+          stripBom(new String(bytes, StandardCharsets.UTF_8))
+        }
+    }
   }
   private def stripBom(s: String) = if (s.startsWith("﻿")) s.substring(1) else s
 

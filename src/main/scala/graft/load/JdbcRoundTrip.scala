@@ -11,6 +11,11 @@ final case class TableLoadReport(table_name: String, n_loaded: Long,
     n_readback: Long, n_fk_bad: Long, pk_rearmed: Boolean,
     n_fks: Int, n_fks_rearmed: Int)
 
+/** One row of the armed-constraint wave-load audit (g08's schema). */
+final case class ArmedLoadReport(table_name: String, wave: Int,
+    n_generated: Long, n_loaded: Long, n_fk_bad: Long,
+    pk_armed: Boolean, n_fks_armed: Int)
+
 /** The reference's flagship behavior — bulk-append into a LIVE relational
   * database with constraints out of the way (run_engine.py:227-260) —
   * run for real against embedded Derby:
@@ -34,6 +39,22 @@ object JdbcRoundTrip {
     val db = s"graft_rt_${dbCounter.incrementAndGet()}_${System.nanoTime()}"
     val url = s"jdbc:derby:memory:$db"
     try runOn(spark, catalog, url, rowCount, seed)
+    finally dropDatabase(url)
+  }
+
+  /** The OTHER reference execution posture (fill_db.py:137-139 / SURVEY
+    * §7.4 fallback): constraints armed from the FIRST row, load in
+    * FK-topo waves so parents always land before children. Used when the
+    * target refuses `NOCHECK CONSTRAINT all` — every INSERT is validated
+    * live by the database. The armed posture requires unique PKs, so each
+    * frame is deduplicated on its PK before the append (at 100 TB this is
+    * the same `dropDuplicates` shuffle any constrained bulk load needs —
+    * you dedup in Spark, not by bouncing rows off the database). */
+  def runArmed(spark: SparkSession, catalog: Catalog, rowCount: Long = 15,
+      seed: Long = 42): Seq[ArmedLoadReport] = {
+    val db = s"graft_awl_${dbCounter.incrementAndGet()}_${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db"
+    try runArmedOn(spark, catalog, url, rowCount, seed)
     finally dropDatabase(url)
   }
 
@@ -86,19 +107,101 @@ object JdbcRoundTrip {
     }.toMap
 
     // Read back through the JDBC source and audit.
-    def readback(t: String): DataFrame =
-      spark.read.jdbc(url, DerbyDdl.q(t), JdbcSink.props(target))
-    val frames = targets.map(t => t -> readback(t)).toMap
+    val (nReadback, fkBad) = auditReadback(spark, url, target, catalog, targets)
 
     targets.sorted.map { t =>
       val td = catalog(t)
-      val fkBad = td.fks.filter(f => frames.contains(f.refTable)).map { f =>
-        frames(t).select(col(f.column)).filter(col(f.column).isNotNull)
+      TableLoadReport(t, loaded.getOrElse(t, 0L), nReadback(t),
+        fkBad.getOrElse(t, 0L), pkOk(t), td.fks.size, fkOk(t))
+    }
+  }
+
+  /** Per-table readback counts + per-table FK-violation counts, unioned
+    * into TWO Spark jobs (one collect each) instead of 77 + 131
+    * sequential actions — same numbers, a fraction of the job-scheduling
+    * overhead. */
+  private def auditReadback(spark: SparkSession, url: String,
+      target: JdbcSink.Target, catalog: Catalog, targets: Seq[String])
+      : (Map[String, Long], Map[String, Long]) = {
+    val frames = targets.map(t =>
+      t -> spark.read.jdbc(url, DerbyDdl.q(t), JdbcSink.props(target))).toMap
+
+    def labeled(t: String, df: DataFrame, as: String): DataFrame =
+      df.agg(count(lit(1)).as(as)).select(lit(t).as("table_name"), col(as))
+
+    val nReadback: Map[String, Long] =
+      targets.map(t => labeled(t, frames(t), "n"))
+        .reduceOption(_ unionAll _).map(_.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap).getOrElse(Map.empty)
+
+    val fkBadPerEdge: Seq[DataFrame] = targets.flatMap { t =>
+      catalog(t).fks.filter(f => frames.contains(f.refTable)).map { f =>
+        labeled(t, frames(t).select(col(f.column)).filter(col(f.column).isNotNull)
           .join(frames(f.refTable).select(col(f.refColumn).as(f.column)),
-            Seq(f.column), "left_anti").count()
-      }.sum
-      TableLoadReport(t, loaded.getOrElse(t, 0L), frames(t).count(), fkBad,
-        pkOk(t), td.fks.size, fkOk(t))
+            Seq(f.column), "left_anti"), "bad")
+      }
+    }
+    // summed per table after the single collect (labels repeat per edge)
+    val fkBad: Map[String, Long] = fkBadPerEdge
+      .reduceOption(_ unionAll _).map(_.collect()
+        .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).sum })
+      .getOrElse(Map.empty)
+    (nReadback, fkBad)
+  }
+
+  private def runArmedOn(spark: SparkSession, catalog: Catalog, url: String,
+      rowCount: Long, seed: Long): Seq[ArmedLoadReport] = {
+    val target = JdbcSink.Target(url, "", "")
+    ensureDatabase(url)
+    val targets = catalog.order.filterNot(GeneratePipeline.skipTable)
+
+    // Deploy the FULLY-CONSTRAINED schema up front: bare CREATE, then arm
+    // every PK and FK while the tables are still empty (trivially valid).
+    // From here on the database validates each INSERT — any failure below
+    // is a real integrity break, so errors are fatal, not tolerated.
+    JdbcSink.execute(target, targets.map(t => DerbyDdl.createTableSql(catalog(t))))
+      .zip(targets).foreach { case (err, t) =>
+        err.foreach(e => sys.error(s"create $t failed: $e"))
+      }
+    val pkArmed: Map[String, Boolean] = targets.map { t =>
+      t -> DerbyDdl.addPkSql(catalog(t)).map { sql =>
+        val r = JdbcSink.execute(target, Seq(sql)).head
+        r.foreach(e => sys.error(s"arm PK $t failed: $e"))
+        true
+      }.getOrElse(false)
+    }.toMap
+    val fkArmed: Map[String, Int] = targets.map { t =>
+      t -> catalog(t).fks.count { fk =>
+        val r = JdbcSink.execute(target, Seq(DerbyDdl.addFkSql(fk))).head
+        r.foreach(e => sys.error(s"arm FK ${fk.table}->${fk.refTable} failed: $e"))
+        r.isEmpty
+      }
+    }.toMap
+
+    // Wave-ordered load: GeneratePipeline already iterates Deps.waves
+    // (parents before children), which is exactly the order an armed-FK
+    // target requires. Each frame is deduplicated on its PK first — the
+    // armed posture's precondition — and appended with constraints LIVE.
+    val waveOf: Map[String, Int] =
+      graft.deps.Deps.waves(targets, catalog.allFks).zipWithIndex
+        .flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
+    val results = GeneratePipeline.run(spark, catalog, rowCount, seed, (t, df) => {
+      val td = catalog(t)
+      val deduped =
+        if (td.pk.nonEmpty && td.pk.forall(td.schema.fieldNames.contains))
+          df.dropDuplicates(td.pk)
+        else df
+      JdbcSink.appendGenerated(deduped, td, target, toggleConstraints = false,
+        quoteTable = DerbyDdl.q)
+    })
+    results.filterNot(_.ok).foreach(r =>
+      sys.error(s"armed load ${r.table}: ${r.error.getOrElse("?")}"))
+
+    // Independent Spark-side audit on top of the DB's own enforcement.
+    val (nReadback, fkBad) = auditReadback(spark, url, target, catalog, targets)
+    targets.sorted.map { t =>
+      ArmedLoadReport(t, waveOf(t), rowCount, nReadback(t),
+        fkBad.getOrElse(t, 0L), pkArmed(t), fkArmed(t))
     }
   }
 }

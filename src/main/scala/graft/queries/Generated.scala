@@ -113,6 +113,19 @@ object Generated {
       .toDF().orderBy("table_name")
   }
 
+  /** Armed-constraint wave load (the reference's v1 posture,
+    * fill_db.py:137-139, and the §7.4 fallback for targets that refuse
+    * constraint disabling): deploy a FULLY-constrained empty schema on
+    * Derby, load in FK-topo wave order with every PK/FK validated live
+    * per INSERT, then audit independently. Frames are deduplicated on
+    * their PK before the append — the posture's precondition (the
+    * reference's degenerate truncated PKs collide; see g02/g07 notes). */
+  def armedWaveLoad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.load.JdbcRoundTrip.runArmed(s, sliceCatalog, rowCount = 15, seed = 42)
+      .toDF().orderBy("table_name")
+  }
+
   /** S6/A1-equivalent FK-catalog aggregation: inbound-FK fan-in per
     * parent table, top 10 (the sys.foreign_keys join, aggregated). */
   def fkFanout(s: SparkSession, d: String): DataFrame = {
@@ -174,8 +187,25 @@ object Generated {
         |  ('Ulke', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), FALSE, 0, 0),
         |  ('VergiDairesi', CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), FALSE, 1, 0))
         |t(table_name, n_loaded, n_readback, n_fk_bad, pk_rearmed, n_fks, n_fks_rearmed)
-        |ORDER BY table_name""".stripMargin)
+        |ORDER BY table_name""".stripMargin),
+
+    "g08_armed_wave_load" -> QueryDef(armedWaveLoad _, G08Oracle)
   )
+
+  /** Frozen audit of the armed-constraint wave load (deterministic: seed
+    * 42, 15 generated rows, PK-deduplicated before insert — distinct-PK
+    * counts match g02's n_pk_distinct). Waves: Ulke→{Il,Banka}→
+    * {VergiDairesi,BankaSube}; every PK and FK armed BEFORE the first
+    * row, zero violations — the database itself validated every INSERT. */
+  private lazy val G08Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  ('Banka', 1, CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), TRUE, 1),
+      |  ('BankaSube', 2, CAST(15 AS BIGINT), CAST(15 AS BIGINT), CAST(0 AS BIGINT), TRUE, 2),
+      |  ('Il', 1, CAST(15 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, 1),
+      |  ('Ulke', 0, CAST(15 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), TRUE, 0),
+      |  ('VergiDairesi', 2, CAST(15 AS BIGINT), CAST(8 AS BIGINT), CAST(0 AS BIGINT), TRUE, 1))
+      |t(table_name, wave, n_generated, n_loaded, n_fk_bad, pk_armed, n_fks_armed)
+      |ORDER BY table_name""".stripMargin)
 
   /** Frozen from the deterministic generator output (seed 42, 15 rows;
     * re-freeze via `runMain graft.Dump g03_generated_banka` if generation

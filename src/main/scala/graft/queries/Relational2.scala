@@ -161,13 +161,37 @@ object Relational2 {
     val c = customer(s, d).select(col("c_nationkey"), dec("c_acctbal").as("bal"))
     val stats = c.groupBy("c_nationkey")
       .agg(sum(col("bal")).as("nat_sum"), count(lit(1)).as("nat_n"))
+    // conditional aggregation over ALL customers (not filter-then-count):
+    // a nation where nobody is strictly above the average still emits its
+    // row with n_above = 0, matching the correlated oracle's row set
     c.join(broadcast(stats), "c_nationkey")
-      .filter(col("bal") * col("nat_n") > col("nat_sum"))
-      .groupBy("c_nationkey").agg(count(lit(1)).as("n_above"))
-      .join(broadcast(stats), "c_nationkey")
+      .groupBy("c_nationkey")
+      .agg(
+        sum(when(col("bal") * col("nat_n") > col("nat_sum"), 1L).otherwise(0L))
+          .as("n_above"),
+        count(lit(1)).as("n_total"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .select(col("n_name"), col("n_above"), col("nat_n").as("n_total"))
+      .select(col("n_name"), col("n_above"), col("n_total"))
       .orderBy("n_name")
+  }
+
+  /** Correlated EXISTS / NOT EXISTS pair: customers with at least one
+    * urgent order and no finished order. The oracle states both
+    * predicates as correlated subqueries; the engine expresses them as a
+    * LeftSemi plus a LeftAnti join with each priority/status filter
+    * pushed below its join — the filtered order sides collapse to small
+    * key sets, so both joins broadcast and the customer scan never
+    * shuffles. */
+  def existsNotExists(s: SparkSession, d: String): DataFrame = {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("uk"))
+    val finished = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("fk"))
+    customer(s, d)
+      .join(urgent, col("c_custkey") === col("uk"), "left_semi")
+      .join(finished, col("c_custkey") === col("fk"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
   }
 
   private val D = "DECIMAL(18,2)"
@@ -260,6 +284,18 @@ object Relational2 {
          |  COUNT(*) AS n_total
          |FROM customer c JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    "q35_exists_not_exists" -> QueryDef(existsNotExists _,
+      // stated correlated on purpose — DuckDB decorrelates internally;
+      // the engine states it as semi/anti joins — same row set
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |        WHERE o.o_custkey = c.c_custkey
+        |          AND o.o_orderpriority = '1-URGENT')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |        WHERE o2.o_custkey = c.c_custkey
+        |          AND o2.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
 
     "q27_grouping_sets" -> QueryDef(groupingSetsEvents _,
       """SELECT COALESCE(event_type, 'ALL') AS etype,

@@ -22,7 +22,11 @@ object StreamOps {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
   /** Replay the events fixture as a µs-timestamped stream source. */
-  private def streamSource(s: SparkSession, d: String): String =
+  private def streamSource(s: SparkSession, d: String): String = {
+    // snapshots written by a now-stopped session are still valid parquet,
+    // but dropping them keeps the cache keyed to live sessions only (and
+    // lets clearCaches reclaim the temp dirs)
+    sourceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     sourceCache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
       Tables.events(s, d)
@@ -30,13 +34,15 @@ object StreamOps {
         .write.mode("overwrite").parquet(dir)
       dir
     })
+  }
 
   /** A deliberately at-least-once copy of the fixture: every event
     * delivered twice (two identical parquet files) — the input shape a
     * replayed/retried ingest produces, which s03's dedup must collapse. */
   private val dupSourceCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
-  private def dupStreamSource(s: SparkSession, d: String): String =
+  private def dupStreamSource(s: SparkSession, d: String): String = {
+    dupSourceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     dupSourceCache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup").toString
       val ev = Tables.events(s, d)
@@ -45,6 +51,22 @@ object StreamOps {
       ev.write.mode("append").parquet(dir)
       dir
     })
+  }
+
+  /** Teardown hook (Bench/Verify call this before spark.stop()): delete
+    * the fixture-snapshot temp dirs so repeated harness runs in one JVM
+    * don't accumulate them. */
+  def clearCaches(): Unit = {
+    def rmrf(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmrf(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    (sourceCache.values ++ dupSourceCache.values).foreach(dir =>
+      try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
+    sourceCache.clear()
+    dupSourceCache.clear()
+  }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
     * closed sessions (open per-user tails stay in state). */

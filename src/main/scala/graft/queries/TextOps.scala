@@ -104,8 +104,22 @@ object TextOps {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def lshNearDupPairs(s: SparkSession, d: String): DataFrame =
+  def lshNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    // entries bound to a stopped SparkContext are dead plans — drop them
+    // so a recreated session recomputes instead of failing confusingly
+    pairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     pairsCache.getOrElseUpdate((s, d), lshNearDupPairsUncached(s, d))
+  }
+
+  /** Teardown hook (Bench/Verify call this before spark.stop()): release
+    * persisted pair results so repeated harness runs in one JVM don't
+    * accumulate cached plans. */
+  def clearCaches(): Unit = {
+    pairsCache.values.foreach(df =>
+      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      catch { case _: Throwable => () })
+    pairsCache.clear()
+  }
 
   private def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     // the shingle set and signature subtrees are each consumed 2-4× in

@@ -66,6 +66,24 @@ class DdlParserSpec extends AnyFunSuite {
     assert(timeCols.nonEmpty && timeCols.forall(_.dataType == StringType))
   }
 
+  test("SQL-script decoding: BOM sniff + NUL heuristic (S1)") {
+    import java.nio.charset.StandardCharsets._
+    val sql = "CREATE TABLE [T](\r\n [Id] int NOT NULL\r\n)\r\nGO\r\n"
+    // BOM-directed paths
+    assert(DdlParser.decodeSqlBytes(("﻿" + sql).getBytes(UTF_16LE)) == sql)
+    assert(DdlParser.decodeSqlBytes(("﻿" + sql).getBytes(UTF_16BE)) == sql)
+    assert(DdlParser.decodeSqlBytes(
+      Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ sql.getBytes(UTF_8)) == sql)
+    // BOM-less UTF-16 (SSMS without BOM): ~50% NULs → UTF-16 path
+    assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_16BE)) == sql)
+    // BOM-less ASCII/UTF-8 of EVEN length: zero NULs → must decode as
+    // UTF-8, not "successfully" as CJK garbage via big-endian UTF-16
+    assert(sql.length % 2 == 0 && sql.getBytes(UTF_8).length % 2 == 0)
+    assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_8)) == sql)
+    val turkish = sql + "-- açıklama: şube\n"
+    assert(DdlParser.decodeSqlBytes(turkish.getBytes(UTF_8)) == turkish)
+  }
+
   test("GO splitter + batch filters (apply_mssql.py semantics)") {
     val batches = DdlParser.splitGoBatches("A\nGO\nB\n  go  \nC")
     assert(batches == Seq("A", "B", "C"))

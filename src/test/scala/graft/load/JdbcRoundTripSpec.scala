@@ -58,6 +58,32 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(byName("Banka").n_fks_rearmed == 0) // parent Ulke PK unarmed
   }
 
+  test("armed posture: constraints live from the first row, wave-ordered load passes") {
+    val reports = JdbcRoundTrip.runArmed(spark, slice, rowCount = 15, seed = 42)
+    assert(reports.map(_.table_name) ==
+      Seq("Banka", "BankaSube", "Il", "Ulke", "VergiDairesi"))
+    val byName = reports.map(r => r.table_name -> r).toMap
+
+    // every PK and every in-slice FK armed BEFORE any insert
+    reports.foreach { r =>
+      assert(r.pk_armed, s"${r.table_name} PK must arm on the empty table")
+      assert(r.n_fk_bad == 0, s"${r.table_name} FK-consistent (DB-enforced)")
+    }
+    assert(byName("BankaSube").n_fks_armed == 2)
+    assert(byName("Ulke").n_fks_armed == 0)
+
+    // parents precede children: wave numbers respect the FK DAG
+    assert(byName("Ulke").wave < byName("Banka").wave)
+    assert(byName("Banka").wave < byName("BankaSube").wave)
+    assert(byName("Il").wave < byName("VergiDairesi").wave)
+
+    // PK-deduplicated loads: identity PKs keep all 15, degenerate
+    // truncated PKs (reference quirk) collapse to their distinct count
+    assert(byName("Banka").n_loaded == 15 && byName("BankaSube").n_loaded == 15)
+    assert(byName("Ulke").n_loaded == 1)
+    assert(byName("VergiDairesi").n_loaded == 8)
+  }
+
   test("K1: appended values survive the round-trip byte-for-byte") {
     import graft.gen.Generator
     val url = s"jdbc:derby:memory:graft_vals_${System.nanoTime()}"

@@ -75,4 +75,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q06_semi_join_big_spenders").contains("LeftSemi"))
     assert(plan("q07_anti_join_no_orders").contains("LeftAnti"))
   }
+
+  test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
+    val p = plan("q35_exists_not_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(!p.contains("SortMergeJoin"), "filtered order keys must broadcast")
+    // the priority/status predicates reach the orders parquet scans
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(o_orderpriority,1-URGENT\\).*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(o_orderstatus,F\\).*"), p)
+  }
 }
