@@ -76,6 +76,27 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling summary through the typed Dataset path: payload →
+    * sampled fixed-size "frames" (stub for a video decoder's keyframe
+    * extraction) → per-media frame census. The exploded frames key on
+    * the small media_id, never shuffle the payload, and collapse back to
+    * metadata size immediately. */
+  def frameSampleSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = syntheticMedia(spark, dir).as[MediaRow]
+    sampleFrames(media).toDF()
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame"))).cast("long").as("frame_bytes"),
+        max(col("frame_idx")).as("max_idx"))
+      .withColumn("kind",
+        when(pmod(col("media_id"), lit(3)) === 0, "image")
+          .when(pmod(col("media_id"), lit(3)) === 1, "audio")
+          .otherwise("video"))
+      .select("media_id", "kind", "n_frames", "frame_bytes", "max_idx")
+      .orderBy("media_id")
+  }
+
   /** Real (non-stub) metadata extraction over the binary column —
     * length, digest, sniffed prefix. Pure built-in expressions. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =

@@ -31,6 +31,28 @@ object MediaOps {
         |SELECT doc_id AS media_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
         |  round(CAST(COUNT(CASE WHEN hi = '0' THEN 1 END) AS DOUBLE) / MAX(n), 6) AS f_low,
         |  round(CAST(COUNT(CASE WHEN hi = '7' THEN 1 END) AS DOUBLE) / MAX(n), 6) AS f_mid
-        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin)
+        |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin),
+
+    // frame sampling (every 4th 64-byte block) is pure arithmetic over
+    // the payload length, so the oracle states the same census in closed
+    // form: nblocks = ceil(n/64); sampled indices 0,4,8,… < nblocks; the
+    // last block is short iff sampled (index nblocks-1, n−64·(nblocks−1)
+    // bytes). DuckDB's // is integer division.
+    "m03_frame_sample" -> QueryDef(Multimodal.frameSampleSummary _,
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |c AS (SELECT doc_id, n, CAST(CEIL(n / 64.0) AS BIGINT) AS nblocks FROM m),
+        |f AS (SELECT doc_id, n, nblocks,
+        |        (nblocks - 1) // 4 + 1 AS n_frames,
+        |        CASE WHEN (nblocks - 1) % 4 = 0 THEN 1 ELSE 0 END AS last_sampled
+        |      FROM c)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(64 * (n_frames - last_sampled)
+        |    + last_sampled * (n - 64 * (nblocks - 1)) AS BIGINT) AS frame_bytes,
+        |  CAST((n_frames - 1) * 4 AS INT) AS max_idx
+        |FROM f ORDER BY media_id""".stripMargin)
   )
 }

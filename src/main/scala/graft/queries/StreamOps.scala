@@ -97,6 +97,23 @@ object StreamOps {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  /** Stream-static join: the unbounded event stream enriched against a
+    * static broadcast dimension (customer), then aggregated — the
+    * stateless streaming join shape (no watermark needed: the static
+    * side never changes, so no join state accumulates). At 100 TB/day
+    * the dimension broadcasts once per micro-batch and the stream never
+    * shuffles before the keyed aggregation. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s,
+      ev => ev.join(
+          broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))),
+          col("user_id") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Tables.asDbl(sum(Tables.dec("value"))).as("sum_value")),
+      streamSource(s, d), "graft_stream_static")
+      .orderBy("c_mktsegment")
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -127,6 +144,12 @@ object StreamOps {
     // single-copy counts proves the stateful dedup dropped each duplicate
     "s03_stream_dedup" -> QueryDef(streamDedup _,
       """SELECT event_type, COUNT(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "s04_stream_static_join" -> QueryDef(streamStaticJoin _,
+      s"""SELECT c_mktsegment, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 }
