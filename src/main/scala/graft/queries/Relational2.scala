@@ -194,6 +194,37 @@ object Relational2 {
       .orderBy("c_custkey")
   }
 
+  /** Salted skew join on the graded surface: lineitem ⋈ supplier with
+    * the fact side salted 8 ways (deterministic xxhash64 salt from the
+    * row identity, dim exploded per salt). The oracle is the PLAIN join
+    * — matching it proves salting is semantically invisible, which is
+    * the whole point: at 100 TB you salt the hot keys and results must
+    * not move. */
+  def saltedSkewJoin(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewJoin.saltedJoin(
+        lineitem(s, d).select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity"),
+        supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        "l_suppkey", Seq("l_orderkey", "l_linenumber"), numSalts = 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), asDbl(sum(dec("l_quantity"))).as("sum_qty"))
+      .orderBy("s_nationkey")
+
+  /** RANGE-frame window (value-based frame, distinct from the ROWS
+    * frames of q10/e01): per-customer rolling 30-day order spend. RANGE
+    * includes all peers of the current order's date, so the frame is a
+    * deterministic SET regardless of intra-date row order — with exact
+    * decimal summation that makes the rolling value hash-stable. */
+  def rangeFrameWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_epoch"))
+      .rangeBetween(-30, 0)
+    orders(s, d)
+      .withColumn("day_epoch",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("rolling_30d", asDbl(sum(dec("o_totalprice")).over(w)))
+      .select("o_orderkey", "o_custkey", "day_epoch", "rolling_30d")
+      .orderBy("o_orderkey")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -296,6 +327,22 @@ object Relational2 {
         |        WHERE o2.o_custkey = c.c_custkey
         |          AND o2.o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin),
+
+    "q36_salted_skew_join" -> QueryDef(saltedSkewJoin _,
+      // the UNSALTED join: hash-matching it proves the salt changed nothing
+      s"""SELECT s_nationkey, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+
+    "q37_range_frame_window" -> QueryDef(rangeFrameWindow _,
+      s"""SELECT o_orderkey, o_custkey,
+         |  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_epoch,
+         |  CAST(SUM(CAST(o_totalprice AS $D)) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     "q27_grouping_sets" -> QueryDef(groupingSetsEvents _,
       """SELECT COALESCE(event_type, 'ALL') AS etype,
