@@ -185,6 +185,33 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  // --- SQ8 scalar quantization — the memory-bound scale path ------------
+
+  /** SQ8 top-5: symmetric int8 scalar quantization (fixed grid
+    * q = floor(x · 200), |x| ≤ 0.64 in this corpus → |q| ≤ 127) and
+    * ranking by the INTEGER dot product of quantized vectors. At 100 TB
+    * this is the memory-bandwidth lever: 4× smaller vectors (64 B vs
+    * 256 B at d=64) scan 4× faster, and integer scores are exact in
+    * every engine — no float-fold portability discipline needed at all.
+    * Composes with v05–v08: quantize inside LSH buckets / IVF cells.
+    * Quantized values are carried as exact integer-valued doubles so
+    * the codegen'd dot_d expression serves this path too. */
+  def sq8TopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = embeddings(s, d).withColumn("qv",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv").as("qq"))
+    e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("score", dot("qq", "qv").cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("score"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -272,6 +299,21 @@ object VectorOps {
         |r AS (SELECT q_id, hit_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p)
         |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // quantized values are small integers (|q| ≤ 127, d = 64), so the
+    // double dot product is exact — CAST to BIGINT is lossless and both
+    // engines agree bit-for-bit with zero float discipline
+    "v09_sq8_topk" -> QueryDef(sq8TopK _,
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 200.0) AS DOUBLE)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+        |    CAST(list_dot_product(q.qv, b.qv) AS BIGINT) AS score
+        |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+        |r AS (SELECT q_id, hit_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, hit_id ASC) AS rk
+        |  FROM p)
+        |SELECT q_id, rk, hit_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
     "v06_ann_lsh_topk" -> QueryDef(annLshTopK _,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,

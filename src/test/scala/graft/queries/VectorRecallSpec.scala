@@ -32,9 +32,13 @@ class VectorRecallSpec extends AnyFunSuite {
     }
     val rIvf = recall(hits("v08_ivf_topk"))
     val rLsh = recall(hits("v06_ann_lsh_topk"))
-    info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f")
+    val rSq8 = recall(hits("v09_sq8_topk"))
+    info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f, SQ8=$rSq8%.2f")
     assert(rIvf >= 0.3, s"IVF recall degenerate: $rIvf")
     assert(rLsh >= 0.3, s"LSH recall degenerate: $rLsh")
+    // SQ8 scans everything (no pruning) — quantization noise only, so
+    // recall should be near-exact, far above the pruned paths
+    assert(rSq8 >= 0.8, s"SQ8 recall degenerate: $rSq8")
     assert(exact.nonEmpty)
   }
 }
