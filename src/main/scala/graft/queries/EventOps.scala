@@ -112,6 +112,27 @@ object EventOps {
       .orderBy("cohort_wk", "wk")
   }
 
+  /** Gap-filled dense time series: hourly counts per event type with
+    * EMPTY buckets materialized as zero rows (the densification every
+    * monitoring/training pipeline needs before windowed models). The
+    * dense calendar is generated, not scanned: counts aggregate first
+    * (|buckets|×|types| rows), then a tiny sequence×types frame
+    * left-joins them — at 100 TB the fact table is touched once by the
+    * aggregation and the densify join is metadata×metadata. */
+  def gapFilledSeries(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("hr_bucket", floor(unix_micros(col("ts")) / lit(3600000000L)))
+    val counts = ev.groupBy("hr_bucket", "event_type").agg(count(lit(1)).as("n"))
+    val buckets = ev.agg(min(col("hr_bucket")).as("lo"), max(col("hr_bucket")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("hr_bucket"))
+    val types = ev.select("event_type").distinct()
+    buckets.crossJoin(broadcast(types))
+      .join(counts, Seq("hr_bucket", "event_type"), "left")
+      .select(col("hr_bucket"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("hr_bucket", "event_type")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private val D = "DECIMAL(18,2)"
@@ -164,6 +185,17 @@ object EventOps {
         |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
         |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "e08_gap_filled_series" -> QueryDef(gapFilledSeries _,
+      """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
+        |    event_type FROM events),
+        |b AS (SELECT unnest(generate_series(MIN(hr_bucket), MAX(hr_bucket))) AS hr_bucket FROM ev),
+        |t AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT hr_bucket, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2)
+        |SELECT b.hr_bucket, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM b CROSS JOIN t
+        |LEFT JOIN c ON c.hr_bucket = b.hr_bucket AND c.event_type = t.event_type
+        |ORDER BY b.hr_bucket, t.event_type""".stripMargin),
 
     "e05_top_users_by_value" -> QueryDef(topUsersByValue _,
       s"""WITH a AS (SELECT user_id, SUM(CAST(value AS $D)) AS sv, COUNT(*) AS n_events

@@ -65,6 +65,21 @@ object TextOps {
       .select(col("doc_id"), expr("substring(nrm, pos, 5)").as("sh"))
       .distinct()
 
+  /** The t04 oracle's CTE chain ending in `sh(doc_id, simhash16)` —
+    * shared by t04 (projection) and t13 (self-join on hamming). */
+  private lazy val SimhashCtesDuck: String =
+    s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
+       |        FROM n WHERE length(nrm) >= 1),
+       |tid AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tid FROM tok),
+       |bits AS (SELECT doc_id, tid, CAST(unnest(generate_series(0, 15)) AS INT) AS b FROM tid),
+       |contrib AS (SELECT doc_id, b,
+       |    SUM(CASE WHEN CAST(FLOOR(tid / 2 ** b) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM bits GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+       |  FROM contrib GROUP BY doc_id)""".stripMargin
+
   private val ShinglesSqlDuck =
     s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
        |s AS (SELECT DISTINCT doc_id,
@@ -181,6 +196,36 @@ object TextOps {
         when(col("v") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
       .groupBy("doc_id").agg(sum(col("bitval")).as("simhash16"))
       .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 2 over the 16-bit signature) via
+    * pigeonhole banding: the signature splits into 3 sub-bands (5/5/6
+    * bits), and any pair within hamming distance 2 must agree EXACTLY on
+    * at least one band — so candidates meet only inside a band bucket
+    * (Σ|bucket|² per band, the t03/v07 scale shape, never all pairs).
+    * Exact hamming over the full signature verifies each candidate. */
+  def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = simhash(s, d).select(col("doc_id"), col("simhash16")).persist()
+    val e = sh
+      .withColumn("b0", col("simhash16") % 32)
+      .withColumn("b1", floor(col("simhash16") / 32).cast("long") % 32)
+      .withColumn("b2", floor(col("simhash16") / 1024).cast("long"))
+    val a = e.select(col("doc_id").as("a_id"), col("simhash16").as("ha"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"))
+    val b = e.select(col("doc_id").as("b_id"), col("simhash16").as("hb"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"))
+    val cand = Seq(("a0", "c0"), ("a1", "c1"), ("a2", "c2")).map { case (x, y) =>
+      a.join(b, col(x) === col(y) && col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+    }.reduce(_ unionByName _).distinct()
+    val pairs = cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 2)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
+    pairs.persist().count() // materialize, then drop the signature cache
+    sh.unpersist()
+    pairs
   }
 
   /** End-to-end dedup materialization: the corpus minus near-duplicates.
@@ -345,17 +390,18 @@ object TextOps {
          |ORDER BY 1, 2""".stripMargin),
 
     "t04_simhash" -> QueryDef(simhash _,
-      s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
-         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
-         |        FROM n WHERE length(nrm) >= 1),
-         |tid AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tid FROM tok),
-         |bits AS (SELECT doc_id, tid, CAST(unnest(generate_series(0, 15)) AS INT) AS b FROM tid),
-         |contrib AS (SELECT doc_id, b,
-         |    SUM(CASE WHEN CAST(FLOOR(tid / 2 ** b) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM bits GROUP BY doc_id, b)
-         |SELECT doc_id,
-         |  CAST(SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
-         |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      s"""$SimhashCtesDuck
+         |SELECT doc_id, simhash16 FROM sh ORDER BY doc_id""".stripMargin),
+
+    // oracle states the SEMANTICS (all-pairs hamming); the engine's
+    // pigeonhole banding must be invisible to the result
+    "t13_simhash_near_dup" -> QueryDef(simhashNearDupPairs _,
+      s"""$SimhashCtesDuck
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin),
 
     "t05_lang_id" -> QueryDef(langId _,
       s"""WITH p AS (SELECT doc_id, lang, text,
