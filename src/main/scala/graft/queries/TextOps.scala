@@ -65,6 +65,34 @@ object TextOps {
       .select(col("doc_id"), expr("substring(nrm, pos, 5)").as("sh"))
       .distinct()
 
+  /** The t11 oracle's CTE chain ending in `dupes(b_id)` (the ≥0.9-Jaccard
+    * near-duplicate victims) — shared by t11 (anti-join) and t14 (the
+    * end-to-end curation pipeline). */
+  private lazy val DupesCtesDuck: String =
+    s"""$ShinglesSqlDuck,
+       |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
+       |bands AS (
+       |  ${(0 until NumHashes / BandRows).map(b =>
+             s"SELECT doc_id, $b AS band, " + (0 until BandRows).map(r =>
+               s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
+           .mkString(" UNION ALL\n  ")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands x JOIN bands y
+       |           ON x.band = y.band AND ${(0 until BandRows).map(r =>
+             s"x.h$r = y.h$r").mkString(" AND ")}
+       |          AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id),
+       |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+       |          FROM cand c
+       |          JOIN ids sa ON sa.doc_id = c.a_id
+       |          JOIN ids sb ON sb.doc_id = c.b_id AND sb.sid = sa.sid
+       |          GROUP BY c.a_id, c.b_id),
+       |dupes AS (SELECT DISTINCT i.b_id
+       |          FROM inter i
+       |          JOIN sizes za ON za.doc_id = i.a_id
+       |          JOIN sizes zb ON zb.doc_id = i.b_id
+       |          WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9)""".stripMargin
+
   /** The t04 oracle's CTE chain ending in `sh(doc_id, simhash16)` —
     * shared by t04 (projection) and t13 (self-join on hamming). */
   private lazy val SimhashCtesDuck: String =
@@ -240,6 +268,32 @@ object TextOps {
       .join(dupes, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+  }
+
+  /** End-to-end corpus curation — the flagship training-data pipeline in
+    * one plan: language filter (predicted English), quality thresholds
+    * (alpha_ratio ≥ 0.82, ≥100 chars), near-dup removal (≥0.9 Jaccard,
+    * keep-lowest-id), per-source census of the surviving corpus. Every
+    * stage is the already-verified operator (t05/t07/t11) — this proves
+    * they compose in a single Catalyst plan: the doc_id-keyed filters are
+    * semi/anti joins over metadata-sized key sets, so the full text is
+    * scanned exactly once. */
+  def corpusCuration(s: SparkSession, d: String): DataFrame = {
+    val en = langId(s, d).filter(col("pred_lang") === "en").select("doc_id")
+    val keepq = qualityScore(s, d)
+      .filter(col("alpha_ratio") >= 0.82 && col("n_chars") >= 100)
+      .select("doc_id")
+    val dupes = lshNearDupPairs(s, d)
+      .filter(col("jaccard") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+    documents(s, d)
+      .join(en, "doc_id")
+      .join(keepq, "doc_id")
+      .join(dupes, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("source")
   }
 
   /** Occurrence count of a marker inside a padded haystack (replace-diff
@@ -479,32 +533,39 @@ object TextOps {
          |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin),
 
     "t11_dedup_apply" -> QueryDef(dedupApply _,
-      s"""$ShinglesSqlDuck,
-         |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
-         |bands AS (
-         |  ${(0 until NumHashes / BandRows).map(b =>
-               s"SELECT doc_id, $b AS band, " + (0 until BandRows).map(r =>
-                 s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
-             .mkString(" UNION ALL\n  ")}),
-         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-         |         FROM bands x JOIN bands y
-         |           ON x.band = y.band AND ${(0 until BandRows).map(r =>
-               s"x.h$r = y.h$r").mkString(" AND ")}
-         |          AND x.doc_id < y.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id),
-         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
-         |          FROM cand c
-         |          JOIN ids sa ON sa.doc_id = c.a_id
-         |          JOIN ids sb ON sb.doc_id = c.b_id AND sb.sid = sa.sid
-         |          GROUP BY c.a_id, c.b_id),
-         |dupes AS (SELECT DISTINCT i.b_id
-         |          FROM inter i
-         |          JOIN sizes za ON za.doc_id = i.a_id
-         |          JOIN sizes zb ON zb.doc_id = i.b_id
-         |          WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9)
+      s"""$DupesCtesDuck
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
          |ORDER BY d.doc_id""".stripMargin),
+
+    // the flagship end-to-end curation statement: language filter +
+    // quality thresholds + near-dup removal + per-source census, all in
+    // one plan — composed from the same CTE pieces as t05/t07/t11
+    "t14_corpus_curation" -> QueryDef(corpusCuration _,
+      s"""$DupesCtesDuck,
+         |p AS (SELECT doc_id, text, ' ' || $NormSqlDuck || ' ' AS pad FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${OccDuck("pad", " the ")} + ${OccDuck("pad", " and ")} + ${OccDuck("pad", " of ")} + ${OccDuck("pad", " is ")} AS s_en,
+         |  ${OccDuck("pad", " der ")} + ${OccDuck("pad", " und ")} + ${OccDuck("pad", " die ")} + ${OccDuck("pad", " ist ")} AS s_de,
+         |  ${OccDuck("pad", " le ")} + ${OccDuck("pad", " la ")} + ${OccDuck("pad", " et ")} + ${OccDuck("pad", " les ")} AS s_fr,
+         |  ${OccDuck("pad", " el ")} + ${OccDuck("pad", " los ")} + ${OccDuck("pad", " las ")} + ${OccDuck("pad", " y ")} AS s_es,
+         |  ${OccDuck("text", "的")} + ${OccDuck("text", "是")} + ${OccDuck("text", "了")} AS s_zh
+         |  FROM p),
+         |en AS (SELECT doc_id FROM sc
+         |  WHERE NOT (s_zh >= GREATEST(s_en, s_de, s_fr, s_es) AND s_zh > 0)
+         |    AND s_en >= GREATEST(s_de, s_fr, s_es)),
+         |keepq AS (SELECT doc_id FROM documents
+         |  WHERE CAST(LENGTH(text) - (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+         |     - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |     - (LENGTH(text) - LENGTH(replace(text, ' ', ''))) AS DOUBLE) / LENGTH(text) >= 0.82
+         |    AND LENGTH(text) >= 100)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(LENGTH(d.text)) AS BIGINT) AS sum_chars
+         |FROM documents d
+         |JOIN en ON en.doc_id = d.doc_id
+         |JOIN keepq ON keepq.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     "t10_bpe_token_count" -> QueryDef(bpeTokenCount _,
       s"""SELECT doc_id,
