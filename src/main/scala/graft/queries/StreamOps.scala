@@ -28,11 +28,16 @@ object StreamOps {
     // lets clearCaches reclaim the temp dirs)
     sourceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     sourceCache.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
-      Tables.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(dir)
-      dir
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream")
+      try {
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .write.mode("overwrite").parquet(dir.toString)
+      } catch { case e: Throwable =>
+        // failed snapshot never reaches the cache — reclaim the dir now
+        rmrf(dir); throw e
+      }
+      dir.toString
     })
   }
 
@@ -44,24 +49,27 @@ object StreamOps {
   private def dupStreamSource(s: SparkSession, d: String): String = {
     dupSourceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     dupSourceCache.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup").toString
-      val ev = Tables.events(s, d)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      ev.write.mode("overwrite").parquet(dir)
-      ev.write.mode("append").parquet(dir)
-      dir
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+      try {
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        ev.write.mode("overwrite").parquet(dir.toString)
+        ev.write.mode("append").parquet(dir.toString)
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      dir.toString
     })
   }
 
   /** Teardown hook (Bench/Verify call this before spark.stop()): delete
     * the fixture-snapshot temp dirs so repeated harness runs in one JVM
     * don't accumulate them. */
+  private def rmrf(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).forEach(rmrf(_))
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
   def clearCaches(): Unit = {
-    def rmrf(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rmrf(_))
-      java.nio.file.Files.deleteIfExists(p)
-    }
     (sourceCache.values ++ dupSourceCache.values).foreach(dir =>
       try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
     sourceCache.clear()
