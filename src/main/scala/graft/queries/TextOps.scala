@@ -296,6 +296,26 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Multi-signal near-dup candidates: the text signal (shingle Jaccard
+    * ≥ 0.5, t03) full-outer-merged with the embedding signal (cosine
+    * ≥ 0.45, v02) per document pair — the cross-modal dedup review
+    * queue a real curation pipeline feeds to a judge. Missing signals
+    * surface as -1 sentinels (not NULLs: nullable doubles coerce to
+    * NaN-laden float64 in arrow/pandas and break exact comparison);
+    * n_signals counts the agreeing detectors. */
+  def multiSignalDedup(s: SparkSession, d: String): DataFrame = {
+    val txt = lshNearDupPairs(s, d).select(col("a_id"), col("b_id"), col("jaccard"))
+    val emb = VectorOps.cosineNearDupPairs(s, d).select(col("a_id"), col("b_id"), col("cos"))
+    txt.join(emb, Seq("a_id", "b_id"), "full_outer")
+      .withColumn("n_signals",
+        col("jaccard").isNotNull.cast("int") + col("cos").isNotNull.cast("int"))
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("jaccard"), lit(-1d)).as("jaccard"),
+        coalesce(col("cos"), lit(-1d)).as("cos"),
+        col("n_signals"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** Occurrence count of a marker inside a padded haystack (replace-diff
     * trick — identical non-overlapping left-to-right semantics in every
     * engine; the diff is always an exact multiple of the marker length). */
@@ -566,6 +586,30 @@ object TextOps {
          |JOIN keepq ON keepq.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "t15_multi_signal_dedup" -> QueryDef(multiSignalDedup _,
+      s"""$DupesCtesDuck,
+         |tp AS (SELECT i.a_id, i.b_id,
+         |    CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.a_id
+         |  JOIN sizes zb ON zb.doc_id = i.b_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5),
+         |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ep AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    round(list_dot_product(a.v, b.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+         |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45)
+         |SELECT COALESCE(tp.a_id, ep.a_id) AS a_id,
+         |  COALESCE(tp.b_id, ep.b_id) AS b_id,
+         |  COALESCE(tp.jaccard, -1) AS jaccard,
+         |  COALESCE(ep.cos, -1) AS cos,
+         |  (CASE WHEN tp.jaccard IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN ep.cos IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
+         |FROM tp FULL OUTER JOIN ep ON tp.a_id = ep.a_id AND tp.b_id = ep.b_id
+         |ORDER BY a_id, b_id""".stripMargin),
 
     "t10_bpe_token_count" -> QueryDef(bpeTokenCount _,
       s"""SELECT doc_id,
