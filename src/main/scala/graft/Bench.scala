@@ -33,13 +33,17 @@ object Bench {
     // Full per-query detail first, then a short summary line LAST: the
     // driver tail-captures stdout, so the parseable headline must be the
     // final (short) line — round 1's single giant line lost its head.
-    // line 1 = the full record (metric "total" — what the driver parses);
-    // line 2 = a short human tail with a DISTINCT metric name so no
-    // consumer filtering/summing by metric double-counts the total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","sf":"$sfDir"}""")
+    // line 1 = per-query detail under a DISTINCT metric name ("detail");
+    // line 2 = the short summary record, metric "total", printed LAST so
+    // the driver's tail capture always keeps it intact (the giant detail
+    // line loses its head when the capture window clips — round 1's
+    // failure mode). One "total" record total → no consumer that filters
+    // or sums by metric name can double-count.
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","sf":"$sfDir"}""")
     queries.TextOps.clearCaches()
     queries.StreamOps.clearCaches()
+    queries.EventOps.clearCaches()
     spark.stop()
   }
 }

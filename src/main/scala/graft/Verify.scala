@@ -42,6 +42,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     queries.TextOps.clearCaches()
     queries.StreamOps.clearCaches()
+    queries.EventOps.clearCaches()
     spark.stop()
   }
 }

@@ -66,23 +66,33 @@ object DdlParser {
          (bytes(0) == 0xFE.toByte && bytes(1) == 0xFF.toByte)))
       new String(bytes, StandardCharsets.UTF_16) // BOM-directed, like SSMS output
     else {
-      // Content heuristic before attempting UTF-16: strict decoding alone
-      // does NOT close the hole — for BOM-less ASCII/UTF-8 of even length,
-      // big-endian UTF-16 decodes "successfully" to CJK garbage (almost
-      // every 16-bit unit is a valid code point; only odd length or stray
-      // surrogates REPORT). Real UTF-16 SQL text is ~50% NUL bytes, so a
-      // NUL-free input is UTF-8/ASCII: decode it as UTF-8 first.
-      val hasNul = bytes.exists(_ == 0)
-      if (!hasNul)
-        try strict(StandardCharsets.UTF_8)
-        catch { case _: java.nio.charset.CharacterCodingException =>
-          strict(StandardCharsets.UTF_16)
-        }
-      else
-        try strict(StandardCharsets.UTF_16)
-        catch { case _: java.nio.charset.CharacterCodingException =>
-          stripBom(new String(bytes, StandardCharsets.UTF_8))
-        }
+      // Content heuristics — strict decoding alone does NOT close the
+      // holes: (a) BOM-less ASCII/UTF-8 of even length decodes
+      // "successfully" as big-endian UTF-16 CJK garbage (almost every
+      // 16-bit unit is a valid code point), and (b) BOM-less UTF-16LE
+      // likewise survives a big-endian decode as garbage. Real UTF-16
+      // SQL text is ~50% NUL bytes, and their OFFSET PARITY reveals the
+      // byte order: LE puts the NUL high byte at odd offsets, BE at
+      // even. A NUL-free input is UTF-8/ASCII.
+      val nulEven = bytes.indices.count(i => i % 2 == 0 && bytes(i) == 0)
+      val nulOdd = bytes.indices.count(i => i % 2 == 1 && bytes(i) == 0)
+      val attempts: Seq[java.nio.charset.Charset] =
+        // NUL-free SQL cannot be UTF-16 (every ASCII char would carry a
+        // NUL byte) — never attempt it, or strict BE "succeeds" on
+        // legacy single-byte text as CJK garbage
+        if (nulEven + nulOdd == 0) Seq(StandardCharsets.UTF_8)
+        else if (nulOdd > nulEven) Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)
+        else Seq(StandardCharsets.UTF_16BE, StandardCharsets.UTF_16LE)
+      attempts.foldLeft(Option.empty[String]) { (acc, cs) =>
+        acc.orElse(
+          try Some(strict(cs))
+          catch { case _: java.nio.charset.CharacterCodingException => None })
+      }.getOrElse {
+        // last resort, mirroring the reference's tolerant posture
+        // (apply_mssql.py:124-129): lenient UTF-8 — malformed bytes
+        // become U+FFFD but the script still parses
+        stripBom(new String(bytes, StandardCharsets.UTF_8))
+      }
     }
   }
   private def stripBom(s: String) = if (s.startsWith("﻿")) s.substring(1) else s

@@ -170,13 +170,13 @@ object JdbcRoundTrip {
         true
       }.getOrElse(false)
     }.toMap
-    val fkArmed: Map[String, Int] = targets.map { t =>
-      t -> catalog(t).fks.count { fk =>
-        val r = JdbcSink.execute(target, Seq(DerbyDdl.addFkSql(fk))).head
-        r.foreach(e => sys.error(s"arm FK ${fk.table}->${fk.refTable} failed: $e"))
-        r.isEmpty
-      }
-    }.toMap
+    // all-or-crash, not tolerant: a refused FK on an empty schema is a
+    // deploy bug, so n_fks_armed is simply the full edge count
+    targets.foreach(t => catalog(t).fks.foreach { fk =>
+      JdbcSink.execute(target, Seq(DerbyDdl.addFkSql(fk))).head
+        .foreach(e => sys.error(s"arm FK ${fk.table}->${fk.refTable} failed: $e"))
+    })
+    val fkArmed: Map[String, Int] = targets.map(t => t -> catalog(t).fks.size).toMap
 
     // Wave-ordered load: GeneratePipeline already iterates Deps.waves
     // (parents before children), which is exactly the order an armed-FK

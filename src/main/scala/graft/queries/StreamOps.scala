@@ -21,12 +21,18 @@ object StreamOps {
   private val sourceCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  /** Drop (and delete the snapshot dirs of) entries whose session has
+    * stopped — evicting without deleting would orphan the dirs forever. */
+  private def evictDead(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), String]): Unit =
+    cache.filterInPlace { case ((sess, _), dir) =>
+      val live = !sess.sparkContext.isStopped
+      if (!live) try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () }
+      live
+    }
+
   /** Replay the events fixture as a µs-timestamped stream source. */
   private def streamSource(s: SparkSession, d: String): String = {
-    // snapshots written by a now-stopped session are still valid parquet,
-    // but dropping them keeps the cache keyed to live sessions only (and
-    // lets clearCaches reclaim the temp dirs)
-    sourceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    evictDead(sourceCache)
     sourceCache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream")
       try {
@@ -47,7 +53,7 @@ object StreamOps {
   private val dupSourceCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def dupStreamSource(s: SparkSession, d: String): String = {
-    dupSourceCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    evictDead(dupSourceCache)
     dupSourceCache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
       try {
@@ -64,8 +70,10 @@ object StreamOps {
     * the fixture-snapshot temp dirs so repeated harness runs in one JVM
     * don't accumulate them. */
   private def rmrf(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).forEach(rmrf(_))
+    if (java.nio.file.Files.isDirectory(p)) {
+      val st = java.nio.file.Files.list(p)
+      try st.forEach(rmrf(_)) finally st.close()
+    }
     java.nio.file.Files.deleteIfExists(p)
   }
 

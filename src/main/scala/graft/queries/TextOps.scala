@@ -158,10 +158,11 @@ object TextOps {
     * persisted pair results so repeated harness runs in one JVM don't
     * accumulate cached plans. */
   def clearCaches(): Unit = {
-    pairsCache.values.foreach(df =>
+    (pairsCache.values ++ simhashPairsCache.values).foreach(df =>
       try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
       catch { case _: Throwable => () })
     pairsCache.clear()
+    simhashPairsCache.clear()
   }
 
   private def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
@@ -232,7 +233,15 @@ object TextOps {
     * at least one band — so candidates meet only inside a band bucket
     * (Σ|bucket|² per band, the t03/v07 scale shape, never all pairs).
     * Exact hamming over the full signature verifies each candidate. */
+  private val simhashPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def simhashNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    simhashPairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    simhashPairsCache.getOrElseUpdate((s, d), simhashNearDupPairsUncached(s, d))
+  }
+
+  private def simhashNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     val sh = simhash(s, d).select(col("doc_id"), col("simhash16")).persist()
     val e = sh
       .withColumn("b0", col("simhash16") % 32)

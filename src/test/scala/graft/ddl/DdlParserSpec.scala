@@ -74,8 +74,15 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.decodeSqlBytes(("﻿" + sql).getBytes(UTF_16BE)) == sql)
     assert(DdlParser.decodeSqlBytes(
       Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ sql.getBytes(UTF_8)) == sql)
-    // BOM-less UTF-16 (SSMS without BOM): ~50% NULs → UTF-16 path
+    // BOM-less UTF-16 (SSMS without BOM): ~50% NULs → UTF-16 path, with
+    // the byte order recovered from NUL offset parity (BE and LE both)
     assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_16BE)) == sql)
+    assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_16LE)) == sql)
+    // legacy single-byte encodings (no NULs, not valid UTF-8) fall back
+    // to lenient UTF-8 — accented bytes become U+FFFD, structure survives
+    val legacy = DdlParser.decodeSqlBytes(
+      (sql + "-- açıklama\n").getBytes("windows-1254"))
+    assert(legacy.startsWith(sql) && legacy.contains("-- a"))
     // BOM-less ASCII/UTF-8 of EVEN length: zero NULs → must decode as
     // UTF-8, not "successfully" as CJK garbage via big-endian UTF-16
     assert(sql.length % 2 == 0 && sql.getBytes(UTF_8).length % 2 == 0)
