@@ -76,6 +76,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q07_anti_join_no_orders").contains("LeftAnti"))
   }
 
+  test("t14: curation pipeline joins on keys — no cartesian, dedup is LeftAnti") {
+    val p = plan("t14_corpus_curation")
+    assert(p.contains("LeftAnti"), "near-dup removal must be an anti join")
+    assert(!p.contains("CartesianProduct"), "no unkeyed join anywhere")
+  }
+
+  test("e08: events scanned once — calendar and types derive from the counts aggregate") {
+    val p = plan("e08_gap_filled_series")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected at most 1 events scan, got $scans")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
