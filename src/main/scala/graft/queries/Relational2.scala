@@ -225,6 +225,22 @@ object Relational2 {
       .orderBy("o_orderkey")
   }
 
+  /** Ranking-function family in one frame: ntile / percent_rank /
+    * cume_dist over per-priority price order (ties broken by orderkey so
+    * the ORDER BY is total and every rank is deterministic; the two
+    * ratio functions are single divisions of exact integer ranks —
+    * bit-identical in every engine). */
+  def rankFamily(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select("o_orderkey", "o_orderpriority", "quartile", "pct_rank", "cume")
+      .orderBy("o_orderkey")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -343,6 +359,16 @@ object Relational2 {
          |    ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
          |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
          |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    "q38_rank_family" -> QueryDef(rankFamily _,
+      """SELECT o_orderkey, o_orderpriority,
+        |  NTILE(4) OVER w AS quartile,
+        |  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  round(CUME_DIST() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin),
 
     "q27_grouping_sets" -> QueryDef(groupingSetsEvents _,
       """SELECT COALESCE(event_type, 'ALL') AS etype,
