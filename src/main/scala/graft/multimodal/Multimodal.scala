@@ -97,6 +97,33 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class Thumb(media_id: Long, t0: Long, t1: Long, t2: Long, t3: Long)
+
+  /** STUBBED RESIZE — a fixed-size "thumbnail" of the payload: the
+    * byte-mean of each quarter (a real image resize maps pixel blocks
+    * the same way; the stub keeps the block-mean contract over the
+    * opaque bytes). Integer floor arithmetic end to end so the result
+    * is exact in any engine. */
+  def resizeThumbs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, dir).as[MediaRow]
+      .filter(_.content.nonEmpty)
+      .map { m =>
+        val n = m.content.length
+        def mean(q: Int): Long = {
+          val lo = q * n / 4; val hi = (q + 1) * n / 4
+          if (hi == lo) 0L
+          else {
+            var sum = 0L; var i = lo
+            while (i < hi) { sum += (m.content(i) & 0xff); i += 1 }
+            sum / (hi - lo)
+          }
+        }
+        Thumb(m.media_id, mean(0), mean(1), mean(2), mean(3))
+      }
+      .toDF().orderBy("media_id")
+  }
+
   /** Real (non-stub) metadata extraction over the binary column —
     * length, digest, sniffed prefix. Pure built-in expressions. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,35 @@ object MediaOps {
         |  round(CAST(COUNT(CASE WHEN hi = '7' THEN 1 END) AS DOUBLE) / MAX(n), 6) AS f_mid
         |FROM b GROUP BY doc_id ORDER BY media_id""".stripMargin),
 
+    // the resize stub is quarter-block byte means — integer floor
+    // arithmetic the oracle restates byte-by-byte via the hex dump
+    // (1-based pos p is in quarter q iff q·n//4 < p ≤ (q+1)·n//4, the
+    // exact complement of the engine's 0-based half-open blocks)
+    "m04_resize_thumbs" -> QueryDef(Multimodal.resizeThumbs _,
+      """WITH m AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |b AS (SELECT doc_id, n,
+        |    CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos FROM m),
+        |v AS (SELECT b.doc_id, b.n, b.pos,
+        |    ('0x' || substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2))::BIGINT AS bv
+        |  FROM b JOIN m ON m.doc_id = b.doc_id),
+        |q AS (SELECT doc_id, bv,
+        |    CASE WHEN pos <= n // 4 THEN 0
+        |         WHEN pos <= (2 * n) // 4 THEN 1
+        |         WHEN pos <= (3 * n) // 4 THEN 2 ELSE 3 END AS qt
+        |  FROM v)
+        |SELECT doc_id AS media_id,
+        |  CAST(COALESCE(SUM(CASE WHEN qt = 0 THEN bv END)
+        |    // NULLIF(COUNT(CASE WHEN qt = 0 THEN 1 END), 0), 0) AS BIGINT) AS t0,
+        |  CAST(COALESCE(SUM(CASE WHEN qt = 1 THEN bv END)
+        |    // NULLIF(COUNT(CASE WHEN qt = 1 THEN 1 END), 0), 0) AS BIGINT) AS t1,
+        |  CAST(COALESCE(SUM(CASE WHEN qt = 2 THEN bv END)
+        |    // NULLIF(COUNT(CASE WHEN qt = 2 THEN 1 END), 0), 0) AS BIGINT) AS t2,
+        |  CAST(COALESCE(SUM(CASE WHEN qt = 3 THEN bv END)
+        |    // NULLIF(COUNT(CASE WHEN qt = 3 THEN 1 END), 0), 0) AS BIGINT) AS t3
+        |FROM q GROUP BY doc_id ORDER BY media_id""".stripMargin),
+
     // frame sampling (every 4th 64-byte block) is pure arithmetic over
     // the payload length, so the oracle states the same census in closed
     // form: nblocks = ceil(n/64); sampled indices 0,4,8,… < nblocks; the
