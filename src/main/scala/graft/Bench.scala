@@ -12,38 +12,39 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
-    // numbers measure the plan, not JVM cold start; sorted order keeps
-    // runs comparable as the query set grows
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    // two passes, min per query: the host is a shared microVM with
-    // bursty contention (up to 3x swings on identical plans), and the
-    // min is the contention-free estimate of the plan's cost
-    def pass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
-    val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Full per-query detail first, then a short summary line LAST: the
-    // driver tail-captures stdout, so the parseable headline must be the
-    // final (short) line — round 1's single giant line lost its head.
-    // line 1 = per-query detail under a DISTINCT metric name ("detail");
-    // line 2 = the short summary record, metric "total", printed LAST so
-    // the driver's tail capture always keeps it intact (the giant detail
-    // line loses its head when the capture window clips — round 1's
-    // failure mode). One "total" record total → no consumer that filters
-    // or sums by metric name can double-count.
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","sf":"$sfDir"}""")
-    queries.TextOps.clearCaches()
-    queries.StreamOps.clearCaches()
-    queries.EventOps.clearCaches()
-    spark.stop()
+    try {
+      // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
+      // numbers measure the plan, not JVM cold start; sorted order keeps
+      // runs comparable as the query set grows
+      try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+      // two passes, min per query: the host is a shared microVM with
+      // bursty contention (up to 3x swings on identical plans), and the
+      // min is the contention-free estimate of the plan's cost
+      def pass(): Map[String, Double] =
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      val p1 = pass(); val p2 = pass()
+      val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
+      // ms precision keeps the whole record ~2 KB so the driver's
+      // tail-capture never clips its head (rounds 1-3 all ended with
+      // parsed:null; the giant full-precision detail line was the cause)
+      val qs = results.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.values.sum else 0.0
+      // exactly ONE JSON record, printed last, in the driver's expected
+      // shape: {"metric","value","unit","queries","sf"}
+      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+    } finally {
+      // cleanup must run even on a mid-run throw, or stream-snapshot temp
+      // dirs and persisted plans leak for the JVM's lifetime
+      queries.TextOps.clearCaches()
+      queries.StreamOps.clearCaches()
+      queries.EventOps.clearCaches()
+      spark.stop()
+    }
   }
 }

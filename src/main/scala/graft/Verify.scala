@@ -18,6 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    try {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -40,9 +41,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    queries.TextOps.clearCaches()
-    queries.StreamOps.clearCaches()
-    queries.EventOps.clearCaches()
-    spark.stop()
+    } finally {
+      // cleanup must run even on a mid-run throw, or stream-snapshot temp
+      // dirs and persisted plans leak for the JVM's lifetime
+      queries.TextOps.clearCaches()
+      queries.StreamOps.clearCaches()
+      queries.EventOps.clearCaches()
+      spark.stop()
+    }
   }
 }

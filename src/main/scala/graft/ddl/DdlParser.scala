@@ -81,7 +81,11 @@ object DdlParser {
         // NUL byte) — never attempt it, or strict BE "succeeds" on
         // legacy single-byte text as CJK garbage
         if (nulEven + nulOdd == 0) Seq(StandardCharsets.UTF_8)
-        else if (nulOdd > nulEven) Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)
+        // Parity ties (mostly non-ASCII text) break toward LE — the
+        // overwhelmingly common SSMS/Windows byte order — because strict
+        // BE can "successfully" decode balanced-parity LE bytes as
+        // plausible garbage; trying LE first closes that hole.
+        else if (nulOdd >= nulEven) Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)
         else Seq(StandardCharsets.UTF_16BE, StandardCharsets.UTF_16LE)
       attempts.foldLeft(Option.empty[String]) { (acc, cs) =>
         acc.orElse(

@@ -171,12 +171,17 @@ object JdbcRoundTrip {
       }.getOrElse(false)
     }.toMap
     // all-or-crash, not tolerant: a refused FK on an empty schema is a
-    // deploy bug, so n_fks_armed is simply the full edge count
-    targets.foreach(t => catalog(t).fks.foreach { fk =>
+    // deploy bug. Only edges whose referenced table was actually deployed
+    // can be armed — a skipped/absent parent would make Derby reject the
+    // ADD CONSTRAINT and abort the run (auditReadback filters the same way).
+    val targetSet = targets.toSet
+    val armable: Map[String, Seq[graft.ddl.Fk]] = targets.map(t =>
+      t -> catalog(t).fks.filter(fk => targetSet.contains(fk.refTable))).toMap
+    targets.foreach(t => armable(t).foreach { fk =>
       JdbcSink.execute(target, Seq(DerbyDdl.addFkSql(fk))).head
         .foreach(e => sys.error(s"arm FK ${fk.table}->${fk.refTable} failed: $e"))
     })
-    val fkArmed: Map[String, Int] = targets.map(t => t -> catalog(t).fks.size).toMap
+    val fkArmed: Map[String, Int] = targets.map(t => t -> armable(t).size).toMap
 
     // Wave-ordered load: GeneratePipeline already iterates Deps.waves
     // (parents before children), which is exactly the order an armed-FK
@@ -187,10 +192,18 @@ object JdbcRoundTrip {
         .flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
     val results = GeneratePipeline.run(spark, catalog, rowCount, seed, (t, df) => {
       val td = catalog(t)
+      // Deterministic winner per PK: row_number over a TOTAL order (all
+      // columns), not dropDuplicates — which keeps an arbitrary row per
+      // key, so surviving non-PK values would drift across partitionings
+      // and flake any future value-level (g03-style) oracle freeze.
       val deduped =
-        if (td.pk.nonEmpty && td.pk.forall(td.schema.fieldNames.contains))
-          df.dropDuplicates(td.pk)
-        else df
+        if (td.pk.nonEmpty && td.pk.forall(td.schema.fieldNames.contains)) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(td.pk.map(col): _*)
+            .orderBy(td.schema.fieldNames.map(c => col(c).asc_nulls_first): _*)
+          df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        } else df
       JdbcSink.appendGenerated(deduped, td, target, toggleConstraints = false,
         quoteTable = DerbyDdl.q)
     })

@@ -89,6 +89,16 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_8)) == sql)
     val turkish = sql + "-- açıklama: şube\n"
     assert(DdlParser.decodeSqlBytes(turkish.getBytes(UTF_8)) == turkish)
+    // NUL-parity TIE (equal even/odd NULs): must break toward LE — strict
+    // BE would "successfully" decode these LE bytes as garbage (every
+    // 16-bit unit here is a valid BE code point). Ā (U+0100) puts its NUL
+    // at even offsets in LE, balancing the ASCII chars' odd-offset NULs.
+    val tied = "GOĀĀ"
+    val tiedLe = tied.getBytes(UTF_16LE)
+    val even = tiedLe.indices.count(i => i % 2 == 0 && tiedLe(i) == 0)
+    val odd = tiedLe.indices.count(i => i % 2 == 1 && tiedLe(i) == 0)
+    assert(even == odd && even > 0, s"fixture not tied: even=$even odd=$odd")
+    assert(DdlParser.decodeSqlBytes(tiedLe) == tied)
   }
 
   test("GO splitter + batch filters (apply_mssql.py semantics)") {
