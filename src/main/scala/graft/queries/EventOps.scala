@@ -140,6 +140,35 @@ object EventOps {
       .orderBy("hr_bucket", "event_type")
   }
 
+  /** Sequential conversion funnel signup → view → click → purchase:
+    * stage k's timestamp is the user's FIRST qualifying event strictly
+    * after their stage-(k-1) timestamp, so out-of-order events never
+    * count (a view before the signup is not a conversion). Each stage is
+    * one aggregation keyed on user_id joined to the previous stage's
+    * per-user frontier — all four stages reuse the same hash
+    * partitioning, so at 100 TB this is one shuffle of per-user
+    * frontiers (|users| rows/stage), never a re-scan amplification. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    def stage(evType: String, prev: DataFrame, prevT: String, t: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("us") > col(prevT))
+        .groupBy("user_id").agg(min(col("us")).as(t))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val s2 = stage("view", s1, "t1", "t2")
+    val s3 = stage("click", s2, "t2", "t3")
+    val s4 = stage("purchase", s3, "t3", "t4")
+    Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3, "4_purchase" -> s4)
+      .map { case (n, df) =>
+        df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"), col("n_users"))
+      }
+      .reduce(_ unionAll _)
+      .orderBy("stage")
+  }
+
   private val countsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
@@ -214,6 +243,22 @@ object EventOps {
         |FROM b CROSS JOIN t
         |LEFT JOIN c ON c.hr_bucket = b.hr_bucket AND c.event_type = t.event_type
         |ORDER BY b.hr_bucket, t.event_type""".stripMargin),
+
+    "e09_funnel" -> QueryDef(funnel _,
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'view' AND e.us > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s2.t2 GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.us) AS t4 FROM ev e JOIN s3 ON e.user_id = s3.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s3.t3 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT '2_view', COUNT(*) FROM s2
+        |UNION ALL SELECT '3_click', COUNT(*) FROM s3
+        |UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
+        |ORDER BY stage""".stripMargin),
 
     "e05_top_users_by_value" -> QueryDef(topUsersByValue _,
       s"""WITH a AS (SELECT user_id, SUM(CAST(value AS $D)) AS sv, COUNT(*) AS n_events

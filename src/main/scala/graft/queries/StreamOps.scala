@@ -130,6 +130,34 @@ object StreamOps {
       streamSource(s, d), "graft_stream_static")
       .orderBy("c_mktsegment")
 
+  /** Stream-stream self-join with an event-time interval: each click
+    * joined to the same user's purchases within the following 30 minutes
+    * (attribution). Both sides carry watermarks and the join condition
+    * bounds p_ts to [c_ts, c_ts + 30 min], which is what lets Spark
+    * expire join state — the shape that stays bounded on an unbounded
+    * stream (state per side ≈ one watermark-window of events). The
+    * streaming job emits the matched pairs (Append — the only mode
+    * stream-stream joins support); the per-user aggregation over the
+    * drained sink then summarizes them, like s03's post-drain check. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s, ev => {
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+        .withWatermark("c_ts", "30 minutes")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "30 minutes")
+      clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+    }, streamSource(s, d), "graft_stream_ss",
+      org.apache.spark.sql.streaming.OutputMode.Append)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
+      .orderBy("user_id")
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -161,6 +189,14 @@ object StreamOps {
     "s03_stream_dedup" -> QueryDef(streamDedup _,
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    "s05_stream_stream_join" -> QueryDef(streamStreamJoin _,
+      """SELECT c.user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p.event_id) AS n_purchases
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.ts >= c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
 
     "s04_stream_static_join" -> QueryDef(streamStaticJoin _,
       s"""SELECT c_mktsegment, COUNT(*) AS n,

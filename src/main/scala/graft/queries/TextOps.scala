@@ -158,11 +158,71 @@ object TextOps {
     * persisted pair results so repeated harness runs in one JVM don't
     * accumulate cached plans. */
   def clearCaches(): Unit = {
-    (pairsCache.values ++ simhashPairsCache.values).foreach(df =>
-      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
-      catch { case _: Throwable => () })
+    (pairsCache.values ++ simhashPairsCache.values ++ clustersCache.values)
+      .foreach(df =>
+        try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+        catch { case _: Throwable => () })
     pairsCache.clear()
     simhashPairsCache.clear()
+    clustersCache.clear()
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the ≥0.9-Jaccard
+    * pair graph (t03's verified pairs), cluster id = min doc_id in the
+    * component — the step a real curation pipeline needs after pair
+    * discovery, because transitive duplicates (A≈B, B≈C) must collapse
+    * to ONE canonical doc even when A,C were never a candidate pair.
+    *
+    * Implementation: iterative min-label propagation to fixpoint over
+    * the (tiny relative to the corpus) edge list — each round is one
+    * join + one aggregation keyed on doc_id, and the round count is the
+    * graph diameter (near-dup clusters are shallow; ~3 rounds here). At
+    * 100 TB the same loop runs on the pair output of the banded LSH —
+    * |edges| ≪ |docs| — with checkpointing per round; the large-star/
+    * small-star variant halves rounds on adversarially long chains. */
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    clustersCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    clustersCache.getOrElseUpdate((s, d), dupClustersUncached(s, d))
+  }
+
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
+      .select(col("a_id"), col("b_id"))
+    val edges = pairs.unionAll(
+        pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    // fixpoint is unique (min reachable id), so the loop is deterministic
+    // regardless of how many rounds convergence takes; the bound is a
+    // runaway guard, not a tuning knob
+    while (changed > 0 && rounds < 30) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")).persist()
+      changed = next.join(
+          labels.select(col("id"), col("lbl").as("prev")), "id")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val out = labels
+      .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_sz")), "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_sz"))
+      .orderBy("doc_id")
+    // materialize before releasing the loop's cached parents — the
+    // returned plan must not re-run the iteration on every consumer
+    out.persist().count()
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   private def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
@@ -595,6 +655,26 @@ object TextOps {
          |JOIN keepq ON keepq.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    // transitive closure via DuckDB's recursive CTE = the oracle twin of
+    // the Spark-side label-propagation loop; both converge to the same
+    // unique fixpoint (min doc_id per component)
+    "t16_dup_clusters" -> QueryDef(dupClusters _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p9 AS (SELECT i.a_id, i.b_id FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.a_id
+         |  JOIN sizes zb ON zb.doc_id = i.b_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p9
+         |       UNION SELECT b_id, a_id FROM p9),
+         |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
+         |       UNION
+         |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
+         |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id)
+         |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_sz
+         |FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+         |ORDER BY doc_id""".stripMargin),
 
     "t15_multi_signal_dedup" -> QueryDef(multiSignalDedup _,
       s"""$DupesCtesDuck,

@@ -212,6 +212,35 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Two-stage retrieval: SQ8 integer coarse scan → exact re-rank. The
+    * coarse stage ranks ALL candidates by the cheap quantized dot
+    * product and keeps the top 50 per query; only those 50 get the full
+    * double-precision cosine. This is the production ANN shape at
+    * 100 TB: the memory-bound scan touches 4× less data (v09's lever),
+    * the exact math runs on 50 rows/query instead of |corpus|, and the
+    * candidate ranking is integer-exact so the boundary is deterministic
+    * in every engine. Composes with v08: coarse-scan inside probed cells. */
+  def rerankTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val base = vecs(s, d).withColumn("qv8",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("qv8").as("qq8"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    base.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("score", dot("qq8", "qv8").cast("long"))
+      .withColumn("crk", row_number().over(
+        byQ.orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("crk") <= 50)
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -314,6 +343,23 @@ object VectorOps {
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, hit_id ASC) AS rk
         |  FROM p)
         |SELECT q_id, rk, hit_id, score FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    "v10_rerank_topk" -> QueryDef(rerankTopK _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 200.0) AS DOUBLE)) AS qv
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+        |    CAST(list_dot_product(q.qv, b.qv) AS BIGINT) AS score,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+        |c AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, hit_id ASC) AS crk
+        |  FROM p),
+        |r AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk
+        |  FROM c WHERE crk <= 50)
+        |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
     "v06_ann_lsh_topk" -> QueryDef(annLshTopK _,
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
