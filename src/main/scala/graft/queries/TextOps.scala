@@ -167,6 +167,33 @@ object TextOps {
     clustersCache.clear()
   }
 
+  /** Per-language per-mille sampling rates for the training-mixture
+    * rebalancing step (English dominates the corpus; downsample it, keep
+    * low-resource languages whole). Values are per-mille so the whole
+    * operator is integer arithmetic. */
+  private[queries] val MixPerMille: Seq[(String, Int)] =
+    Seq("de" -> 1000, "en" -> 400, "es" -> 250, "fr" -> 750, "zh" -> 1000)
+
+  /** Mixture-weighted deterministic sampling: each document keeps or
+    * drops itself by comparing a salted md5 of its OWN id against its
+    * language's rate — no global shuffle, no RNG state, and the same
+    * rows survive in every engine, run, and partitioning (the q26
+    * discipline, stratified). At 100 TB this is the map-only operator
+    * that rebalances a corpus before training; changing the mixture is a
+    * rate-table edit, not a re-shard. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame = {
+    val h = pmod(conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8), 16, 10)
+      .cast("long"), lit(1000L))
+    val rate = MixPerMille.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    documents(s, d)
+      .filter(h < rate)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the ≥0.9-Jaccard
     * pair graph (t03's verified pairs), cluster id = min doc_id in the
     * component — the step a real curation pipeline needs after pair
@@ -191,38 +218,62 @@ object TextOps {
   private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
     val pairs = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
       .select(col("a_id"), col("b_id"))
+    // the pair graph is tiny relative to the corpus by construction
+    // (banded LSH emits |edges| ≪ |docs|) — size the loop's partitioning
+    // to the edge count, not the cluster-wide shuffle default, so each
+    // round's jobs don't pay 32 near-empty tasks (pairs is already
+    // persisted via pairsCache, the count is a cache scan)
+    val nEdges = pairs.count()
+    val parts = math.max(2, math.min(s.sparkContext.defaultParallelism,
+      (nEdges / 50000L).toInt + 1))
+    // localCheckpoint (not persist) throughout the loop: each round's
+    // frame is materialized once and its lineage TRUNCATED, so round k
+    // never re-executes rounds 1..k-1 — with plain persist, the
+    // unpersist of round k-1's frame invalidates round k's cache entry
+    // (CacheManager re-caches dependents lazily, dropping their
+    // materialized blocks) and the loop goes quadratic. Lineage
+    // truncation is the canonical Spark pattern for iterative graph
+    // algorithms; old checkpoint RDDs are reclaimed by the
+    // ContextCleaner when their frames go out of scope.
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("src", "dst").persist()
+      .toDF("src", "dst").repartition(parts, col("src")).localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+      .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    // fixpoint is unique (min reachable id), so the loop is deterministic
-    // regardless of how many rounds convergence takes; the bound is a
-    // runaway guard, not a tuning knob
-    while (changed > 0 && rounds < 30) {
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), "src")
+    // Each round takes the min over {own label, neighbors' labels, label
+    // OF the label (pointer jumping)}. The third term is what makes
+    // convergence O(log diameter) instead of O(diameter) — a 500-node
+    // chain collapses in ~9 rounds, not 500 (which would both crawl and
+    // overrun any sane round guard). Labels stay inside the component
+    // (induction: a label is always some member's id), the update is
+    // monotone non-increasing and bounded by the component minimum, and
+    // at the fixpoint labels are edge-constant with lbl(c)=c — which
+    // forces c = component min. Unique fixpoint ⇒ deterministic result
+    // regardless of round count; the guard is a runaway stop, not a knob.
+    while (changed > 0 && rounds < 40) {
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min(col("lbl")).as("lbl")).persist()
+      val viaLbl = labels.join(
+          labels.select(col("id").as("l0"), col("lbl").as("lbl2")),
+          col("lbl") === col("l0"))
+        .select(col("id"), col("lbl2").as("lbl"))
+      val next = labels.unionByName(viaNbr).unionByName(viaLbl)
+        .groupBy("id").agg(min(col("lbl")).as("lbl")).localCheckpoint()
       changed = next.join(
           labels.select(col("id"), col("lbl").as("prev")), "id")
         .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       rounds += 1
     }
-    val out = labels
+    // the returned frame is itself checkpointed: consumers scan the
+    // materialized partitions, never re-running the iteration
+    labels
       .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_sz")), "lbl")
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_sz"))
       .orderBy("doc_id")
-    // materialize before releasing the loop's cached parents — the
-    // returned plan must not re-run the iteration on every consumer
-    out.persist().count()
-    labels.unpersist()
-    edges.unpersist()
-    out
+      .localCheckpoint()
   }
 
   private def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
@@ -655,6 +706,12 @@ object TextOps {
          |JOIN keepq ON keepq.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "t17_mixture_sample" -> QueryDef(mixtureSample _,
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))::BIGINT % 1000) <
+         |  CASE lang ${MixPerMille.map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")} ELSE 0 END
+         |ORDER BY doc_id""".stripMargin),
 
     // transitive closure via DuckDB's recursive CTE = the oracle twin of
     // the Spark-side label-propagation loop; both converge to the same

@@ -86,6 +86,24 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionizeFn)
   }
 
+  /** State-store partition count for the streaming harness. A stateful
+    * operator instantiates one state store per shuffle partition, and
+    * every micro-batch pays a commit (delta file + snapshot bookkeeping)
+    * per store — stream-stream joins pay FOUR stores per partition. The
+    * fixture's keyed-state cardinality (hundreds of users / windows) is
+    * nowhere near the batch shuffle default, so 8 stores cut the fixed
+    * commit cost ~4× with zero semantic effect. On a real cluster this
+    * knob tracks keyed-state cardinality and executor count — it is a
+    * deliberate, per-deployment setting, never the batch default. */
+  val StatePartitions = 8
+
+  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drive a batch of files through a streaming plan synchronously
     * (memory sink), returning the collected result — the local test
     * harness for stream/batch parity.
@@ -95,26 +113,28 @@ object EventStream {
     * within a single replayed batch. */
   def runOnce(spark: SparkSession, plan: DataFrame => DataFrame,
       sourceDir: String, name: String,
-      mode: OutputMode = OutputMode.Complete): DataFrame = {
-    val src = spark.readStream.schema(schema).format("parquet")
-      .option("path", sourceDir).load()
-    val q = plan(src).writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally q.stop()
-    spark.table(name)
-  }
+      mode: OutputMode = OutputMode.Complete): DataFrame =
+    withStatePartitions(spark) {
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("path", sourceDir).load()
+      val q = plan(src).writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name)
+    }
 
   /** Same harness for the typed stateful sessionization (Append mode —
     * flatMapGroupsWithState emits closed sessions; each user's open
     * session stays in state). */
-  def runSessionsOnce(spark: SparkSession, sourceDir: String, name: String): DataFrame = {
-    import spark.implicits._
-    val src = spark.readStream.schema(schema).format("parquet")
-      .option("path", sourceDir).load()
-      .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
-    val q = sessionize(src).toDF().writeStream.outputMode(OutputMode.Append)
-      .format("memory").queryName(name).start()
-    try { q.processAllAvailable() } finally q.stop()
-    spark.table(name)
-  }
+  def runSessionsOnce(spark: SparkSession, sourceDir: String, name: String): DataFrame =
+    withStatePartitions(spark) {
+      import spark.implicits._
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("path", sourceDir).load()
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      val q = sessionize(src).toDF().writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      spark.table(name)
+    }
 }

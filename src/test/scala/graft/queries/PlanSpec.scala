@@ -88,6 +88,20 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 1, s"expected at most 1 events scan, got $scans")
   }
 
+  test("v10: coarse scan broadcasts the query side and both stages use dot_d") {
+    val p = plan("v10_rerank_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"), "10-row query side must broadcast")
+    assert(p.contains("dot_d"), "both scoring stages must use the codegen expression")
+    assert(!p.contains("SortMergeJoin"), "the corpus scan must never shuffle-join")
+  }
+
+  test("e09: funnel stages join on user_id — no cartesian, type filters pushed to the scan") {
+    val p = plan("e09_funnel")
+    assert(!p.contains("CartesianProduct"), "stage joins must be keyed")
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(event_type,signup\\).*"), p)
+    assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(event_type,purchase\\).*"), p)
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
