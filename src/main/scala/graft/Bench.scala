@@ -1,18 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try {
+    Harness.withSession(cpus) { spark =>
       // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
       // numbers measure the plan, not JVM cold start; sorted order keeps
       // runs comparable as the query set grows
@@ -30,21 +21,17 @@ object Bench {
       val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
       // ms precision keeps the whole record ~2 KB so the driver's
       // tail-capture never clips its head (rounds 1-3 all ended with
-      // parsed:null; the giant full-precision detail line was the cause)
+      // parsed:null; the giant full-precision detail line was the cause).
+      // Locale.ROOT: the f interpolator honors the JVM default locale,
+      // and a comma decimal separator would corrupt the JSON.
+      def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
       val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .map { case (k, v) => "\"" + k + "\":" + ms(v) }
         .mkString("{", ",", "}")
       val total = if (results.nonEmpty) results.values.sum else 0.0
       // exactly ONE JSON record, printed last, in the driver's expected
       // shape: {"metric","value","unit","queries","sf"}
-      println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
-    } finally {
-      // cleanup must run even on a mid-run throw, or stream-snapshot temp
-      // dirs and persisted plans leak for the JVM's lifetime
-      queries.TextOps.clearCaches()
-      queries.StreamOps.clearCaches()
-      queries.EventOps.clearCaches()
-      spark.stop()
+      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
     }
   }
 }

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc query inspector: prints schema + rows of one registered query
   * (used to freeze literal-VALUES oracles and debug hash mismatches). */
@@ -7,21 +6,14 @@ object Dump {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    df.printSchema()
-    if (args.length > 2) {
-      val lines = df.toJSON.collect().mkString("\n")
-      java.nio.file.Files.write(java.nio.file.Paths.get(args(2)),
-        lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } else df.show(200, truncate = false)
-    spark.stop()
+    Harness.withSession("4", logLevel = "ERROR") { spark =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.printSchema()
+      if (args.length > 2) {
+        val lines = df.toJSON.collect().mkString("\n")
+        java.nio.file.Files.write(java.nio.file.Paths.get(args(2)),
+          lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } else df.show(200, truncate = false)
+    }
   }
 }

@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession + teardown for the library's entry points
+  * (Verify, Bench, TimeQ, Dump): one place for the load-bearing session
+  * config — `nanosAsLong` is required to read the events fixture at all
+  * — and for the cache-release teardown, so a new entry point or a new
+  * module cache is one edit, not one per main. */
+object Harness {
+  def withSession[T](cpus: String, logLevel: String = "WARN")(body: SparkSession => T): T = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events fixture carries TIMESTAMP(NANOS) parquet timestamps; read
+      // as raw longs and normalize in graft.tables.Tables.events
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    try body(spark)
+    finally {
+      // cleanup must run even on a mid-run throw, or stream-snapshot
+      // temp dirs and persisted plans leak for the JVM's lifetime
+      queries.TextOps.clearCaches()
+      queries.StreamOps.clearCaches()
+      queries.EventOps.clearCaches()
+      spark.stop()
+    }
+  }
+}

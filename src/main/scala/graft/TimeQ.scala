@@ -1,26 +1,18 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc per-query timer: runs one registered query N times in one JVM
-  * (Bench conditions — same session, caches warm after the first pass)
-  * and prints each pass's wall time. Usage: TimeQ <name> [sfDir] [n]. */
+/** Ad-hoc per-query timer: runs registered queries (comma-separated) N
+  * times in one JVM (Bench conditions — same session, caches warm after
+  * the first pass) and prints each pass's build + count wall time.
+  * Usage: TimeQ <name>[,<name>...] [sfDir] [n]. */
 object TimeQ {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    try {
+    Harness.withSession(cpus, logLevel = "ERROR") { spark =>
       (1 to n).foreach { i =>
-        name.split(",").foreach { nm =>
+        names.foreach { nm =>
           val t0 = System.nanoTime()
           val df = SparkEntry.queries(nm)(spark, sfDir)
           val t1 = System.nanoTime()
@@ -31,11 +23,6 @@ object TimeQ {
             println(s"[timeq] plan pass $i:\n" + df.queryExecution.executedPlan.toString.take(3000))
         }
       }
-    } finally {
-      queries.TextOps.clearCaches()
-      queries.StreamOps.clearCaches()
-      queries.EventOps.clearCaches()
-      spark.stop()
     }
   }
 }

@@ -87,11 +87,18 @@ object DdlParser {
         // plausible garbage; trying LE first closes that hole.
         else if (nulOdd >= nulEven) Seq(StandardCharsets.UTF_16LE, StandardCharsets.UTF_16BE)
         else Seq(StandardCharsets.UTF_16BE, StandardCharsets.UTF_16LE)
-      attempts.foldLeft(Option.empty[String]) { (acc, cs) =>
-        acc.orElse(
-          try Some(strict(cs))
-          catch { case _: java.nio.charset.CharacterCodingException => None })
-      }.getOrElse {
+      // SQL-token sanity: wrong-endian UTF-16 can strict-decode as
+      // plausible garbage (each 16-bit unit a valid code point), and the
+      // parity heuristic cannot distinguish the orders on a tie — so a
+      // decode that yields no SQL token at all loses to one that does.
+      def looksLikeSql(s: String): Boolean = {
+        val u = s.toUpperCase
+        Seq("CREATE", "ALTER", "INSERT", "USE ", "GO").exists(u.contains)
+      }
+      val decoded = attempts.flatMap(cs =>
+        try Some(strict(cs))
+        catch { case _: java.nio.charset.CharacterCodingException => None })
+      decoded.find(looksLikeSql).orElse(decoded.headOption).getOrElse {
         // last resort, mirroring the reference's tolerant posture
         // (apply_mssql.py:124-129): lenient UTF-8 — malformed bytes
         // become U+FFFD but the script still parses

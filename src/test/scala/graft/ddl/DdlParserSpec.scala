@@ -99,6 +99,10 @@ class DdlParserSpec extends AnyFunSuite {
     val odd = tiedLe.indices.count(i => i % 2 == 1 && tiedLe(i) == 0)
     assert(even == odd && even > 0, s"fixture not tied: even=$even odd=$odd")
     assert(DdlParser.decodeSqlBytes(tiedLe) == tied)
+    // ...and the SQL-token sanity check rescues the tied BE case too:
+    // strict LE "succeeds" on these bytes as tokenless garbage, so the
+    // BE decode (which contains GO) wins despite losing the parity tie
+    assert(DdlParser.decodeSqlBytes(tied.getBytes(UTF_16BE)) == tied)
   }
 
   test("GO splitter + batch filters (apply_mssql.py semantics)") {
