@@ -27,7 +27,8 @@ object GeneratePipeline {
   /** Generate every (non-skipped) table of the catalog and sink it.
     *
     * @param sink        called once per generated table (parquet writer,
-    *                    JDBC appender, …)
+    *                    JDBC appender, …). Invoked CONCURRENTLY for
+    *                    tables of the same wave — must be thread-safe.
     * @param sampleCap   FK parent-key sample size (TOP 1000 equivalent)
     * @return per-table results; failures are isolated per table exactly
     *         like the reference's per-table try/except (run_engine.py:268)
@@ -41,29 +42,47 @@ object GeneratePipeline {
     val waves = Deps.waves(targets, catalog.allFks)
     val parentKeys = scala.collection.mutable.Map.empty[String, Seq[Any]]
     val results = scala.collection.mutable.ArrayBuffer.empty[Result]
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
 
     waves.foreach { wave =>
-      wave.foreach { t =>
-        try {
-          val td = catalog(t)
-          val df = Generator.tableDf(spark, td, rowCount, seed,
-            parentKeys.toMap, configRules.get(t))
-          sink(t, df)
-          // sample this table's PK for later waves (ID_CACHE equivalent,
-          // run_engine.py:142-153) from the SAME deterministic frame —
-          // generation is pure in (seed, table, id), so the sample plan
-          // shares the sinked plan's subtree
-          td.pk.headOption.foreach { pk =>
-            if (td.schema.fieldNames.contains(pk)) {
-              val keys = df.select(pk).limit(sampleCap).collect().map(_.get(0)).toSeq
-              parentKeys(t) = keys.filter(_ != null)
-            }
+      // Tables within a wave are independent by construction (parents all
+      // live in EARLIER waves), so their generate+sink actions run
+      // concurrently — the driver submits parallel Spark jobs instead of
+      // a 77-step sequential loop (each job here is metadata-sized; the
+      // win is scheduling latency, and on a real cluster it is the
+      // difference between wave-depth and table-count round trips).
+      // parentKeys is snapshotted before the wave and mutated only after
+      // the barrier, so the futures never see a concurrent write.
+      val snapshot = parentKeys.toMap
+      val waveOut = Await.result(Future.sequence(wave.map { t =>
+        Future {
+          try {
+            val td = catalog(t)
+            val df = Generator.tableDf(spark, td, rowCount, seed,
+              snapshot, configRules.get(t))
+            sink(t, df)
+            // sample this table's PK for later waves (ID_CACHE equivalent,
+            // run_engine.py:142-153) from the SAME deterministic frame —
+            // generation is pure in (seed, table, id), so the sample plan
+            // shares the sinked plan's subtree
+            val keys = td.pk.headOption
+              .filter(td.schema.fieldNames.contains)
+              .map { pk =>
+                df.select(pk).limit(sampleCap).collect()
+                  .map(_.get(0)).toSeq.filter(_ != null)
+              }
+            (Result(t, rowCount, ok = true, None), keys.map(t -> _))
+          } catch {
+            case e: Throwable =>
+              (Result(t, 0, ok = false, Some(e.getMessage)), None)
           }
-          results += Result(t, rowCount, ok = true, None)
-        } catch {
-          case e: Throwable =>
-            results += Result(t, 0, ok = false, Some(e.getMessage))
         }
+      }), Duration.Inf)
+      waveOut.foreach { case (res, keysOpt) =>
+        results += res
+        keysOpt.foreach { case (t, k) => parentKeys(t) = k }
       }
     }
     results.toSeq

@@ -86,7 +86,8 @@ object JdbcRoundTrip {
     // Generate + bulk-append (K1). Constraints are not armed, so the
     // writes need no toggling and no ordering beyond the generator's own
     // parent-key waves.
-    val loaded = scala.collection.mutable.Map.empty[String, Long]
+    // TrieMap: the sink runs concurrently for tables of the same wave
+    val loaded = scala.collection.concurrent.TrieMap.empty[String, Long]
     val results = GeneratePipeline.run(spark, catalog, rowCount, seed, (t, df) => {
       JdbcSink.appendGenerated(df, catalog(t), target, toggleConstraints = false,
         quoteTable = DerbyDdl.q)

@@ -59,7 +59,8 @@ object Generated {
     * deterministically generated frame (seed 42, 15 rows — the
     * reference's ROW_COUNT, run_engine.py:18). */
   def generationSlice(s: SparkSession, d: String): DataFrame = {
-    val frames = scala.collection.mutable.Map.empty[String, DataFrame]
+    // TrieMap: the sink runs concurrently for tables of the same wave
+    val frames = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
     GeneratePipeline.run(s, sliceCatalog, rowCount = 15, seed = 42,
       (t, df) => frames(t) = df.cache())
     val cat = sliceCatalog

@@ -14,7 +14,8 @@ class FullCatalogSpec extends AnyFunSuite {
 
   test("full catalog generates: 77 tables, all ok, FK-consistent") {
     val cat = DdlParser.parseFile("/root/reference/script.sql")
-    val frames = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.DataFrame]
+    // TrieMap: the sink runs concurrently for tables of the same wave
+    val frames = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.DataFrame]
     val results = GeneratePipeline.run(spark, cat, rowCount = 10, seed = 7,
       (t, df) => frames(t) = df)
     assert(results.size == 77)
