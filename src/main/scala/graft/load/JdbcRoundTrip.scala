@@ -71,6 +71,10 @@ object JdbcRoundTrip {
     try DriverManager.getConnection(s"$url;drop=true").close()
     catch { case _: java.sql.SQLException => () } // 08006 == dropped OK
 
+  /** Public teardown for callers that manage their own scratch DB
+    * (e.g. the streaming JDBC sink). */
+  def dropDatabaseQuietly(url: String): Unit = dropDatabase(url)
+
   private def runOn(spark: SparkSession, catalog: Catalog, url: String,
       rowCount: Long, seed: Long): Seq[TableLoadReport] = {
     val target = JdbcSink.Target(url, "", "")

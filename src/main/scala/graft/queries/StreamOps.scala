@@ -82,6 +82,7 @@ object StreamOps {
       try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
     sourceCache.clear()
     dupSourceCache.clear()
+    jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -158,6 +159,45 @@ object StreamOps {
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
       .orderBy("user_id")
 
+  /** Streaming ETL into a LIVE relational database — the reference's
+    * flagship sink (JDBC bulk append) fed by a stream: each micro-batch
+    * lands in an embedded-Derby table through `foreachBatch` + the same
+    * per-partition JDBC writer the batch loads use, then the result is
+    * read BACK through spark.read.jdbc and audited — so what's verified
+    * is the database's content, not the stream's output. At scale this
+    * is the standard exactly-once-ish relational sink shape: idempotent
+    * batched appends, one connection per partition per micro-batch, and
+    * the URL swap is the only difference on a real cluster.
+    * Result memoized per (session, dir): the audit frame is
+    * localCheckpoint'ed so it survives the database teardown. */
+  def streamJdbcSink(s: SparkSession, d: String): DataFrame = {
+    jdbcSinkCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    jdbcSinkCache.getOrElseUpdate((s, d), streamJdbcSinkUncached(s, d))
+  }
+
+  private val jdbcSinkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def streamJdbcSinkUncached(s: SparkSession, d: String): DataFrame = {
+    import graft.load.{JdbcRoundTrip, JdbcSink}
+    val url = s"jdbc:derby:memory:graft_ss_${System.nanoTime()}"
+    val target = JdbcSink.Target(url, "", "")
+    JdbcRoundTrip.ensureDatabase(url)
+    try {
+      JdbcSink.execute(target, Seq(
+        """CREATE TABLE "events_sink" ("event_id" BIGINT, "event_type" VARCHAR(50), "value" DOUBLE)"""))
+        .head.foreach(e => sys.error(s"create events_sink failed: $e"))
+      EventStream.runForeachBatch(s, streamSource(s, d), (batch, _) =>
+        batch.select(col("event_id"), col("event_type"), col("value"))
+          .write.mode("append").jdbc(url, "\"events_sink\"", JdbcSink.props(target)))
+      s.read.jdbc(url, "\"events_sink\"", JdbcSink.props(target))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Tables.asDbl(sum(Tables.dec("value"))).as("sum_value"))
+        .orderBy("event_type")
+        .localCheckpoint() // materialize before the database is dropped
+    } finally JdbcRoundTrip.dropDatabaseQuietly(url)
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -197,6 +237,13 @@ object StreamOps {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
+
+    // the audit reads the DATABASE back, so matching the fixture's
+    // per-type stats proves every micro-batch landed exactly once
+    "s06_stream_jdbc_sink" -> QueryDef(streamJdbcSink _,
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     "s04_stream_static_join" -> QueryDef(streamStaticJoin _,
       s"""SELECT c_mktsegment, COUNT(*) AS n,

@@ -123,6 +123,20 @@ object EventStream {
       spark.table(name)
     }
 
+  /** Drive the stream into an arbitrary per-micro-batch sink
+    * (`foreachBatch`) — the shape every external-system sink uses
+    * (JDBC, key-value stores, custom formats): the batch is a normal
+    * DataFrame, written with the normal batch writer, once per
+    * micro-batch. */
+  def runForeachBatch(spark: SparkSession, sourceDir: String,
+      sink: (DataFrame, Long) => Unit): Unit =
+    withStatePartitions(spark) {
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("path", sourceDir).load()
+      val q = src.writeStream.foreachBatch(sink).start()
+      try { q.processAllAvailable() } finally q.stop()
+    }
+
   /** Same harness for the typed stateful sessionization (Append mode —
     * flatMapGroupsWithState emits closed sessions; each user's open
     * session stays in state). */
