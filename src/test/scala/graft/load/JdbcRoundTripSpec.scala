@@ -84,6 +84,34 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(byName("VergiDairesi").n_loaded == 8)
   }
 
+  test("K1 scale posture: partitioned JDBC scan (4 range partitions) reads identical rows") {
+    import graft.gen.Generator
+    val url = s"jdbc:derby:memory:graft_pp_${System.nanoTime()}"
+    val target = JdbcSink.Target(url, "", "")
+    JdbcRoundTrip.ensureDatabase(url)
+    try {
+      val td = slice("Banka") // identity BIGINT-ish PK → a valid partition column
+      val pk = td.pk.head
+      JdbcSink.execute(target, Seq(DerbyDdl.createTableSql(td)))
+        .head.foreach(e => fail(s"create: $e"))
+      JdbcSink.appendGenerated(Generator.tableDf(spark, td, 15, 42), td, target,
+        toggleConstraints = false, quoteTable = DerbyDdl.q)
+      val serial = spark.read.jdbc(url, DerbyDdl.q(td.name), JdbcSink.props(target))
+      // the cluster read path: each partition issues its own bounded
+      // range query over the (quoted) PK — 4 concurrent connections
+      val parallel = spark.read.jdbc(url, DerbyDdl.q(td.name), DerbyDdl.q(pk),
+        1L, 15L, 4, JdbcSink.props(target))
+      assert(parallel.rdd.getNumPartitions == 4, "scan must split into range partitions")
+      val cols = serial.schema.fieldNames.sorted.map(org.apache.spark.sql.functions.col).toSeq
+      assert(parallel.select(cols: _*).orderBy(cols: _*).collect().toSeq ==
+        serial.select(cols: _*).orderBy(cols: _*).collect().toSeq,
+        "partitioned scan must read exactly the serial scan's rows")
+    } finally {
+      try java.sql.DriverManager.getConnection(s"$url;drop=true").close()
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   test("K1: appended values survive the round-trip byte-for-byte") {
     import graft.gen.Generator
     val url = s"jdbc:derby:memory:graft_vals_${System.nanoTime()}"
