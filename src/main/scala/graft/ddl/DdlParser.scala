@@ -92,10 +92,15 @@ object DdlParser {
       // parity heuristic cannot distinguish the orders on a tie — so a
       // decode that yields no SQL token at all loses to one that does.
       def looksLikeSql(s: String): Boolean = {
-        val u = s.toUpperCase
+        // Locale.ROOT: under a Turkish default locale "insert".toUpperCase
+        // is "İNSERT" (dotted capital I) and the token check would miss
+        val u = s.toUpperCase(java.util.Locale.ROOT)
         Seq("CREATE", "ALTER", "INSERT", "USE ", "GO").exists(u.contains)
       }
-      val decoded = attempts.flatMap(cs =>
+      // LazyList: the second strict decode only runs if the first one
+      // fails or decodes to tokenless garbage (the common path stops
+      // after one decode, memoized for the headOption fallback)
+      val decoded = attempts.to(LazyList).flatMap(cs =>
         try Some(strict(cs))
         catch { case _: java.nio.charset.CharacterCodingException => None })
       decoded.find(looksLikeSql).orElse(decoded.headOption).getOrElse {

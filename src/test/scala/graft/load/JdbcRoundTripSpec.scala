@@ -106,10 +106,7 @@ class JdbcRoundTripSpec extends AnyFunSuite {
       assert(parallel.select(cols: _*).orderBy(cols: _*).collect().toSeq ==
         serial.select(cols: _*).orderBy(cols: _*).collect().toSeq,
         "partitioned scan must read exactly the serial scan's rows")
-    } finally {
-      try java.sql.DriverManager.getConnection(s"$url;drop=true").close()
-      catch { case _: java.sql.SQLException => () }
-    }
+    } finally JdbcRoundTrip.dropDatabaseQuietly(url)
   }
 
   test("K1: appended values survive the round-trip byte-for-byte") {
@@ -131,9 +128,6 @@ class JdbcRoundTripSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col).toSeq: _*)
         .orderBy("TenantId").collect().toSeq
       assert(got == expected, "read-back rows must equal the written rows")
-    } finally {
-      try java.sql.DriverManager.getConnection(s"$url;drop=true").close()
-      catch { case _: java.sql.SQLException => () }
-    }
+    } finally JdbcRoundTrip.dropDatabaseQuietly(url)
   }
 }
