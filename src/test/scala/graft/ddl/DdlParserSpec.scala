@@ -105,6 +105,25 @@ class DdlParserSpec extends AnyFunSuite {
     assert(DdlParser.decodeSqlBytes(tied.getBytes(UTF_16BE)) == tied)
   }
 
+  test("decode round-trips every encoding x content class (S1 property)") {
+    import java.nio.charset.StandardCharsets._
+    val scripts = Seq(
+      "CREATE TABLE [A](\r\n [Id] int NOT NULL\r\n)\r\nGO\r\n",                  // plain ASCII
+      "CREATE TABLE [Şube](\r\n [Açıklama] nvarchar(50)\r\n)\r\nGO\r\n",         // Turkish letters
+      "CREATE TABLE [T](\r\n [C] int -- 的是了\r\n)\r\nGO\r\n",                   // CJK comment
+      "USE [db]\r\nGO\r\nALTER TABLE [X] ADD [Ü] bit\r\nGO\r\n-- İĞ ş 的\r\n")   // mixed
+    val bom8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    scripts.foreach { sql =>
+      assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_8)) == sql, "utf8")
+      assert(DdlParser.decodeSqlBytes(bom8 ++ sql.getBytes(UTF_8)) == sql, "utf8+bom")
+      assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_16)) == sql, "utf16 bom")
+      assert(DdlParser.decodeSqlBytes(("﻿" + sql).getBytes(UTF_16LE)) == sql, "utf16le+bom")
+      assert(DdlParser.decodeSqlBytes(("﻿" + sql).getBytes(UTF_16BE)) == sql, "utf16be+bom")
+      assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_16LE)) == sql, "utf16le bare")
+      assert(DdlParser.decodeSqlBytes(sql.getBytes(UTF_16BE)) == sql, "utf16be bare")
+    }
+  }
+
   test("GO splitter + batch filters (apply_mssql.py semantics)") {
     val batches = DdlParser.splitGoBatches("A\nGO\nB\n  go  \nC")
     assert(batches == Seq("A", "B", "C"))

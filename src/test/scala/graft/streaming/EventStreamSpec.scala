@@ -35,6 +35,28 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("tumbling counts across MULTIPLE micro-batches == batch (incremental state)") {
+    // 4 parquet files + maxFilesPerTrigger=1 → ≥4 micro-batches; the
+    // windowed aggregation accumulates state across batches (Complete
+    // mode keeps all windows), so the final table must equal the batch
+    // twin no matter how the rows were sliced into batches
+    val d4 = java.nio.file.Files.createTempDirectory("evstream4").toString
+    Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(d4)
+    val src = spark.readStream.schema(EventStream.schema).format("parquet")
+      .option("path", d4).option("maxFilesPerTrigger", "1").load()
+    val q = EventStream.tumblingCounts(src).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("tumb_mb").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.map(_.batchId).max >= 3, "must replay as several micro-batches")
+    val streamed = spark.table("tumb_mb")
+      .orderBy("w_start_epoch", "event_type").collect().map(_.toSeq)
+    val batch = EventOps.tumbling5min(spark, sfDir).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("stateful sessionization: closed stream sessions == batch sessions") {
     val streamed = EventStream.runSessionsOnce(spark, srcDir, "sess")
       .select(col("user_id"), col("sess_id"), col("n_events"), col("sum_value"))
