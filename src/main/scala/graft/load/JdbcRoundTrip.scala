@@ -205,7 +205,7 @@ object JdbcRoundTrip {
         if (td.pk.nonEmpty && td.pk.forall(td.schema.fieldNames.contains)) {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(td.pk.map(col): _*)
-            .orderBy(td.schema.fieldNames.map(c => col(c).asc_nulls_first): _*)
+            .orderBy(td.schema.fieldNames.toIndexedSeq.map(c => col(c).asc_nulls_first): _*)
           df.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
         } else df
