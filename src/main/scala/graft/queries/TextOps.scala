@@ -194,6 +194,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary building: global token counts → top-200 by frequency
+    * with rank, cumulative count, and cumulative corpus share — the
+    * coverage curve a tokenizer-training / vocab-pruning step reads.
+    * The token count aggregation is map-side partial (|vocab| ≪ corpus
+    * tokens); the ranking window then runs on vocabulary-scale rows
+    * (≈ millions at 100 TB, a single-node-sized frame by construction).
+    * cum_share is one division of two exact BIGINTs, rounded once. */
+  def vocab(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    documents(s, d)
+      .select(explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_n", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy(lit(1))))
+      .filter(col("rk") <= 200)
+      .select(col("rk"), col("tok"), col("n"), col("cum_n"),
+        round(col("cum_n").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("rk")
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the ≥0.9-Jaccard
     * pair graph (t03's verified pairs), cluster id = min doc_id in the
     * component — the step a real curation pipeline needs after pair
@@ -706,6 +731,20 @@ object TextOps {
          |JOIN keepq ON keepq.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    "t18_vocab" -> QueryDef(vocab _,
+      s"""WITH nr AS (SELECT $NormSqlDuck AS nrm FROM documents),
+         |tok AS (SELECT unnest(string_split(nrm, ' ')) AS tok FROM nr WHERE length(nrm) >= 1),
+         |c AS (SELECT tok, COUNT(*) AS n FROM tok WHERE length(tok) >= 1 GROUP BY tok),
+         |r AS (SELECT tok, n,
+         |    ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk,
+         |    CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS total
+         |  FROM c)
+         |SELECT rk, tok, n, cum_n,
+         |  round(CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share
+         |FROM r WHERE rk <= 200 ORDER BY rk""".stripMargin),
 
     "t17_mixture_sample" -> QueryDef(mixtureSample _,
       s"""SELECT doc_id, lang, source FROM documents
