@@ -127,12 +127,15 @@ object EventStream {
     * (`foreachBatch`) — the shape every external-system sink uses
     * (JDBC, key-value stores, custom formats): the batch is a normal
     * DataFrame, written with the normal batch writer, once per
-    * micro-batch. */
+    * micro-batch. maxFilesPerTrigger forces SEVERAL micro-batches over
+    * the snapshot (the fixture is written as ~|cores| files), so the
+    * sink's per-batch append path actually executes repeatedly — a
+    * single-batch drain would prove nothing about batch boundaries. */
   def runForeachBatch(spark: SparkSession, sourceDir: String,
       sink: (DataFrame, Long) => Unit): Unit =
     withStatePartitions(spark) {
       val src = spark.readStream.schema(schema).format("parquet")
-        .option("path", sourceDir).load()
+        .option("path", sourceDir).option("maxFilesPerTrigger", "8").load()
       val q = src.writeStream.foreachBatch(sink).start()
       try { q.processAllAvailable() } finally q.stop()
     }
