@@ -25,6 +25,7 @@ object Harness {
       queries.TextOps.clearCaches()
       queries.StreamOps.clearCaches()
       queries.EventOps.clearCaches()
+      queries.VectorOps.clearCaches()
       spark.stop()
     }
   }

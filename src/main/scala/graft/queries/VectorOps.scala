@@ -53,16 +53,31 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
-  /** All near-duplicate pairs with cosine ≥ 0.45 (fixture max ≈ 0.51). */
+  /** All near-duplicate pairs with cosine ≥ 0.45 (fixture max ≈ 0.51).
+    * Memoized per (session, dir) — the t03/t11 convention: the O(n²)
+    * pair scan is consumed by BOTH v02 and t15's multi-signal merge, so
+    * it executes once per harness run and the (tiny) result frame is
+    * localCheckpoint'ed for every later consumer. */
   def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val a = vecs(s, d).select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-    val b = vecs(s, d).select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
-      .filter(col("cos") >= 0.45)
-      .select("a_id", "b_id", "cos")
-      .orderBy("a_id", "b_id")
+    cosinePairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cosinePairsCache.getOrElseUpdate((s, d), {
+      val a = vecs(s, d).select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      val b = vecs(s, d).select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+        .filter(col("cos") >= 0.45)
+        .select("a_id", "b_id", "cos")
+        .orderBy("a_id", "b_id")
+        .localCheckpoint()
+    })
   }
+
+  private val cosinePairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Teardown hook (Harness calls this before spark.stop()). */
+  def clearCaches(): Unit =
+    cosinePairsCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
 
   /** Per-label quantized centroids.
     * Floats are quantized to 1e-6 grid BIGINTs before summation so the
