@@ -194,6 +194,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: corpus documents sharing any 8-token
+    * word n-gram with the benchmark set (docs 0-49 stand in for an
+    * external eval table) — the standard pre-training hygiene step that
+    * removes eval leakage. Grams are joined as 8-byte md5 ids (the
+    * t01/t03 small-shuffle-key discipline), the benchmark side is tiny
+    * by nature and broadcasts, and the output is per-document evidence
+    * (distinct shared grams, distinct benchmark docs matched) for the
+    * removal/review queue. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val grams = documents(s, d)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"), col("ts"),
+        explode(expr("sequence(1, size(ts) - 7)")).as("i"))
+      .select(col("doc_id"), sid(expr("array_join(slice(ts, i, 8), ' ')")).as("gid"))
+      .distinct()
+    val bench = grams.filter(col("doc_id") < 50)
+      .select(col("gid"), col("doc_id").as("b_id"))
+    val corp = grams.filter(col("doc_id") >= 50)
+    corp.join(broadcast(bench), "gid")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gid")).as("n_hits"),
+        countDistinct(col("b_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary building: global token counts → top-200 by frequency
     * with rank, cumulative count, and cumulative corpus share — the
     * coverage curve a tokenizer-training / vocab-pruning step reads.
@@ -731,6 +757,24 @@ object TextOps {
          |JOIN keepq ON keepq.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT b_id FROM dupes)
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    // both engines count HASHED gram ids, so even a (theoretical) md5
+    // truncation collision cannot make them disagree
+    "t19_decontaminate" -> QueryDef(decontaminate _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
+         |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 8),
+         |g AS (SELECT DISTINCT doc_id,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 8))::BIGINT AS gid
+         |      FROM g0),
+         |bench AS (SELECT gid, doc_id AS b_id FROM g WHERE doc_id < 50),
+         |corp AS (SELECT gid, doc_id FROM g WHERE doc_id >= 50)
+         |SELECT corp.doc_id,
+         |  CAST(COUNT(DISTINCT corp.gid) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(DISTINCT bench.b_id) AS BIGINT) AS n_bench_docs
+         |FROM corp JOIN bench ON bench.gid = corp.gid
+         |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin),
 
     "t18_vocab" -> QueryDef(vocab _,
       s"""WITH nr AS (SELECT $NormSqlDuck AS nrm FROM documents),
