@@ -47,6 +47,28 @@ object StreamOps {
     })
   }
 
+  /** A 4-file copy of the fixture for ORDER-INSENSITIVE streaming
+    * consumers (s06's stateless ETL): with maxFilesPerTrigger=1 it
+    * replays as 4 real micro-batches. The main snapshot (streamSource)
+    * deliberately stays a single batch — the stateful session query's
+    * batch-twin parity depends on each user's events arriving together,
+    * which an arbitrary file split would break. */
+  private val multiFileSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def multiFileStreamSource(s: SparkSession, d: String): String = {
+    evictDead(multiFileSourceCache)
+    multiFileSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_mf")
+      try {
+        Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .repartition(4)
+          .write.mode("overwrite").parquet(dir.toString)
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      dir.toString
+    })
+  }
+
   /** A deliberately at-least-once copy of the fixture: every event
     * delivered twice (two identical parquet files) — the input shape a
     * replayed/retried ingest produces, which s03's dedup must collapse. */
@@ -78,10 +100,12 @@ object StreamOps {
   }
 
   def clearCaches(): Unit = {
-    (sourceCache.values ++ dupSourceCache.values).foreach(dir =>
-      try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
+    (sourceCache.values ++ dupSourceCache.values ++ multiFileSourceCache.values)
+      .foreach(dir =>
+        try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
     sourceCache.clear()
     dupSourceCache.clear()
+    multiFileSourceCache.clear()
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
   }
 
@@ -190,9 +214,12 @@ object StreamOps {
       JdbcSink.execute(target, Seq(
         """CREATE TABLE "events_sink" ("event_id" BIGINT, "event_type" VARCHAR(50), "value" DOUBLE)"""))
         .head.foreach(e => sys.error(s"create events_sink failed: $e"))
-      EventStream.runForeachBatch(s, streamSource(s, d), (batch, _) =>
+      val nBatches = EventStream.runForeachBatch(s, multiFileStreamSource(s, d), (batch, _) =>
         batch.select(col("event_id"), col("event_type"), col("value"))
           .write.mode("append").jdbc(url, "\"events_sink\"", JdbcSink.props(target)))
+      // the multi-batch claim is asserted, not assumed — a single-batch
+      // drain would prove nothing about per-batch append boundaries
+      require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
       s.read.jdbc(url, "\"events_sink\"", JdbcSink.props(target))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), Tables.asDbl(sum(Tables.dec("value"))).as("sum_value"))

@@ -197,11 +197,13 @@ object TextOps {
   /** Benchmark decontamination: corpus documents sharing any 8-token
     * word n-gram with the benchmark set (docs 0-49 stand in for an
     * external eval table) — the standard pre-training hygiene step that
-    * removes eval leakage. Grams are joined as 8-byte md5 ids (the
-    * t01/t03 small-shuffle-key discipline), the benchmark side is tiny
-    * by nature and broadcasts, and the output is per-document evidence
-    * (distinct shared grams, distinct benchmark docs matched) for the
-    * removal/review queue. */
+    * removes eval leakage. Grams are joined as 32-bit truncated-md5 ids
+    * (the t01/t03 small-shuffle-key discipline; fine at fixture scale —
+    * at 100 TB gram counts the id must widen to 64/128 bits or birthday
+    * collisions produce false contamination hits), the benchmark side
+    * is tiny by nature and broadcasts, and the output is per-document
+    * evidence (distinct shared grams, distinct benchmark docs matched)
+    * for the removal/review queue. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
     val grams = documents(s, d)
       .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))

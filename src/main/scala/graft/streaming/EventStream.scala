@@ -127,17 +127,19 @@ object EventStream {
     * (`foreachBatch`) — the shape every external-system sink uses
     * (JDBC, key-value stores, custom formats): the batch is a normal
     * DataFrame, written with the normal batch writer, once per
-    * micro-batch. maxFilesPerTrigger forces SEVERAL micro-batches over
-    * the snapshot (the fixture is written as ~|cores| files), so the
-    * sink's per-batch append path actually executes repeatedly — a
-    * single-batch drain would prove nothing about batch boundaries. */
+    * micro-batch. maxFilesPerTrigger=1 forces one micro-batch PER
+    * SOURCE FILE, so a multi-file source makes the per-batch append
+    * path execute repeatedly — a single-batch drain would prove nothing
+    * about batch boundaries. Returns the number of micro-batches run so
+    * callers can ASSERT the multi-batch claim instead of trusting it. */
   def runForeachBatch(spark: SparkSession, sourceDir: String,
-      sink: (DataFrame, Long) => Unit): Unit =
+      sink: (DataFrame, Long) => Unit): Long =
     withStatePartitions(spark) {
       val src = spark.readStream.schema(schema).format("parquet")
-        .option("path", sourceDir).option("maxFilesPerTrigger", "8").load()
+        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
       val q = src.writeStream.foreachBatch(sink).start()
       try { q.processAllAvailable() } finally q.stop()
+      q.recentProgress.map(_.batchId).distinct.length.toLong
     }
 
   /** Same harness for the typed stateful sessionization (Append mode —
