@@ -205,6 +205,11 @@ object TextOps {
     * evidence (distinct shared grams, distinct benchmark docs matched)
     * for the removal/review queue. */
   def decontaminate(s: SparkSession, d: String): DataFrame = {
+    // the gram subtree is evaluated by both join sides (corpus scan +
+    // broadcast benchmark); recomputing the codegen'd explode is cheaper
+    // than materializing ~|docs|·len rows locally (measured). At real
+    // scale the gram index would be a persisted table reused across
+    // decontamination runs instead.
     val grams = documents(s, d)
       .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= 8)

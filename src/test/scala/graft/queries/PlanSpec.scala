@@ -102,6 +102,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(event_type,purchase\\).*"), p)
   }
 
+  test("t19: benchmark side broadcasts, no cartesian anywhere") {
+    val p = plan("t19_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark grams must broadcast")
+    assert(!p.contains("CartesianProduct"), "gram join must be keyed")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
