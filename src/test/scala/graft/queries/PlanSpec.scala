@@ -102,6 +102,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(event_type,purchase\\).*"), p)
   }
 
+  test("t16: consumers scan the checkpointed result — the iteration never re-runs") {
+    val p = plan("t16_dup_clusters")
+    assert(p.contains("ExistingRDD"),
+      s"expected a checkpointed-RDD scan (the pre-localCheckpoint regression re-ran " +
+        s"the whole label-propagation loop per consumer); got:\n$p")
+  }
+
   test("t19: benchmark side broadcasts, no cartesian anywhere") {
     val p = plan("t19_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "benchmark grams must broadcast")
