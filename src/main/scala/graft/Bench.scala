@@ -8,30 +8,42 @@ object Bench {
       // numbers measure the plan, not JVM cold start; sorted order keeps
       // runs comparable as the query set grows
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-      // two passes, min per query: the host is a shared microVM with
-      // bursty contention (up to 3x swings on identical plans), and the
-      // min is the contention-free estimate of the plan's cost
+      // two passes: pass 1 is the COLD cost (first materialization of any
+      // memoized subtree — t03/t11/t16/v02/s06/e08 share cached frames),
+      // pass 2 the warm plan cost. Both are reported: min-of-2 alone made
+      // memoized queries read as 0.1 s scans and hid their real cost.
       def pass(): Map[String, Double] =
         SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
           name -> (System.nanoTime() - t0) / 1e9
         }.toMap
-      val p1 = pass(); val p2 = pass()
-      val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-      // ms precision keeps the whole record ~2 KB so the driver's
-      // tail-capture never clips its head (rounds 1-3 all ended with
-      // parsed:null; the giant full-precision detail line was the cause).
+      val cold = pass(); val warm = pass()
+      // the headline stays min-of-2 per query: the host is a shared
+      // microVM with bursty contention (up to 3x swings on identical
+      // plans), and the min is the contention-free estimate
+      val best = cold.map { case (k, v) => k -> math.min(v, warm(k)) }
       // Locale.ROOT: the f interpolator honors the JVM default locale,
       // and a comma decimal separator would corrupt the JSON.
       def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-      val qs = results.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      // FIRST line: full-name cold/warm detail — no "value" field, so a
+      // consumer summing value across records can never double-count the
+      // headline. This line is allowed to be clipped by the driver's
+      // tail capture; the parseable headline comes last.
+      val detail = cold.toSeq.sortBy(_._1)
+        .map { case (k, c) => "\"" + k + "\":{\"cold\":" + ms(c) + ",\"warm\":" + ms(warm(k)) + "}" }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      // exactly ONE JSON record, printed last, in the driver's expected
-      // shape: {"metric","value","unit","queries","sf"}
-      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},"n_passes":2,"agg":"min","queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"detail","unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+      // LAST line: the driver-parsed record, kept SMALL so the driver's
+      // tail capture can never clip it (r4's 2.7 KB single record was
+      // clipped at the head): per-query keys are shortened to their
+      // unique prefix before the first '_' (q01, t18, ...), values are
+      // the min-of-2 headline numbers.
+      val qs = best.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      val total = if (best.nonEmpty) best.values.sum else 0.0
+      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"queries":$qs,"sf":"$sfDir"}""")
     }
   }
 }

@@ -32,9 +32,20 @@ object TextOps {
   private val NormSqlDuck =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
-  /** Portable 32-bit content hash: first 8 hex chars of md5 → BIGINT. */
+  /** Portable 32-bit content hash: first 8 hex chars of md5 → BIGINT.
+    * Used where collisions are harmless (shingle ids: a collision only
+    * adds a verify candidate that exact Jaccard then rejects). */
   private def sid(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Portable 60-bit content hash: first 15 hex chars of md5 → BIGINT
+    * (max 2⁶⁰−1, well inside signed 64). Used where a collision would be
+    * a silent false positive with no downstream exact check — e.g. t19's
+    * decontamination gram ids, where at 100 TB gram cardinality (~10¹¹)
+    * a 32-bit id guarantees birthday collisions → clean training docs
+    * falsely flagged as contaminated. */
+  private def sid60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   // 16 universal-hash parameter pairs for MinHash, banded 4×4 for LSH.
   // Band width matters: on a shared-vocabulary corpus the minimum-hash
@@ -197,10 +208,12 @@ object TextOps {
   /** Benchmark decontamination: corpus documents sharing any 8-token
     * word n-gram with the benchmark set (docs 0-49 stand in for an
     * external eval table) — the standard pre-training hygiene step that
-    * removes eval leakage. Grams are joined as 32-bit truncated-md5 ids
-    * (the t01/t03 small-shuffle-key discipline; fine at fixture scale —
-    * at 100 TB gram counts the id must widen to 64/128 bits or birthday
-    * collisions produce false contamination hits), the benchmark side
+    * removes eval leakage. Grams are joined as 60-bit truncated-md5 ids
+    * (wide enough that birthday collisions stay negligible even at
+    * 100 TB gram cardinality — a false gram-id collision here would
+    * silently flag a clean training doc, with no downstream exact check
+    * to reject it, so this id is deliberately wider than the 32-bit
+    * shingle ids used where collisions are harmless), the benchmark side
     * is tiny by nature and broadcasts, and the output is per-document
     * evidence (distinct shared grams, distinct benchmark docs matched)
     * for the removal/review queue. */
@@ -215,7 +228,7 @@ object TextOps {
       .filter(size(col("ts")) >= 8)
       .select(col("doc_id"), col("ts"),
         explode(expr("sequence(1, size(ts) - 7)")).as("i"))
-      .select(col("doc_id"), sid(expr("array_join(slice(ts, i, 8), ' ')")).as("gid"))
+      .select(col("doc_id"), sid60(expr("array_join(slice(ts, i, 8), ' ')")).as("gid"))
       .distinct()
     val bench = grams.filter(col("doc_id") < 50)
       .select(col("gid"), col("doc_id").as("b_id"))
@@ -231,21 +244,30 @@ object TextOps {
     * with rank, cumulative count, and cumulative corpus share — the
     * coverage curve a tokenizer-training / vocab-pruning step reads.
     * The token count aggregation is map-side partial (|vocab| ≪ corpus
-    * tokens); the ranking window then runs on vocabulary-scale rows
-    * (≈ millions at 100 TB, a single-node-sized frame by construction).
+    * tokens). The ranking window deliberately does NOT run over the full
+    * vocabulary (at 100 TB the distinct-token frame is 10⁷–10⁸ rows and
+    * an unpartitioned window funnels it through one task): the corpus
+    * total is a scalar aggregate broadcast back, the top-200 selection
+    * plans as TakeOrderedAndProject (per-partition heaps, no global
+    * sort), and only the 200 survivors flow through the rank/cumulative
+    * window — a constant-size frame at any corpus scale.
     * cum_share is one division of two exact BIGINTs, rounded once. */
   def vocab(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("n").desc, col("tok").asc)
-    documents(s, d)
+    val counts = documents(s, d)
       .select(explode(split(norm(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
       .groupBy("tok").agg(count(lit(1)).as("n"))
+    // scalar total (1-row frame) — broadcast-joined back, never a window
+    val total = counts.agg(sum(col("n")).as("total"))
+    // (n desc, tok asc) is a total order, so limit(200) selects exactly
+    // the rows the old rk<=200 filter kept, hash-identically
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(200)
+    val w = Window.orderBy(col("n").desc, col("tok").asc)
+    top
       .withColumn("rk", row_number().over(w))
       .withColumn("cum_n", sum(col("n")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("n")).over(
-        Window.partitionBy(lit(1))))
-      .filter(col("rk") <= 200)
+      .crossJoin(broadcast(total))
       .select(col("rk"), col("tok"), col("n"), col("cum_n"),
         round(col("cum_n").cast("double") / col("total").cast("double"), 6)
           .as("cum_share"))
@@ -766,14 +788,15 @@ object TextOps {
          |GROUP BY d.source ORDER BY d.source""".stripMargin),
 
     // both engines count HASHED gram ids, so even a (theoretical) md5
-    // truncation collision cannot make them disagree
+    // truncation collision cannot make them disagree; 15 hex chars =
+    // 60-bit ids (see sid60) keep collisions negligible at corpus scale
     "t19_decontaminate" -> QueryDef(decontaminate _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
          |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
          |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
          |       FROM tk WHERE len(ts) >= 8),
          |g AS (SELECT DISTINCT doc_id,
-         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 8))::BIGINT AS gid
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
          |      FROM g0),
          |bench AS (SELECT gid, doc_id AS b_id FROM g WHERE doc_id < 50),
          |corp AS (SELECT gid, doc_id FROM g WHERE doc_id >= 50)

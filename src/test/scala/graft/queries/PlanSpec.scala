@@ -115,6 +115,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "gram join must be keyed")
   }
 
+  test("t18: top-200 selection is TakeOrderedAndProject; ranking window runs on the limited frame only") {
+    val df = graft.SparkEntry.all("t18_vocab").fn(spark, d)
+    val p = plan("t18_vocab")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-200 must plan as per-partition heaps, not a global sort:\n$p")
+    // every Window must sit ABOVE the limit — i.e. have a Limit
+    // descendant — so the full vocabulary never funnels through a
+    // single-partition window (the r4 scale-killer)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "rank/cum window must still exist")
+    windows.foreach { w =>
+      assert(w.exists(_.isInstanceOf[GlobalLimit]),
+        s"window must consume the 200-row limited frame, not the full vocab:\n$w")
+    }
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
