@@ -175,26 +175,57 @@ object JdbcRoundTrip {
         true
       }.getOrElse(false)
     }.toMap
+    val waveOf: Map[String, Int] =
+      graft.deps.Deps.waves(targets, catalog.allFks).zipWithIndex
+        .flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
     // all-or-crash, not tolerant: a refused FK on an empty schema is a
-    // deploy bug. Only edges whose referenced table was actually deployed
-    // can be armed — a skipped/absent parent would make Derby reject the
-    // ADD CONSTRAINT and abort the run (auditReadback filters the same way).
+    // deploy bug. ARMABLE = the edges this posture can actually promise:
+    //  - parent deployed (a skipped/absent parent would make Derby reject
+    //    the ADD CONSTRAINT outright; auditReadback filters the same way)
+    //  - parent's single-column PK armed AND it IS the referenced column
+    //    (Derby validates FKs against a PK/unique constraint; the
+    //    generator samples child values from the parent's PK, so an FK
+    //    onto any other column has no value contract to enforce)
+    //  - parent in a STRICTLY earlier wave (a cycle-fallback or self-FK
+    //    parent lands in the same wave, where the generator has no parent
+    //    sample yet — arming such an edge would reject valid loads).
+    // Everything filtered here still gets the Spark-side left-anti audit.
     val targetSet = targets.toSet
     val armable: Map[String, Seq[graft.ddl.Fk]] = targets.map(t =>
-      t -> catalog(t).fks.filter(fk => targetSet.contains(fk.refTable))).toMap
+      t -> catalog(t).fks.filter(fk =>
+        targetSet.contains(fk.refTable) &&
+          pkArmed.getOrElse(fk.refTable, false) &&
+          catalog(fk.refTable).pk == Seq(fk.refColumn) &&
+          waveOf.get(fk.refTable).exists(pw => waveOf.get(t).exists(pw < _)))).toMap
     targets.foreach(t => armable(t).foreach { fk =>
       JdbcSink.execute(target, Seq(DerbyDdl.addFkSql(fk))).head
         .foreach(e => sys.error(s"arm FK ${fk.table}->${fk.refTable} failed: $e"))
     })
     val fkArmed: Map[String, Int] = targets.map(t => t -> armable(t).size).toMap
 
+    // In-target edges the wave order CANNOT promise (self-FKs and
+    // cycle-fallback same-wave edges — e.g. CariHesap.FaturaHesapId →
+    // CariHesap.Id): no parent sample exists when the child generates, so
+    // the generated value is synthetic garbage. The armed posture drops
+    // those columns from the INSERT so they land as the DB default NULL —
+    // the classic deferred-self-reference bulk pattern (a second UPDATE
+    // pass would link them once all rows exist). Dropped from the
+    // projection rather than nulled in the frame: Spark's Derby dialect
+    // binds a NULL StringType as CLOB, which Derby rejects on a VARCHAR
+    // column (ERROR 22005). Non-nullable columns are left untouched (they
+    // would fail the insert) and surface in the audit instead.
+    val deferredCols: Map[String, Set[String]] = targets.map { t =>
+      val armed = armable(t).toSet
+      t -> catalog(t).fks
+        .filter(f => targetSet.contains(f.refTable) && !armed.contains(f) &&
+          catalog(t).schema(f.column).nullable)
+        .map(_.column).toSet
+    }.toMap
+
     // Wave-ordered load: GeneratePipeline already iterates Deps.waves
     // (parents before children), which is exactly the order an armed-FK
     // target requires. Each frame is deduplicated on its PK first — the
     // armed posture's precondition — and appended with constraints LIVE.
-    val waveOf: Map[String, Int] =
-      graft.deps.Deps.waves(targets, catalog.allFks).zipWithIndex
-        .flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
     val results = GeneratePipeline.run(spark, catalog, rowCount, seed, (t, df) => {
       val td = catalog(t)
       // Deterministic winner per PK: row_number over a TOTAL order (all
@@ -210,7 +241,7 @@ object JdbcRoundTrip {
             .filter(col("__rn") === 1).drop("__rn")
         } else df
       JdbcSink.appendGenerated(deduped, td, target, toggleConstraints = false,
-        quoteTable = DerbyDdl.q)
+        quoteTable = DerbyDdl.q, exclude = deferredCols.getOrElse(t, Set.empty))
     })
     results.filterNot(_.ok).foreach(r =>
       sys.error(s"armed load ${r.table}: ${r.error.getOrElse("?")}"))

@@ -65,9 +65,11 @@ object JdbcSink {
     * excludes exactly these from its insert frame
     * (run_engine.py:105,243-244). Parquet sinks keep the full schema
     * (those columns ride as NULL/sequence); JDBC targets must not. */
-  def insertProjection(df: DataFrame, td: graft.ddl.TableDef): DataFrame = {
+  def insertProjection(df: DataFrame, td: graft.ddl.TableDef,
+      exclude: Set[String] = Set.empty): DataFrame = {
     val keep = td.safeFields.map(_.name)
       .filterNot(graft.gen.Generator.SkipCols.contains)
+      .filterNot(exclude.contains)
     df.select(keep.map(org.apache.spark.sql.functions.col): _*)
   }
 
@@ -75,9 +77,12 @@ object JdbcSink {
     * bulk write — the end-to-end K1 path for a generated TableDef.
     * `quoteTable` must produce the dialect's exact-case identifier
     * (e.g. DerbyDdl.q) or mode("append")'s existence probe resolves a
-    * different table and silently creates a second one. */
+    * different table and silently creates a second one. `exclude` drops
+    * extra columns from the INSERT (they land as the DB default, NULL) —
+    * the armed load uses it for deferred self-reference FK columns. */
   def appendGenerated(df: DataFrame, td: graft.ddl.TableDef, t: Target,
       toggleConstraints: Boolean = true,
-      quoteTable: String => String = identity): Unit =
-    append(insertProjection(df, td), t, quoteTable(td.name), toggleConstraints)
+      quoteTable: String => String = identity,
+      exclude: Set[String] = Set.empty): Unit =
+    append(insertProjection(df, td, exclude), t, quoteTable(td.name), toggleConstraints)
 }

@@ -127,6 +127,28 @@ object Generated {
       .toDF().orderBy("table_name")
   }
 
+  /** Armed wave load at the reference's ACTUAL scope (fill_db.py:137-139
+    * iterates every table of the live DB): the FULL 85-table catalog (77
+    * after the F1 skips), deployed fully constrained on Derby, loaded in
+    * the 8 FK-topo waves with every armable PK/FK validated live per
+    * INSERT, then independently audited from Spark. Output is the
+    * one-row audit aggregate (per-table detail is g08's job on the
+    * slice; here the catalog-wide totals are the contract). */
+  def armedFullLoad(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val reports = graft.load.JdbcRoundTrip.runArmed(s, catalog, rowCount = 15, seed = 42)
+    Seq((
+      reports.size.toLong,
+      (reports.map(_.wave).max + 1).toLong,
+      reports.map(_.n_generated).sum,
+      reports.map(_.n_loaded).sum,
+      reports.map(_.n_fk_bad).sum,
+      reports.count(_.pk_armed).toLong,
+      reports.map(_.n_fks_armed.toLong).sum
+    )).toDF("n_tables", "n_waves", "n_generated", "n_loaded",
+      "n_fk_bad", "n_pk_armed", "n_fks_armed")
+  }
+
   /** S6/A1-equivalent FK-catalog aggregation: inbound-FK fan-in per
     * parent table, top 10 (the sys.foreign_keys join, aggregated). */
   def fkFanout(s: SparkSession, d: String): DataFrame = {
@@ -190,8 +212,25 @@ object Generated {
         |t(table_name, n_loaded, n_readback, n_fk_bad, pk_rearmed, n_fks, n_fks_rearmed)
         |ORDER BY table_name""".stripMargin),
 
-    "g08_armed_wave_load" -> QueryDef(armedWaveLoad _, G08Oracle)
+    "g08_armed_wave_load" -> QueryDef(armedWaveLoad _, G08Oracle),
+
+    "g09_armed_full_catalog" -> QueryDef(armedFullLoad _, G09Oracle)
   )
+
+  /** Frozen catalog-wide armed-load audit (deterministic: seed 42, 15
+    * generated rows per table, PK-deduplicated before insert). 77 tables
+    * over 8 waves; n_loaded 997 < 1155 generated is the reference's
+    * degenerate truncated-PK collapse (run_engine.py:73,252-253)
+    * surviving the armed posture's dedup; every table's PK armed, 122 of
+    * the 131 catalog FK edges armed live (the rest: parents skipped by
+    * F1, or self/same-wave edges deferred as NULL); zero FK violations
+    * across ALL audited edges, armed or not. */
+  private lazy val G09Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES (CAST(77 AS BIGINT), CAST(8 AS BIGINT),
+      |  CAST(1155 AS BIGINT), CAST(997 AS BIGINT), CAST(0 AS BIGINT),
+      |  CAST(77 AS BIGINT), CAST(122 AS BIGINT)))
+      |t(n_tables, n_waves, n_generated, n_loaded, n_fk_bad,
+      |  n_pk_armed, n_fks_armed)""".stripMargin)
 
   /** Frozen audit of the armed-constraint wave load (deterministic: seed
     * 42, 15 generated rows, PK-deduplicated before insert — distinct-PK
