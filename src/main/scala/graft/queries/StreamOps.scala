@@ -107,6 +107,7 @@ object StreamOps {
     dupSourceCache.clear()
     multiFileSourceCache.clear()
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
+    restartCache.clear()  // ditto — scratch dirs already deleted eagerly
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -228,6 +229,60 @@ object StreamOps {
     } finally JdbcRoundTrip.dropDatabaseQuietly(url)
   }
 
+  /** Restart-from-checkpoint sessionization: the s01 plan killed
+    * mid-stream and recovered. The fixture is split in event time at its
+    * midpoint; phase 1 streams the first half with a durable checkpoint
+    * and an exactly-once parquet sink, the query is STOPPED (the crash),
+    * the second half lands in the source, and the identical plan
+    * restarts from the same checkpoint. Every session spanning the kill
+    * boundary must be stitched from the recovered state store (a lost
+    * checkpoint would restart sess_ids at 1 and double-emit) — so
+    * matching s01's closed-session oracle IS the state-recovery proof.
+    * Memoized per (session, dir) like s06; the result is checkpointed
+    * and the scratch dirs deleted eagerly. */
+  def streamRestartSessions(s: SparkSession, d: String): DataFrame = {
+    restartCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    restartCache.getOrElseUpdate((s, d), streamRestartSessionsUncached(s, d))
+  }
+
+  private val restartCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def streamRestartSessionsUncached(s: SparkSession, d: String): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_rs")
+    try {
+      val src = stage.resolve("src").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      // Deterministic kill point: the midpoint of the LONGEST closed
+      // session (ties broken by user/sess id). Killing INSIDE a session
+      // makes the restart non-vacuous by construction — that user's open
+      // session must cross the stop/restart in the state store, so a
+      // lost checkpoint could not reproduce the oracle. A TIME split
+      // (not a row split) keeps each user's events ordered across the
+      // phases, which the stateful session function requires.
+      val batch = EventOps.sessionize(s, d)
+      val lastS = batch.groupBy("user_id").agg(max("sess_id").as("last_sess"))
+      val pick = batch.join(lastS, "user_id")
+        .filter(col("sess_id") < col("last_sess") && col("n_events") >= 2)
+        .orderBy(col("n_events").desc, col("user_id"), col("sess_id"))
+        .select("start_us", "end_us").limit(1).collect().head
+      val midUs = (pick.getLong(0) + pick.getLong(1)) / 2 max (pick.getLong(0) + 1)
+      ev.filter(unix_micros(col("ts")) < midUs)
+        .coalesce(1).write.mode("overwrite").parquet(src)
+      val (out, b1, b2) = EventStream.runSessionsWithRestart(s, src,
+        stage.resolve("ckpt").toString, stage.resolve("out").toString,
+        () => ev.filter(unix_micros(col("ts")) >= midUs)
+          .coalesce(1).write.mode("append").parquet(src))
+      // both runs must have processed real batches, or the "restart"
+      // proved nothing (phase 2 carries the whole second half)
+      require(b1 >= 1 && b2 >= 1, s"expected work in both runs, got $b1/$b2")
+      out.select("user_id", "sess_id", "n_events", "start_us", "end_us", "sum_value")
+        .orderBy("user_id", "sess_id")
+        .localCheckpoint() // materialize before the scratch dirs vanish
+    } finally rmrf(stage)
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
@@ -274,6 +329,27 @@ object StreamOps {
       s"""SELECT event_type, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // same oracle as s01: the restarted stream must produce EXACTLY the
+    // uninterrupted run's closed sessions — session ids, counts, and
+    // sums stitched across the kill boundary from the recovered state
+    "s07_stream_restart_sessions" -> QueryDef(streamRestartSessions _,
+      s"""WITH x AS (SELECT user_id, event_id, ts, value,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_us IS NULL
+         |        OR epoch_us(ts) - prev_us > ${EventStream.GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
+         |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM f),
+         |sess AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+         |    MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         |    CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |  FROM g GROUP BY user_id, sess_id),
+         |last AS (SELECT user_id, MAX(sess_id) AS last_sess FROM sess GROUP BY user_id)
+         |SELECT s.user_id, s.sess_id, s.n_events, s.start_us, s.end_us, s.sum_value
+         |FROM sess s JOIN last l ON s.user_id = l.user_id
+         |WHERE s.sess_id < l.last_sess
+         |ORDER BY s.user_id, s.sess_id""".stripMargin),
 
     "s04_stream_static_join" -> QueryDef(streamStaticJoin _,
       s"""SELECT c_mktsegment, COUNT(*) AS n,

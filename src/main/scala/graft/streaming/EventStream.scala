@@ -156,4 +156,38 @@ object EventStream {
       try { q.processAllAvailable() } finally q.stop()
       spark.table(name)
     }
+
+  /** Kill-and-restart harness: the fault-tolerance property every
+    * production stream depends on, exercised for real. Drives the files
+    * already in `sourceDir` through the stateful session plan with a
+    * DURABLE checkpoint and an exactly-once file sink, STOPS the query
+    * (the crash), lets `addPhase2` drop more files into the source, and
+    * restarts the identical plan from the same checkpoint — Spark
+    * recovers the source offsets, the watermark, and every user's open
+    * session from the state store, so sessions spanning the kill
+    * boundary are stitched, not restarted. Returns the accumulated
+    * file-sink output (both runs' commits) plus the per-run batch
+    * counts so callers can assert both runs actually processed data. */
+  def runSessionsWithRestart(spark: SparkSession, sourceDir: String,
+      checkpointDir: String, outDir: String,
+      addPhase2: () => Unit): (DataFrame, Long, Long) =
+    withStatePartitions(spark) {
+      import spark.implicits._
+      def start() = {
+        val src = spark.readStream.schema(schema).format("parquet")
+          .option("path", sourceDir).load()
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+        sessionize(src).toDF().writeStream.outputMode(OutputMode.Append)
+          .option("checkpointLocation", checkpointDir)
+          .format("parquet").option("path", outDir).start()
+      }
+      val q1 = start()
+      try q1.processAllAvailable() finally q1.stop()
+      val b1 = q1.recentProgress.map(_.batchId).distinct.length.toLong
+      addPhase2()
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      val b2 = q2.recentProgress.map(_.batchId).distinct.length.toLong
+      (spark.read.parquet(outDir), b1, b2)
+    }
 }

@@ -57,6 +57,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("restart-from-checkpoint: kill boundary is spanned and sessions stitch across it") {
+    // drive the s07 harness directly at fixture scale and assert the
+    // property that makes it non-vacuous: at least one emitted session
+    // STARTS before the kill point and ENDS at/after it — its state
+    // crossed the stop/restart and was recovered from the checkpoint
+    val stage = java.nio.file.Files.createTempDirectory("evstream_rs")
+    val src = stage.resolve("src").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    // kill inside the longest closed session (the s07 rule): the restart
+    // must then stitch that session across the boundary or diverge
+    val batch = EventOps.sessionize(spark, sfDir)
+    val lastS = batch.groupBy("user_id").agg(max("sess_id").as("last_sess"))
+    val pick = batch.join(lastS, "user_id")
+      .filter(col("sess_id") < col("last_sess") && col("n_events") >= 2)
+      .orderBy(col("n_events").desc, col("user_id"), col("sess_id"))
+      .select("start_us", "end_us").limit(1).collect().head
+    val midUs = (pick.getLong(0) + pick.getLong(1)) / 2 max (pick.getLong(0) + 1)
+    ev.filter(unix_micros(col("ts")) < midUs)
+      .coalesce(1).write.mode("overwrite").parquet(src)
+    val (out, b1, b2) = EventStream.runSessionsWithRestart(spark, src,
+      stage.resolve("ckpt").toString, stage.resolve("out").toString,
+      () => ev.filter(unix_micros(col("ts")) >= midUs)
+        .coalesce(1).write.mode("append").parquet(src))
+    assert(b1 >= 1 && b2 >= 1, s"both runs must process batches, got $b1/$b2")
+    val sessions = out.select("user_id", "sess_id", "n_events", "start_us", "end_us", "sum_value")
+      .collect()
+    val spanning = sessions.count(r => r.getLong(3) < midUs && r.getLong(4) >= midUs)
+    assert(spanning > 0,
+      "no session spans the kill boundary — the restart recovered nothing worth testing")
+    // and the stitched total equals the uninterrupted run (same plan, one query)
+    val uninterrupted = EventStream.runSessionsOnce(spark, srcDir, "sess_unint")
+      .select("user_id", "sess_id", "n_events", "start_us", "end_us", "sum_value")
+      .collect().map(_.toSeq).toSet
+    assert(sessions.map(_.toSeq).toSet == uninterrupted)
+  }
+
   test("stateful sessionization: closed stream sessions == batch sessions") {
     val streamed = EventStream.runSessionsOnce(spark, srcDir, "sess")
       .select(col("user_id"), col("sess_id"), col("n_events"), col("sum_value"))
