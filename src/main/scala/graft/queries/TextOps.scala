@@ -298,23 +298,51 @@ object TextOps {
   private def dupClustersUncached(s: SparkSession, d: String): DataFrame = {
     val pairs = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
       .select(col("a_id"), col("b_id"))
-    // the pair graph is tiny relative to the corpus by construction
-    // (banded LSH emits |edges| ≪ |docs|) — size the loop's partitioning
-    // to the edge count, not the cluster-wide shuffle default, so each
-    // round's jobs don't pay 32 near-empty tasks (pairs is already
-    // persisted via pairsCache, the count is a cache scan)
-    val nEdges = pairs.count()
-    val parts = math.max(2, math.min(s.sparkContext.defaultParallelism,
+    val (labels, _) = ccPointerJumping(s, pairs)
+    // the returned frame is itself checkpointed: consumers scan the
+    // materialized partitions, never re-running the iteration
+    labels
+      .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_sz")), "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_sz"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+  }
+
+  /** Partition count for an iterative graph loop: sized to the edge
+    * count, not the cluster-wide shuffle default, so each round's jobs
+    * don't pay 32 near-empty tasks. */
+  private def ccParts(s: SparkSession, nEdges: Long): Int =
+    math.max(2, math.min(s.sparkContext.defaultParallelism,
       (nEdges / 50000L).toInt + 1))
-    // localCheckpoint (not persist) throughout the loop: each round's
-    // frame is materialized once and its lineage TRUNCATED, so round k
-    // never re-executes rounds 1..k-1 — with plain persist, the
-    // unpersist of round k-1's frame invalidates round k's cache entry
-    // (CacheManager re-caches dependents lazily, dropping their
-    // materialized blocks) and the loop goes quadratic. Lineage
-    // truncation is the canonical Spark pattern for iterative graph
-    // algorithms; old checkpoint RDDs are reclaimed by the
-    // ContextCleaner when their frames go out of scope.
+
+  /** Min-label connected components by label propagation WITH pointer
+    * jumping, over an undirected pair list (a_id, b_id). Returns the
+    * (id, lbl) labeling and the round count.
+    *
+    * localCheckpoint (not persist) throughout the loop: each round's
+    * frame is materialized once and its lineage TRUNCATED, so round k
+    * never re-executes rounds 1..k-1 — with plain persist, the
+    * unpersist of round k-1's frame invalidates round k's cache entry
+    * (CacheManager re-caches dependents lazily, dropping their
+    * materialized blocks) and the loop goes quadratic. Lineage
+    * truncation is the canonical Spark pattern for iterative graph
+    * algorithms; old checkpoint RDDs are reclaimed by the
+    * ContextCleaner when their frames go out of scope.
+    *
+    * Each round takes the min over {own label, neighbors' labels, label
+    * OF the label (pointer jumping)}. The third term is what makes
+    * convergence O(log diameter) instead of O(diameter) — a 500-node
+    * chain collapses in ~9 rounds, not 500 (which would both crawl and
+    * overrun any sane round guard). Labels stay inside the component
+    * (induction: a label is always some member's id), the update is
+    * monotone non-increasing and bounded by the component minimum, and
+    * at the fixpoint labels are edge-constant with lbl(c)=c — which
+    * forces c = component min. Unique fixpoint ⇒ deterministic result
+    * regardless of round count; the guard is a runaway stop, not a knob.
+    */
+  private[queries] def ccPointerJumping(s: SparkSession, pairs: DataFrame,
+      maxRounds: Int = 40): (DataFrame, Int) = {
+    val parts = ccParts(s, pairs.count())
     val edges = pairs.unionAll(
         pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst").repartition(parts, col("src")).localCheckpoint()
@@ -322,17 +350,7 @@ object TextOps {
       .withColumn("lbl", col("id")).localCheckpoint()
     var changed = 1L
     var rounds = 0
-    // Each round takes the min over {own label, neighbors' labels, label
-    // OF the label (pointer jumping)}. The third term is what makes
-    // convergence O(log diameter) instead of O(diameter) — a 500-node
-    // chain collapses in ~9 rounds, not 500 (which would both crawl and
-    // overrun any sane round guard). Labels stay inside the component
-    // (induction: a label is always some member's id), the update is
-    // monotone non-increasing and bounded by the component minimum, and
-    // at the fixpoint labels are edge-constant with lbl(c)=c — which
-    // forces c = component min. Unique fixpoint ⇒ deterministic result
-    // regardless of round count; the guard is a runaway stop, not a knob.
-    while (changed > 0 && rounds < 40) {
+    while (changed > 0 && rounds < maxRounds) {
       val viaNbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
       val viaLbl = labels.join(
@@ -347,13 +365,73 @@ object TextOps {
       labels = next
       rounds += 1
     }
-    // the returned frame is itself checkpointed: consumers scan the
-    // materialized partitions, never re-running the iteration
-    labels
-      .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_sz")), "lbl")
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_sz"))
-      .orderBy("doc_id")
-      .localCheckpoint()
+    (labels, rounds)
+  }
+
+  /** Alternative round body: alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) behind the same fixpoint guard. Instead of
+    * iterating labels over a FIXED edge list, each round rewrites the
+    * edge list itself toward a star forest:
+    *   large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+    *   small-star: every neighbor v ≤ u links to min(Γ(u) ∪ {u})
+    * Both steps preserve connectivity and strictly shrink tree height;
+    * at the fixpoint every node points at its component minimum. On
+    * adversarial chain-shaped duplicate graphs this halves the rounds
+    * of plain label propagation and matches pointer jumping with a
+    * smaller per-round shuffle (edges only, no label-of-label join) —
+    * kept as the robustness alternative for skewed/deep pair graphs.
+    * Returns the same (id, lbl) labeling and the round count. */
+  private[queries] def ccLargeSmallStar(s: SparkSession, pairs: DataFrame,
+      maxRounds: Int = 40): (DataFrame, Int) = {
+    val parts = ccParts(s, pairs.count())
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    def minNbr(se: DataFrame): DataFrame =
+      se.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    // normalized undirected edge set (u < v), deduped — the fixpoint
+    // comparison domain
+    var e = pairs
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .repartition(parts, col("u")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      // large-star on the symmetric view, then small-star on its result;
+      // one round = one large + one small (the paper's alternation)
+      val s1 = sym(e)
+      val large = s1.filter(col("v") > col("u"))
+        .join(minNbr(s1), "u")
+        .select(col("v").as("a"), col("m").as("b"))
+      val e1 = large
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val s2 = sym(e1)
+      val mins2 = minNbr(s2)
+      // small-star emits (v, m) for v ∈ Γ⁻(u) ∪ {u} — the (u, m) link is
+      // part of the output (dropping it disconnects u from its new root
+      // and the edge set collapses to empty on any pair)
+      val small = s2.filter(col("v") <= col("u"))
+        .join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(mins2.select(col("u").as("a"), col("m").as("b")))
+      val next = small
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .repartition(parts, col("u")).localCheckpoint()
+      changed = next.exceptAll(e).unionAll(e.exceptAll(next)).count()
+      e = next
+      rounds += 1
+    }
+    // star forest → labeling: children point at their root; roots label
+    // themselves (nodes that appear only as a minimum)
+    val ids = pairs.select(col("a_id").as("id"))
+      .unionAll(pairs.select(col("b_id").as("id"))).distinct()
+    val labels = ids.join(e.select(col("v").as("id"), col("u").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    (labels, rounds)
   }
 
   private def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {

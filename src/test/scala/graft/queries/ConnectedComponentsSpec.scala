@@ -1,0 +1,48 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two CC round bodies (label propagation + pointer jumping vs
+  * alternating large-star/small-star) must agree on the labeling, and
+  * the star variant must not need MORE rounds on an adversarial
+  * chain-shaped dup graph — the robustness case it exists for. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  test("500-node chain: both bodies label every node 0; star needs no more rounds") {
+    import spark.implicits._
+    val chain = (0L until 499L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (pjLabels, pjRounds) = TextOps.ccPointerJumping(spark, chain)
+    val (starLabels, starRounds) = TextOps.ccLargeSmallStar(spark, chain)
+    val pj = pjLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = starLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pj.size == 500 && star.size == 500)
+    assert(pj.values.forall(_ == 0L), "pointer jumping must collapse the chain to min id 0")
+    assert(star.values.forall(_ == 0L), "large/small-star must collapse the chain to min id 0")
+    // O(log d) for both; the star rewrites shrink the graph itself, so a
+    // deep chain never costs more rounds than pointer jumping
+    assert(starRounds <= pjRounds,
+      s"star took $starRounds rounds vs pointer jumping's $pjRounds on a 500-chain")
+    assert(pjRounds < 40 && starRounds < 40, "neither body may hit the runaway guard")
+  }
+
+  test("two chains + a singleton pair: labelings agree per component") {
+    import spark.implicits._
+    // components: {10..15} chain, {100,101,102} triangle, {7,9} pair
+    val edges = ((10L to 14L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L), (7L, 9L))).toDF("a_id", "b_id")
+    val pj = TextOps.ccPointerJumping(spark, edges)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = TextOps.ccLargeSmallStar(spark, edges)._1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pj == star)
+    assert((10L to 15L).forall(pj(_) == 10L))
+    assert(Seq(100L, 101L, 102L).forall(pj(_) == 100L))
+    assert(pj(7L) == 7L && pj(9L) == 7L)
+  }
+}
