@@ -682,6 +682,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition signals (the Gopher/C4 quality-filter family): per
+    * document, the duplicate-token fraction, the most-frequent-bigram
+    * occupancy, and the fraction of trigram occurrences that are
+    * duplicates — the three signals that catch boilerplate, keyword
+    * stuffing, and looping generation. All numerators/denominators are
+    * exact integers with one final IEEE division each, so the values are
+    * bit-identical across engines. Scale shape: one tokens scan feeds
+    * three keyed aggregations (doc_id / (doc_id, gram)); gram counts are
+    * map-side partial and nothing ever leaves the doc_id key space. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+    def gramCounts(n: Int) = base.filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
+      .select(col("doc_id"), expr(s"array_join(slice(ts, i, $n), ' ')").as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val tok = base.select(col("doc_id"),
+      size(col("ts")).as("n_tokens"),
+      size(array_distinct(col("ts"))).as("n_distinct_tokens"))
+    val bi = gramCounts(2).groupBy("doc_id")
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    val tri = gramCounts(3).groupBy("doc_id")
+      .agg(sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("n_dup_trigram_occ"),
+        sum(col("c")).as("n_trigrams"))
+    tok.join(bi, Seq("doc_id"), "left").join(tri, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        ((col("n_tokens") - col("n_distinct_tokens")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        col("top_bigram_n"), col("n_bigrams"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        col("n_dup_trigram_occ"), col("n_trigrams"),
+        (col("n_dup_trigram_occ").cast("double") / col("n_trigrams")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic output sharding: the step that writes a curated
+    * corpus as N balanced training shards. Shard assignment is a salted
+    * md5 of the doc id — stable across runs, engines, and partitionings
+    * (no RNG, no round-robin order dependence) — and the output is the
+    * per-shard balance audit (doc/token/char totals, source spread) a
+    * pipeline checks before handing shards to a trainer. At 100 TB the
+    * same expression IS the partitionBy column of the final write:
+    * rebalancing means changing NumShards, never reshuffling logic. */
+  private[queries] val NumShards = 16
+  def shardAssignment(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("shard", pmod(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":shard"))), 1, 8), 16, 10)
+        .cast("long"), lit(NumShards.toLong)))
+      .withColumn("n_tok", size(split(norm(col("text")), " ")))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok").cast("long")).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("shard")
+
   /** BPE-ish regex token count beside the whitespace count: the
     * merge-friendly pre-tokenizer split (contractions | words | number
     * runs | punctuation runs | spaces). */
@@ -947,6 +1006,46 @@ object TextOps {
          |   + CASE WHEN ep.cos IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
          |FROM tp FULL OUTER JOIN ep ON tp.a_id = ep.a_id AND tp.b_id = ep.b_id
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // integer numerators/denominators + one IEEE division each → values
+    // bit-identical across engines; SUMs cast to BIGINT (HUGEINT trap)
+    "t20_repetition_signals" -> QueryDef(repetitionSignals _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr),
+         |tok AS (SELECT doc_id, len(ts) AS n_tokens, len(list_distinct(ts)) AS n_distinct_tokens FROM tk),
+         |b0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 1)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 2),
+         |bgc AS (SELECT doc_id, list_aggregate(ts[i:i+1], 'string_agg', ' ') AS g, COUNT(*) AS c
+         |        FROM b0 GROUP BY doc_id, g),
+         |bi AS (SELECT doc_id, MAX(c) AS top_bigram_n, CAST(SUM(c) AS BIGINT) AS n_bigrams
+         |       FROM bgc GROUP BY doc_id),
+         |t0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 2)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 3),
+         |tgc AS (SELECT doc_id, list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g, COUNT(*) AS c
+         |        FROM t0 GROUP BY doc_id, g),
+         |tri AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_trigram_occ,
+         |    CAST(SUM(c) AS BIGINT) AS n_trigrams
+         |  FROM tgc GROUP BY doc_id)
+         |SELECT tok.doc_id, n_tokens, n_distinct_tokens,
+         |  CAST(n_tokens - n_distinct_tokens AS DOUBLE) / n_tokens AS dup_token_frac,
+         |  top_bigram_n, n_bigrams,
+         |  CAST(top_bigram_n AS DOUBLE) / n_bigrams AS top_bigram_frac,
+         |  n_dup_trigram_occ, n_trigrams,
+         |  CAST(n_dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
+         |FROM tok LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    "t21_shard_assignment" -> QueryDef(shardAssignment _,
+      s"""WITH sh AS (SELECT doc_id, source, text,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT % $NumShards AS shard,
+         |    len(string_split($NormSqlDuck, ' ')) AS n_tok
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+         |  COUNT(DISTINCT source) AS n_sources
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
 
     "t10_bpe_token_count" -> QueryDef(bpeTokenCount _,
       s"""SELECT doc_id,
