@@ -741,6 +741,142 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("shard")
 
+  /** Global token-budget selection: pick the best-scoring documents
+    * until a corpus-wide token budget (half the total here) is filled —
+    * the "train on the top half by quality" step of a curation pipeline.
+    * Semantics: order docs by (score desc, doc_id asc) and keep the
+    * longest prefix whose token sum fits the budget (the oracle states
+    * exactly this as one global cumulative window).
+    *
+    * The naive plan — `sum(n_tok) over (order by score desc, doc_id)` on
+    * the full corpus — funnels every row through ONE window task (the
+    * t18 anti-pattern). Instead the prefix is found by histogram
+    * drill-down, so every window in the plan runs over a BOUNDED frame:
+    *   1. bucket docs by integer score (≤1001 rows — the score domain,
+    *      not the corpus) and cumsum buckets by score desc: buckets
+    *      wholly under budget are selected outright; exactly one
+    *      straddles it;
+    *   2. inside the straddling bucket, re-bucket by doc_id range
+    *      (RangeWidth docs per range) and cumsum ranges the same way
+    *      (recurse on width at larger scale);
+    *   3. the exact per-row prefix window runs only over the single
+    *      straddling range (≤ RangeWidth rows).
+    * Selection joins are broadcast semi-joins against the tiny selected
+    * bucket/range id lists, so the corpus is scanned, never re-sorted. */
+  private[queries] val BudgetDen = 2L
+  private[queries] val RangeWidth = 64L
+  def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+      .select(col("doc_id"),
+        size(col("ts")).cast("long").as("n_tok"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
+      .withColumn("score", expr("n_distinct * 1000 div n_tok"))
+      .select("doc_id", "score", "n_tok")
+    budgetPrefix(docs).orderBy("doc_id")
+  }
+
+  /** The drill-down prefix selection over a (doc_id, score, n_tok)
+    * frame — split out so TokenBudgetSpec can drive it with adversarial
+    * synthetic frames (score ties, budget landing exactly on a bucket
+    * edge) and compare against the naive global-window reference. */
+  private[queries] def budgetPrefix(docs: DataFrame): DataFrame = {
+    val budget = docs.agg(expr(s"sum(n_tok) div $BudgetDen").as("budget"))
+    val cumW = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = docs.groupBy("score").agg(sum(col("n_tok")).as("btok"))
+      .withColumn("cum", sum(col("btok")).over(cumW))
+      .withColumn("pre", col("cum") - col("btok"))
+      .crossJoin(broadcast(budget))
+    val fullBuckets = buckets.filter(col("cum") <= col("budget")).select("score")
+    val straddle = buckets
+      .filter(col("pre") <= col("budget") && col("budget") < col("cum"))
+      .select(col("score"), (col("budget") - col("pre")).as("rem"))
+    val selBuckets = docs.join(broadcast(fullBuckets), Seq("score"), "leftsemi")
+    val bnd = docs.join(broadcast(straddle), Seq("score"))
+      .withColumn("rng", expr(s"doc_id div $RangeWidth"))
+    val rngW = Window.orderBy(col("rng").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranges = bnd.groupBy("rng", "rem").agg(sum(col("n_tok")).as("rtok"))
+      .withColumn("cum", sum(col("rtok")).over(rngW))
+      .withColumn("pre", col("cum") - col("rtok"))
+    val fullRanges = ranges.filter(col("cum") <= col("rem")).select("rng")
+    val straddleRange = ranges
+      .filter(col("pre") <= col("rem") && col("rem") < col("cum"))
+      .select(col("rng"), (col("rem") - col("pre")).as("rem2"))
+    val selRanges = bnd.join(broadcast(fullRanges), Seq("rng"), "leftsemi")
+    val tailW = Window.orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val selTail = bnd.join(broadcast(straddleRange), Seq("rng"))
+      .withColumn("run", sum(col("n_tok")).over(tailW))
+      .filter(col("run") <= col("rem2"))
+    selBuckets.select("doc_id", "score", "n_tok")
+      .unionAll(selRanges.select("doc_id", "score", "n_tok"))
+      .unionAll(selTail.select("doc_id", "score", "n_tok"))
+  }
+
+  /** Cross-source vocabulary overlap: pairwise Jaccard similarity of the
+    * per-source token vocabularies — the corpus diagnostic that flags a
+    * source as a near-mirror of another (crawl duplicates, re-hosted
+    * dumps) before both are fed to training. Inverted-index shape: one
+    * distinct (source, token) frame self-joined on token, so the shuffle
+    * key is the token and a token contributes at most |sources|² pair
+    * rows regardless of corpus size; vocabulary sizes broadcast. */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = documents(s, d)
+      .select(col("source"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("vsz"))
+    val inter = st.select(col("source").as("source_a"), col("tok"))
+      .join(st.select(col("source").as("source_b"), col("tok")), Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("vsz").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("vsz").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** PII scrubbing audit: redact emails / NANP phone numbers / IPv4
+    * addresses and report per-document counts plus the md5 of the
+    * scrubbed text. The fixture corpus carries no PII by construction,
+    * so the operator PLANTS a deterministic contact line derived from
+    * doc_id before scrubbing — every pattern class is exercised with
+    * nonzero hits and the redaction output stays hash-comparable across
+    * engines (documented in COVERAGE.md; PiiScrubSpec additionally
+    * asserts the planted strings are gone from the scrubbed text).
+    * Patterns use only syntax with identical semantics in Java regex and
+    * RE2 (no lookaround, no backrefs). Map-only: one scan, no shuffle
+    * except the presentation sort. */
+  private[queries] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[queries] val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  private[queries] val IpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("planted", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com tel +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string")))
+      .withColumn("n_email", regexp_count(col("planted"), lit(EmailRe)).cast("int"))
+      .withColumn("n_phone", regexp_count(col("planted"), lit(PhoneRe)).cast("int"))
+      .withColumn("n_ip", regexp_count(col("planted"), lit(IpRe)).cast("int"))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(regexp_replace(col("planted"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        (length(col("planted")) - length(col("scrubbed"))).cast("int").as("delta_chars"),
+        md5(col("scrubbed")).as("scrub_md5"))
+      .orderBy("doc_id")
+
   /** BPE-ish regex token count beside the whitespace count: the
     * merge-friendly pre-tokenizer split (contractions | words | number
     * runs | punctuation runs | spaces). */
@@ -1046,6 +1182,54 @@ object TextOps {
          |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
          |  COUNT(DISTINCT source) AS n_sources
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin),
+
+    "t22_token_budget_select" -> QueryDef(tokenBudgetSelect _,
+      s"""WITH nr AS (SELECT doc_id, string_split($NormSqlDuck, ' ') AS ts FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+         |        (CAST(len(list_distinct(ts)) AS BIGINT) * 1000) // CAST(len(ts) AS BIGINT) AS score
+         |      FROM nr),
+         |b AS (SELECT SUM(n_tok) // $BudgetDen AS budget FROM d),
+         |r AS (SELECT doc_id, score, n_tok,
+         |        SUM(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+         |      FROM d)
+         |SELECT doc_id, score, n_tok FROM r, b WHERE running <= budget
+         |ORDER BY doc_id""".stripMargin),
+
+    "t23_source_overlap" -> QueryDef(sourceOverlap _,
+      s"""WITH st AS (SELECT DISTINCT source, tok FROM (
+         |    SELECT source, unnest(string_split($NormSqlDuck, ' ')) AS tok FROM documents) u
+         |  WHERE length(tok) >= 1),
+         |sz AS (SELECT source, COUNT(*) AS vsz FROM st GROUP BY source),
+         |pr AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+         |       FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+         |       GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_inter, za.vsz AS n_a, zb.vsz AS n_b,
+         |  CAST(n_inter AS DOUBLE) / (za.vsz + zb.vsz - n_inter) AS jaccard
+         |FROM pr JOIN sz za ON za.source = pr.source_a
+         |        JOIN sz zb ON zb.source = pr.source_b
+         |ORDER BY source_a, source_b""".stripMargin),
+
+    "t24_pii_scrub" -> QueryDef(piiScrub _,
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |      || '@example.com tel +1-555-'
+         |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS planted
+         |  FROM documents),
+         |s AS (SELECT doc_id, planted,
+         |    CAST(len(regexp_extract_all(planted, '$EmailRe')) AS INT) AS n_email,
+         |    CAST(len(regexp_extract_all(planted, '$PhoneRe')) AS INT) AS n_phone,
+         |    CAST(len(regexp_extract_all(planted, '$IpRe')) AS INT) AS n_ip,
+         |    regexp_replace(regexp_replace(regexp_replace(planted,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+         |      '$IpRe', '<IP>', 'g') AS scrubbed
+         |  FROM p)
+         |SELECT doc_id, n_email, n_phone, n_ip,
+         |  CAST(length(planted) - length(scrubbed) AS INT) AS delta_chars,
+         |  md5(scrubbed) AS scrub_md5
+         |FROM s ORDER BY doc_id""".stripMargin),
 
     "t10_bpe_token_count" -> QueryDef(bpeTokenCount _,
       s"""SELECT doc_id,

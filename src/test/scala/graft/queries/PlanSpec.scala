@@ -133,6 +133,44 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t22: every window runs over a bounded frame — the corpus is selected by broadcast semi-joins") {
+    val df = graft.SparkEntry.all("t22_token_budget_select").fn(spark, d)
+    val p = plan("t22_token_budget_select")
+    assert(p.contains("LeftSemi"), "bucket/range selection must be semi-joins")
+    assert(!p.contains("SortMergeJoin"),
+      "the tiny bucket/range id lists must broadcast, never shuffle-join")
+    // no Window may consume the raw documents scan directly: each must
+    // sit above an Aggregate (the score/range histograms) or a Join
+    // against the 1-row straddle frame — i.e. over a bounded input,
+    // never the full corpus ordered by score (the naive prefix plan)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    val lp = df.queryExecution.optimizedPlan
+    val windows = lp.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the histogram cumsums must exist")
+    windows.foreach { w =>
+      assert(w.child.exists(n => n.isInstanceOf[Aggregate] || n.isInstanceOf[Join]),
+        s"window over an unbounded frame (the t18 anti-pattern):\n$w")
+    }
+  }
+
+  test("t23: token self-join is keyed, vocabulary sizes broadcast") {
+    val p = plan("t23_source_overlap")
+    assert(!p.contains("CartesianProduct"), "pair generation must join on tok")
+    assert(p.contains("BroadcastHashJoin"), "per-source sizes must broadcast")
+    assert(p.contains("partial_count"), "intersection counts must partial-agg map-side")
+  }
+
+  test("t24: scrub is map-only — one scan, no joins, no mid-plan shuffle") {
+    val p = plan("t24_pii_scrub")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected a single documents scan, got $scans")
+    assert(!p.contains("Join"), "redaction must not join")
+    // only the presentation sort may exchange; nothing before it
+    // (count tree nodes "Exchange (n)", not the detail section echoes)
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).length <= 1,
+      s"map-only plan expected:\n$p")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
