@@ -26,6 +26,7 @@ object Harness {
       queries.StreamOps.clearCaches()
       queries.EventOps.clearCaches()
       queries.VectorOps.clearCaches()
+      queries.Generated.clearCaches()
       spark.stop()
     }
   }

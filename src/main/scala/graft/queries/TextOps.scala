@@ -767,12 +767,22 @@ object TextOps {
   private[queries] val RangeWidth = 64L
   def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
+      // single-file fixture input: spread the tokenize across the
+      // cluster before the heavy map (no-op at real scale where the
+      // corpus arrives in many splits)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
       .select(col("doc_id"),
         size(col("ts")).cast("long").as("n_tok"),
         size(array_distinct(col("ts"))).cast("long").as("n_distinct"))
       .withColumn("score", expr("n_distinct * 1000 div n_tok"))
       .select("doc_id", "score", "n_tok")
+      // tokenize ONCE: the drill-down has four consumers (budget scalar,
+      // score histogram, bucket semi-join, straddle join) and without
+      // lineage truncation each re-runs the split/array_distinct map —
+      // the checkpointed frame is 3 numeric columns per doc, cacheable
+      // at any corpus scale (t16's loop discipline)
+      .localCheckpoint()
     budgetPrefix(docs).orderBy("doc_id")
   }
 
