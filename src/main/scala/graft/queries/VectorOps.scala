@@ -200,6 +200,46 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** One Lloyd refinement round of the IVF codebook: every vector
+    * assigns to its nearest of the 16 seed centroids (v08's cells, same
+    * rounded-cosine + cid tie-break), and each centroid moves to the
+    * member mean — computed as 1e-6-grid integer sums (v03's
+    * discipline), so the update is EXACT under any combine tree, which
+    * is what makes repeated rounds reproducible on a 1000-way cluster.
+    * This is the iteration that trains a production IVF index: repeat
+    * to convergence with localCheckpoint per round (t16's loop
+    * discipline). Per round: one broadcast of the 16-row codebook, one
+    * |vectors|-row assignment window partitioned by vec_id, one keyed
+    * partial aggregation — no all-pairs anything. */
+  def kmeansRound(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    lloydRound(e, cents).orderBy("cell", "pos")
+  }
+
+  /** One assignment+update step over an explicit codebook — split out so
+    * KmeansSpec can iterate it to convergence and assert the spherical
+    * k-means objective is monotone round over round. `e` needs
+    * (vec_id, v, nrm); `cents` needs (cid, cv, cn). */
+  private[queries] def lloydRound(e: DataFrame, cents: DataFrame): DataFrame = {
+    val cells = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col("cid").as("cell"), col("v"))
+    cells
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .withColumn("qx", floor(col("x") * 1e6).cast("long"))
+      .groupBy("cell", "pos")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n_members"))
+      .select(col("cell"), col("pos"),
+        (col("sq").cast("double") / col("n_members") / 1e6).as("centroid"),
+        col("n_members"))
+  }
+
   // --- SQ8 scalar quantization — the memory-bound scale path ------------
 
   /** SQ8 top-5: symmetric int8 scalar quantization (fixed grid
@@ -343,6 +383,25 @@ object VectorOps {
         |r AS (SELECT q_id, hit_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p)
         |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    "v11_kmeans_round" -> QueryDef(kmeansRound _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |m AS (SELECT aff.cid AS cell, e.v FROM aff JOIN e USING (vec_id) WHERE crn = 1),
+        |x AS (SELECT cell,
+        |    CAST(unnest(generate_series(1, len(v))) AS INT) - 1 AS pos,
+        |    v[CAST(unnest(generate_series(1, len(v))) AS INT)] AS x
+        |  FROM m)
+        |SELECT cell, pos,
+        |  CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS centroid,
+        |  COUNT(*) AS n_members
+        |FROM x GROUP BY cell, pos ORDER BY cell, pos""".stripMargin),
 
     // quantized values are small integers (|q| ≤ 127, d = 64), so the
     // double dot product is exact — CAST to BIGINT is lossless and both

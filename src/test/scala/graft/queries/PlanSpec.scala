@@ -171,6 +171,14 @@ class PlanSpec extends AnyFunSuite {
       s"map-only plan expected:\n$p")
   }
 
+  test("v11: codebook broadcasts, assignment windows per vec_id, update is partial-agg") {
+    val p = plan("v11_kmeans_round")
+    assert(p.contains("BroadcastNestedLoopJoin"), "16-row codebook must broadcast")
+    assert(p.contains("dot_d"), "assignment must use the codegen expression")
+    assert(p.contains("partial_sum"), "centroid sums must partial-agg map-side")
+    assert(!p.contains("CartesianProduct"), "never a shuffled cartesian")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
