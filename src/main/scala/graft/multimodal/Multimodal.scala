@@ -124,6 +124,39 @@ object Multimodal {
       .toDF().orderBy("media_id")
   }
 
+  /** Perceptual-hash duplicate-candidate groups over the opaque
+    * payloads — the multimodal arm of the dedup family: a 31-bit dHash
+    * over a 32-bin byte histogram (bin = low 5 bits of each byte; bit j
+    * set iff bin j > bin j+1 — the adjacent-bin comparison that makes
+    * dHash robust to payload length, in integer math end to end so
+    * every engine agrees bit-for-bit), grouped into the
+    * duplicate-candidate audit (groups with >1 member, keep = lowest
+    * media_id). The high-nibble histogram (m02's feature) is DEGENERATE
+    * here — text payloads occupy 3 nibble bins — which is exactly the
+    * lesson: the hash must key on bins that discriminate the corpus. A
+    * real pipeline swaps the histogram for a DCT aHash over decoded
+    * pixels; the hashing/grouping plumbing is identical. Payloads never
+    * shuffle — only (id, 31-bit hash) leaves the map. */
+  def phashDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, dir).as[MediaRow]
+      .filter(_.content.nonEmpty)
+      .map { m =>
+        val hist = new Array[Long](32)
+        var i = 0
+        while (i < m.content.length) { hist(m.content(i) & 0x1f) += 1; i += 1 }
+        var h = 0L
+        var j = 0
+        while (j < 31) { if (hist(j) > hist(j + 1)) h |= 1L << j; j += 1 }
+        (m.media_id, h)
+      }.toDF("media_id", "phash")
+      .groupBy("phash")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("phash", "keep_id", "n_copies")
+      .orderBy("keep_id")
+  }
+
   /** Real (non-stub) metadata extraction over the binary column —
     * length, digest, sniffed prefix. Pure built-in expressions. */
   def mediaStats(spark: SparkSession, dir: String): DataFrame =

@@ -82,6 +82,31 @@ object MediaOps {
         |  CAST(64 * (n_frames - last_sampled)
         |    + last_sampled * (n - 64 * (nblocks - 1)) AS BIGINT) AS frame_bytes,
         |  CAST((n_frames - 1) * 4 AS INT) AS max_idx
-        |FROM f ORDER BY media_id""".stripMargin)
+        |FROM f ORDER BY media_id""".stripMargin),
+
+    // the 31-bit dHash is integer math over a byte histogram the oracle
+    // restates per-byte via the hex dump (m04's bv idiom), so even the
+    // typed-Dataset hashing path is hash-verified in closed form
+    "m05_phash_dup_groups" -> QueryDef(Multimodal.phashDupGroups _, {
+      val counts = (0 until 32)
+        .map(j => s"CAST(COUNT(CASE WHEN bv % 32 = $j THEN 1 END) AS BIGINT) AS c$j")
+        .mkString(",\n        ")
+      val bitSum = (0 until 31)
+        .map(j => s"CASE WHEN c$j > c${j + 1} THEN ${1 << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+         |             octet_length(encode(text)) AS n FROM documents
+         |           WHERE octet_length(encode(text)) > 0),
+         |v AS (SELECT doc_id,
+         |        ('0x' || substr(hx, CAST(2 * unnest(generate_series(1, n)) - 1 AS INT), 2))::BIGINT AS bv
+         |      FROM m),
+         |h AS (SELECT doc_id,
+         |        $counts
+         |      FROM v GROUP BY doc_id),
+         |p AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS phash FROM h)
+         |SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM p GROUP BY phash HAVING COUNT(*) > 1
+         |ORDER BY keep_id""".stripMargin
+    })
   )
 }
