@@ -11,15 +11,30 @@ import graft.functions.DotProductD
   * `spark.sql.extensions=graft.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`).
   *
-  * Currently injects: `dot_d(array<double>, array<double>) → double`
-  * (whole-stage-codegen'd dot product; see graft.functions).
+  * Currently injects:
+  *   - `dot_d(array<double>, array<double>) → double`
+  *     (whole-stage-codegen'd dot product; see graft.functions)
+  *   - `bloom_agg(long, estItems, numBits) → binary` and
+  *     `bloom_contains(binary, long) → boolean` — Spark's own runtime-
+  *     filter bloom expressions surfaced for the engine's prefilter
+  *     operators (see graft.functions.BloomExpressions)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductD(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -899,6 +899,135 @@ object TextOps {
       .withColumn("tokens_per_word", col("n_bpe").cast("double") / col("n_ws"))
       .orderBy("doc_id")
 
+  /** doc_id → distinct 60-bit ids of word n-grams of the normalized
+    * text — the shared front end of the cross-doc gram operators (t25
+    * boilerplate, t26 bloom decontamination; t19 builds the same frame
+    * inline). Distinct per (doc, gram): these operators reason about
+    * presence, not multiplicity. */
+  private def wordGramIds(s: SparkSession, d: String, n: Int): DataFrame =
+    documents(s, d)
+      // single-file fixture input: spread the ×len explode across the
+      // cluster first (no-op at real scale where the corpus arrives in
+      // many splits)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), col("ts"),
+        explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
+      .select(col("doc_id"),
+        sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
+      .distinct()
+
+  /** Cross-document boilerplate: word 3-grams present in ≥5 DISTINCT
+    * documents are template text (nav chrome, license headers, SEO
+    * footers — the stuff RefinedWeb/CCNet-style curation strips before
+    * training), and each source is scored by the share of its gram mass
+    * that is boilerplate — the ranking a pipeline reads to decide which
+    * sources need template-stripping. Complements t20 (repetition
+    * WITHIN a doc) with repetition ACROSS docs.
+    *
+    * Scale: gram→doc counts are a partial (map-side) aggregation over
+    * already-distinct (doc, gram) pairs; the ≥5-doc survivor set is
+    * Zipf-tail-bounded (a tiny fraction of the gram universe — 151 of
+    * ~130k at sf0.01) and broadcasts back for a map-side membership
+    * join, so the corpus-wide gram stream shuffles once (the count),
+    * never twice. If a pathological corpus outgrew the broadcast, drop
+    * the hint and the same plan degrades to a shuffle semi-join. */
+  def boilerplateShare(s: SparkSession, d: String): DataFrame = {
+    val grams = wordGramIds(s, d, 3)
+    val boiler = grams.groupBy("gid").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 5).select("gid")
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val boilDoc = grams.join(broadcast(boiler), "gid")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    documents(s, d).select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(boilDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_boiler"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("sum_grams"),
+        sum("n_boiler").as("sum_boiler"))
+      .withColumn("boiler_share",
+        round(col("sum_boiler").cast("double") / col("sum_grams").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  /** Benchmark decontamination with a bloom prefilter — the 100 TB
+    * shape of t19. The benchmark gram set is aggregated into Spark's
+    * own bloom sketch (BloomFilterAggregate, the expression behind AQE
+    * runtime join filtering), shipped to every task as a 16 KiB
+    * constant, and probed by a codegen'd `bloom_contains` BEFORE any
+    * join: at real scale the probe discards ~all of the corpus gram
+    * stream map-side, so the only rows that reach the exact
+    * confirmation join are the sketch's true + false positives. The
+    * exact broadcast join then removes the false positives — the
+    * output is exact (blooms have no false NEGATIVES), which is what
+    * makes it oracle-checkable. Output: per-source clean/contaminated
+    * counts, the summary a removal queue reports. */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BloomExpressions.register(s)
+    val grams = wordGramIds(s, d, 8)
+    val bench = grams.filter(col("doc_id") < 50).select("gid").distinct()
+    // materialize the sketch once on the driver (~16 KiB — the same
+    // build-then-rebroadcast shape Spark's own runtime bloom filter
+    // uses); an empty benchmark yields a NULL sketch → nothing flagged
+    val sketch: Option[Array[Byte]] = Option(
+      bench.agg(graft.functions.BloomExpressions
+        .bloomAgg(col("gid"), lit(100000L), lit(131072L)).as("bf"))
+        .head().get(0)).map(_.asInstanceOf[Array[Byte]])
+    val corp = grams.filter(col("doc_id") >= 50)
+    val contaminated = sketch match {
+      case Some(b) =>
+        corp.filter(graft.functions.BloomExpressions.bloomContains(lit(b), col("gid")))
+          .join(broadcast(bench), "gid")
+          .select("doc_id").distinct()
+      case None => corp.select("doc_id").limit(0)
+    }
+    documents(s, d).filter(col("doc_id") >= 50)
+      .select("doc_id", "source")
+      .join(broadcast(contaminated.withColumn("hit", lit(1))), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .withColumn("n_clean", col("n_corpus") - col("n_contaminated"))
+      .orderBy("source")
+  }
+
+  /** Char-trigram familiarity — the CCNet/KenLM perplexity-filter shape
+    * with an integer-exact model: the corpus itself is the language
+    * model (trigram → occurrence count), each document scores the mean
+    * model count of its trigrams, and the 25 LEAST familiar documents
+    * surface as the gibberish/mojibake review queue. Rare-trigram text
+    * (wrong charset, binary spill, keyboard mash) scores low even when
+    * t07's punctuation ratios look clean.
+    *
+    * Scale: the model is bounded by the charset cube (≤ ~50k rows for
+    * [a-z0-9 ]) regardless of corpus size — it always broadcasts; the
+    * per-occurrence gram stream is map-joined against it and partially
+    * aggregated per doc, so the only shuffles are the model build and
+    * the |docs|-row final agg. The bottom-25 plans as
+    * TakeOrderedAndProject (per-partition heaps), never a global sort.
+    * Score = one division of two exact BIGINTs, rounded once. */
+  def charTrigramFamiliarity(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 3)
+      .select(col("doc_id"), col("nrm"),
+        explode(expr("sequence(1, length(nrm) - 2)")).as("i"))
+      .select(col("doc_id"), expr("substring(nrm, i, 3)").as("g"))
+    val model = tri.groupBy("g").agg(count(lit(1)).as("c"))
+    tri.join(broadcast(model), "g")
+      .groupBy("doc_id")
+      .agg(sum("c").as("sum_c"), count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("sum_c").cast("double") / col("n_grams").cast("double"), 6)
+          .as("familiarity"))
+      .orderBy(col("familiarity").asc, col("doc_id").asc)
+      .limit(25)
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -1247,6 +1376,63 @@ object TextOps {
          |  CAST(LEN(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws,
          |  CAST(LEN(regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}')) AS DOUBLE)
          |    / LEN(string_split_regex(trim(text), '\\s+')) AS tokens_per_word
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
+         |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 2)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 3),
+         |g AS (SELECT DISTINCT doc_id,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+2], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+         |      FROM g0),
+         |b AS (SELECT gid FROM g GROUP BY gid HAVING COUNT(*) >= 5),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id),
+         |bd AS (SELECT doc_id, COUNT(*) AS n_boiler FROM g
+         |       WHERE gid IN (SELECT gid FROM b) GROUP BY doc_id)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(COALESCE(pd.n_grams, 0)) AS BIGINT) AS sum_grams,
+         |  CAST(SUM(COALESCE(bd.n_boiler, 0)) AS BIGINT) AS sum_boiler,
+         |  round(CAST(SUM(COALESCE(bd.n_boiler, 0)) AS DOUBLE)
+         |    / CAST(SUM(COALESCE(pd.n_grams, 0)) AS DOUBLE), 6) AS boiler_share
+         |FROM documents d
+         |LEFT JOIN pd ON pd.doc_id = d.doc_id
+         |LEFT JOIN bd ON bd.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin),
+
+    // the bloom sketch is a prefilter only — the exact confirmation join
+    // makes the result identical to plain exact decontamination, which is
+    // exactly what the oracle states (no bloom on the DuckDB side)
+    "t26_bloom_decontaminate" -> QueryDef(bloomDecontaminate _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
+         |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 8),
+         |g AS (SELECT DISTINCT doc_id,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+         |      FROM g0),
+         |bench AS (SELECT DISTINCT gid FROM g WHERE doc_id < 50),
+         |contam AS (SELECT DISTINCT doc_id FROM g
+         |           WHERE doc_id >= 50 AND gid IN (SELECT gid FROM bench))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |  CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  CAST(COUNT(*) - SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clean
+         |FROM documents WHERE doc_id >= 50
+         |GROUP BY source ORDER BY source""".stripMargin),
+
+    "t27_trigram_familiarity" -> QueryDef(charTrigramFamiliarity _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |t AS (SELECT doc_id,
+         |        substr(nrm, CAST(unnest(generate_series(1, length(nrm) - 2)) AS INT), 3) AS g
+         |      FROM nr WHERE length(nrm) >= 3),
+         |m AS (SELECT g, COUNT(*) AS c FROM t GROUP BY g),
+         |p AS (SELECT t.doc_id, CAST(SUM(m.c) AS BIGINT) AS sum_c,
+         |        CAST(COUNT(*) AS BIGINT) AS n_grams
+         |      FROM t JOIN m ON m.g = t.g GROUP BY t.doc_id)
+         |SELECT doc_id, n_grams,
+         |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS familiarity
+         |FROM p ORDER BY familiarity ASC, doc_id ASC LIMIT 25""".stripMargin)
   )
 }

@@ -296,6 +296,64 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  // --- PQ (product quantization) — the compressed-index scale path ------
+
+  /** PQ-ADC top-5: product-quantize the corpus (8 subspaces × 8 dims,
+    * 16 codewords each — vectors 0..15 play the trained codebook, the
+    * v08 convention) and answer queries by Asymmetric Distance
+    * Computation: the query precomputes a tiny per-subspace lookup
+    * table of distances to every codeword, and a corpus vector's
+    * approximate distance is the SUM of 8 table lookups — no float math
+    * ever touches the corpus at query time. This is the compressed-ANN
+    * shape at 100 TB: the index stores 8 4-bit codes (4 B) instead of
+    * 64 floats (256 B) per vector — 64× less scan bandwidth — the LUT
+    * (|queries|·8·16 rows) broadcasts, the ADC join is keyed on
+    * (subspace, code), and the per-(vector, query) sum partial-
+    * aggregates map-side. Composes with v08 (PQ inside probed cells)
+    * and v10 (exact re-rank of ADC survivors).
+    *
+    * Encoding minimizes L2² reconstruction error (the PQ training
+    * objective); scoring ranks by approximate INNER PRODUCT (v09's
+    * ranking convention, so the recall ladder v09 → v12 isolates the
+    * quantization loss). Portability: sub-vectors are SQ8-quantized
+    * (v09's fixed grid), so every L2² (computed |a|²+|b|²−2a·b through
+    * the codegen'd dot_d) and every LUT inner product is an exact
+    * integer — bit-identical rankings in both engines with zero float
+    * discipline. */
+  def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = embeddings(s, d).withColumn("qv",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    // (vector, subspace) → 8-dim quantized sub-vector
+    val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+    // exact integer L2² (encode objective) + inner product (ADC score)
+    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
+    val cand = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"),
+        dot("sv", "cv").cast("long").as("ip"))
+    // encode: nearest codeword per (vector, subspace); min(struct) is a
+    // partial (map-side) aggregation — no window over the corpus
+    val enc = cand
+      .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("code"))
+    // query LUTs: |queries| × 8 subspaces × 16 codeword inner products
+    val lut = cand.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m"), col("j"), col("ip").as("qip"))
+    enc.join(broadcast(lut), Seq("m"))
+      .filter(col("code") === col("j"))
+      .groupBy("q_id", "vec_id").agg(sum(col("qip")).as("ascore"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("ascore").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("ascore"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -402,6 +460,36 @@ object VectorOps {
         |  CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS centroid,
         |  COUNT(*) AS n_members
         |FROM x GROUP BY cell, pos ORDER BY cell, pos""".stripMargin),
+
+    // every distance is an exact small integer (SQ8 grid, 8-dim
+    // subspaces), so encode argmins, LUT entries, and ADC sums agree
+    // bit-for-bit across engines with zero float discipline
+    "v12_pq_adc_topk" -> QueryDef(pqAdcTopK _,
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 200.0)) AS qv
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
+        |    (qv[ms.m * 8 + 1 : ms.m * 8 + 8])::DOUBLE[] AS sv
+        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+        |cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+        |cand AS (SELECT s.vec_id, s.m, c.j,
+        |    CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+        |       - 2 * list_dot_product(s.sv, c.cv) AS BIGINT) AS d2,
+        |    CAST(list_dot_product(s.sv, c.cv) AS BIGINT) AS ip
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        |    FROM cand) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
+        |adc AS (SELECT l.q_id, e.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
+        |  FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+        |  GROUP BY l.q_id, e.vec_id),
+        |top AS (SELECT q_id, vec_id, ascore,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS rk
+        |  FROM adc WHERE vec_id <> q_id)
+        |SELECT q_id, rk, vec_id AS hit_id, ascore
+        |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
     // quantized values are small integers (|q| ≤ 127, d = 64), so the
     // double dot product is exact — CAST to BIGINT is lossless and both

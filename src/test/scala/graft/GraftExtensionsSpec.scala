@@ -30,4 +30,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     } finally spark.stop() // later suites getOrCreate a fresh default session
   }
+
+  test("bloom_agg/bloom_contains are injected and round-trip from SQL") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // the sketch argument must be foldable or a scalar subquery — the
+      // same contract Spark's own runtime-filter rewrite satisfies
+      val rows = spark.sql(
+        """SELECT
+          |  bloom_contains((SELECT bloom_agg(CAST(x AS LONG), 10L, 1024L)
+          |                  FROM VALUES (1), (2), (3) AS t(x)), 2L) AS hit,
+          |  bloom_contains((SELECT bloom_agg(CAST(x AS LONG), 10L, 1024L)
+          |                  FROM VALUES (1), (2), (3) AS t(x)), 99999L) AS miss""".stripMargin)
+        .collect().head
+      assert(rows.getBoolean(0), "inserted key must probe true")
+      assert(!rows.getBoolean(1), "distant key must probe false at this sizing")
+    } finally spark.stop()
+  }
 }

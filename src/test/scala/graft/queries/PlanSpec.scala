@@ -179,6 +179,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "never a shuffled cartesian")
   }
 
+  test("t25: boilerplate survivor set broadcasts back — the gram stream never shuffles twice") {
+    val p = plan("t25_boilerplate_share")
+    assert(p.contains("BroadcastHashJoin"), "≥5-doc survivor set must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "gram→doc counts must partial-agg map-side")
+  }
+
+  test("t26: bloom probe filters the corpus gram stream BELOW every join") {
+    val df = graft.SparkEntry.all("t26_bloom_decontaminate").fn(spark, d)
+    val p = plan("t26_bloom_decontaminate")
+    assert(p.contains("might_contain"), s"the codegen'd bloom probe must be in the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "exact confirm join must broadcast the benchmark")
+    assert(!p.contains("CartesianProduct"))
+    // the probe's subtree must be join-free: it prunes the gram stream
+    // map-side on the scan side, not after the shuffle/join
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val probes = df.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.toString.contains("might_contain") => f
+    }
+    assert(probes.nonEmpty, "probe filter must survive optimization")
+    probes.foreach(f => assert(!f.child.exists(_.isInstanceOf[Join]),
+      s"bloom probe must run below every join:\n$f"))
+  }
+
+  test("t27: bottom-25 is TakeOrderedAndProject; the trigram model broadcasts") {
+    val p = plan("t27_trigram_familiarity")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k must plan as per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "charset³-bounded model must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
