@@ -211,6 +211,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("v12: PQ encode is partial min(struct), codebook + LUT broadcast, ADC sum partial-aggs") {
+    val p = plan("v12_pq_adc_topk")
+    assert(p.contains("partial_min"),
+      s"codeword assignment must be a map-side min(struct) agg, not a window:\n$p")
+    assert(p.contains("partial_sum"), "ADC sums must partial-agg map-side")
+    assert(p.split("BroadcastHashJoin").length >= 3, "codebook and LUT must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("dot_d"), "all distances go through the codegen expression")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")

@@ -33,12 +33,18 @@ class VectorRecallSpec extends AnyFunSuite {
     val rIvf = recall(hits("v08_ivf_topk"))
     val rLsh = recall(hits("v06_ann_lsh_topk"))
     val rSq8 = recall(hits("v09_sq8_topk"))
-    info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f, SQ8=$rSq8%.2f")
+    val rPq = recall(hits("v12_pq_adc_topk"))
+    info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f, " +
+      f"SQ8=$rSq8%.2f, PQ-ADC(8×16)=$rPq%.2f")
     assert(rIvf >= 0.3, s"IVF recall degenerate: $rIvf")
     assert(rLsh >= 0.3, s"LSH recall degenerate: $rLsh")
     // SQ8 scans everything (no pruning) — quantization noise only, so
     // recall should be near-exact, far above the pruned paths
     assert(rSq8 >= 0.8, s"SQ8 recall degenerate: $rSq8")
+    // PQ compresses 256 B → 4 B (64×): real reconstruction loss with a
+    // 16-seed codebook is expected, but the ranking must stay far from
+    // random (random recall@5 over 500 candidates ≈ 0.01)
+    assert(rPq >= 0.2, s"PQ-ADC recall degenerate: $rPq")
     assert(exact.nonEmpty)
   }
 }
