@@ -69,6 +69,26 @@ object StreamOps {
     })
   }
 
+  /** A 4-file snapshot of the DOCUMENTS table for the streaming
+    * near-dup index (s08): with maxFilesPerTrigger=1 it replays as 4
+    * real micro-batches of arriving documents. Any split works — the
+    * emitted pair set is order-independent by construction. */
+  private val docSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def docStreamSource(s: SparkSession, d: String): String = {
+    evictDead(docSourceCache)
+    docSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      try {
+        Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(4)
+          .write.mode("overwrite").parquet(dir.toString)
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      dir.toString
+    })
+  }
+
   /** A deliberately at-least-once copy of the fixture: every event
     * delivered twice (two identical parquet files) — the input shape a
     * replayed/retried ingest produces, which s03's dedup must collapse. */
@@ -100,12 +120,14 @@ object StreamOps {
   }
 
   def clearCaches(): Unit = {
-    (sourceCache.values ++ dupSourceCache.values ++ multiFileSourceCache.values)
+    (sourceCache.values ++ dupSourceCache.values ++ multiFileSourceCache.values
+      ++ docSourceCache.values)
       .foreach(dir =>
         try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
     sourceCache.clear()
     dupSourceCache.clear()
     multiFileSourceCache.clear()
+    docSourceCache.clear()
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
   }
@@ -183,6 +205,27 @@ object StreamOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
       .orderBy("user_id")
+
+  /** Streaming near-duplicate detection (graft.streaming.DocStream):
+    * documents arrive as 4 micro-batches, each is SimHash-fingerprinted
+    * in-stream (stateless map) and compared only against the band
+    * buckets accumulated in state — the incremental dedup index a
+    * continuously-ingesting corpus runs, where each day's crawl dedups
+    * against everything already ingested WITHOUT rescanning it. The
+    * emitted pair set is order-independent (whichever doc arrives
+    * second finds the first in their shared band), so the drained
+    * result hash-matches batch t13's all-pairs oracle exactly. Cross-
+    * band duplicate emissions are deduped post-drain, like t13's
+    * candidate union. */
+  def streamNearDup(s: SparkSession, d: String): DataFrame = {
+    val (pairs, nBatches) = graft.streaming.DocStream.runNearDupOnce(
+      s, docStreamSource(s, d), "graft_stream_neardup")
+    // the incremental claim is asserted, not assumed: a single-batch
+    // drain would never exercise the state-vs-arrivals comparison path
+    require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+    pairs.select("a_id", "b_id", "hamming").distinct()
+      .orderBy("a_id", "b_id")
+  }
 
   /** Streaming ETL into a LIVE relational database — the reference's
     * flagship sink (JDBC bulk append) fed by a stream: each micro-batch
@@ -322,6 +365,17 @@ object StreamOps {
         |  AND c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.ts >= c.ts AND epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin),
+
+    // the streaming band index must reproduce the BATCH near-dup pair
+    // set (t13's oracle) from incremental micro-batch arrivals — the
+    // oracle is the same all-pairs hamming≤2 statement
+    "s08_stream_near_dup" -> QueryDef(streamNearDup _,
+      s"""${TextOps.SimhashCtesDuck}
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+         |ORDER BY a_id, b_id""".stripMargin),
 
     // the audit reads the DATABASE back, so matching the fixture's
     // per-type stats proves every micro-batch landed exactly once

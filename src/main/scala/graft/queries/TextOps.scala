@@ -106,7 +106,7 @@ object TextOps {
 
   /** The t04 oracle's CTE chain ending in `sh(doc_id, simhash16)` —
     * shared by t04 (projection) and t13 (self-join on hamming). */
-  private lazy val SimhashCtesDuck: String =
+  private[queries] lazy val SimhashCtesDuck: String =
     s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
        |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
        |        FROM n WHERE length(nrm) >= 1),

@@ -97,7 +97,7 @@ object EventStream {
     * deliberate, per-deployment setting, never the batch default. */
   val StatePartitions = 8
 
-  private def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+  private[streaming] def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     spark.conf.set(key, StatePartitions.toString)

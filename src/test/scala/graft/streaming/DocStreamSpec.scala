@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.tables.Tables
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The property s08's oracle check rests on: the streaming band index
+  * emits the SAME pair set under any micro-batch split of the corpus —
+  * arrival order moves WHEN a pair emits, never WHETHER. */
+class DocStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false").getOrCreate()
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  private def snapshot(nFiles: Int): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"docstream$nFiles").toString
+    Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private def pairSet(dir: String, name: String): (Set[(Long, Long, Int)], Long) = {
+    val (df, n) = DocStream.runNearDupOnce(spark, dir, name)
+    (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet, n)
+  }
+
+  test("pair set is identical under 1-batch and 4-batch arrival splits") {
+    val (single, n1) = pairSet(snapshot(1), "docstream_single")
+    val (multi, nN) = pairSet(snapshot(4), "docstream_multi")
+    assert(n1 == 1L, s"1-file snapshot must drain in one micro-batch, got $n1")
+    assert(nN >= 2L, s"4-file snapshot must drain in ≥2 micro-batches, got $nN")
+    assert(single.nonEmpty, "fixture must produce near-dup pairs")
+    assert(multi == single,
+      s"split changed the pair set: only-in-single=${(single -- multi).take(3)}, " +
+        s"only-in-multi=${(multi -- single).take(3)}")
+    // pairs are well-formed: a < b, hamming within the band guarantee
+    single.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 2) }
+  }
+}
