@@ -241,9 +241,40 @@ object Relational2 {
       .orderBy("o_orderkey")
   }
 
+  /** Wide→long unpivot (melt): the per-flag aggregate metrics rotated
+    * into (flag, metric, value) rows — the reshape every metrics store
+    * and feature table performs. Spark's native `unpivot` plans as an
+    * Expand (each input row fans out to |metrics| rows map-side, no
+    * join, no shuffle); at 100 TB the rotation runs over the
+    * |groups|-row aggregate, never the fact table. Metric values are
+    * exact-decimal sums cast once to double, so the long format is
+    * bit-identical to the wide one. */
+  def unpivotMetrics(s: SparkSession, d: String): DataFrame = {
+    val agg = lineitem(s, d).groupBy("l_returnflag")
+      .agg(asDbl(sum(dec("l_quantity"))).as("sum_qty"),
+        asDbl(sum(dec("l_extendedprice"))).as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    agg.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("sum_price"), col("n_items")),
+      "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    "q39_unpivot_metrics" -> QueryDef(unpivotMetrics _,
+      s"""WITH a AS (SELECT l_returnflag,
+         |    CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,
+         |    CAST(SUM(CAST(l_extendedprice AS $D)) AS DOUBLE) AS sum_price,
+         |    CAST(COUNT(*) AS DOUBLE) AS n_items
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag, metric, value FROM (
+         |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         |  UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+         |  UNION ALL SELECT l_returnflag, 'n_items', n_items FROM a) u
+         |ORDER BY l_returnflag, metric""".stripMargin),
     "q32_union_all" -> QueryDef(unionAllNations _,
       """SELECT nationkey, COUNT(*) AS n FROM (
         |  SELECT c_nationkey AS nationkey FROM customer

@@ -1028,6 +1028,41 @@ object TextOps {
       .limit(25)
   }
 
+  /** Gopher-style filter census: each document is judged against three
+    * repetition/shape rules and each source reports how many docs each
+    * rule rejects — the observability table a curation pipeline reads
+    * before committing a filter config (which rule bites, where, how
+    * hard), distinct from t14 which APPLIES a filter set. Rules (Gopher
+    * §A1.1 shapes, thresholds adapted to the fixture):
+    *   len:  30 ≤ word count ≤ 100 000
+    *   mwl:  mean word length in [3, 10]
+    *   dup:  duplicate-token fraction < 0.6
+    * Every threshold compares via integer cross-multiplication (e.g.
+    * 3·n_tok ≤ n_alpha ≤ 10·n_tok), so there is NO float anywhere — the
+    * census is bit-identical in any engine and under any partitioning.
+    * Scale: one scan, per-row maps, one |sources|-row partial agg. */
+  def filterCensus(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("source"), norm(col("text")).as("nrm"))
+      .withColumn("ts", split(col("nrm"), " "))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("ts"))).cast("long"))
+      // chars inside words = normalized length minus the separator spaces
+      .withColumn("n_alpha", (length(col("nrm")) - (col("n_tok") - 1)).cast("long"))
+      .withColumn("f_len", col("n_tok") < 30 || col("n_tok") > 100000L)
+      .withColumn("f_mwl",
+        col("n_alpha") < col("n_tok") * 3 || col("n_alpha") > col("n_tok") * 10)
+      .withColumn("f_dup", (col("n_tok") - col("n_distinct")) * 10 >= col("n_tok") * 6)
+    base.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("f_len"), 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(col("f_mwl"), 1L).otherwise(0L)).as("n_fail_mwl"),
+        sum(when(col("f_dup"), 1L).otherwise(0L)).as("n_fail_dup"),
+        sum(when(!col("f_len") && !col("f_mwl") && !col("f_dup"), 1L)
+          .otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -1377,6 +1412,27 @@ object TextOps {
          |  CAST(LEN(regexp_extract_all(lower(text), '${BpePattern.replace("'", "''")}')) AS DOUBLE)
          |    / LEN(string_split_regex(trim(text), '\\s+')) AS tokens_per_word
          |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // all three rules compare via integer cross-multiplication — no
+    // float ever enters the census, so the counts cannot drift
+    "t28_filter_census" -> QueryDef(filterCensus _,
+      s"""WITH b AS (SELECT source, $NormSqlDuck AS nrm FROM documents),
+         |m AS (SELECT source,
+         |    CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(string_split(nrm, ' '))) AS BIGINT) AS n_distinct,
+         |    CAST(length(nrm) - (len(string_split(nrm, ' ')) - 1) AS BIGINT) AS n_alpha
+         |  FROM b),
+         |f AS (SELECT source,
+         |    (n_tok < 30 OR n_tok > 100000) AS f_len,
+         |    (n_alpha < n_tok * 3 OR n_alpha > n_tok * 10) AS f_mwl,
+         |    ((n_tok - n_distinct) * 10 >= n_tok * 6) AS f_dup
+         |  FROM m)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+         |  CAST(SUM(CASE WHEN f_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_mwl,
+         |  CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup,
+         |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_mwl AND NOT f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |FROM f GROUP BY source ORDER BY source""".stripMargin),
 
     "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),

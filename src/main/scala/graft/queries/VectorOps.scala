@@ -296,6 +296,38 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Truncated-dimension (Matryoshka-style) two-stage retrieval: the
+    * coarse stage scores candidates on only the FIRST 16 of 64
+    * dimensions, SQ8-quantized — a 16× cheaper scan than full-precision
+    * (4× fewer dims × 4× smaller values) — keeps the top 50 per query,
+    * and the exact cosine re-ranks those 50. Dimension truncation is
+    * the third independent bandwidth lever next to v09's value
+    * quantization and v12's codebook compression: with
+    * prefix-informative embeddings the coarse index stores just the
+    * leading sub-vector. The candidate cut is integer-exact (quantized
+    * dot of the prefix), so the stage boundary is deterministic in
+    * every engine. */
+  def truncatedRerankTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val base = vecs(s, d).withColumn("tq",
+      expr("transform(slice(embedding, 1, 16), x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val q = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("tq").as("qt"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    base.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("score", dot("qt", "tq").cast("long"))
+      .withColumn("crk", row_number().over(
+        byQ.orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("crk") <= 50)
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   // --- PQ (product quantization) — the compressed-index scale path ------
 
   /** PQ-ADC top-5: product-quantize the corpus (8 subspaces × 8 dims,
@@ -460,6 +492,23 @@ object VectorOps {
         |  CAST(SUM(CAST(FLOOR(x * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS centroid,
         |  COUNT(*) AS n_members
         |FROM x GROUP BY cell, pos ORDER BY cell, pos""".stripMargin),
+
+    "v13_truncated_rerank" -> QueryDef(truncatedRerankTopK _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    list_transform(embedding[1:16], x -> CAST(FLOOR(CAST(x AS DOUBLE) * 200.0) AS DOUBLE)) AS tq
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+        |    CAST(list_dot_product(q.tq, b.tq) AS BIGINT) AS score,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+        |c AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, hit_id ASC) AS crk
+        |  FROM p),
+        |r AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk
+        |  FROM c WHERE crk <= 50)
+        |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 
     // every distance is an exact small integer (SQ8 grid, 8-dim
     // subspaces), so encode argmins, LUT entries, and ADC sums agree

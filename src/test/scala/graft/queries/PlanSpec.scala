@@ -221,6 +221,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_d"), "all distances go through the codegen expression")
   }
 
+  test("q39: unpivot plans as a map-side Expand over the aggregate — no join, no extra shuffle") {
+    val p = plan("q39_unpivot_metrics")
+    assert(p.contains("Expand"), s"native unpivot must plan as Expand:\n$p")
+    assert(!p.contains("Join"), "melt must not join")
+    assert(p.contains("partial_sum"), "the metric aggregate stays map-side partial")
+  }
+
+  test("t28: filter census is one scan, map-only rules, one partial agg") {
+    val p = plan("t28_filter_census")
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected a single documents scan, got $scans")
+    assert(!p.contains("Join"), "rule evaluation must not join")
+    assert(p.contains("partial_sum"), "per-rule counts must partial-agg map-side")
+  }
+
+  test("v13: truncated-dim coarse stage broadcasts queries and both stages use dot_d") {
+    val p = plan("v13_truncated_rerank")
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    assert(p.split("dot_d").length >= 3, "coarse prefix dot and exact rerank both codegen")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")

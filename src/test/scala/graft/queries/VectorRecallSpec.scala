@@ -34,8 +34,9 @@ class VectorRecallSpec extends AnyFunSuite {
     val rLsh = recall(hits("v06_ann_lsh_topk"))
     val rSq8 = recall(hits("v09_sq8_topk"))
     val rPq = recall(hits("v12_pq_adc_topk"))
+    val rTrunc = recall(hits("v13_truncated_rerank"))
     info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f, " +
-      f"SQ8=$rSq8%.2f, PQ-ADC(8×16)=$rPq%.2f")
+      f"SQ8=$rSq8%.2f, PQ-ADC(8×16)=$rPq%.2f, trunc16+rerank=$rTrunc%.2f")
     assert(rIvf >= 0.3, s"IVF recall degenerate: $rIvf")
     assert(rLsh >= 0.3, s"LSH recall degenerate: $rLsh")
     // SQ8 scans everything (no pruning) — quantization noise only, so
@@ -45,6 +46,9 @@ class VectorRecallSpec extends AnyFunSuite {
     // 16-seed codebook is expected, but the ranking must stay far from
     // random (random recall@5 over 500 candidates ≈ 0.01)
     assert(rPq >= 0.2, s"PQ-ADC recall degenerate: $rPq")
+    // the 16-dim prefix keeps 50 candidates before the exact rerank, so
+    // it should land near SQ8 despite scanning a quarter of each vector
+    assert(rTrunc >= 0.5, s"truncated-rerank recall degenerate: $rTrunc")
     assert(exact.nonEmpty)
   }
 }
