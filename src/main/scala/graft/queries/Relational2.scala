@@ -261,9 +261,37 @@ object Relational2 {
       .orderBy("l_returnflag", "metric")
   }
 
+  /** Correlated LATERAL subquery through the SQL surface: each nation
+    * pairs with its own top-2 customers by balance — the per-group
+    * top-n stated as a dependent join rather than a window. Catalyst's
+    * DecorrelateInnerQuery + RewriteLateralSubquery turn it into a
+    * ranked join, so the nested re-execution the syntax implies never
+    * happens — at 100 TB the plan is one customer shuffle + window,
+    * same cost class as q09's explicit window, which is exactly why
+    * exposing the LATERAL syntax is free. */
+  def lateralTopCustomers(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("nation_v")
+    customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_v n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer_v c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    "q40_lateral_topn" -> QueryDef(lateralTopCustomers _,
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin),
+
     "q39_unpivot_metrics" -> QueryDef(unpivotMetrics _,
       s"""WITH a AS (SELECT l_returnflag,
          |    CAST(SUM(CAST(l_quantity AS $D)) AS DOUBLE) AS sum_qty,

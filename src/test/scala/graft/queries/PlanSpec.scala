@@ -243,6 +243,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q40: LATERAL decorrelates to a ranked join — no nested re-execution, no cartesian") {
+    val p = plan("q40_lateral_topn")
+    assert(p.contains("Window"), s"per-nation top-2 must become a window, not a loop:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      "the dependent join must plan as a real join strategy")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
