@@ -184,7 +184,61 @@ object EventOps {
 
   private val D = "DECIMAL(18,2)"
 
+  /** Integer-exact spike detection over the densified hourly series —
+    * the monitoring pass a pipeline runs on its own telemetry, and the
+    * reason e08 densifies at all (rolling statistics silently skew when
+    * empty buckets vanish). Per event type, each bucket is tested
+    * against its trailing 24-hour window:
+    *   flag ⇔ (W·x − S)² > 9·(W·SS − S²)      [⇔ (x−μ)² > 9σ², ×W²]
+    * with W = 24, S = Σn, SS = Σn² — ALL integer arithmetic, so the
+    * flag boundary is exact in every engine (a float z-score would
+    * hash-drift exactly at the σ≈0 edge this test exists for). Only
+    * full windows test; two-sided (a zero-traffic hour after steady
+    * traffic is as much an incident as a surge). BIGINT headroom:
+    * (W·x)² caps at ~6·10⁸ events/bucket/type — hourly per-type counts
+    * far beyond any single telemetry shard; shard the stream (t21)
+    * before that, not the arithmetic.
+    * Scale: runs on e08's |buckets|×|types| frame (the fact table was
+    * already reduced), one window partitioned by event_type. */
+  def spikeDetection(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hr_bucket")
+      .rowsBetween(-23, 0)
+    gapFilledSeries(s, d)
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("win_sum", sum(col("n")).over(w))
+      .withColumn("ss", sum(col("n") * col("n")).over(w))
+      .filter(col("wn") === 24)
+      .withColumn("dev", lit(24L) * col("n") - col("win_sum"))
+      .filter(col("dev") * col("dev") >
+        lit(9L) * (lit(24L) * col("ss") - col("win_sum") * col("win_sum")))
+      .select(col("hr_bucket"), col("event_type"), col("n"), col("win_sum"),
+        when(col("dev") > 0, lit(1)).otherwise(lit(-1)).as("direction"))
+      .orderBy("hr_bucket", "event_type")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "e10_spike_detection" -> QueryDef(spikeDetection _,
+      """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
+        |    event_type FROM events),
+        |b AS (SELECT unnest(generate_series(MIN(hr_bucket), MAX(hr_bucket))) AS hr_bucket FROM ev),
+        |t AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT hr_bucket, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |dense AS (SELECT b.hr_bucket, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM b CROSS JOIN t
+        |  LEFT JOIN c ON c.hr_bucket = b.hr_bucket AND c.event_type = t.event_type),
+        |w AS (SELECT hr_bucket, event_type, n,
+        |    CAST(COUNT(*) OVER win AS BIGINT) AS wn,
+        |    CAST(SUM(n) OVER win AS BIGINT) AS win_sum,
+        |    CAST(SUM(n * n) OVER win AS BIGINT) AS ss
+        |  FROM dense
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY hr_bucket
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT hr_bucket, event_type, n, win_sum,
+        |  CASE WHEN 24 * n - win_sum > 0 THEN 1 ELSE -1 END AS direction
+        |FROM w
+        |WHERE wn = 24
+        |  AND (24 * n - win_sum) * (24 * n - win_sum) > 9 * (24 * ss - win_sum * win_sum)
+        |ORDER BY hr_bucket, event_type""".stripMargin),
     "e01_sessionize" -> QueryDef(sessionize _,
       s"""WITH x AS (SELECT user_id, event_id, ts, value,
          |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us

@@ -243,6 +243,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("e10: spike test rides the densified aggregate — events scanned once, window per type") {
+    val p = plan("e10_spike_detection")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected at most one events scan (counts are memoized/aggregated), got $scans")
+    assert(p.contains("Window"), "rolling stats must be a window, not a self-join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q40: LATERAL decorrelates to a ranked join — no nested re-execution, no cartesian") {
     val p = plan("q40_lateral_topn")
     assert(p.contains("Window"), s"per-nation top-2 must become a window, not a loop:\n$p")
