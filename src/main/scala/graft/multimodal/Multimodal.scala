@@ -179,4 +179,68 @@ object Multimodal {
         round(element_at(col("features"), 8), 6).as("f_mid"))
       .orderBy("media_id")
   }
+
+  final case class Chunk(media_id: Long, kind: String, chunk_len: Long,
+      chunk_md5: String)
+
+  /** Content-defined chunking: a byte whose value ≡ 0 (mod 16) ENDS a
+    * chunk (it stays in the chunk it terminates). This is the
+    * degenerate-gear analogue of Rabin/FastCDC cut-points — boundaries
+    * depend on CONTENT, not offsets, so an insertion re-chunks only its
+    * local neighborhood and every other chunk digest survives — which
+    * is what makes chunk-level dedup effective on shifted payloads.
+    * The 4-bit mask is sized to the fixture's text-byte payloads
+    * (word-scale chunks); a production lake widens the mask to target
+    * KB–MB expected chunk sizes — one constant, same plan.
+    * Typed per-row pass: the payload never leaves its partition; only
+    * 16-byte digests + lengths flow out. Chunk identity is
+    * md5(uppercase-hex of the chunk bytes) so the DuckDB oracle can
+    * state the identical key via to_hex + string_agg. */
+  def chunkMedia(media: Dataset[MediaRow]): Dataset[Chunk] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val c = m.content
+      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      var start = 0
+      def close(endExcl: Int): Unit = if (endExcl > start) {
+        val hex = new StringBuilder((endExcl - start) * 2)
+        var j = start
+        while (j < endExcl) { hex.append(f"${c(j) & 0xff}%02X"); j += 1 }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val dig = md.digest(hex.toString.getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        out += Chunk(m.media_id, m.kind, (endExcl - start).toLong, dig)
+        start = endExcl
+      }
+      var i = 0
+      while (i < c.length) {
+        if ((c(i) & 0xff) % 16 == 0) close(i + 1)
+        i += 1
+      }
+      close(c.length)
+      out
+    }
+  }
+
+  /** CDC dedup census — the storage-level dedup a multimodal lake runs
+    * before anything decodes: per kind, raw chunk bytes vs bytes after
+    * chunk-level dedup. The only shuffles are digest-keyed aggregates
+    * (the distinct and the census); payload bytes never move. */
+  def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ch = chunkMedia(syntheticMedia(spark, dir).as[MediaRow]).toDF()
+    val tot = ch.groupBy("kind")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("chunk_len")).as("sum_bytes"))
+    val uq = ch.select("kind", "chunk_md5", "chunk_len").distinct()
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("chunk_len")).as("unique_bytes"))
+    tot.join(uq, "kind")
+      .select(col("kind"), col("n_chunks"), col("n_unique"),
+        col("sum_bytes"), col("unique_bytes"),
+        round(col("unique_bytes").cast("double") / col("sum_bytes").cast("double"), 6)
+          .as("dedup_ratio"))
+      .orderBy("kind")
+  }
 }

@@ -84,6 +84,41 @@ object MediaOps {
         |  CAST((n_frames - 1) * 4 AS INT) AS max_idx
         |FROM f ORDER BY media_id""".stripMargin),
 
+    // the oracle rebuilds the identical chunking declaratively: per-byte
+    // hex explode (m04's bv idiom), boundary = byte ≡ 0 mod 16, chunk_no
+    // = prefix count of boundaries BEFORE the byte (so a boundary byte
+    // stays in the chunk it terminates), chunk key = md5 of the ordered
+    // uppercase-hex concatenation — byte-for-byte the engine's key
+    "m06_cdc_dedup" -> QueryDef(Multimodal.cdcDedup _,
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |b AS (SELECT doc_id, kind, n,
+        |    CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos FROM m),
+        |v AS (SELECT b.doc_id, b.kind, b.pos,
+        |    substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2) AS hp,
+        |    ('0x' || substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2))::BIGINT AS bv
+        |  FROM b JOIN m ON m.doc_id = b.doc_id),
+        |c AS (SELECT doc_id, kind, pos, hp,
+        |    COALESCE(CAST(SUM(CASE WHEN bv % 16 = 0 THEN 1 ELSE 0 END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_no
+        |  FROM v),
+        |ch AS (SELECT doc_id, kind, chunk_no,
+        |    CAST(COUNT(*) AS BIGINT) AS chunk_len,
+        |    md5(string_agg(hp, '' ORDER BY pos)) AS chunk_md5
+        |  FROM c GROUP BY doc_id, kind, chunk_no),
+        |tot AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(chunk_len) AS BIGINT) AS sum_bytes FROM ch GROUP BY kind),
+        |uq AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_unique,
+        |    CAST(SUM(chunk_len) AS BIGINT) AS unique_bytes
+        |  FROM (SELECT DISTINCT kind, chunk_md5, chunk_len FROM ch) d GROUP BY kind)
+        |SELECT t.kind, t.n_chunks, u.n_unique, t.sum_bytes, u.unique_bytes,
+        |  round(CAST(u.unique_bytes AS DOUBLE) / CAST(t.sum_bytes AS DOUBLE), 6) AS dedup_ratio
+        |FROM tot t JOIN uq u ON u.kind = t.kind ORDER BY t.kind""".stripMargin),
+
     // the 31-bit dHash is integer math over a byte histogram the oracle
     // restates per-byte via the hex dump (m04's bv idiom), so even the
     // typed-Dataset hashing path is hash-verified in closed form

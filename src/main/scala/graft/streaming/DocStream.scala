@@ -30,22 +30,40 @@ object DocStream {
   val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
 
-  /** t04's 16-bit SimHash as ONE stateless scalar expression (no
-    * aggregation, so it runs in a streaming select): per bit, the
-    * majority vote over all tokens' md5-derived ids — bit-identical to
-    * the batch operator and the DuckDB oracle (same tid, same
-    * duplicate-token weighting, same v > 0 threshold). */
-  private[streaming] val Simhash16Sql: String =
-    """aggregate(
-      |  transform(sequence(0, 15), b ->
-      |    IF(aggregate(
-      |         split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '),
-      |         0L,
-      |         (acc, t) -> acc + IF(CAST(FLOOR(CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)
-      |                                        / POW(2.0D, b)) AS BIGINT) % 2 = 1, 1L, -1L)
-      |       ) > 0,
-      |       CAST(POW(2.0D, b) AS BIGINT), 0L)),
-      |  0L, (s, x) -> s + x)""".stripMargin
+  /** t04's 16-bit SimHash computed in a typed per-row map — one md5
+    * per token and an int[16] of bit votes (the first cut, a nested
+    * higher-order-function Column, interpreted one md5 per token PER
+    * BIT — 16× the hashing — and cost 17 s at sf0.1). Semantics are
+    * bit-identical to the batch operator and the DuckDB oracle: same
+    * normalization (Spark's `lower` lowercases non-ASCII via Java
+    * toLowerCase, mirrored here), same md5-prefix token ids, same
+    * duplicate-token weighting, same v > 0 threshold — and the oracle
+    * hash check is what PINS that equivalence. */
+  private[streaming] def simhash16(text: String): Option[Long] = {
+    val nrm = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+      .replaceAll(" +", " ").trim
+    if (nrm.isEmpty) None
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](16)
+      nrm.split(" ").foreach { tok =>
+        md.reset()
+        val dig = md.digest(tok.getBytes("UTF-8"))
+        // first 8 hex chars = the top 4 digest bytes, unsigned
+        val tid = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        var b = 0
+        while (b < 16) {
+          if (((tid >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var h = 0L
+      var b = 0
+      while (b < 16) { if (votes(b) > 0) h |= 1L << b; b += 1 }
+      Some(h)
+    }
+  }
 
   /** One (document, sub-band) routing row. */
   final case class BandDoc(band: Int, bval: Long, doc_id: Long, h: Long)
@@ -56,11 +74,25 @@ object DocStream {
 
   final case class NearDup(a_id: Long, b_id: Long, hamming: Int)
 
+  /** A matching pair's LOWEST shared band — both hashes are in hand at
+    * comparison time, so the emitter can claim each pair for exactly
+    * one band instead of emitting once per shared band (up to 3×) and
+    * paying a global distinct over the pair set afterwards. Hamming ≤ 2
+    * over 3 sub-bands guarantees at least one shared band (pigeonhole),
+    * so the minimum is always defined. */
+  private def minSharedBand(a: Long, b: Long): Int =
+    if (a % 32 == b % 32) 0
+    else if ((a / 32) % 32 == (b / 32) % 32) 1
+    else 2
+
   /** Compare the batch's arrivals against the bucket index (and each
     * other, in doc_id order — so an intra-batch pair emits exactly once
-    * per band), then append them to the index. */
+    * per band), then append them to the index. Each pair emits only
+    * from its lowest shared band → the drained table IS the pair set,
+    * no cross-band dedup pass needed. */
   def nearDupFn(key: (Int, Long), rows: Iterator[BandDoc],
       state: GroupState[BandIndex]): Iterator[NearDup] = {
+    val band = key._1
     val st = state.getOption.getOrElse(BandIndex(Vector.empty, Vector.empty))
     var ids = st.ids.toVector
     var hs = st.hs.toVector
@@ -70,7 +102,7 @@ object DocStream {
       while (i < ids.length) {
         if (ids(i) != d.doc_id) {
           val ham = java.lang.Long.bitCount(hs(i) ^ d.h)
-          if (ham <= 2) {
+          if (ham <= 2 && minSharedBand(hs(i), d.h) == band) {
             val (a, b) = if (ids(i) < d.doc_id) (ids(i), d.doc_id)
                          else (d.doc_id, ids(i))
             out += NearDup(a, b, ham)
@@ -86,31 +118,38 @@ object DocStream {
   }
 
   /** Drain a multi-file document snapshot through the stateful band
-    * index (one micro-batch per file) and return (raw emitted pairs,
-    * micro-batch count). Pairs can duplicate across shared bands — the
-    * caller dedups, exactly like batch t13's candidate union. */
+    * index (one micro-batch per file) into an exactly-once parquet FILE
+    * sink (the pair set is ~2M rows at sf0.1 — a driver-side memory
+    * sink serializes that through one thread; the file sink writes it
+    * partition-parallel, and is also where a production index lands).
+    * Returns (pairs, micro-batch count, scratch root) — the CALLER owns
+    * the scratch dir and deletes it once the frame is materialized.
+    * Each pair arrives exactly once (lowest-shared-band claiming). */
   def runNearDupOnce(spark: SparkSession, sourceDir: String,
-      name: String): (DataFrame, Long) =
+      name: String): (DataFrame, Long, String) =
     EventStream.withStatePartitions(spark) {
       import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory(name).toString
       val src = spark.readStream.schema(docSchema).format("parquet")
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
-      val banded = src
-        .filter(length(trim(regexp_replace(regexp_replace(lower(col("text")),
-          "[^a-z0-9 ]", " "), " +", " "))) >= 1) // t04's domain
-        .select(col("doc_id"), expr(Simhash16Sql).as("h"))
-        .select(col("doc_id"), col("h"), explode(array(
-          struct(lit(0).as("band"), (col("h") % 32).as("bval")),
-          struct(lit(1).as("band"), (floor(col("h") / 32).cast("long") % 32).as("bval")),
-          struct(lit(2).as("band"), floor(col("h") / 1024).cast("long").as("bval"))))
-          .as("bk"))
-        .select(col("bk.band").as("band"), col("bk.bval").as("bval"),
-          col("doc_id"), col("h"))
-        .as[BandDoc]
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val banded = src.flatMap { case (docId, text) =>
+        simhash16(text) match { // empty-normalization docs: t04's domain
+          case None => Iterator.empty
+          case Some(h) => Iterator(
+            BandDoc(0, h % 32, docId, h),
+            BandDoc(1, (h / 32) % 32, docId, h),
+            BandDoc(2, h / 1024, docId, h))
+        }
+      }
       val q = banded.groupByKey(bd => (bd.band, bd.bval))
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(nearDupFn)
-        .writeStream.outputMode("append").format("memory").queryName(name).start()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/pairs")
+        .option("checkpointLocation", s"$root/cp")
+        .start()
       try q.processAllAvailable() finally q.stop()
-      (spark.table(name), q.recentProgress.map(_.batchId).distinct.length.toLong)
+      (spark.read.parquet(s"$root/pairs"),
+        q.recentProgress.map(_.batchId).distinct.length.toLong, root)
     }
 }

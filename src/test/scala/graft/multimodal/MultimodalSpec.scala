@@ -40,4 +40,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 4, 8))
     assert(frames.forall(_.frame.length == 64))
   }
+
+  test("CDC chunking: an insertion re-chunks only its local neighborhood") {
+    import spark.implicits._
+    def digests(payload: Array[Byte]): Seq[String] = {
+      val ds = Seq(MediaRow(1L, "image", "x", payload)).toDS()
+      chunkMedia(ds).collect().map(_.chunk_md5).toSeq
+    }
+    // deterministic non-periodic payload (Knuth multiplicative hash of
+    // the index) so chunk digests are distinct and set-comparable
+    val base = Array.tabulate[Byte](600)(i =>
+      (((i * 2654435761L + 12345L) >>> 13) & 0xffL).toByte)
+    val orig = digests(base).toSet
+    assert(orig.size > 3, s"payload must chunk (got ${orig.size} chunks)")
+    // insert one byte near the front — a FIXED-size chunker would shift
+    // every later chunk; content-defined boundaries keep the tail stable
+    val mutated = (base.take(10) :+ 0x55.toByte) ++ base.drop(10)
+    val mut = digests(mutated).toSet
+    val survived = orig.intersect(mut).size
+    assert(survived >= orig.size - 2,
+      s"insertion must only re-chunk locally: ${orig.size} before, $survived survived")
+    // and the chunking is a partition of the payload
+    val ds2 = Seq(MediaRow(2L, "audio", "x", base)).toDS()
+    assert(chunkMedia(ds2).collect().map(_.chunk_len).sum == 600L)
+  }
 }

@@ -26,8 +26,15 @@ class DocStreamSpec extends AnyFunSuite {
   }
 
   private def pairSet(dir: String, name: String): (Set[(Long, Long, Int)], Long) = {
-    val (df, n) = DocStream.runNearDupOnce(spark, dir, name)
-    (df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet, n)
+    val (df, n, scratch) = DocStream.runNearDupOnce(spark, dir, name)
+    val rows =
+      try df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    val set = rows.toSet
+    // lowest-shared-band claiming: every pair must arrive EXACTLY once
+    assert(rows.length == set.size,
+      s"duplicate emissions: ${rows.length} rows, ${set.size} distinct")
+    (set, n)
   }
 
   test("pair set is identical under 1-batch and 4-batch arrival splits") {
