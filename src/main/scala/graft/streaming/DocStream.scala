@@ -40,7 +40,12 @@ object DocStream {
     * duplicate-token weighting, same v > 0 threshold — and the oracle
     * hash check is what PINS that equivalence. */
   private[streaming] def simhash16(text: String): Option[Long] = {
-    val nrm = text.toLowerCase.replaceAll("[^a-z0-9 ]", " ")
+    // Locale.ROOT: Spark's `lower` maps ASCII locale-independently; a
+    // Turkish default locale would send 'I' → 'ı' here and silently
+    // fork the fingerprint from the batch operator (the DdlParser
+    // lesson, same bug class)
+    val nrm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9 ]", " ")
       .replaceAll(" +", " ").trim
     if (nrm.isEmpty) None
     else {
