@@ -169,6 +169,34 @@ object EventOps {
       .orderBy("stage")
   }
 
+  /** Cumulative distinct-user reach per event type by day. Spark has no
+    * COUNT(DISTINCT) OVER — and the naive frame is a scale trap anyway
+    * (it re-deduplicates the entire history for every output row).
+    * Restated as first-touch attribution: each (event_type, user)
+    * contributes exactly once, on its first day, and the running sum of
+    * first-touches IS the running distinct count. Shuffles are keyed on
+    * (event_type, user_id) then (event_type, day); the cumulative window
+    * runs over the |types|×|days| daily frame — metadata scale. The
+    * left join can never drop a first-touch day: a user's first event IS
+    * an event that day, so the daily frame always has the matching row. */
+  def cumulativeReach(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("day", floor(unix_micros(col("ts")) / lit(86400000000L)))
+    val firstTouch = ev
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_new"))
+    val daily = ev.groupBy("event_type", "day").agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(firstTouch, Seq("event_type", "day"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new")).over(w))
+      .select("event_type", "day", "n_events", "n_new", "cum_users")
+      .orderBy("event_type", "day")
+  }
+
   private val countsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
@@ -217,6 +245,18 @@ object EventOps {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "e11_cumulative_reach" -> QueryDef(cumulativeReach _,
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+        |fu AS (SELECT event_type, user_id, MIN(day) AS day FROM ev GROUP BY 1, 2),
+        |nn AS (SELECT event_type, day, COUNT(*) AS n_new FROM fu GROUP BY 1, 2),
+        |dly AS (SELECT event_type, day, COUNT(*) AS n_events FROM ev GROUP BY 1, 2)
+        |SELECT dly.event_type, dly.day, dly.n_events,
+        |  CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(COALESCE(nn.n_new, 0)) OVER (PARTITION BY dly.event_type ORDER BY dly.day
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM dly LEFT JOIN nn ON nn.event_type = dly.event_type AND nn.day = dly.day
+        |ORDER BY 1, 2""".stripMargin),
     "e10_spike_detection" -> QueryDef(spikeDetection _,
       """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
         |    event_type FROM events),

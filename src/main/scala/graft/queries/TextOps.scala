@@ -1063,6 +1063,38 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Per-language length-band quality gate: keep documents whose n_chars
+    * falls inside the language's [P10, P90] rank band — the robust
+    * "drop the truncation stubs and the concatenation monsters" filter
+    * every curation pipeline applies per language (length distributions
+    * differ wildly across languages, so one global band over-prunes).
+    * The thresholds come from a cumulated HISTOGRAM — groupBy(lang,
+    * n_chars) is bounded by the length domain, and the cumulative window
+    * runs over that small frame, never a per-document global sort (the
+    * t18 anti-pattern). Rank semantics are integer-exact: P10 = smallest
+    * length with cum·10 ≥ n_total, P90 = smallest with cum·10 ≥ 9·n_total.
+    * Thresholds broadcast back onto a second corpus scan; at 100 TB this
+    * is two scans, zero wide sorts, and the band join is |langs| rows. */
+  def lengthBandFilter(s: SparkSession, d: String): DataFrame = {
+    val hist = documents(s, d)
+      .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("lang").agg(sum("c").as("n_total"))
+    val w = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "lang")
+    val lo = cum.filter(col("cum") * 10 >= col("n_total"))
+      .groupBy("lang").agg(min("n_chars").as("lo"))
+    val hi = cum.filter(col("cum") * 10 >= col("n_total") * 9)
+      .groupBy("lang").agg(min("n_chars").as("hi"))
+    val thr = lo.join(hi, "lang").join(tot, "lang")
+    documents(s, d).join(broadcast(thr), "lang")
+      .filter(col("n_chars").between(col("lo"), col("hi")))
+      .groupBy(col("lang"), col("lo"), col("hi"), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("kept_chars"))
+      .orderBy("lang")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -1433,6 +1465,22 @@ object TextOps {
          |  CAST(SUM(CASE WHEN f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup,
          |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_mwl AND NOT f_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
          |FROM f GROUP BY source ORDER BY source""".stripMargin),
+
+    "t29_length_band_filter" -> QueryDef(lengthBandFilter _,
+      """WITH h AS (SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_total FROM h GROUP BY 1),
+        |cum AS (SELECT h.lang, h.n_chars, t.n_total,
+        |    CAST(SUM(c) OVER (PARTITION BY h.lang ORDER BY h.n_chars
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM h JOIN t ON t.lang = h.lang),
+        |lo AS (SELECT lang, MIN(n_chars) AS lo FROM cum WHERE cum * 10 >= n_total GROUP BY lang),
+        |hi AS (SELECT lang, MIN(n_chars) AS hi FROM cum WHERE cum * 10 >= 9 * n_total GROUP BY lang)
+        |SELECT d.lang, lo.lo, hi.hi, t.n_total, COUNT(*) AS n_kept,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d
+        |JOIN lo ON lo.lang = d.lang JOIN hi ON hi.lang = d.lang JOIN t ON t.lang = d.lang
+        |WHERE d.n_chars BETWEEN lo.lo AND hi.hi
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
 
     "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),

@@ -93,6 +93,33 @@ object VectorOps {
         (col("sq").cast("double") / col("n") / 1e6).as("centroid"))
       .orderBy("label", "pos")
 
+  /** Pairwise inter-centroid squared distances — the cluster-geometry
+    * diagnostic read before trusting labels as strata (two labels whose
+    * centroids nearly coincide are not separable classes) and the seed
+    * quality check for IVF codebooks (v08/v11). Exact cross-engine math:
+    * each per-(label,pos) mean is floored onto the 1e-6 grid
+    * (qm = ⌊sum·1e6 / n⌋, one double division both engines compute
+    * identically), the squared-difference sum then aggregates in BIGINT
+    * — |qm| ≤ ~2e6, so a 64-dim term sum caps at ~2.6e14, far inside
+    * both BIGINT and the 2⁵³ double-exact range for the final /1e12.
+    * Scale: the means frame is |labels|×dim rows, so the pos-keyed
+    * self-join is metadata-scale regardless of corpus size. */
+  def centroidDistances(s: SparkSession, d: String): DataFrame = {
+    val m = embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("qx", floor(col("x").cast("double") * 1e6).cast("long"))
+      .groupBy("label", "pos")
+      .agg(floor(sum(col("qx")).cast("double") / count(lit(1))).cast("long").as("qm"))
+    val a = m.select(col("label").as("la"), col("pos"), col("qm").as("qa"))
+    val b = m.select(col("label").as("lb"), col("pos"), col("qm").as("qb"))
+    a.join(b, "pos").filter(col("la") < col("lb"))
+      .withColumn("t", col("qa") - col("qb"))
+      .groupBy("la", "lb")
+      .agg(sum(col("t") * col("t")).as("num"))
+      .select(col("la"), col("lb"), (col("num").cast("double") / 1e12).as("dist2"))
+      .orderBy("la", "lb")
+  }
+
   /** Per-vector L2 norm (sequential fold), rounded. */
   def vectorNorms(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
@@ -429,6 +456,20 @@ object VectorOps {
         |SELECT label, pos,
         |  CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1e6 AS centroid
         |FROM x GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+
+    "v14_centroid_distances" -> QueryDef(centroidDistances _,
+      """WITH x AS (SELECT label,
+        |    CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS pos,
+        |    embedding[CAST(unnest(generate_series(1, len(embedding))) AS INT)] AS x
+        |  FROM embeddings),
+        |m AS (SELECT label, pos,
+        |    CAST(FLOOR(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+        |         / COUNT(*)) AS BIGINT) AS qm
+        |  FROM x GROUP BY label, pos)
+        |SELECT a.label AS la, b.label AS lb,
+        |  CAST(CAST(SUM((a.qm - b.qm) * (a.qm - b.qm)) AS BIGINT) AS DOUBLE) / 1e12 AS dist2
+        |FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+        |GROUP BY 1, 2 ORDER BY la, lb""".stripMargin),
 
     "v04_vector_norms" -> QueryDef(vectorNorms _,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)

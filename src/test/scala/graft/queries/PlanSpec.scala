@@ -259,6 +259,32 @@ class PlanSpec extends AnyFunSuite {
       "the dependent join must plan as a real join strategy")
   }
 
+  test("e11: cumulative reach windows over the daily frame — no distinct-over-history, no cartesian") {
+    val p = plan("e11_cumulative_reach")
+    assert(p.contains("Window"), "running reach must be a cumulative window")
+    assert(!p.contains("CartesianProduct"))
+    // first-touch restatement: distinct users come from an aggregation,
+    // never a COUNT(DISTINCT)-style expand over the window frame
+    assert(!p.contains("Expand"), "no distinct-expand in the windowed stage")
+  }
+
+  test("t29: band thresholds broadcast back — the corpus never shuffle-joins itself") {
+    val p = plan("t29_length_band_filter")
+    assert(p.contains("BroadcastHashJoin"), "the |langs|-row threshold frame must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the ranking window cumulates the (lang, n_chars) histogram, which
+    // sits above a partial aggregate — never a per-document global sort
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "histogram must aggregate map-side before the cumulative window")
+  }
+
+  test("v14: centroid matrix joins the metadata-scale means frame on pos — no cartesian") {
+    val p = plan("v14_centroid_distances")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-(label,pos) means must aggregate map-side")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
