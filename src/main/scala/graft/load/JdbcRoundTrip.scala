@@ -16,6 +16,16 @@ final case class ArmedLoadReport(table_name: String, wave: Int,
     n_generated: Long, n_loaded: Long, n_fk_bad: Long,
     pk_armed: Boolean, n_fks_armed: Int)
 
+/** One deferred FK edge after the post-load linking pass (g10's schema):
+  * self-FKs and same-wave cycle-fallback edges load as NULL (no parent
+  * sample exists when the child generates), then a second UPDATE pass
+  * links them to a real parent key and — where the parent's PK backs the
+  * edge — arms the constraint late, letting the DATABASE validate the
+  * linked values. */
+final case class DeferredLinkReport(table_name: String, fk_column: String,
+    ref_table: String, n_linked: Long, n_null_after: Long,
+    fk_armed_late: Boolean)
+
 /** The reference's flagship behavior — bulk-append into a LIVE relational
   * database with constraints out of the way (run_engine.py:227-260) —
   * run for real against embedded Derby:
@@ -51,7 +61,14 @@ object JdbcRoundTrip {
     * the same `dropDuplicates` shuffle any constrained bulk load needs —
     * you dedup in Spark, not by bouncing rows off the database). */
   def runArmed(spark: SparkSession, catalog: Catalog, rowCount: Long = 15,
-      seed: Long = 42): Seq[ArmedLoadReport] = {
+      seed: Long = 42): Seq[ArmedLoadReport] =
+    runArmedLinked(spark, catalog, rowCount, seed)._1
+
+  /** Armed wave load + the deferred-FK linking epilogue (g10): both run
+    * against ONE Derby lifetime, so the (expensive) load is paid once. */
+  def runArmedLinked(spark: SparkSession, catalog: Catalog,
+      rowCount: Long = 15, seed: Long = 42)
+      : (Seq[ArmedLoadReport], Seq[DeferredLinkReport]) = {
     val db = s"graft_awl_${dbCounter.incrementAndGet()}_${System.nanoTime()}"
     val url = s"jdbc:derby:memory:$db"
     try runArmedOn(spark, catalog, url, rowCount, seed)
@@ -155,7 +172,8 @@ object JdbcRoundTrip {
   }
 
   private def runArmedOn(spark: SparkSession, catalog: Catalog, url: String,
-      rowCount: Long, seed: Long): Seq[ArmedLoadReport] = {
+      rowCount: Long, seed: Long)
+      : (Seq[ArmedLoadReport], Seq[DeferredLinkReport]) = {
     val target = JdbcSink.Target(url, "", "")
     ensureDatabase(url)
     val targets = catalog.order.filterNot(GeneratePipeline.skipTable)
@@ -214,13 +232,14 @@ object JdbcRoundTrip {
     // binds a NULL StringType as CLOB, which Derby rejects on a VARCHAR
     // column (ERROR 22005). Non-nullable columns are left untouched (they
     // would fail the insert) and surface in the audit instead.
-    val deferredCols: Map[String, Set[String]] = targets.map { t =>
+    val deferredFks: Map[String, Seq[graft.ddl.Fk]] = targets.map { t =>
       val armed = armable(t).toSet
       t -> catalog(t).fks
         .filter(f => targetSet.contains(f.refTable) && !armed.contains(f) &&
           catalog(t).schema(f.column).nullable)
-        .map(_.column).toSet
     }.toMap
+    val deferredCols: Map[String, Set[String]] =
+      deferredFks.map { case (t, fks) => t -> fks.map(_.column).toSet }
 
     // Wave-ordered load: GeneratePipeline already iterates Deps.waves
     // (parents before children), which is exactly the order an armed-FK
@@ -248,9 +267,49 @@ object JdbcRoundTrip {
 
     // Independent Spark-side audit on top of the DB's own enforcement.
     val (nReadback, fkBad) = auditReadback(spark, url, target, catalog, targets)
-    targets.sorted.map { t =>
+    val loadReports = targets.sorted.map { t =>
       ArmedLoadReport(t, waveOf(t), rowCount, nReadback(t),
         fkBad.getOrElse(t, 0L), pkArmed(t), fkArmed(t))
     }
+
+    // Deferred-FK linking epilogue (the "second UPDATE pass" the dropped
+    // columns were waiting for): every deferred edge is linked to the
+    // parent's MIN key — deterministic, and trivially valid — then the
+    // edges the parent's armed PK can back are constrained LATE, so the
+    // DATABASE itself revalidates the linked values (Derby, unlike
+    // MSSQL's WITH NOCHECK, scans existing rows on ADD CONSTRAINT).
+    // Edges onto non-PK parent columns stay unarmed (no unique backing)
+    // but still link and audit to zero NULLs.
+    val linkReports = targets.sorted.flatMap { t =>
+      deferredFks(t).sortBy(_.column).map { fk =>
+        val (tq, cq) = (DerbyDdl.q(t), DerbyDdl.q(fk.column))
+        val (rq, rcq) = (DerbyDdl.q(fk.refTable), DerbyDdl.q(fk.refColumn))
+        val nLinked = updateCount(url,
+          s"UPDATE $tq SET $cq = (SELECT MIN($rcq) FROM $rq) WHERE $cq IS NULL")
+        val canArm = pkArmed.getOrElse(fk.refTable, false) &&
+          catalog(fk.refTable).pk == Seq(fk.refColumn)
+        if (canArm)
+          JdbcSink.execute(target, Seq(DerbyDdl.addFkSql(fk))).head
+            .foreach(e => sys.error(s"late-arm FK $t->${fk.refTable} failed: $e"))
+        val nNull = scalarLong(url, s"SELECT COUNT(*) FROM $tq WHERE $cq IS NULL")
+        DeferredLinkReport(t, fk.column, fk.refTable, nLinked, nNull, canArm)
+      }
+    }
+    (loadReports, linkReports)
+  }
+
+  private def updateCount(url: String, sql: String): Long = {
+    val c = DriverManager.getConnection(url)
+    try { val st = c.createStatement(); try st.executeUpdate(sql).toLong finally st.close() }
+    finally c.close()
+  }
+
+  private def scalarLong(url: String, sql: String): Long = {
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try { val rs = st.executeQuery(sql); rs.next(); rs.getLong(1) }
+      finally st.close()
+    } finally c.close()
   }
 }

@@ -140,20 +140,32 @@ object Generated {
   // session so Verify/Bench pay the load once; Bench's cold/warm split
   // keeps the real cost visible (the t16/s06 bench-honesty convention).
   private val armedFullCache =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, DataFrame)]
 
-  def armedFullLoad(s: SparkSession, d: String): DataFrame = {
+  private def armedFull(s: SparkSession): (DataFrame, DataFrame) = {
     armedFullCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
     armedFullCache.getOrElseUpdate(s, armedFullLoadUncached(s))
   }
 
+  def armedFullLoad(s: SparkSession, d: String): DataFrame = armedFull(s)._1
+
+  /** Deferred-FK linking epilogue over the SAME full-catalog armed load
+    * (one Derby lifetime, memoized with g09): the self-FK / same-wave
+    * cycle-fallback columns that loaded as NULL are linked to the
+    * parent's MIN key by a second UPDATE pass, then each edge the
+    * parent's armed PK can back is constrained LATE — Derby revalidates
+    * the linked values on ADD CONSTRAINT (unlike MSSQL's WITH NOCHECK),
+    * so fk_armed_late=true rows carry a database-checked guarantee. */
+  def deferredFkLink(s: SparkSession, d: String): DataFrame = armedFull(s)._2
+
   /** Teardown hook (Harness) — drop memoized audits with the session. */
   def clearCaches(): Unit = armedFullCache.clear()
 
-  private def armedFullLoadUncached(s: SparkSession): DataFrame = {
+  private def armedFullLoadUncached(s: SparkSession): (DataFrame, DataFrame) = {
     import s.implicits._
-    val reports = graft.load.JdbcRoundTrip.runArmed(s, catalog, rowCount = 15, seed = 42)
-    Seq((
+    val (reports, links) =
+      graft.load.JdbcRoundTrip.runArmedLinked(s, catalog, rowCount = 15, seed = 42)
+    val audit = Seq((
       reports.size.toLong,
       (reports.map(_.wave).max + 1).toLong,
       reports.map(_.n_generated).sum,
@@ -163,6 +175,8 @@ object Generated {
       reports.map(_.n_fks_armed.toLong).sum
     )).toDF("n_tables", "n_waves", "n_generated", "n_loaded",
       "n_fk_bad", "n_pk_armed", "n_fks_armed")
+    val linkDf = links.toDF().orderBy("table_name", "fk_column")
+    (audit, linkDf)
   }
 
   /** S6/A1-equivalent FK-catalog aggregation: inbound-FK fan-in per
@@ -230,8 +244,25 @@ object Generated {
 
     "g08_armed_wave_load" -> QueryDef(armedWaveLoad _, G08Oracle),
 
-    "g09_armed_full_catalog" -> QueryDef(armedFullLoad _, G09Oracle)
+    "g09_armed_full_catalog" -> QueryDef(armedFullLoad _, G09Oracle),
+
+    "g10_deferred_fk_link" -> QueryDef(deferredFkLink _, G10Oracle)
   )
+
+  /** Frozen deferred-FK linking audit (deterministic: seed 42 full-catalog
+    * armed load; re-freeze via `runMain graft.Dump g10_deferred_fk_link`
+    * if generation/load logic changes). The catalog's only deferred edges
+    * are CariHesap's two self-FKs (FaturaHesapId, MusterekHesapId →
+    * CariHesap.Id): all 15 surviving rows link, zero NULLs remain, and
+    * both constraints arm late with Derby revalidating every row. */
+  private lazy val G10Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES
+      |  ('CariHesap', 'FaturaHesapId', 'CariHesap',
+      |   CAST(15 AS BIGINT), CAST(0 AS BIGINT), TRUE),
+      |  ('CariHesap', 'MusterekHesapId', 'CariHesap',
+      |   CAST(15 AS BIGINT), CAST(0 AS BIGINT), TRUE))
+      |t(table_name, fk_column, ref_table, n_linked, n_null_after, fk_armed_late)
+      |ORDER BY table_name, fk_column""".stripMargin)
 
   /** Frozen catalog-wide armed-load audit (deterministic: seed 42, 15
     * generated rows per table, PK-deduplicated before insert). 77 tables
