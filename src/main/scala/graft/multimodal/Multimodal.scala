@@ -196,20 +196,28 @@ object Multimodal {
     * 16-byte digests + lengths flow out. Chunk identity is
     * md5(uppercase-hex of the chunk bytes) so the DuckDB oracle can
     * state the identical key via to_hex + string_agg. */
+  // Hex tables: a format call per BYTE dominated the chunker's profile;
+  // a 256-entry table lookup is the classic fix.
+  private val HexUpper = Array.tabulate(256)(i => f"$i%02X")
+  private val HexLower = Array.tabulate(256)(i => f"$i%02x")
+
   def chunkMedia(media: Dataset[MediaRow]): Dataset[Chunk] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val c = m.content
       val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+      val md = java.security.MessageDigest.getInstance("MD5")
       var start = 0
       def close(endExcl: Int): Unit = if (endExcl > start) {
-        val hex = new StringBuilder((endExcl - start) * 2)
+        val hex = new java.lang.StringBuilder((endExcl - start) * 2)
         var j = start
-        while (j < endExcl) { hex.append(f"${c(j) & 0xff}%02X"); j += 1 }
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val dig = md.digest(hex.toString.getBytes("UTF-8"))
-          .map(b => f"${b & 0xff}%02x").mkString
-        out += Chunk(m.media_id, m.kind, (endExcl - start).toLong, dig)
+        while (j < endExcl) { hex.append(HexUpper(c(j) & 0xff)); j += 1 }
+        md.reset()
+        val dig = md.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val sb = new java.lang.StringBuilder(32)
+        var k = 0
+        while (k < dig.length) { sb.append(HexLower(dig(k) & 0xff)); k += 1 }
+        out += Chunk(m.media_id, m.kind, (endExcl - start).toLong, sb.toString)
         start = endExcl
       }
       var i = 0
@@ -224,19 +232,21 @@ object Multimodal {
 
   /** CDC dedup census — the storage-level dedup a multimodal lake runs
     * before anything decodes: per kind, raw chunk bytes vs bytes after
-    * chunk-level dedup. The only shuffles are digest-keyed aggregates
-    * (the distinct and the census); payload bytes never move. */
+    * chunk-level dedup. ONE pass: the chunker's output partial-aggregates
+    * straight to per-distinct-chunk multiplicities (a raw-total + a
+    * separate distinct would re-run the per-byte chunker twice and
+    * shuffle twice), then a tiny per-kind rollup derives both the raw and
+    * the deduped totals. Payload bytes never move — only digests do. */
   def cdcDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ch = chunkMedia(syntheticMedia(spark, dir).as[MediaRow]).toDF()
-    val tot = ch.groupBy("kind")
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(col("chunk_len")).as("sum_bytes"))
-    val uq = ch.select("kind", "chunk_md5", "chunk_len").distinct()
+    ch.groupBy("kind", "chunk_md5", "chunk_len")
+      .agg(count(lit(1)).as("n_copies"))
       .groupBy("kind")
-      .agg(count(lit(1)).as("n_unique"),
+      .agg(sum(col("n_copies")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies") * col("chunk_len")).as("sum_bytes"),
         sum(col("chunk_len")).as("unique_bytes"))
-    tot.join(uq, "kind")
       .select(col("kind"), col("n_chunks"), col("n_unique"),
         col("sum_bytes"), col("unique_bytes"),
         round(col("unique_bytes").cast("double") / col("sum_bytes").cast("double"), 6)
