@@ -1095,6 +1095,50 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Duplicate-passage extents — the exact-substring dedup diagnostic
+    * (the "dedup at passage granularity, not document granularity" shape
+    * from the training-data dedup literature), re-expressed relationally:
+    * an 8-token gram shared by ≥2 documents marks a duplicated position;
+    * overlapping or adjacent duplicated positions (gap ≤ 8 = coverage
+    * touches) merge into maximal extents via gaps-and-islands, and each
+    * document reports its duplicated-token mass. Unlike t19/t26
+    * (presence flags) this keeps POSITIONS — the output says which spans
+    * to cut, not just which docs are dirty.
+    * Scale: positioned grams shuffle once on gid for the ≥2-doc count
+    * (map-side partial over per-doc-distinct pairs); the survivor join
+    * stays KEYED — no broadcast assumption, because at 100 TB the
+    * duplicated-gram set is itself huge; the islands window partitions
+    * per doc_id over duplicated positions only (bounded by doc length). */
+  def dupPassageExtents(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val pos = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= n)
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"), col("ts"),
+        explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
+      .select(col("doc_id"), col("n_tok"), col("i"),
+        sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
+    val shared = pos.select("gid", "doc_id").distinct()
+      .groupBy("gid").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("gid")
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    pos.join(shared, "gid")
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("ext",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("n_tok"), col("ext"))
+      .agg((max(col("i")) - min(col("i")) + n).as("ext_len"))
+      .groupBy("doc_id", "n_tok")
+      .agg(count(lit(1)).as("n_extents"), sum("ext_len").as("dup_tokens"))
+      .select(col("doc_id"), col("n_tok"), col("n_extents"), col("dup_tokens"),
+        round(col("dup_tokens").cast("double") / col("n_tok").cast("double"), 6)
+          .as("dup_share"))
+      .orderBy("doc_id")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -1481,6 +1525,31 @@ object TextOps {
         |JOIN lo ON lo.lang = d.lang JOIN hi ON hi.lang = d.lang JOIN t ON t.lang = d.lang
         |WHERE d.n_chars BETWEEN lo.lo AND hi.hi
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin),
+
+    "t30_dup_passage_extents" -> QueryDef(dupPassageExtents _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr),
+         |p0 AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok, ts,
+         |        CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 8),
+         |p AS (SELECT doc_id, n_tok, i,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+         |      FROM p0),
+         |sh AS (SELECT gid FROM (SELECT gid, doc_id FROM p GROUP BY 1, 2)
+         |       GROUP BY gid HAVING COUNT(*) >= 2),
+         |dd AS (SELECT p.doc_id, p.n_tok, p.i FROM p JOIN sh ON sh.gid = p.gid),
+         |l AS (SELECT doc_id, n_tok, i,
+         |        LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM dd),
+         |b AS (SELECT doc_id, n_tok, i,
+         |        CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END AS brk FROM l),
+         |e AS (SELECT doc_id, n_tok, i,
+         |        CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ext FROM b),
+         |x AS (SELECT doc_id, n_tok, ext, MAX(i) - MIN(i) + 8 AS ext_len FROM e GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tok, CAST(COUNT(*) AS BIGINT) AS n_extents,
+         |  CAST(SUM(ext_len) AS BIGINT) AS dup_tokens,
+         |  round(CAST(SUM(ext_len) AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS dup_share
+         |FROM x GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
 
     "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),

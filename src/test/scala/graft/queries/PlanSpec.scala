@@ -285,6 +285,13 @@ class PlanSpec extends AnyFunSuite {
       "per-(label,pos) means must aggregate map-side")
   }
 
+  test("t30: passage extents — gram count partial-aggs, islands window per doc, no cartesian") {
+    val p = plan("t30_dup_passage_extents")
+    assert(p.contains("Window"), "extent merging must be a per-doc window, not a self-join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("partial_count"), "≥2-doc gram count must aggregate map-side")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
