@@ -108,11 +108,12 @@ object Generated {
     * faithful reference quirk (degenerate truncated PKs collide;
     * run_engine.py:73,252-253 — Derby, unlike MSSQL's no-revalidate
     * CHECK CONSTRAINT all, refuses to arm a violated constraint). */
-  def jdbcRoundTrip(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.load.JdbcRoundTrip.run(s, sliceCatalog, rowCount = 15, seed = 42)
-      .toDF().orderBy("table_name")
-  }
+  def jdbcRoundTrip(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g07") {
+      import s.implicits._
+      graft.load.JdbcRoundTrip.run(s, sliceCatalog, rowCount = 15, seed = 42)
+        .toDF().orderBy("table_name")
+    }
 
   /** Armed-constraint wave load (the reference's v1 posture,
     * fill_db.py:137-139, and the §7.4 fallback for targets that refuse
@@ -121,11 +122,12 @@ object Generated {
     * per INSERT, then audit independently. Frames are deduplicated on
     * their PK before the append — the posture's precondition (the
     * reference's degenerate truncated PKs collide; see g02/g07 notes). */
-  def armedWaveLoad(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    graft.load.JdbcRoundTrip.runArmed(s, sliceCatalog, rowCount = 15, seed = 42)
-      .toDF().orderBy("table_name")
-  }
+  def armedWaveLoad(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g08") {
+      import s.implicits._
+      graft.load.JdbcRoundTrip.runArmed(s, sliceCatalog, rowCount = 15, seed = 42)
+        .toDF().orderBy("table_name")
+    }
 
   /** Armed wave load at the reference's ACTUAL scope (fill_db.py:137-139
     * iterates every table of the live DB): the FULL 85-table catalog (77
@@ -139,6 +141,19 @@ object Generated {
   // given (catalog, rowCount, seed) — memoize the 1-row audit per
   // session so Verify/Bench pay the load once; Bench's cold/warm split
   // keeps the real cost visible (the t16/s06 bench-honesty convention).
+  // Live-Derby runs (g07/g08/g09+g10) are ~2–20 s of real database work
+  // each and fully deterministic given (catalog, rowCount, seed) —
+  // memoize per session so Verify/Bench pay each load once. Bench's
+  // cold/warm split keeps the true cost visible (the bench-honesty
+  // convention); Harness tears the memos down with the session.
+  private val liveCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def liveMemo(s: SparkSession, key: String)(body: => DataFrame): DataFrame = {
+    liveCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    liveCache.getOrElseUpdate((s, key), body)
+  }
+
   private val armedFullCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, DataFrame)]
 
@@ -159,7 +174,7 @@ object Generated {
   def deferredFkLink(s: SparkSession, d: String): DataFrame = armedFull(s)._2
 
   /** Teardown hook (Harness) — drop memoized audits with the session. */
-  def clearCaches(): Unit = armedFullCache.clear()
+  def clearCaches(): Unit = { armedFullCache.clear(); liveCache.clear() }
 
   private def armedFullLoadUncached(s: SparkSession): (DataFrame, DataFrame) = {
     import s.implicits._
