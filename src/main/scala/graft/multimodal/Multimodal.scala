@@ -230,6 +230,49 @@ object Multimodal {
     }
   }
 
+  /** Chunk-overlap near-duplicate pairs — the storage-level NEAR-dedup
+    * that m06's exact census cannot see: two payloads that share most of
+    * their content-defined chunks (one is a re-encode, crop, or append
+    * of the other) surface as a pair even though no full-file digest
+    * matches. t03's candidates-only discipline, keyed on chunk digests:
+    * candidate pairs come from RARE chunks only (digest in ≤ 10 media —
+    * ubiquitous chunks are the byte-level boilerplate analogue and would
+    * fan out quadratically; a pair sharing ONLY those is noise, not a
+    * near-dup), then exact chunk-set Jaccard over the FULL sets keeps
+    * pairs ≥ 0.5. Never all-pairs; payloads never shuffle — only
+    * digests. */
+  def chunkNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sets = chunkMedia(syntheticMedia(spark, dir).as[MediaRow]).toDF()
+      .select("media_id", "chunk_md5").distinct()
+    val rare = sets.groupBy("chunk_md5")
+      .agg(count(lit(1)).as("nm"))
+      .filter(col("nm") <= 10 && col("nm") >= 2)
+      .select("chunk_md5")
+    val keyed = sets.join(rare, "chunk_md5")
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.chunk_md5") === col("y.chunk_md5") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("a_id"), col("y.media_id").as("b_id"))
+      .distinct()
+    val sizes = sets.groupBy("media_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sets.select(col("media_id").as("a_id"), col("chunk_md5")), "a_id")
+      .join(sets.select(col("media_id").as("b_id"), col("chunk_md5")),
+        Seq("b_id", "chunk_md5"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("media_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sizes.select(col("media_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .withColumn("n_union", col("sza") + col("szb") - col("n_inter"))
+      // integer cross-multiplication: jaccard ≥ 0.5 without a float gate
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .select(col("a_id"), col("b_id"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** CDC dedup census — the storage-level dedup a multimodal lake runs
     * before anything decodes: per kind, raw chunk bytes vs bytes after
     * chunk-level dedup. ONE pass: the chunker's output partial-aggregates

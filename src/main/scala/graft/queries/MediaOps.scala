@@ -9,6 +9,31 @@ import graft.multimodal.Multimodal
   * in MultimodalSpec). */
 object MediaOps {
 
+  /** The CDC chunk restatement (boundaries + per-chunk md5 of the
+    * uppercase-hex bytes) shared by the m06 census and m07 near-dup
+    * oracles: ends in `ch(doc_id, kind, chunk_no, chunk_len, chunk_md5)`. */
+  private val CdcChunksCtesDuck: String =
+    """WITH m AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      |  FROM documents WHERE octet_length(encode(text)) > 0),
+      |b AS (SELECT doc_id, kind, n,
+      |    CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos FROM m),
+      |v AS (SELECT b.doc_id, b.kind, b.pos,
+      |    substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2) AS hp,
+      |    ('0x' || substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2))::BIGINT AS bv
+      |  FROM b JOIN m ON m.doc_id = b.doc_id),
+      |c AS (SELECT doc_id, kind, pos, hp,
+      |    COALESCE(CAST(SUM(CASE WHEN bv % 16 = 0 THEN 1 ELSE 0 END) OVER
+      |      (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_no
+      |  FROM v),
+      |ch AS (SELECT doc_id, kind, chunk_no,
+      |    CAST(COUNT(*) AS BIGINT) AS chunk_len,
+      |    md5(string_agg(hp, '' ORDER BY pos)) AS chunk_md5
+      |  FROM c GROUP BY doc_id, kind, chunk_no)""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "m01_media_stats" -> QueryDef(Multimodal.mediaStats _,
       """SELECT doc_id AS media_id,
@@ -90,34 +115,45 @@ object MediaOps {
     // stays in the chunk it terminates), chunk key = md5 of the ordered
     // uppercase-hex concatenation — byte-for-byte the engine's key
     "m06_cdc_dedup" -> QueryDef(Multimodal.cdcDedup _,
-      """WITH m AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
-        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    to_hex(encode(text)) AS hx, octet_length(encode(text)) AS n
-        |  FROM documents WHERE octet_length(encode(text)) > 0),
-        |b AS (SELECT doc_id, kind, n,
-        |    CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos FROM m),
-        |v AS (SELECT b.doc_id, b.kind, b.pos,
-        |    substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2) AS hp,
-        |    ('0x' || substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2))::BIGINT AS bv
-        |  FROM b JOIN m ON m.doc_id = b.doc_id),
-        |c AS (SELECT doc_id, kind, pos, hp,
-        |    COALESCE(CAST(SUM(CASE WHEN bv % 16 = 0 THEN 1 ELSE 0 END) OVER
-        |      (PARTITION BY doc_id ORDER BY pos
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_no
-        |  FROM v),
-        |ch AS (SELECT doc_id, kind, chunk_no,
-        |    CAST(COUNT(*) AS BIGINT) AS chunk_len,
-        |    md5(string_agg(hp, '' ORDER BY pos)) AS chunk_md5
-        |  FROM c GROUP BY doc_id, kind, chunk_no),
-        |tot AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |    CAST(SUM(chunk_len) AS BIGINT) AS sum_bytes FROM ch GROUP BY kind),
-        |uq AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_unique,
-        |    CAST(SUM(chunk_len) AS BIGINT) AS unique_bytes
-        |  FROM (SELECT DISTINCT kind, chunk_md5, chunk_len FROM ch) d GROUP BY kind)
-        |SELECT t.kind, t.n_chunks, u.n_unique, t.sum_bytes, u.unique_bytes,
-        |  round(CAST(u.unique_bytes AS DOUBLE) / CAST(t.sum_bytes AS DOUBLE), 6) AS dedup_ratio
-        |FROM tot t JOIN uq u ON u.kind = t.kind ORDER BY t.kind""".stripMargin),
+      s"""$CdcChunksCtesDuck,
+         |tot AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(chunk_len) AS BIGINT) AS sum_bytes FROM ch GROUP BY kind),
+         |uq AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_unique,
+         |    CAST(SUM(chunk_len) AS BIGINT) AS unique_bytes
+         |  FROM (SELECT DISTINCT kind, chunk_md5, chunk_len FROM ch) d GROUP BY kind)
+         |SELECT t.kind, t.n_chunks, u.n_unique, t.sum_bytes, u.unique_bytes,
+         |  round(CAST(u.unique_bytes AS DOUBLE) / CAST(t.sum_bytes AS DOUBLE), 6) AS dedup_ratio
+         |FROM tot t JOIN uq u ON u.kind = t.kind ORDER BY t.kind""".stripMargin),
+
+    // same chunk CTE chain; candidates from rare shared chunks, exact
+    // chunk-set Jaccard ≥ 0.5 via integer cross-multiplication
+    "m07_chunk_near_dup" -> QueryDef(Multimodal.chunkNearDup _,
+      s"""$CdcChunksCtesDuck,
+         |sets AS (SELECT DISTINCT doc_id AS media_id, chunk_md5 FROM ch),
+         |rare AS (SELECT chunk_md5 FROM sets GROUP BY chunk_md5
+         |         HAVING COUNT(*) BETWEEN 2 AND 10),
+         |cand AS (SELECT DISTINCT x.media_id AS a_id, y.media_id AS b_id
+         |         FROM sets x
+         |         JOIN rare r ON r.chunk_md5 = x.chunk_md5
+         |         JOIN sets y ON y.chunk_md5 = x.chunk_md5
+         |                    AND x.media_id < y.media_id),
+         |sz AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS sz
+         |       FROM sets GROUP BY media_id),
+         |it AS (SELECT c.a_id, c.b_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+         |       FROM cand c
+         |       JOIN sets sa ON sa.media_id = c.a_id
+         |       JOIN sets sb ON sb.media_id = c.b_id
+         |                   AND sb.chunk_md5 = sa.chunk_md5
+         |       GROUP BY c.a_id, c.b_id)
+         |SELECT it.a_id, it.b_id, it.n_inter,
+         |  CAST(za.sz + zb.sz - it.n_inter AS BIGINT) AS n_union,
+         |  round(CAST(it.n_inter AS DOUBLE)
+         |    / CAST(za.sz + zb.sz - it.n_inter AS DOUBLE), 6) AS jaccard
+         |FROM it
+         |JOIN sz za ON za.media_id = it.a_id
+         |JOIN sz zb ON zb.media_id = it.b_id
+         |WHERE it.n_inter * 2 >= za.sz + zb.sz - it.n_inter
+         |ORDER BY 1, 2""".stripMargin),
 
     // the 31-bit dHash is integer math over a byte histogram the oracle
     // restates per-byte via the hex dump (m04's bv idiom), so even the

@@ -292,6 +292,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "≥2-doc gram count must aggregate map-side")
   }
 
+  test("m07: chunk near-dup joins on digests only — candidates from rare chunks, no cartesian") {
+    val p = plan("m07_chunk_near_dup")
+    assert(!p.contains("CartesianProduct"), "candidate generation must be digest-keyed")
+    assert(p.contains("partial_count"), "chunk-frequency and intersection counts must partial-agg")
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
