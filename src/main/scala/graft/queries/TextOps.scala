@@ -1111,6 +1111,10 @@ object TextOps {
     * per doc_id over duplicated positions only (bounded by doc length). */
   def dupPassageExtents(s: SparkSession, d: String): DataFrame = {
     val n = 8
+    // consumed twice (the ≥2-doc count and the survivor join) —
+    // localCheckpoint materializes the positioned grams once and lets
+    // the ContextCleaner reclaim the blocks; at real scale this is the
+    // materialized gram table the comment at t19 already calls for
     val pos = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
@@ -1119,6 +1123,7 @@ object TextOps {
         explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
       .select(col("doc_id"), col("n_tok"), col("i"),
         sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
+      .localCheckpoint()
     val shared = pos.select("gid", "doc_id").distinct()
       .groupBy("gid").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gid")
