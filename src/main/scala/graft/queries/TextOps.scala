@@ -1144,6 +1144,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Lexical-diversity census per source: token/type counts, hapax and
+    * dis legomena, and type-token ratio — the data-quality diagnostic
+    * that flags template-generated or bot-duplicated sources (low TTR,
+    * thin hapax mass) before they skew vocabulary (t18) or mixture
+    * (t17) decisions, and the input to Heaps-law capacity planning for
+    * tokenizer training. All counts integer; one final rounded division.
+    * Scale: tokens partial-agg map-side to (source, tok, n) — shuffle
+    * volume is |sources|×|vocab|, not corpus tokens — then a per-source
+    * rollup. Two keyed aggregations; no window, no join. */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_dis"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("n_dis"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"))
+      .orderBy("source")
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -1555,6 +1580,18 @@ object TextOps {
          |  CAST(SUM(ext_len) AS BIGINT) AS dup_tokens,
          |  round(CAST(SUM(ext_len) AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS dup_share
          |FROM x GROUP BY 1, 2 ORDER BY doc_id""".stripMargin),
+
+    "t31_lexical_diversity" -> QueryDef(lexicalDiversity _,
+      s"""WITH nr AS (SELECT source, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT source, unnest(string_split(nrm, ' ')) AS tok FROM nr),
+         |tf AS (SELECT source, tok, COUNT(*) AS n FROM tk
+         |       WHERE length(tok) >= 1 GROUP BY 1, 2)
+         |SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS BIGINT) AS n_types,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+         |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ttr
+         |FROM tf GROUP BY source ORDER BY source""".stripMargin),
 
     "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),

@@ -292,6 +292,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "≥2-doc gram count must aggregate map-side")
   }
 
+  test("t31: lexical census is two keyed partial aggs — no join, no window") {
+    val p = plan("t31_lexical_diversity")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "token frequencies must aggregate map-side")
+    assert(!p.contains("Join"), "the census is aggregation-only")
+    assert(!p.contains("Window"))
+  }
+
   test("m07: chunk near-dup joins on digests only — candidates from rare chunks, no cartesian") {
     val p = plan("m07_chunk_near_dup")
     assert(!p.contains("CartesianProduct"), "candidate generation must be digest-keyed")
