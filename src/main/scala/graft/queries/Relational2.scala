@@ -281,9 +281,42 @@ object Relational2 {
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""".stripMargin)
   }
 
+  /** Scalar correlated subqueries through the SQL surface — the third
+    * correlation shape after EXISTS/NOT EXISTS (q35) and LATERAL (q40):
+    * per-nation scalar aggregates written as dependent subqueries in the
+    * SELECT list. Catalyst decorrelates them
+    * (RewriteCorrelatedScalarSubquery) into ONE grouped aggregation
+    * left-joined back, so the per-outer-row re-execution the syntax
+    * implies never exists in the plan — at 100 TB the inner table is
+    * scanned once per subquery, not once per outer row. COUNT(*) keeps
+    * its empty-group = 0 semantics through the rewrite (Catalyst patches
+    * the join's NULL with the aggregate's default), which is the classic
+    * decorrelation trap this query pins. */
+  def scalarSubqueryStats(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("nation_sq_v")
+    customer(s, d).createOrReplaceTempView("customer_sq_v")
+    s.sql(
+      """SELECT n.n_name,
+        |  (SELECT COUNT(*) FROM customer_sq_v c
+        |   WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+        |  (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |   FROM customer_sq_v c
+        |   WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0) AS pos_acctbal
+        |FROM nation_sq_v n ORDER BY n.n_name""".stripMargin)
+  }
+
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    "q41_scalar_subqueries" -> QueryDef(scalarSubqueryStats _,
+      s"""SELECT n.n_name,
+         |  (SELECT COUNT(*) FROM customer c
+         |   WHERE c.c_nationkey = n.n_nationkey) AS n_customers,
+         |  (SELECT CAST(SUM(CAST(c_acctbal AS $D)) AS DOUBLE)
+         |   FROM customer c
+         |   WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 0) AS pos_acctbal
+         |FROM nation n ORDER BY n.n_name""".stripMargin),
+
     "q40_lateral_topn" -> QueryDef(lateralTopCustomers _,
       """SELECT n.n_name, t.c_name, t.c_acctbal
         |FROM nation n,

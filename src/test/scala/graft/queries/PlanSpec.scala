@@ -306,6 +306,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "chunk-frequency and intersection counts must partial-agg")
   }
 
+  test("q41: scalar subqueries decorrelate to grouped aggs + joins — no per-row re-execution") {
+    val p = plan("q41_scalar_subqueries")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"), "each subquery must become ONE grouped aggregation")
+    assert(p.split("BroadcastHashJoin").length >= 3,
+      s"both decorrelated aggregates must join back (broadcast at this scale):\n$p")
+    // the c_acctbal > 0 predicate must reach the customer scan
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThan\\(c_acctbal.*"), p)
+  }
+
   test("q35: EXISTS/NOT EXISTS pair plans as LeftSemi + LeftAnti, filters pushed, no shuffle join") {
     val p = plan("q35_exists_not_exists")
     assert(p.contains("LeftSemi"), "EXISTS must plan as a semi join")
