@@ -223,7 +223,7 @@ object EventOps {
     * hash-drift exactly at the σ≈0 edge this test exists for). Only
     * full windows test; two-sided (a zero-traffic hour after steady
     * traffic is as much an incident as a surge). BIGINT headroom:
-    * (W·x)² caps at ~6·10⁸ events/bucket/type — hourly per-type counts
+    * 9·W·SS ≤ 5184·x² caps x at ~4·10⁷ events/bucket/type — hourly counts
     * far beyond any single telemetry shard; shard the stream (t21)
     * before that, not the arithmetic.
     * Scale: runs on e08's |buckets|×|types| frame (the fact table was

@@ -136,16 +136,12 @@ object Generated {
     * INSERT, then independently audited from Spark. Output is the
     * one-row audit aggregate (per-table detail is g08's job on the
     * slice; here the catalog-wide totals are the contract). */
-  // The full-catalog armed load is ~20 s of live Derby work (77 tables,
-  // 8 waves, per-INSERT constraint validation) and fully deterministic
-  // given (catalog, rowCount, seed) — memoize the 1-row audit per
-  // session so Verify/Bench pay the load once; Bench's cold/warm split
-  // keeps the real cost visible (the t16/s06 bench-honesty convention).
   // Live-Derby runs (g07/g08/g09+g10) are ~2–20 s of real database work
   // each and fully deterministic given (catalog, rowCount, seed) —
   // memoize per session so Verify/Bench pay each load once. Bench's
-  // cold/warm split keeps the true cost visible (the bench-honesty
-  // convention); Harness tears the memos down with the session.
+  // cold/warm split keeps the true cost visible (the t16/s06
+  // bench-honesty convention); Harness tears the memos down with the
+  // session.
   private val liveCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 

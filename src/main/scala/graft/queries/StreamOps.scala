@@ -227,13 +227,15 @@ object StreamOps {
     nearDupCache.getOrElseUpdate((s, d), {
       val (pairs, nBatches, scratch) = graft.streaming.DocStream.runNearDupOnce(
         s, docStreamSource(s, d), "graft_stream_neardup")
-      // the incremental claim is asserted, not assumed: a single-batch
-      // drain would never exercise the state-vs-arrivals comparison path
-      require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
-      try pairs.select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
-        .localCheckpoint() // pin BEFORE the sink scratch dir is deleted
-      finally rmrf(java.nio.file.Paths.get(scratch))
+      try {
+        // the incremental claim is asserted, not assumed: a single-batch
+        // drain would never exercise the state-vs-arrivals comparison
+        // path (inside the try so a failure still reclaims the scratch)
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        pairs.select("a_id", "b_id", "hamming")
+          .orderBy("a_id", "b_id")
+          .localCheckpoint() // pin BEFORE the sink scratch dir is deleted
+      } finally rmrf(java.nio.file.Paths.get(scratch))
     })
   }
 

@@ -222,14 +222,10 @@ object TextOps {
     // broadcast benchmark); recomputing the codegen'd explode is cheaper
     // than materializing ~|docs|·len rows locally (measured). At real
     // scale the gram index would be a persisted table reused across
-    // decontamination runs instead.
-    val grams = documents(s, d)
-      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"), col("ts"),
-        explode(expr("sequence(1, size(ts) - 7)")).as("i"))
-      .select(col("doc_id"), sid60(expr("array_join(slice(ts, i, 8), ' ')")).as("gid"))
-      .distinct()
+    // decontamination runs instead. One shared gram-keying definition
+    // (wordGramIds) so the 8-gram id math can never drift between t19
+    // and the other cross-doc gram operators.
+    val grams = wordGramIds(s, d, 8)
     val bench = grams.filter(col("doc_id") < 50)
       .select(col("gid"), col("doc_id").as("b_id"))
     val corp = grams.filter(col("doc_id") >= 50)
@@ -425,6 +421,13 @@ object TextOps {
       e = next
       rounds += 1
     }
+    // Fail loudly on guard exhaustion: a non-converged edge set can hold
+    // two parents for one node, and the labeling join below would then
+    // fan out ambiguous (id, lbl) rows — silently wrong for consumers
+    // that group by id (pointer jumping under the same exhaustion still
+    // yields one label per id, so the two bodies would diverge quietly).
+    if (changed > 0)
+      sys.error(s"ccLargeSmallStar: no fixpoint after $maxRounds rounds")
     // star forest → labeling: children point at their root; roots label
     // themselves (nodes that appear only as a minimum)
     val ids = pairs.select(col("a_id").as("id"))
