@@ -148,7 +148,10 @@ object EventOps {
     * per-user frontier — all four stages reuse the same hash
     * partitioning, so at 100 TB this is one shuffle of per-user
     * frontiers (|users| rows/stage), never a re-scan amplification. */
-  def funnel(s: SparkSession, d: String): DataFrame = {
+  /** Per-user stage frontiers of the conversion funnel, shared by e09
+    * (stage counts) and e12 (conversion-delay percentiles): returns
+    * (stage label, time column, per-user frame) per stage. */
+  private def funnelStages(s: SparkSession, d: String): Seq[(String, String, DataFrame)] = {
     val ev = events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     def stage(evType: String, prev: DataFrame, prevT: String, t: String): DataFrame =
@@ -161,12 +164,48 @@ object EventOps {
     val s2 = stage("view", s1, "t1", "t2")
     val s3 = stage("click", s2, "t2", "t3")
     val s4 = stage("purchase", s3, "t3", "t4")
-    Seq("1_signup" -> s1, "2_view" -> s2, "3_click" -> s3, "4_purchase" -> s4)
-      .map { case (n, df) =>
+    Seq(("1_signup", "t1", s1), ("2_view", "t2", s2),
+      ("3_click", "t3", s3), ("4_purchase", "t4", s4))
+  }
+
+  def funnel(s: SparkSession, d: String): DataFrame =
+    funnelStages(s, d)
+      .map { case (n, _, df) =>
         df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"), col("n_users"))
       }
       .reduce(_ unionAll _)
       .orderBy("stage")
+
+  /** Conversion-delay percentiles per funnel transition: P50/P90 of the
+    * time (seconds) between entering consecutive funnel stages — the
+    * "where do users stall" diagnostic read next to e09's counts. The
+    * percentiles come from a cumulated (transition, delay_sec) HISTOGRAM
+    * (t29's discipline): exact integer rank thresholds (P50 = smallest
+    * delay with cum·2 ≥ n), never a per-user global sort, so the
+    * cumulative window runs over the bounded delay domain at any event
+    * volume. Second granularity is the documented bucketing. */
+  def funnelDelays(s: SparkSession, d: String): DataFrame = {
+    val st = funnelStages(s, d).map { case (_, t, df) => (t, df) }.toMap
+    def leg(label: String, prev: String, next: String): DataFrame =
+      st(next).join(st(prev), "user_id")
+        .select(lit(label).as("transition"),
+          floor((col(next) - col(prev)) / lit(1000000L)).cast("long").as("delay_sec"))
+    val dl = leg("2_view", "t1", "t2")
+      .unionAll(leg("3_click", "t2", "t3"))
+      .unionAll(leg("4_purchase", "t3", "t4"))
+    val hist = dl.groupBy("transition", "delay_sec").agg(count(lit(1)).as("c"))
+    val tot = hist.groupBy("transition").agg(sum("c").as("n"))
+    val w = Window.partitionBy("transition").orderBy("delay_sec")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "transition")
+    val p50 = cum.filter(col("cum") * 2 >= col("n"))
+      .groupBy("transition").agg(min("delay_sec").as("p50_sec"))
+    val p90 = cum.filter(col("cum") * 10 >= col("n") * 9)
+      .groupBy("transition").agg(min("delay_sec").as("p90_sec"))
+    tot.join(p50, "transition").join(p90, "transition")
+      .select(col("transition"), col("n"), col("p50_sec"), col("p90_sec"))
+      .orderBy("transition")
   }
 
   /** Cumulative distinct-user reach per event type by day. Spark has no
@@ -211,6 +250,19 @@ object EventOps {
   // --- DuckDB oracle twins -------------------------------------------------
 
   private val D = "DECIMAL(18,2)"
+
+  /** The e09 funnel's stage CTE chain (per-user frontiers s1..s4),
+    * shared by the e09 counts and e12 delay-percentile oracles. */
+  private val FunnelStagesCtesDuck: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+      |       WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'view' AND e.us > s1.t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'click' AND e.us > s2.t2 GROUP BY e.user_id),
+      |s4 AS (SELECT e.user_id, MIN(e.us) AS t4 FROM ev e JOIN s3 ON e.user_id = s3.user_id
+      |       WHERE e.event_type = 'purchase' AND e.us > s3.t3 GROUP BY e.user_id)""".stripMargin
 
   /** Integer-exact spike detection over the densified hourly series —
     * the monitoring pass a pipeline runs on its own telemetry, and the
@@ -339,20 +391,38 @@ object EventOps {
         |ORDER BY b.hr_bucket, t.event_type""".stripMargin),
 
     "e09_funnel" -> QueryDef(funnel _,
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
-        |       WHERE event_type = 'signup' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
-        |       WHERE e.event_type = 'view' AND e.us > s1.t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e JOIN s2 ON e.user_id = s2.user_id
-        |       WHERE e.event_type = 'click' AND e.us > s2.t2 GROUP BY e.user_id),
-        |s4 AS (SELECT e.user_id, MIN(e.us) AS t4 FROM ev e JOIN s3 ON e.user_id = s3.user_id
-        |       WHERE e.event_type = 'purchase' AND e.us > s3.t3 GROUP BY e.user_id)
-        |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
-        |UNION ALL SELECT '2_view', COUNT(*) FROM s2
-        |UNION ALL SELECT '3_click', COUNT(*) FROM s3
-        |UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
-        |ORDER BY stage""".stripMargin),
+      s"""$FunnelStagesCtesDuck
+         |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+         |UNION ALL SELECT '2_view', COUNT(*) FROM s2
+         |UNION ALL SELECT '3_click', COUNT(*) FROM s3
+         |UNION ALL SELECT '4_purchase', COUNT(*) FROM s4
+         |ORDER BY stage""".stripMargin),
+
+    "e12_funnel_delays" -> QueryDef(funnelDelays _,
+      s"""$FunnelStagesCtesDuck,
+         |dl AS (
+         |  SELECT '2_view' AS transition,
+         |    CAST(FLOOR((s2.t2 - s1.t1) / 1000000) AS BIGINT) AS delay_sec
+         |  FROM s2 JOIN s1 ON s1.user_id = s2.user_id
+         |  UNION ALL SELECT '3_click', CAST(FLOOR((s3.t3 - s2.t2) / 1000000) AS BIGINT)
+         |  FROM s3 JOIN s2 ON s2.user_id = s3.user_id
+         |  UNION ALL SELECT '4_purchase', CAST(FLOOR((s4.t4 - s3.t3) / 1000000) AS BIGINT)
+         |  FROM s4 JOIN s3 ON s3.user_id = s4.user_id),
+         |h AS (SELECT transition, delay_sec, COUNT(*) AS c FROM dl GROUP BY 1, 2),
+         |t AS (SELECT transition, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+         |cum AS (SELECT h.transition, h.delay_sec, t.n,
+         |    CAST(SUM(c) OVER (PARTITION BY h.transition ORDER BY h.delay_sec
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM h JOIN t ON t.transition = h.transition),
+         |p50 AS (SELECT transition, MIN(delay_sec) AS p50_sec FROM cum
+         |        WHERE cum * 2 >= n GROUP BY 1),
+         |p90 AS (SELECT transition, MIN(delay_sec) AS p90_sec FROM cum
+         |        WHERE cum * 10 >= 9 * n GROUP BY 1)
+         |SELECT t.transition, t.n, p50.p50_sec, p90.p90_sec
+         |FROM t
+         |JOIN p50 ON p50.transition = t.transition
+         |JOIN p90 ON p90.transition = t.transition
+         |ORDER BY 1""".stripMargin),
 
     "e05_top_users_by_value" -> QueryDef(topUsersByValue _,
       s"""WITH a AS (SELECT user_id, SUM(CAST(value AS $D)) AS sv, COUNT(*) AS n_events

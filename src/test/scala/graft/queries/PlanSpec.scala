@@ -292,6 +292,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), "≥2-doc gram count must aggregate map-side")
   }
 
+  test("e12: delay percentiles window the bounded histogram, thresholds broadcast, no cartesian") {
+    val p = plan("e12_funnel_delays")
+    assert(p.contains("Window"), "cumulative ranks must window the (transition, delay) histogram")
+    assert(p.contains("BroadcastHashJoin"), "per-transition totals must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t31: lexical census is two keyed partial aggs — no join, no window") {
     val p = plan("t31_lexical_diversity")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
