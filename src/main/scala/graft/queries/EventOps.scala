@@ -150,17 +150,24 @@ object EventOps {
     * frontiers (|users| rows/stage), never a re-scan amplification. */
   /** Per-user stage frontiers of the conversion funnel, shared by e09
     * (stage counts) and e12 (conversion-delay percentiles): returns
-    * (stage label, time column, per-user frame) per stage. */
-  private def funnelStages(s: SparkSession, d: String): Seq[(String, String, DataFrame)] = {
+    * (stage label, time column, per-user frame) per stage.
+    * `pin` localCheckpoints each frontier as it is built, so a consumer
+    * that reads every stage MORE THAN ONCE (e12's three legs) evaluates
+    * each stage exactly once — the frontiers are |users| rows, cheap to
+    * pin. e09 consumes each stage once and keeps the declarative chain
+    * (its PlanSpec asserts the type filters reach the parquet scan). */
+  private def funnelStages(s: SparkSession, d: String,
+      pin: Boolean = false): Seq[(String, String, DataFrame)] = {
+    def p(df: DataFrame): DataFrame = if (pin) df.localCheckpoint() else df
     val ev = events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     def stage(evType: String, prev: DataFrame, prevT: String, t: String): DataFrame =
-      ev.filter(col("event_type") === evType)
+      p(ev.filter(col("event_type") === evType)
         .join(prev, "user_id")
         .filter(col("us") > col(prevT))
-        .groupBy("user_id").agg(min(col("us")).as(t))
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy("user_id").agg(min(col("us")).as("t1"))
+        .groupBy("user_id").agg(min(col("us")).as(t)))
+    val s1 = p(ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("t1")))
     val s2 = stage("view", s1, "t1", "t2")
     val s3 = stage("click", s2, "t2", "t3")
     val s4 = stage("purchase", s3, "t3", "t4")
@@ -185,7 +192,7 @@ object EventOps {
     * cumulative window runs over the bounded delay domain at any event
     * volume. Second granularity is the documented bucketing. */
   def funnelDelays(s: SparkSession, d: String): DataFrame = {
-    val st = funnelStages(s, d).map { case (_, t, df) => (t, df) }.toMap
+    val st = funnelStages(s, d, pin = true).map { case (_, t, df) => (t, df) }.toMap
     def leg(label: String, prev: String, next: String): DataFrame =
       st(next).join(st(prev), "user_id")
         .select(lit(label).as("transition"),
