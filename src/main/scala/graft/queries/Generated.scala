@@ -190,6 +190,71 @@ object Generated {
     (audit, linkDf)
   }
 
+  /** Config-drift audit (S3 × §2.8 composition): the slice catalog is
+    * exported as a JSONL schema description with three PLANTED drifts —
+    * the faithful config matches the DDL exactly, so (t24's planted-PII
+    * convention) drift is injected deterministically: one column dropped
+    * from the config, one retyped, one config-only extra — then read
+    * back through the PERMISSIVE JSONL source and full-outer-diffed
+    * against the parsed DDL. This is the pre-deploy gate a config-driven
+    * generator runs before trusting its config against a live schema
+    * (generate_config_v2.py writes exactly this JSONL from the DB). */
+  def configDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cat = sliceCatalog
+    val ddl = cat.order.flatMap(t => cat(t).schema.fields.toSeq.map(f =>
+      (t, f.name, f.metadata.getString(DdlParser.MetaSqlType))))
+      .toDF("table_name", "column_name", "ddl_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cfg_drift")
+    try {
+      val lines = cat.order.map { t =>
+        val cols = cat(t).schema.fields.toSeq.flatMap { f =>
+          val typ = f.metadata.getString(DdlParser.MetaSqlType)
+          (t, f.name) match {
+            case ("Banka", "Ad") => None // planted: dropped from the config
+            case ("Il", "Kod") => // planted: retyped
+              Some("""{"column_name":"Kod","description_tr":"","data_type":"int"}""")
+            case _ =>
+              Some(s"""{"column_name":"${f.name}","description_tr":"","data_type":"$typ"}""")
+          }
+        } ++ (if (t == "Banka") // planted: config-only column
+          Seq("""{"column_name":"PlantedExtra","description_tr":"","data_type":"nvarchar"}""")
+        else Nil)
+        // real FK entries (the faithful generate_config_v2 shape; also
+        // anchors the inferred JSON schema so foreign_keys is a struct
+        // array even for tables without FKs)
+        val fks = cat(t).fks.map(f =>
+          s"""{"column":"${f.column}","references":"${f.refTable}.${f.refColumn}"}""")
+        s"""{"table_name":"$t","columns":[${cols.mkString(",")}],"foreign_keys":[${fks.mkString(",")}]}"""
+      }
+      val file = dir.resolve("schema.jsonl")
+      java.nio.file.Files.write(file,
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val cfg = graft.sources.SchemaJsonl
+        .columnRelation(graft.sources.SchemaJsonl.load(s, file.toString))
+        .select(col("table_name"), col("column_name"),
+          col("data_type").as("cfg_type"))
+      ddl.join(cfg, Seq("table_name", "column_name"), "full_outer")
+        .withColumn("status",
+          when(col("ddl_type").isNull, "missing_in_ddl")
+            .when(col("cfg_type").isNull, "missing_in_config")
+            .when(col("ddl_type") =!= col("cfg_type"), "type_drift")
+            .otherwise("match"))
+        .filter(col("status") =!= "match")
+        .select("table_name", "column_name", "ddl_type", "cfg_type", "status")
+        .orderBy("table_name", "column_name")
+        .localCheckpoint() // pin BEFORE the temp JSONL is deleted
+    } finally {
+      // the frame is pinned, so the source file can go now
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(rm(_))
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(dir)
+    }
+  }
+
   /** S6/A1-equivalent FK-catalog aggregation: inbound-FK fan-in per
     * parent table, top 10 (the sys.foreign_keys join, aggregated). */
   def fkFanout(s: SparkSession, d: String): DataFrame = {
@@ -257,7 +322,17 @@ object Generated {
 
     "g09_armed_full_catalog" -> QueryDef(armedFullLoad _, G09Oracle),
 
-    "g10_deferred_fk_link" -> QueryDef(deferredFkLink _, G10Oracle)
+    "g10_deferred_fk_link" -> QueryDef(deferredFkLink _, G10Oracle),
+
+    // the three planted drifts ARE the contract: the diff must find
+    // exactly them, and nothing else, across the whole slice schema
+    "g11_config_drift" -> QueryDef(configDrift _, Some(
+      """SELECT * FROM (VALUES
+        |  ('Banka', 'Ad', 'nvarchar', CAST(NULL AS VARCHAR), 'missing_in_config'),
+        |  ('Banka', 'PlantedExtra', CAST(NULL AS VARCHAR), 'nvarchar', 'missing_in_ddl'),
+        |  ('Il', 'Kod', 'nvarchar', 'int', 'type_drift'))
+        |t(table_name, column_name, ddl_type, cfg_type, status)
+        |ORDER BY table_name, column_name""".stripMargin))
   )
 
   /** Frozen deferred-FK linking audit (deterministic: seed 42 full-catalog
