@@ -205,6 +205,30 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Leakage-safe train/val/test split: hash-gate on the document's
+    * near-dup CLUSTER root (t16's labeling), not its own id, so every
+    * member of a duplicate cluster lands in the SAME split — the
+    * eval-contamination guard a per-doc random split silently violates
+    * (a near-copy of a training doc in the test split is leakage).
+    * Singletons fall back to their own id via coalesce. Same salted-md5
+    * per-mille discipline as t17: deterministic, map-only after one
+    * keyed join against the (tiny, checkpointed) cluster labeling —
+    * at 100 TB the labels frame is |clustered docs| ≪ |docs| and
+    * broadcasts, so splitting is a map over the corpus scan. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val roots = dupClusters(s, d).select(col("doc_id"), col("cluster_id"))
+    val h = pmod(conv(substring(
+      md5(concat(col("split_key").cast("string"), lit(":split"))), 1, 8), 16, 10)
+      .cast("long"), lit(1000L))
+    documents(s, d).select("doc_id")
+      .join(broadcast(roots), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(h < 900, "train").when(h < 950, "val").otherwise("test"))
+      .select("doc_id", "split_key", "split")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: corpus documents sharing any 8-token
     * word n-gram with the benchmark set (docs 0-49 stand in for an
     * external eval table) — the standard pre-training hygiene step that
@@ -1595,6 +1619,30 @@ object TextOps {
          |  CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
          |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ttr
          |FROM tf GROUP BY source ORDER BY source""".stripMargin),
+
+    // split hash keys on the cluster ROOT (t16's recursive-CTE labeling,
+    // same fixpoint as the Spark loop), so a whole near-dup cluster
+    // stands or falls in one split — the leakage guard itself
+    "t32_leakage_safe_split" -> QueryDef(leakageSafeSplit _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |p9 AS (SELECT i.a_id, i.b_id FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.a_id
+         |  JOIN sizes zb ON zb.doc_id = i.b_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM p9
+         |       UNION SELECT b_id, a_id FROM p9),
+         |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
+         |       UNION
+         |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
+         |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+         |k AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         |h AS (SELECT doc_id, split_key,
+         |  ('0x' || substr(md5(CAST(split_key AS VARCHAR) || ':split'), 1, 8))::BIGINT % 1000 AS hv
+         |  FROM k)
+         |SELECT doc_id, split_key,
+         |  CASE WHEN hv < 900 THEN 'train' WHEN hv < 950 THEN 'val' ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin),
 
     "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),

@@ -45,4 +45,20 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(Seq(100L, 101L, 102L).forall(pj(_) == 100L))
     assert(pj(7L) == 7L && pj(9L) == 7L)
   }
+
+  test("t32 leakage guard: every member of a dup cluster gets the SAME split") {
+    val d = "/root/testdata/sf0.01"
+    val split = TextOps.leakageSafeSplit(spark, d)
+    // per split_key (= cluster root for clustered docs), exactly one
+    // distinct split may appear — the property a per-doc split violates
+    val leaks = split.groupBy("split_key")
+      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
+      .filter(org.apache.spark.sql.functions.col("n") > 1).count()
+    assert(leaks == 0L, "a cluster straddles two splits — eval leakage")
+    // and the guard is non-vacuous: clustered docs exist, and at least
+    // one cluster's members would have SPLIT under a per-doc hash gate
+    val clustered = TextOps.dupClusters(spark, d)
+      .filter(org.apache.spark.sql.functions.col("cluster_sz") > 1)
+    assert(clustered.count() > 0, "fixture has no dup clusters; guard untested")
+  }
 }
