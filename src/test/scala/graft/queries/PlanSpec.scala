@@ -332,4 +332,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(o_orderpriority,1-URGENT\\).*"), p)
     assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(o_orderstatus,F\\).*"), p)
   }
+
+  test("t32: cluster labels broadcast; the split is a map over the corpus scan") {
+    val p = plan("t32_leakage_safe_split")
+    assert(p.contains("BroadcastHashJoin"), "cluster-label join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus side must not shuffle to join tiny labels")
+    assert(!p.contains("CartesianProduct"), p)
+    // labels come from the checkpointed t16 frame — the CC iteration
+    // never re-runs for the split
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "labels must scan the checkpointed clustering")
+  }
 }
