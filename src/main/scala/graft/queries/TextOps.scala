@@ -212,16 +212,22 @@ object TextOps {
     * (a near-copy of a training doc in the test split is leakage).
     * Singletons fall back to their own id via coalesce. Same salted-md5
     * per-mille discipline as t17: deterministic, map-only after one
-    * keyed join against the (tiny, checkpointed) cluster labeling —
-    * at 100 TB the labels frame is |clustered docs| ≪ |docs| and
-    * broadcasts, so splitting is a map over the corpus scan. */
+    * keyed join against the checkpointed cluster labeling.
+    *
+    * Deliberately NOT broadcast-hinted: the labels frame is
+    * |clustered docs|, which is data-dependent — web-scale corpora can
+    * have 30-50% of documents in dup clusters, and a forced broadcast
+    * of that frame is an executor OOM. The keyed join is the scale-safe
+    * declaration; AQE converts it to a broadcast join at runtime when
+    * the labels side measures small (PlanSpec asserts the conversion on
+    * the executed plan at fixture scale). */
   def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
     val roots = dupClusters(s, d).select(col("doc_id"), col("cluster_id"))
     val h = pmod(conv(substring(
       md5(concat(col("split_key").cast("string"), lit(":split"))), 1, 8), 16, 10)
       .cast("long"), lit(1000L))
     documents(s, d).select("doc_id")
-      .join(broadcast(roots), Seq("doc_id"), "left")
+      .join(roots, Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("split",
         when(h < 900, "train").when(h < 950, "val").otherwise("test"))

@@ -333,14 +333,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.matches("(?s).*PushedFilters: \\[.*EqualTo\\(o_orderstatus,F\\).*"), p)
   }
 
-  test("t32: cluster labels broadcast; the split is a map over the corpus scan") {
+  test("t32: keyed label join AQE-converts to broadcast when labels are small") {
     val p = plan("t32_leakage_safe_split")
-    assert(p.contains("BroadcastHashJoin"), "cluster-label join must broadcast")
-    assert(!p.contains("SortMergeJoin"), "the corpus side must not shuffle to join tiny labels")
     assert(!p.contains("CartesianProduct"), p)
     // labels come from the checkpointed t16 frame — the CC iteration
     // never re-runs for the split
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
       "labels must scan the checkpointed clustering")
+    // the join is declared keyed (scale-safe for a labels frame of
+    // data-dependent size); at fixture scale AQE must convert it to a
+    // broadcast join at runtime — assert on the EXECUTED plan
+    val df = graft.SparkEntry.all("t32_leakage_safe_split").fn(spark, d)
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the small labels side at runtime:\n$exec")
   }
 }
