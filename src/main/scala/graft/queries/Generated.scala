@@ -246,12 +246,7 @@ object Generated {
         .localCheckpoint() // pin BEFORE the temp JSONL is deleted
     } finally {
       // the frame is pinned, so the source file can go now
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rm(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
-      rm(dir)
+      StreamOps.rmrf(dir)
     }
   }
 

@@ -111,7 +111,7 @@ object StreamOps {
   /** Teardown hook (Bench/Verify call this before spark.stop()): delete
     * the fixture-snapshot temp dirs so repeated harness runs in one JVM
     * don't accumulate them. */
-  private def rmrf(p: java.nio.file.Path): Unit = {
+  private[queries] def rmrf(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.isDirectory(p)) {
       val st = java.nio.file.Files.list(p)
       try st.forEach(rmrf(_)) finally st.close()

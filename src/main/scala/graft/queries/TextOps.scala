@@ -76,6 +76,15 @@ object TextOps {
       .select(col("doc_id"), expr("substring(nrm, pos, 5)").as("sh"))
       .distinct()
 
+  /** Salted deterministic bucket: md5 of `key || salt`, first 8 hex
+    * chars as a long, mod `buckets` — the ONE expression behind every
+    * hash-gated assignment (t17 mixture gate, t21 shard id, t32 split).
+    * Single-sourced so no copy can drift from the DuckDB oracle twin
+    * `('0x' || substr(md5(key || ':salt'), 1, 8))::BIGINT % n`. */
+  private[queries] def saltedBucket(key: Column, salt: String, buckets: Long): Column =
+    pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long"), lit(buckets))
+
   /** The t11 oracle's CTE chain ending in `dupes(b_id)` (the ≥0.9-Jaccard
     * near-duplicate victims) — shared by t11 (anti-join) and t14 (the
     * end-to-end curation pipeline). */
@@ -103,6 +112,24 @@ object TextOps {
        |          JOIN sizes za ON za.doc_id = i.a_id
        |          JOIN sizes zb ON zb.doc_id = i.b_id
        |          WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9)""".stripMargin
+
+  /** The transitive-closure labeling chain ending in `lab(id,
+    * cluster_id)` — the oracle twin of the Spark CC loop, shared by t16
+    * (the clustering itself) and t32 (the split keyed on it). Requires
+    * DupesCtesDuck's `inter`/`sizes` upstream and a WITH RECURSIVE
+    * prefix; a single definition keeps the two oracles keying on the
+    * SAME labeling by construction. */
+  private lazy val ClusterLabCtesDuck: String =
+    """p9 AS (SELECT i.a_id, i.b_id FROM inter i
+      |  JOIN sizes za ON za.doc_id = i.a_id
+      |  JOIN sizes zb ON zb.doc_id = i.b_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9),
+      |ed AS (SELECT a_id AS src, b_id AS dst FROM p9
+      |       UNION SELECT b_id, a_id FROM p9),
+      |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
+      |       UNION
+      |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
+      |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id)""".stripMargin
 
   /** The t04 oracle's CTE chain ending in `sh(doc_id, simhash16)` —
     * shared by t04 (projection) and t13 (self-join on hamming). */
@@ -193,9 +220,7 @@ object TextOps {
     * that rebalances a corpus before training; changing the mixture is a
     * rate-table edit, not a re-shard. */
   def mixtureSample(s: SparkSession, d: String): DataFrame = {
-    val h = pmod(conv(substring(
-      md5(concat(col("doc_id").cast("string"), lit(":mix"))), 1, 8), 16, 10)
-      .cast("long"), lit(1000L))
+    val h = saltedBucket(col("doc_id"), ":mix", 1000L)
     val rate = MixPerMille.foldLeft(lit(0)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
@@ -223,9 +248,7 @@ object TextOps {
     * the executed plan at fixture scale). */
   def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
     val roots = dupClusters(s, d).select(col("doc_id"), col("cluster_id"))
-    val h = pmod(conv(substring(
-      md5(concat(col("split_key").cast("string"), lit(":split"))), 1, 8), 16, 10)
-      .cast("long"), lit(1000L))
+    val h = saltedBucket(col("split_key"), ":split", 1000L)
     documents(s, d).select("doc_id")
       .join(roots, Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("cluster_id"), col("doc_id")))
@@ -763,9 +786,7 @@ object TextOps {
   private[queries] val NumShards = 16
   def shardAssignment(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("shard", pmod(conv(substring(
-        md5(concat(col("doc_id").cast("string"), lit(":shard"))), 1, 8), 16, 10)
-        .cast("long"), lit(NumShards.toLong)))
+      .withColumn("shard", saltedBucket(col("doc_id"), ":shard", NumShards.toLong))
       .withColumn("n_tok", size(split(norm(col("text")), " ")))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
@@ -1417,16 +1438,7 @@ object TextOps {
     // unique fixpoint (min doc_id per component)
     "t16_dup_clusters" -> QueryDef(dupClusters _,
       s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p9 AS (SELECT i.a_id, i.b_id FROM inter i
-         |  JOIN sizes za ON za.doc_id = i.a_id
-         |  JOIN sizes zb ON zb.doc_id = i.b_id
-         |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9),
-         |ed AS (SELECT a_id AS src, b_id AS dst FROM p9
-         |       UNION SELECT b_id, a_id FROM p9),
-         |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
-         |       UNION
-         |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
-         |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+         |$ClusterLabCtesDuck,
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id)
          |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_sz
          |FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
@@ -1631,16 +1643,7 @@ object TextOps {
     // stands or falls in one split — the leakage guard itself
     "t32_leakage_safe_split" -> QueryDef(leakageSafeSplit _,
       s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |p9 AS (SELECT i.a_id, i.b_id FROM inter i
-         |  JOIN sizes za ON za.doc_id = i.a_id
-         |  JOIN sizes zb ON zb.doc_id = i.b_id
-         |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9),
-         |ed AS (SELECT a_id AS src, b_id AS dst FROM p9
-         |       UNION SELECT b_id, a_id FROM p9),
-         |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
-         |       UNION
-         |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
-         |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+         |$ClusterLabCtesDuck,
          |k AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS split_key
          |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
          |h AS (SELECT doc_id, split_key,

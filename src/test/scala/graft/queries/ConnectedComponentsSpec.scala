@@ -47,18 +47,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   }
 
   test("t32 leakage guard: every member of a dup cluster gets the SAME split") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
     val d = "/root/testdata/sf0.01"
     val split = TextOps.leakageSafeSplit(spark, d)
-    // per split_key (= cluster root for clustered docs), exactly one
-    // distinct split may appear — the property a per-doc split violates
-    val leaks = split.groupBy("split_key")
-      .agg(org.apache.spark.sql.functions.countDistinct("split").as("n"))
-      .filter(org.apache.spark.sql.functions.col("n") > 1).count()
+    // group by the INDEPENDENT clustering (not t32's own split_key —
+    // split is a function of split_key, so grouping by it is
+    // tautologically leak-free even if the key wiring broke): every
+    // cluster must see exactly one distinct split across its members
+    val clusters = TextOps.dupClusters(spark, d).select("doc_id", "cluster_id")
+    assert(clusters.count() > 0, "fixture has no dup clusters; guard untested")
+    val leaks = split.join(clusters, "doc_id")
+      .groupBy("cluster_id")
+      .agg(countDistinct("split").as("n"))
+      .filter(col("n") > 1).count()
     assert(leaks == 0L, "a cluster straddles two splits — eval leakage")
-    // and the guard is non-vacuous: clustered docs exist, and at least
-    // one cluster's members would have SPLIT under a per-doc hash gate
-    val clustered = TextOps.dupClusters(spark, d)
-      .filter(org.apache.spark.sql.functions.col("cluster_sz") > 1)
-    assert(clustered.count() > 0, "fixture has no dup clusters; guard untested")
+    // and the key wiring is live: clustered docs must key on their
+    // cluster root, not their own id
+    val miskeyed = split.join(clusters, "doc_id")
+      .filter(col("split_key") =!= col("cluster_id")).count()
+    assert(miskeyed == 0L, "clustered docs must hash on the cluster root")
   }
 }
