@@ -34,16 +34,21 @@ object Bench {
         .map { case (k, c) => "\"" + k + "\":{\"cold\":" + ms(c) + ",\"warm\":" + ms(warm(k)) + "}" }
         .mkString("{", ",", "}")
       println(s"""{"metric":"detail","unit":"sec","queries":$detail,"sf":"$sfDir"}""")
-      // LAST line: the driver-parsed record, kept SMALL so the driver's
-      // tail capture can never clip it (r4's 2.7 KB single record was
-      // clipped at the head): per-query keys are shortened to their
-      // unique prefix before the first '_' (q01, t18, ...), values are
-      // the min-of-2 headline numbers.
+      // SECOND line: per-query min-of-2 headline numbers, keys shortened
+      // to their unique prefix before the first '_' (q01, t18, ...). No
+      // "value" field (same no-double-count rule as the detail record);
+      // this line grows with the surface and MAY be clipped by the
+      // driver's ~2 KB tail window as the query count rises.
       val qs = best.toSeq.sortBy(_._1)
         .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
         .mkString("{", ",", "}")
+      println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // LAST line: the driver-parsed headline, FIXED ~100 bytes so no
+      // growth of the query surface can ever push it out of the tail
+      // window (r4's 2.7 KB single record was clipped at the head; a
+      // 125-query map already left only ~300 bytes of headroom).
       val total = if (best.nonEmpty) best.values.sum else 0.0
-      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"sf":"$sfDir"}""")
     }
   }
 }
