@@ -113,6 +113,19 @@ object TextOps {
        |          JOIN sizes zb ON zb.doc_id = i.b_id
        |          WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.9)""".stripMargin
 
+  /** The 8-token word-gram id chain ending in `g(doc_id, gid)` (60-bit
+    * truncated-md5 gram ids) — the oracle twin of `wordGramIds(_, _, 8)`,
+    * shared by t19, t26, and t33 so the gram keying can never drift
+    * between the decontamination oracles. Starts its own WITH. */
+  private lazy val Gram8CtesDuck: String =
+    s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+       |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
+       |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+       |       FROM tk WHERE len(ts) >= 8),
+       |g AS (SELECT DISTINCT doc_id,
+       |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+       |      FROM g0)""".stripMargin
+
   /** The transitive-closure labeling chain ending in `lab(id,
     * cluster_id)` — the oracle twin of the Spark CC loop, shared by t16
     * (the clustering itself) and t32 (the split keyed on it). Requires
@@ -627,6 +640,38 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text")).cast("long")).as("sum_chars"))
+      .orderBy("source")
+  }
+
+  /** Per-source curation scorecard: the one-stop report a pipeline owner
+    * reads before a training run — doc/token mass, near-dup victim rate
+    * (t11's ≥0.9 keep-lowest-id victim set), and benchmark-contamination
+    * rate (t19's 8-gram hit set), per source. Both rates are one
+    * division of two exact counts, rounded once (engine-exact).
+    * Composes already-verified operators as doc_id-keyed LEFT joins:
+    * the corpus text is scanned once for tokenization, the flag sets
+    * join on bare keys, and their size is data-dependent — so no forced
+    * broadcast (t32's rule); AQE converts when they measure small. */
+  def curationScorecard(s: SparkSession, d: String): DataFrame = {
+    val dupes = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    val cont = decontaminate(s, d).select("doc_id")
+      .withColumn("is_cont", lit(1L))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tok"))
+      .join(dupes, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_victims"),
+        sum(coalesce(col("is_cont"), lit(0L))).as("n_contaminated"))
+      .withColumn("dup_rate",
+        round(col("n_dup_victims").cast("double") / col("n_docs").cast("double"), 6))
+      .withColumn("contam_rate",
+        round(col("n_contaminated").cast("double") / col("n_docs").cast("double"), 6))
       .orderBy("source")
   }
 
@@ -1398,13 +1443,7 @@ object TextOps {
     // truncation collision cannot make them disagree; 15 hex chars =
     // 60-bit ids (see sid60) keep collisions negligible at corpus scale
     "t19_decontaminate" -> QueryDef(decontaminate _,
-      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
-         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
-         |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
-         |       FROM tk WHERE len(ts) >= 8),
-         |g AS (SELECT DISTINCT doc_id,
-         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
-         |      FROM g0),
+      s"""$Gram8CtesDuck,
          |bench AS (SELECT gid, doc_id AS b_id FROM g WHERE doc_id < 50),
          |corp AS (SELECT gid, doc_id FROM g WHERE doc_id >= 50)
          |SELECT corp.doc_id,
@@ -1638,6 +1677,32 @@ object TextOps {
          |  round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS ttr
          |FROM tf GROUP BY source ORDER BY source""".stripMargin),
 
+    // the scorecard's flag sets restate the t11 victim CTE and the t19
+    // gram chain (both shared constants), so all three oracles key on
+    // the same definitions by construction
+    "t33_curation_scorecard" -> QueryDef(curationScorecard _,
+      s"""$DupesCtesDuck,
+         |${Gram8CtesDuck.stripPrefix("WITH ")},
+         |bench AS (SELECT DISTINCT gid FROM g WHERE doc_id < 50),
+         |cont AS (SELECT DISTINCT doc_id FROM g
+         |         WHERE doc_id >= 50 AND gid IN (SELECT gid FROM bench)),
+         |base AS (SELECT doc_id, source,
+         |    CAST(len(string_split($NormSqlDuck, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT b.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(b.n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN dp.b_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_victims,
+         |  CAST(SUM(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(CAST(SUM(CASE WHEN dp.b_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+         |  round(CAST(SUM(CASE WHEN ct.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS contam_rate
+         |FROM base b
+         |LEFT JOIN dupes dp ON dp.b_id = b.doc_id
+         |LEFT JOIN cont ct ON ct.doc_id = b.doc_id
+         |GROUP BY b.source ORDER BY b.source""".stripMargin),
+
     // split hash keys on the cluster ROOT (t16's recursive-CTE labeling,
     // same fixpoint as the Spark loop), so a whole near-dup cluster
     // stands or falls in one split — the leakage guard itself
@@ -1679,13 +1744,7 @@ object TextOps {
     // makes the result identical to plain exact decontamination, which is
     // exactly what the oracle states (no bloom on the DuckDB side)
     "t26_bloom_decontaminate" -> QueryDef(bloomDecontaminate _,
-      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
-         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
-         |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
-         |       FROM tk WHERE len(ts) >= 8),
-         |g AS (SELECT DISTINCT doc_id,
-         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
-         |      FROM g0),
+      s"""$Gram8CtesDuck,
          |bench AS (SELECT DISTINCT gid FROM g WHERE doc_id < 50),
          |contam AS (SELECT DISTINCT doc_id FROM g
          |           WHERE doc_id >= 50 AND gid IN (SELECT gid FROM bench))
