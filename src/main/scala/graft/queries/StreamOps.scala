@@ -218,10 +218,12 @@ object StreamOps {
     * result hash-matches batch t13's all-pairs oracle exactly. Each
     * pair is claimed by its lowest shared band inside the emitter, so
     * no post-drain dedup shuffle exists. Result memoized per
-    * (session, dir) — the s06/t16 convention: the pair set is large at
-    * the corpus's simhash saturation point (≈690k at sf0.1) and one
-    * drain per harness run is the honest cost (Bench reports it as
-    * the cold pass). */
+    * (session, dir) — the s06/t16 convention: one drain per harness
+    * run is the honest cost (Bench reports it as the cold pass). The
+    * 60-bit signature keeps every band bucket (and so per-key state
+    * and per-arrival comparisons) proportional to genuine near-dup
+    * density — the 16-bit predecessor saturated its 32/32/64 buckets
+    * and compared each arrival against O(n/32) prior docs. */
   def streamNearDup(s: SparkSession, d: String): DataFrame = {
     nearDupCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     nearDupCache.getOrElseUpdate((s, d), {
@@ -387,9 +389,9 @@ object StreamOps {
     "s08_stream_near_dup" -> QueryDef(streamNearDup _,
       s"""${TextOps.SimhashCtesDuck}
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+         |  CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+         |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 2
          |ORDER BY a_id, b_id""".stripMargin),
 
     // the audit reads the DATABASE back, so matching the fixture's

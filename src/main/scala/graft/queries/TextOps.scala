@@ -144,19 +144,22 @@ object TextOps {
       |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
       |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id)""".stripMargin
 
-  /** The t04 oracle's CTE chain ending in `sh(doc_id, simhash16)` —
-    * shared by t04 (projection) and t13 (self-join on hamming). */
+  /** The t04 oracle's CTE chain ending in `sh(doc_id, simhash60)` —
+    * shared by t04 (projection) and t13 (self-join on hamming). All bit
+    * math stays in BIGINT (`>>`/`<<`/`&`), mirroring the Spark side:
+    * a 60-bit tid exceeds the 53-bit double mantissa, so the earlier
+    * `FLOOR(tid / 2 ** b)` restatement would corrupt low bits. */
   private[queries] lazy val SimhashCtesDuck: String =
     s"""WITH n AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
        |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
        |        FROM n WHERE length(nrm) >= 1),
-       |tid AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS tid FROM tok),
-       |bits AS (SELECT doc_id, tid, CAST(unnest(generate_series(0, 15)) AS INT) AS b FROM tid),
+       |tid AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS tid FROM tok),
+       |bits AS (SELECT doc_id, tid, CAST(unnest(generate_series(0, 59)) AS INT) AS b FROM tid),
        |contrib AS (SELECT doc_id, b,
-       |    SUM(CASE WHEN CAST(FLOOR(tid / 2 ** b) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |    SUM(CASE WHEN (tid >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
        |  FROM bits GROUP BY doc_id, b),
        |sh AS (SELECT doc_id,
-       |    CAST(SUM(CASE WHEN v > 0 THEN CAST(2 ** b AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash16
+       |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash60
        |  FROM contrib GROUP BY doc_id)""".stripMargin
 
   private val ShinglesSqlDuck =
@@ -546,30 +549,41 @@ object TextOps {
     pairs
   }
 
-  /** 16-bit SimHash over whitespace tokens (with multiplicity). */
+  /** 60-bit SimHash over whitespace tokens (with multiplicity). 60 bits
+    * (not 16): banding a 16-bit signature yields only 32/32/64 distinct
+    * buckets, so candidate volume is Σ|bucket|² ≈ 3n²/43 — a constant
+    * off all-pairs, not a complexity-class change. 60 bits band 4×15 →
+    * 32,768 buckets per band, so bucket cardinality scales with content
+    * diversity. All bit math is integer-exact (shiftright/shiftleft,
+    * never pow-of-double division: a 60-bit tid exceeds the 53-bit
+    * double mantissa, so floor(tid / 2.0^b) silently corrupts low bits). */
   def simhash(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), norm(col("text")).as("nrm"))
       .filter(length(col("nrm")) >= 1)
       .select(col("doc_id"), explode(split(col("nrm"), " ")).as("tok"))
-      .withColumn("tid", sid(col("tok")))
+      .withColumn("tid", sid60(col("tok")))
     toks
-      .select(col("doc_id"), col("tid"), explode(expr("sequence(0, 15)")).as("b"))
-      .withColumn("bit", floor(col("tid") / pow(lit(2.0), col("b"))).cast("long") % 2)
+      .select(col("doc_id"), col("tid"), explode(expr("sequence(0, 59)")).as("b"))
+      .withColumn("bit", expr("shiftright(tid, b) & CAST(1 AS BIGINT)"))
       .withColumn("contrib", when(col("bit") === 1, 1).otherwise(-1))
       .groupBy("doc_id", "b").agg(sum(col("contrib")).as("v"))
       .withColumn("bitval",
-        when(col("v") > 0, pow(lit(2.0), col("b")).cast("long")).otherwise(0L))
-      .groupBy("doc_id").agg(sum(col("bitval")).as("simhash16"))
+        when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+      .groupBy("doc_id").agg(sum(col("bitval")).as("simhash60"))
       .orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs (hamming ≤ 2 over the 16-bit signature) via
-    * pigeonhole banding: the signature splits into 3 sub-bands (5/5/6
-    * bits), and any pair within hamming distance 2 must agree EXACTLY on
-    * at least one band — so candidates meet only inside a band bucket
-    * (Σ|bucket|² per band, the t03/v07 scale shape, never all pairs).
+  /** SimHash near-dup pairs (hamming ≤ 2 over the 60-bit signature) via
+    * pigeonhole banding: the signature splits into 4 sub-bands of 15
+    * bits, and any pair within hamming distance 2 must agree EXACTLY on
+    * at least two bands (2 flipped bits touch ≤ 2 of 4 bands) — so
+    * candidates meet only inside a band bucket (Σ|bucket|² per band,
+    * the t03/v07 scale shape, never all pairs). 2¹⁵ buckets per band
+    * means bucket occupancy — and therefore candidate volume — tracks
+    * content diversity instead of saturating at a constant fan-in (the
+    * 16-bit predecessor had 32/32/64 buckets total: ~3n²/43 candidates).
     * Exact hamming over the full signature verifies each candidate. */
   private val simhashPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -579,18 +593,23 @@ object TextOps {
     simhashPairsCache.getOrElseUpdate((s, d), simhashNearDupPairsUncached(s, d))
   }
 
+  /** 4 sub-bands × 15 bits (shared with the banding SQL + DocStream). */
+  private[queries] val SimhashBands = 4
+  private[queries] val SimhashBandBits = 15
+
   private def simhashNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
-    val sh = simhash(s, d).select(col("doc_id"), col("simhash16")).persist()
-    val e = sh
-      .withColumn("b0", col("simhash16") % 32)
-      .withColumn("b1", floor(col("simhash16") / 32).cast("long") % 32)
-      .withColumn("b2", floor(col("simhash16") / 1024).cast("long"))
-    val a = e.select(col("doc_id").as("a_id"), col("simhash16").as("ha"),
-      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"))
-    val b = e.select(col("doc_id").as("b_id"), col("simhash16").as("hb"),
-      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"))
-    val cand = Seq(("a0", "c0"), ("a1", "c1"), ("a2", "c2")).map { case (x, y) =>
-      a.join(b, col(x) === col(y) && col("a_id") < col("b_id"))
+    val sh = simhash(s, d).select(col("doc_id"), col("simhash60")).persist()
+    val bandCols = (0 until SimhashBands).map { k =>
+      expr(s"shiftright(simhash60, ${k * SimhashBandBits}) & CAST(32767 AS BIGINT)")
+        .as(s"band$k")
+    }
+    val e = sh.select(col("doc_id") +: col("simhash60") +: bandCols: _*)
+    val a = e.select(col("doc_id").as("a_id") +: col("simhash60").as("ha") +:
+      (0 until SimhashBands).map(k => col(s"band$k").as(s"a$k")): _*)
+    val b = e.select(col("doc_id").as("b_id") +: col("simhash60").as("hb") +:
+      (0 until SimhashBands).map(k => col(s"band$k").as(s"c$k")): _*)
+    val cand = (0 until SimhashBands).map { k =>
+      a.join(b, col(s"a$k") === col(s"c$k") && col("a_id") < col("b_id"))
         .select("a_id", "b_id", "ha", "hb")
     }.reduce(_ unionByName _).distinct()
     val pairs = cand
@@ -1317,16 +1336,16 @@ object TextOps {
 
     "t04_simhash" -> QueryDef(simhash _,
       s"""$SimhashCtesDuck
-         |SELECT doc_id, simhash16 FROM sh ORDER BY doc_id""".stripMargin),
+         |SELECT doc_id, simhash60 FROM sh ORDER BY doc_id""".stripMargin),
 
     // oracle states the SEMANTICS (all-pairs hamming); the engine's
     // pigeonhole banding must be invisible to the result
     "t13_simhash_near_dup" -> QueryDef(simhashNearDupPairs _,
       s"""$SimhashCtesDuck
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-         |  CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+         |  CAST(bit_count(xor(a.simhash60, b.simhash60)) AS INT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 2
+         |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 2
          |ORDER BY a_id, b_id""".stripMargin),
 
     "t05_lang_id" -> QueryDef(langId _,

@@ -19,7 +19,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * never WHETHER.
   *
   * Scale notes: the fingerprint map is stateless; the only shuffle is
-  * the band-bucket grouping (3 slim rows per doc). State per key is
+  * the band-bucket grouping (4 slim rows per doc). State per key is
   * one band bucket — the same Σ|bucket|² bound that makes batch LSH
   * tractable governs the comparisons here, and the bucket lists ARE
   * the index (a production deployment would TTL or tier them to a
@@ -30,16 +30,16 @@ object DocStream {
   val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
 
-  /** t04's 16-bit SimHash computed in a typed per-row map — one md5
-    * per token and an int[16] of bit votes (the first cut, a nested
+  /** t04's 60-bit SimHash computed in a typed per-row map — one md5
+    * per token and an int[60] of bit votes (the first cut, a nested
     * higher-order-function Column, interpreted one md5 per token PER
-    * BIT — 16× the hashing — and cost 17 s at sf0.1). Semantics are
-    * bit-identical to the batch operator and the DuckDB oracle: same
-    * normalization (Spark's `lower` lowercases non-ASCII via Java
-    * toLowerCase, mirrored here), same md5-prefix token ids, same
-    * duplicate-token weighting, same v > 0 threshold — and the oracle
-    * hash check is what PINS that equivalence. */
-  private[streaming] def simhash16(text: String): Option[Long] = {
+    * BIT and cost 17 s at sf0.1). Semantics are bit-identical to the
+    * batch operator and the DuckDB oracle: same normalization (Spark's
+    * `lower` lowercases non-ASCII via Java toLowerCase, mirrored here),
+    * same 15-hex-char md5-prefix token ids, same duplicate-token
+    * weighting, same v > 0 threshold — and the oracle hash check is
+    * what PINS that equivalence. */
+  private[streaming] def simhash60(text: String): Option[Long] = {
     // Locale.ROOT: Spark's `lower` maps ASCII locale-independently; a
     // Turkish default locale would send 'I' → 'ı' here and silently
     // fork the fingerprint from the batch operator (the DdlParser
@@ -50,25 +50,36 @@ object DocStream {
     if (nrm.isEmpty) None
     else {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val votes = new Array[Int](16)
+      val votes = new Array[Int](60)
       nrm.split(" ").foreach { tok =>
         md.reset()
         val dig = md.digest(tok.getBytes("UTF-8"))
-        // first 8 hex chars = the top 4 digest bytes, unsigned
-        val tid = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
-          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        // first 15 hex chars = digest bytes 0..6 plus byte 7's high
+        // nibble, read big-endian — exactly conv(substr(md5, 1, 15))
+        var tid = 0L
+        var i = 0
+        while (i < 7) { tid = (tid << 8) | (dig(i) & 0xffL); i += 1 }
+        tid = (tid << 4) | ((dig(7) & 0xffL) >> 4)
         var b = 0
-        while (b < 16) {
+        while (b < 60) {
           if (((tid >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
       }
       var h = 0L
       var b = 0
-      while (b < 16) { if (votes(b) > 0) h |= 1L << b; b += 1 }
+      while (b < 60) { if (votes(b) > 0) h |= 1L << b; b += 1 }
       Some(h)
     }
   }
+
+  /** 4 pigeonhole sub-bands × 15 bits (t13's banding): hamming ≤ 2 can
+    * disturb at most 2 of the 4 bands, so every near-dup pair shares at
+    * least two band values exactly. */
+  private[streaming] val Bands = 4
+  private[streaming] val BandBits = 15
+  private[streaming] def bandVal(h: Long, k: Int): Long =
+    (h >> (k * BandBits)) & ((1L << BandBits) - 1)
 
   /** One (document, sub-band) routing row. */
   final case class BandDoc(band: Int, bval: Long, doc_id: Long, h: Long)
@@ -81,14 +92,18 @@ object DocStream {
 
   /** A matching pair's LOWEST shared band — both hashes are in hand at
     * comparison time, so the emitter can claim each pair for exactly
-    * one band instead of emitting once per shared band (up to 3×) and
+    * one band instead of emitting once per shared band (up to 4×) and
     * paying a global distinct over the pair set afterwards. Hamming ≤ 2
-    * over 3 sub-bands guarantees at least one shared band (pigeonhole),
+    * over 4 sub-bands guarantees at least two shared bands (pigeonhole),
     * so the minimum is always defined. */
-  private def minSharedBand(a: Long, b: Long): Int =
-    if (a % 32 == b % 32) 0
-    else if ((a / 32) % 32 == (b / 32) % 32) 1
-    else 2
+  private def minSharedBand(a: Long, b: Long): Int = {
+    var k = 0
+    while (k < Bands - 1) {
+      if (bandVal(a, k) == bandVal(b, k)) return k
+      k += 1
+    }
+    Bands - 1
+  }
 
   /** Compare the batch's arrivals against the bucket index (and each
     * other, in doc_id order — so an intra-batch pair emits exactly once
@@ -139,12 +154,10 @@ object DocStream {
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
         .select(col("doc_id"), col("text")).as[(Long, String)]
       val banded = src.flatMap { case (docId, text) =>
-        simhash16(text) match { // empty-normalization docs: t04's domain
+        simhash60(text) match { // empty-normalization docs: t04's domain
           case None => Iterator.empty
-          case Some(h) => Iterator(
-            BandDoc(0, h % 32, docId, h),
-            BandDoc(1, (h / 32) % 32, docId, h),
-            BandDoc(2, h / 1024, docId, h))
+          case Some(h) =>
+            (0 until Bands).iterator.map(k => BandDoc(k, bandVal(h, k), docId, h))
         }
       }
       val q = banded.groupByKey(bd => (bd.band, bd.bval))
@@ -154,7 +167,11 @@ object DocStream {
         .option("checkpointLocation", s"$root/cp")
         .start()
       try q.processAllAvailable() finally q.stop()
-      (spark.read.parquet(s"$root/pairs"),
-        q.recentProgress.map(_.batchId).distinct.length.toLong, root)
+      // batch count from lastProgress.batchId (0-based), not
+      // recentProgress.length: recentProgress retains only the trailing
+      // spark.sql.streaming.numRecentProgressUpdates entries (default
+      // 100), so a snapshot with more files would silently undercount
+      val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      (spark.read.parquet(s"$root/pairs"), nBatches, root)
     }
 }

@@ -49,4 +49,24 @@ class DocStreamSpec extends AnyFunSuite {
     // pairs are well-formed: a < b, hamming within the band guarantee
     single.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 2) }
   }
+
+  test("band keys are signature-derived 15-bit slices, not a constant fan-in") {
+    // the 4×15-bit bands must exactly partition the 60-bit signature:
+    // each band value lives in a 2¹⁵ space (bucket cardinality scales
+    // with content diversity — the 16-bit predecessor had 32/32/64
+    // buckets TOTAL), and reassembling the slices recovers the hash
+    val rnd = new scala.util.Random(42)
+    (0 until 1000).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 60) - 1)
+      val slices = (0 until DocStream.Bands).map(k => DocStream.bandVal(h, k))
+      slices.foreach(v => assert(v >= 0 && v < (1 << DocStream.BandBits)))
+      val reassembled = slices.zipWithIndex
+        .map { case (v, k) => v << (k * DocStream.BandBits) }.reduce(_ | _)
+      assert(reassembled == h, s"bands must partition the signature: $h")
+    }
+    // and the typed streaming fingerprint is 60-bit, matching the batch
+    // operator's domain (a 16-bit hash would make high bands constant 0)
+    val h = DocStream.simhash60("the quick brown fox jumps over the lazy dog").get
+    assert(h >= 0 && h < (1L << 60))
+  }
 }
