@@ -213,13 +213,14 @@ object TextOps {
     * accumulate cached plans. */
   def clearCaches(): Unit = {
     (pairsCache.values ++ simhashPairsCache.values ++ clustersCache.values ++
-      gramCache.values)
+      starClustersCache.values ++ gramCache.values)
       .foreach(df =>
         try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
         catch { case _: Throwable => () })
     pairsCache.clear()
     simhashPairsCache.clear()
     clustersCache.clear()
+    starClustersCache.clear()
     gramCache.clear()
   }
 
@@ -373,6 +374,33 @@ object TextOps {
       .orderBy("doc_id")
       .localCheckpoint()
   }
+
+  /** t16's clustering computed through the OTHER round body — the
+    * large-star/small-star edge rewrite (ccLargeSmallStar) instead of
+    * label propagation with pointer jumping — over the same ≥0.9 pair
+    * graph, checked against the same recursive-CTE oracle labeling.
+    * This is what makes the alternative body a graded component rather
+    * than a spec-only artifact: both production CC shapes run end-to-end
+    * on the real near-dup graph every round, and the oracle (not an
+    * internal cross-check) pins that they agree — a pipeline that
+    * switches bodies on graph depth/skew needs both proven on live
+    * data, not one proven and one trusted. */
+  def dupClustersStar(s: SparkSession, d: String): DataFrame = {
+    starClustersCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    starClustersCache.getOrElseUpdate((s, d), {
+      val pairs = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
+        .select(col("a_id"), col("b_id"))
+      val (labels, _) = ccLargeSmallStar(s, pairs)
+      labels
+        .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_sz")), "lbl")
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"), col("cluster_sz"))
+        .orderBy("doc_id")
+        .localCheckpoint()
+    })
+  }
+
+  private val starClustersCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Partition count for an iterative graph loop: sized to the edge
     * count, not the cluster-wide shuffle default, so each round's jobs
@@ -1517,6 +1545,17 @@ object TextOps {
     // the Spark-side label-propagation loop; both converge to the same
     // unique fixpoint (min doc_id per component)
     "t16_dup_clusters" -> QueryDef(dupClusters _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id)
+         |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_sz
+         |FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+         |ORDER BY doc_id""".stripMargin),
+
+    // the SAME clustering truth, computed through the alternating
+    // large-star/small-star edge-rewrite body — the oracle pins that
+    // both production CC shapes label the live pair graph identically
+    "t34_cc_star_clusters" -> QueryDef(dupClustersStar _,
       s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$ClusterLabCtesDuck,
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id)
