@@ -903,10 +903,13 @@ object TextOps {
     *      not the corpus) and cumsum buckets by score desc: buckets
     *      wholly under budget are selected outright; exactly one
     *      straddles it;
-    *   2. inside the straddling bucket, re-bucket by doc_id range
-    *      (RangeWidth docs per range) and cumsum ranges the same way
-    *      (recurse on width at larger scale);
-    *   3. the exact per-row prefix window runs only over the single
+    *   2. inside the straddling bucket, re-bucket by doc_id range and
+    *      cumsum ranges the same way — RECURSIVELY: the range width is
+    *      span/RangeWidth at each level (≤ RangeWidth+1 ranges per
+    *      window), and the straddling range recurses until its doc_id
+    *      span is ≤ RangeWidth, so a bucket of ANY size drills down in
+    *      O(log_RangeWidth span) bounded-window levels;
+    *   3. the exact per-row prefix window runs only over the final
     *      straddling range (≤ RangeWidth rows).
     * Selection joins are broadcast semi-joins against the tiny selected
     * bucket/range id lists, so the corpus is scanned, never re-sorted. */
@@ -950,26 +953,51 @@ object TextOps {
       .filter(col("pre") <= col("budget") && col("budget") < col("cum"))
       .select(col("score"), (col("budget") - col("pre")).as("rem"))
     val selBuckets = docs.join(broadcast(fullBuckets), Seq("score"), "leftsemi")
-    val bnd = docs.join(broadcast(straddle), Seq("score"))
-      .withColumn("rng", expr(s"doc_id div $RangeWidth"))
+    // recursive range drill-down inside the straddling bucket: `cur`
+    // carries (doc_id, score, n_tok, rem) with rem constant across rows;
+    // each level splits the current doc_id span into ≤ RangeWidth+1
+    // ranges, selects the wholly-fitting prefix ranges, and recurses into
+    // the one straddling range with the remaining budget. localCheckpoint
+    // per level (t16's loop discipline): the frame shrinks by ~RangeWidth×
+    // per level and no level re-executes its predecessors.
+    var selected = selBuckets.select("doc_id", "score", "n_tok")
+    var cur = docs.join(broadcast(straddle), Seq("score")).localCheckpoint()
     val rngW = Window.orderBy(col("rng").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranges = bnd.groupBy("rng", "rem").agg(sum(col("n_tok")).as("rtok"))
-      .withColumn("cum", sum(col("rtok")).over(rngW))
-      .withColumn("pre", col("cum") - col("rtok"))
-    val fullRanges = ranges.filter(col("cum") <= col("rem")).select("rng")
-    val straddleRange = ranges
-      .filter(col("pre") <= col("rem") && col("rem") < col("cum"))
-      .select(col("rng"), (col("rem") - col("pre")).as("rem2"))
-    val selRanges = bnd.join(broadcast(fullRanges), Seq("rng"), "leftsemi")
+    var span = {
+      val b = cur.agg(min("doc_id"), max("doc_id")).head()
+      if (b.isNullAt(0)) 0L else b.getLong(1) - b.getLong(0) + 1L
+    }
+    while (span > RangeWidth) {
+      // width = ceil(span / RangeWidth) → ≤ RangeWidth+1 ranges, and the
+      // next level's span shrinks to ≤ width ≤ (span + RW - 1) / RW
+      val w = (span + RangeWidth - 1L) / RangeWidth
+      val bnd = cur.withColumn("rng", expr(s"doc_id div $w"))
+      val ranges = bnd.groupBy("rng", "rem").agg(sum(col("n_tok")).as("rtok"))
+        .withColumn("cum", sum(col("rtok")).over(rngW))
+        .withColumn("pre", col("cum") - col("rtok"))
+      val fullRanges = ranges.filter(col("cum") <= col("rem")).select("rng")
+      val straddleRange = ranges
+        .filter(col("pre") <= col("rem") && col("rem") < col("cum"))
+        .select(col("rng"), (col("rem") - col("pre")).as("rem"))
+      selected = selected.unionAll(
+        bnd.join(broadcast(fullRanges), Seq("rng"), "leftsemi")
+          .select("doc_id", "score", "n_tok"))
+      cur = bnd.drop("rem").join(broadcast(straddleRange), Seq("rng"))
+        .select("doc_id", "score", "n_tok", "rem").localCheckpoint()
+      span = {
+        val b = cur.agg(min("doc_id"), max("doc_id")).head()
+        if (b.isNullAt(0)) 0L else b.getLong(1) - b.getLong(0) + 1L
+      }
+    }
+    // exact per-row prefix over the final straddling range — ≤ RangeWidth
+    // rows by the loop bound, so the unpartitioned window is constant-size
     val tailW = Window.orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val selTail = bnd.join(broadcast(straddleRange), Seq("rng"))
+    val selTail = cur
       .withColumn("run", sum(col("n_tok")).over(tailW))
-      .filter(col("run") <= col("rem2"))
-    selBuckets.select("doc_id", "score", "n_tok")
-      .unionAll(selRanges.select("doc_id", "score", "n_tok"))
-      .unionAll(selTail.select("doc_id", "score", "n_tok"))
+      .filter(col("run") <= col("rem"))
+    selected.unionAll(selTail.select("doc_id", "score", "n_tok"))
   }
 
   /** Cross-source vocabulary overlap: pairwise Jaccard similarity of the

@@ -66,4 +66,19 @@ class TokenBudgetSpec extends AnyFunSuite {
     check((0L until 200L).map(i => (i, (i % 3) * 7L, 1L + (i * 13) % 11)),
       "interleaved")
   }
+
+  test("giant straddling bucket (≫ RangeWidth² docs) recurses on width") {
+    // 10,000 docs in ONE score bucket: a single-level range split at
+    // width 64 would leave a ~157-range straddling window at the next
+    // level under the old two-level code; the recursive drill-down must
+    // narrow span 10,000 → ≤157 → ≤3 in bounded-window levels and still
+    // compute the exact global prefix
+    check((0L until 10000L).map(i => (i, 1L, 1L + i % 3)), "giant-bucket")
+  }
+
+  test("sparse non-contiguous doc ids in the straddling bucket") {
+    // span-based widths must not assume dense ids: ids stride by 1009
+    // so every range holds ≤ a few docs and most ranges are empty
+    check((0L until 300L).map(i => (i * 1009L, 4L, 2L + i % 7)), "sparse")
+  }
 }
