@@ -23,18 +23,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import graft.functions.BloomExpressions
     ext.injectFunction((
       FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProductD].getName, "dot_d"),
-      (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"dot_d expects 2 arguments (array<double>, array<double>), got ${exprs.length}")
+        DotProductD(exprs(0), exprs(1))
+      }))
+    // bloom builders delegate to BloomExpressions — the temp-function
+    // and extension registries must share ONE definition per function
     ext.injectFunction((
       FunctionIdentifier("bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
-      (exprs: Seq[Expression]) =>
-        new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+      BloomExpressions.buildAgg _))
     ext.injectFunction((
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
-      (exprs: Seq[Expression]) => BloomFilterMightContain(exprs(0), exprs(1))))
+      BloomExpressions.buildContains _))
   }
 }

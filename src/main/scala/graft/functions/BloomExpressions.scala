@@ -20,16 +20,30 @@ import org.apache.spark.sql.functions.call_function
   */
 object BloomExpressions {
 
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** The ONE bloom_agg builder — shared by the temp-function route
+    * (register) and the session-extension route (GraftExtensions), so
+    * name/arity/semantics cannot drift between the two registries.
+    * Arity is validated here: a wrong argument count must surface as a
+    * clear analysis-time error, not a raw IndexOutOfBoundsException. */
+  private[graft] def buildAgg(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"bloom_agg expects 3 arguments (value, estItems, numBits), got ${exprs.length}")
+    new BloomFilterAggregate(exprs(0), exprs(1), exprs(2))
+  }
+
+  /** The ONE bloom_contains builder (same single-sourcing rule). */
+  private[graft] def buildContains(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"bloom_contains expects 2 arguments (sketch, value), got ${exprs.length}")
+    BloomFilterMightContain(exprs(0), exprs(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "bloom_agg",
-      exprs => new BloomFilterAggregate(exprs(0), exprs(1), exprs(2)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "bloom_contains",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)),
-      "built-in")
+    reg.createOrReplaceTempFunction("bloom_agg", buildAgg, "built-in")
+    reg.createOrReplaceTempFunction("bloom_contains", buildContains, "built-in")
   }
 
   /** Aggregate a LONG column into a bloom sketch (BINARY). */

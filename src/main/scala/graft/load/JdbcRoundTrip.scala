@@ -61,8 +61,16 @@ object JdbcRoundTrip {
     * the same `dropDuplicates` shuffle any constrained bulk load needs —
     * you dedup in Spark, not by bouncing rows off the database). */
   def runArmed(spark: SparkSession, catalog: Catalog, rowCount: Long = 15,
-      seed: Long = 42): Seq[ArmedLoadReport] =
-    runArmedLinked(spark, catalog, rowCount, seed)._1
+      seed: Long = 42): Seq[ArmedLoadReport] = {
+    // load-only: the deferred-FK linking epilogue (UPDATE + late ADD
+    // CONSTRAINT, each a live-Derby failure mode) runs ONLY for callers
+    // that consume link reports (runArmedLinked / g10) — a pure load
+    // consumer like g08 must not inherit the epilogue's work or errors
+    val db = s"graft_arm_${dbCounter.incrementAndGet()}_${System.nanoTime()}"
+    val url = s"jdbc:derby:memory:$db"
+    try runArmedOn(spark, catalog, url, rowCount, seed, link = false)._1
+    finally dropDatabase(url)
+  }
 
   /** Armed wave load + the deferred-FK linking epilogue (g10): both run
     * against ONE Derby lifetime, so the (expensive) load is paid once. */
@@ -71,7 +79,7 @@ object JdbcRoundTrip {
       : (Seq[ArmedLoadReport], Seq[DeferredLinkReport]) = {
     val db = s"graft_awl_${dbCounter.incrementAndGet()}_${System.nanoTime()}"
     val url = s"jdbc:derby:memory:$db"
-    try runArmedOn(spark, catalog, url, rowCount, seed)
+    try runArmedOn(spark, catalog, url, rowCount, seed, link = true)
     finally dropDatabase(url)
   }
 
@@ -172,7 +180,7 @@ object JdbcRoundTrip {
   }
 
   private def runArmedOn(spark: SparkSession, catalog: Catalog, url: String,
-      rowCount: Long, seed: Long)
+      rowCount: Long, seed: Long, link: Boolean)
       : (Seq[ArmedLoadReport], Seq[DeferredLinkReport]) = {
     val target = JdbcSink.Target(url, "", "")
     ensureDatabase(url)
@@ -279,8 +287,10 @@ object JdbcRoundTrip {
     // DATABASE itself revalidates the linked values (Derby, unlike
     // MSSQL's WITH NOCHECK, scans existing rows on ADD CONSTRAINT).
     // Edges onto non-PK parent columns stay unarmed (no unique backing)
-    // but still link and audit to zero NULLs.
-    val linkReports = targets.sorted.flatMap { t =>
+    // but still link and audit to zero NULLs. Skipped entirely for
+    // load-only callers (link = false).
+    val linkReports = if (!link) Seq.empty[DeferredLinkReport]
+    else targets.sorted.flatMap { t =>
       deferredFks(t).sortBy(_.column).map { fk =>
         val (tq, cq) = (DerbyDdl.q(t), DerbyDdl.q(fk.column))
         val (rq, rcq) = (DerbyDdl.q(fk.refTable), DerbyDdl.q(fk.refColumn))

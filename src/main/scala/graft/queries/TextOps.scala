@@ -961,18 +961,25 @@ object TextOps {
     // per level (t16's loop discipline): the frame shrinks by ~RangeWidth×
     // per level and no level re-executes its predecessors.
     var selected = selBuckets.select("doc_id", "score", "n_tok")
-    var cur = docs.join(broadcast(straddle), Seq("score")).localCheckpoint()
+    // two views per level: curJoin keeps the broadcast join at the top of
+    // the lineage (so the final tail window provably consumes a bounded
+    // join output — the shape PlanSpec freezes), curCp is its checkpoint
+    // (lineage truncated, so level k never re-executes levels 1..k-1;
+    // consumers of curJoin recompute at most ONE join above a checkpoint)
+    var curJoin = docs.join(broadcast(straddle), Seq("score"))
+    var curCp = curJoin.localCheckpoint()
     val rngW = Window.orderBy(col("rng").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var span = {
-      val b = cur.agg(min("doc_id"), max("doc_id")).head()
+    def spanOf(f: DataFrame): Long = {
+      val b = f.agg(min("doc_id"), max("doc_id")).head()
       if (b.isNullAt(0)) 0L else b.getLong(1) - b.getLong(0) + 1L
     }
+    var span = spanOf(curCp)
     while (span > RangeWidth) {
       // width = ceil(span / RangeWidth) → ≤ RangeWidth+1 ranges, and the
       // next level's span shrinks to ≤ width ≤ (span + RW - 1) / RW
       val w = (span + RangeWidth - 1L) / RangeWidth
-      val bnd = cur.withColumn("rng", expr(s"doc_id div $w"))
+      val bnd = curCp.withColumn("rng", expr(s"doc_id div $w"))
       val ranges = bnd.groupBy("rng", "rem").agg(sum(col("n_tok")).as("rtok"))
         .withColumn("cum", sum(col("rtok")).over(rngW))
         .withColumn("pre", col("cum") - col("rtok"))
@@ -983,18 +990,16 @@ object TextOps {
       selected = selected.unionAll(
         bnd.join(broadcast(fullRanges), Seq("rng"), "leftsemi")
           .select("doc_id", "score", "n_tok"))
-      cur = bnd.drop("rem").join(broadcast(straddleRange), Seq("rng"))
-        .select("doc_id", "score", "n_tok", "rem").localCheckpoint()
-      span = {
-        val b = cur.agg(min("doc_id"), max("doc_id")).head()
-        if (b.isNullAt(0)) 0L else b.getLong(1) - b.getLong(0) + 1L
-      }
+      curJoin = bnd.drop("rem").join(broadcast(straddleRange), Seq("rng"))
+        .select("doc_id", "score", "n_tok", "rem")
+      curCp = curJoin.localCheckpoint()
+      span = spanOf(curCp)
     }
     // exact per-row prefix over the final straddling range — ≤ RangeWidth
     // rows by the loop bound, so the unpartitioned window is constant-size
     val tailW = Window.orderBy(col("doc_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val selTail = cur
+    val selTail = curJoin
       .withColumn("run", sum(col("n_tok")).over(tailW))
       .filter(col("run") <= col("rem"))
     selected.unionAll(selTail.select("doc_id", "score", "n_tok"))
