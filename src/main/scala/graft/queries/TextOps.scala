@@ -723,6 +723,35 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t33's drill-through: the per-(source, reason) removal breakdown the
+    * review queue actually pages through — each REMOVED doc attributed
+    * to 'dup' (near-dup victim only), 'contaminated' (benchmark 8-gram
+    * hit only), or 'both', with doc and token mass per cell. Same
+    * composed operators as the scorecard (one extra grouping key over
+    * the already-joined frame), same keyed-join discipline: the flag
+    * sets are data-dependent, so no forced broadcast — AQE converts
+    * when they measure small. */
+  def curationReasons(s: SparkSession, d: String): DataFrame = {
+    val dupes = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    val cont = decontaminate(s, d).select("doc_id")
+      .withColumn("is_cont", lit(1L))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(norm(col("text")), " ")).cast("long").as("n_tok"))
+      .join(dupes, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
+      .filter(col("is_dup").isNotNull || col("is_cont").isNotNull)
+      .withColumn("reason",
+        when(col("is_dup").isNotNull && col("is_cont").isNotNull, "both")
+          .when(col("is_dup").isNotNull, "dup")
+          .otherwise("contaminated"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source", "reason")
+  }
+
   /** Multi-signal near-dup candidates: the text signal (shingle Jaccard
     * ≥ 0.5, t03) full-outer-merged with the embedding signal (cosine
     * ≥ 0.45, v02) per document pair — the cross-modal dedup review
@@ -1815,6 +1844,31 @@ object TextOps {
          |LEFT JOIN dupes dp ON dp.b_id = b.doc_id
          |LEFT JOIN cont ct ON ct.doc_id = b.doc_id
          |GROUP BY b.source ORDER BY b.source""".stripMargin),
+
+    // the scorecard's drill-through: same shared dup/contamination CTE
+    // chain, one extra grouping key (removal reason) over removed docs
+    "t35_curation_reasons" -> QueryDef(curationReasons _,
+      s"""$DupesCtesDuck,
+         |${Gram8CtesDuck.stripPrefix("WITH ")},
+         |bench AS (SELECT DISTINCT gid FROM g WHERE doc_id < 50),
+         |cont AS (SELECT DISTINCT doc_id FROM g
+         |         WHERE doc_id >= 50 AND gid IN (SELECT gid FROM bench)),
+         |base AS (SELECT doc_id, source,
+         |    CAST(len(string_split($NormSqlDuck, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |flagged AS (SELECT b.source, b.n_tok,
+         |    CASE WHEN dp.b_id IS NOT NULL AND ct.doc_id IS NOT NULL THEN 'both'
+         |         WHEN dp.b_id IS NOT NULL THEN 'dup'
+         |         ELSE 'contaminated' END AS reason
+         |  FROM base b
+         |  LEFT JOIN dupes dp ON dp.b_id = b.doc_id
+         |  LEFT JOIN cont ct ON ct.doc_id = b.doc_id
+         |  WHERE dp.b_id IS NOT NULL OR ct.doc_id IS NOT NULL)
+         |SELECT source, reason,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM flagged GROUP BY source, reason
+         |ORDER BY source, reason""".stripMargin),
 
     // split hash keys on the cluster ROOT (t16's recursive-CTE labeling,
     // same fixpoint as the Spark loop), so a whole near-dup cluster
