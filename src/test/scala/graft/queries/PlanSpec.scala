@@ -109,6 +109,24 @@ class PlanSpec extends AnyFunSuite {
         s"the whole label-propagation loop per consumer); got:\n$p")
   }
 
+  test("t13: band keys are signature-derived 15-bit slices; candidate joins are keyed") {
+    val p = plan("t13_simhash_near_dup")
+    // the 4×15-bit pigeonhole bands must derive from the 60-bit
+    // signature via integer shifts — a constant-cardinality band key
+    // (the 16-bit predecessor's 32/32/64 buckets) is the scale-killer
+    // this freezes out
+    assert(p.contains("shiftright"),
+      s"band keys must be shift/mask slices of simhash60:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "candidates must meet inside band buckets, never all-pairs")
+  }
+
+  test("t34: star-body clustering consumers scan the checkpointed result") {
+    val p = plan("t34_cc_star_clusters")
+    assert(p.contains("ExistingRDD"),
+      s"expected a checkpointed-RDD scan (t16's loop discipline):\n$p")
+  }
+
   test("t19: benchmark side broadcasts, no cartesian anywhere") {
     val p = plan("t19_decontaminate")
     assert(p.contains("BroadcastHashJoin"), "benchmark grams must broadcast")
