@@ -120,6 +120,49 @@ object VectorOps {
       .orderBy("la", "lb")
   }
 
+  /** Semantic dedup, cluster-then-pair (the SemDeDup shape, Abbas et
+    * al. 2023): every vector assigns to its nearest of the 16 seed
+    * centroids (v08's cells — same rounded-cosine + cid tie-break),
+    * then near-duplicate pairs are sought ONLY within a cell, and each
+    * vector reports how many LOWER-id cell-mates it duplicates
+    * (cos ≥ 0.45) — keep-lowest-id, t11's policy, so is_kept is
+    * deterministic without any cross-cell coordination.
+    *
+    * This is the semantic complement of the lexical ladder: t03 catches
+    * shared text, v15 catches paraphrases that share no shingles. Scale
+    * shape: the pair join keys on the cell id — candidates meet only
+    * inside a cluster (|cell|² per cell, cells ≪ corpus; a production
+    * run shards oversized cells), never the v02 all-pairs baseline. The
+    * 16-row codebook broadcasts; the member frame joins KEYED on cell
+    * (its size is data-dependent — no forced broadcast, t32's rule). */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val aff = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid").asc)))
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val m = e.join(cells, "vec_id")
+    val a = m.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val dups = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.45)
+      .groupBy("b_id").agg(count(lit(1)).as("n_dup_prior"))
+    m.select("vec_id", "cell")
+      .join(dups.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+      .na.fill(0L, Seq("n_dup_prior"))
+      .withColumn("is_kept",
+        when(col("n_dup_prior") === 0, 1L).otherwise(0L))
+      .orderBy("vec_id")
+  }
+
   /** Per-vector L2 norm (sequential fold), rounded. */
   def vectorNorms(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
@@ -470,6 +513,30 @@ object VectorOps {
         |  CAST(CAST(SUM((a.qm - b.qm) * (a.qm - b.qm)) AS BIGINT) AS DOUBLE) / 1e12 AS dist2
         |FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
         |GROUP BY 1, 2 ORDER BY la, lb""".stripMargin),
+
+    // cluster-then-pair semantic dedup: pairs are sought only within a
+    // cell; the oracle restates the same cell assignment + keep-lowest
+    "v15_semantic_dedup" -> QueryDef(semanticDedup _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+        |      FROM e WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM n, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |m AS (SELECT cells.cell, n.vec_id, n.v, n.nrm FROM n JOIN cells USING (vec_id)),
+        |dup AS (SELECT b.vec_id AS b_id, COUNT(*) AS n_dup_prior
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45
+        |  GROUP BY b.vec_id)
+        |SELECT m.vec_id, m.cell,
+        |  CAST(COALESCE(dup.n_dup_prior, 0) AS BIGINT) AS n_dup_prior,
+        |  CAST(CASE WHEN dup.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+        |FROM m LEFT JOIN dup ON dup.b_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin),
 
     "v04_vector_norms" -> QueryDef(vectorNorms _,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
