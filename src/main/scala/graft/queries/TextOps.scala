@@ -1258,6 +1258,54 @@ object TextOps {
       .limit(25)
   }
 
+  /** Word-bigram language-model score — the KenLM/CCNet perplexity
+    * filter as a real CONDITIONAL model (t27 scores raw trigram
+    * occurrence counts; this scores P(wᵢ | wᵢ₋₁) with add-one
+    * smoothing). The corpus trains the model — bigram counts c(w₁,w₂),
+    * context counts c(w₁) = bigram occurrences starting at w₁, and
+    * vocabulary size V — and each document reports the mean smoothed
+    * log-probability of its own bigrams; low scores are the
+    * gibberish/boilerplate tail a perplexity filter cuts.
+    *
+    * Float discipline: p = (c+1)/(c(w₁)+V) is ONE double division of
+    * exact BIGINTs (IEEE-identical in both engines), and ln(p) is
+    * quantized FLOOR(·1e6) → BIGINT BEFORE the per-doc SUM, so
+    * aggregation order can never drift the hash (the v03 pattern).
+    *
+    * Scale: bigram extraction is map-only (a transform over the token
+    * array — no posexplode + per-doc window); the model is
+    * corpus-scale, so both model joins stay KEYED on (w₁,w₂)/(w₁) —
+    * deliberately NEVER broadcast, unlike t27's charset³-bounded
+    * trigram frame (a word-bigram vocabulary grows with the corpus:
+    * ~10⁹ distinct bigrams at 100 TB); V is a 1-row scalar aggregate
+    * crossJoined back (t18's convention); the per-doc mean
+    * partial-aggregates map-side. */
+  def bigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val tk = documents(s, d)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+    val bg = tk.filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val v = tk.select(explode(col("ts")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .agg(countDistinct(col("tok")).as("vs"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        floor(log((col("c") + 1).cast("double") / (col("cc") + col("vs")).cast("double"))
+          * lit(1e6)).cast("long").as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq").cast("double") / col("n_bigrams").cast("double") / lit(1e6), 6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style filter census: each document is judged against three
     * repetition/shape rules and each source reports how many docs each
     * rule rejects — the observability table a curation pipeline reads
@@ -1934,6 +1982,25 @@ object TextOps {
          |      FROM t JOIN m ON m.g = t.g GROUP BY t.doc_id)
          |SELECT doc_id, n_grams,
          |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS familiarity
-         |FROM p ORDER BY familiarity ASC, doc_id ASC LIMIT 25""".stripMargin)
+         |FROM p ORDER BY familiarity ASC, doc_id ASC LIMIT 25""".stripMargin),
+
+    "t36_bigram_lm_score" -> QueryDef(bigramLmScore _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM (SELECT doc_id, ts,
+         |               CAST(unnest(generate_series(1, len(ts) - 1)) AS INT) AS i
+         |             FROM tk WHERE len(ts) >= 2)),
+         |c2 AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, COUNT(*) AS cc FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vs
+         |      FROM (SELECT unnest(ts) AS tok FROM tk) WHERE length(tok) >= 1),
+         |sc AS (SELECT bg.doc_id,
+         |        CAST(FLOOR(ln(CAST(c2.c + 1 AS DOUBLE) / CAST(c1.cc + v.vs AS DOUBLE))
+         |             * 1e6) AS BIGINT) AS q
+         |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_logp
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -456,6 +456,36 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Semantic decontamination — the embedding-space twin of t19/t26's
+    * n-gram decontamination: every corpus vector reports its maximum
+    * cosine against a held-out benchmark set (vec_id ≡ 0 mod 17 plays
+    * the benchmark suite) plus how many benchmark items it matches at
+    * ≥ 0.4, and the contaminated flag a curation pipeline filters on.
+    * Paraphrased eval leakage survives exact/n-gram checks (t19 needs a
+    * verbatim 8-gram); embedding overlap is the standard second line.
+    *
+    * Scale: the benchmark side is bounded by the SUITE size — a few
+    * thousand rows no matter how large the corpus — so the broadcast is
+    * structurally justified (not data-dependent like t32's labels); the
+    * corpus side is one map-only scan through the codegen'd dot_d, and
+    * the per-vector max/count partial-aggregates map-side on vec_id.
+    * Per-pair cosines round(·,6) before aggregation (max over rounded
+    * values is order-independent), counts are exact integers. */
+  def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val bench = base.filter(col("vec_id") % 17 === 0)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    base.filter(col("vec_id") % 17 =!= 0)
+      .crossJoin(broadcast(bench))
+      .withColumn("cos", round(dot("v", "bv") / (col("nrm") * col("bn")), 6))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_cos"),
+        sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated",
+        when(col("max_cos") >= 0.4, 1L).otherwise(0L))
+      .orderBy("vec_id")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -537,6 +567,20 @@ object VectorOps {
         |  CAST(CASE WHEN dup.b_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_kept
         |FROM m LEFT JOIN dup ON dup.b_id = m.vec_id
         |ORDER BY m.vec_id""".stripMargin),
+
+    // benchmark side is suite-bounded at any corpus scale → broadcast
+    "v16_semantic_decontaminate" -> QueryDef(semanticDecontaminate _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |b AS (SELECT vec_id AS b_id, v AS bv, nrm AS bn FROM n WHERE vec_id % 17 = 0),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 17 != 0),
+        |p AS (SELECT c.vec_id,
+        |        round(list_dot_product(c.v, b.bv) / (c.nrm * b.bn), 6) AS cos
+        |      FROM c, b)
+        |SELECT vec_id, max(cos) AS max_cos,
+        |  CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN max(cos) >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
     "v04_vector_norms" -> QueryDef(vectorNorms _,
       """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
