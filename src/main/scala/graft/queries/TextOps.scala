@@ -213,7 +213,7 @@ object TextOps {
     * accumulate cached plans. */
   def clearCaches(): Unit = {
     (pairsCache.values ++ simhashPairsCache.values ++ clustersCache.values ++
-      starClustersCache.values ++ gramCache.values)
+      starClustersCache.values ++ gramCache.values ++ bigramCache.values)
       .foreach(df =>
         try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
         catch { case _: Throwable => () })
@@ -222,6 +222,7 @@ object TextOps {
     clustersCache.clear()
     starClustersCache.clear()
     gramCache.clear()
+    bigramCache.clear()
   }
 
   /** Per-language per-mille sampling rates for the training-mixture
@@ -1273,31 +1274,54 @@ object TextOps {
     * aggregation order can never drift the hash (the v03 pattern).
     *
     * Scale: bigram extraction is map-only (a transform over the token
-    * array — no posexplode + per-doc window); the model is
-    * corpus-scale, so both model joins stay KEYED on (w₁,w₂)/(w₁) —
-    * deliberately NEVER broadcast, unlike t27's charset³-bounded
-    * trigram frame (a word-bigram vocabulary grows with the corpus:
-    * ~10⁹ distinct bigrams at 100 TB); V is a 1-row scalar aggregate
-    * crossJoined back (t18's convention); the per-doc mean
+    * array — no posexplode + per-doc window) and memoized per
+    * (session, dir) like [[wordGramIds]] (three consumers — two model
+    * aggregates and the probe side — must not re-parse the corpus; a
+    * real deployment keeps the LM count table persisted across runs).
+    * The model is corpus-scale, so it is assembled model-side — c₂⋈c₁
+    * joins |distinct bigrams| rows, and ln(p) is quantized there, per
+    * bigram TYPE, not per occurrence — and the probe path is ONE keyed
+    * join on (w₁,w₂), deliberately NEVER broadcast, unlike t27's
+    * charset³-bounded trigram frame (a word-bigram vocabulary grows
+    * with the corpus: ~10⁹ distinct bigrams at 100 TB; AQE may still
+    * convert at small scale, the t32 discipline); V is a 1-row scalar
+    * aggregate crossJoined back (t18's convention); the per-doc mean
     * partial-aggregates map-side. */
+  private val bigramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def wordBigrams(s: SparkSession, d: String): DataFrame = {
+    bigramCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    bigramCache.getOrElseUpdate((s, d), {
+      val g = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .persist()
+      g.count() // materialize eagerly so every consumer reads the cache
+      g
+    })
+  }
+
   def bigramLmScore(s: SparkSession, d: String): DataFrame = {
     val tk = documents(s, d)
       .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
-    val bg = tk.filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), " +
-          "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bg = wordBigrams(s, d)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
     val v = tk.select(explode(col("ts")).as("tok"))
       .filter(length(col("tok")) >= 1)
       .agg(countDistinct(col("tok")).as("vs"))
-    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
-      .select(col("doc_id"),
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
         floor(log((col("c") + 1).cast("double") / (col("cc") + col("vs")).cast("double"))
           * lit(1e6)).cast("long").as("q"))
+    bg.join(model, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
       .select(col("doc_id"), col("n_bigrams"),
