@@ -367,4 +367,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exec.contains("BroadcastHashJoin"),
       s"AQE should broadcast the small labels side at runtime:\n$exec")
   }
+
+  test("t36: bigram consumers scan the persisted frame; model joins are keyed, V broadcasts") {
+    val p = plan("t36_bigram_lm_score")
+    // the memoized bigram frame feeds both model aggregates AND the
+    // probe side from the cache — the corpus is parsed once
+    assert(p.split("InMemoryTableScan").length >= 4,
+      s"model aggregates + probe side must all read the persisted bigram frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the only unkeyed join is the broadcast 1-row V scalar")
+    // the V scalar is the single cross join (formatted explain lists
+    // each node twice: tree + detail) — anything more means a
+    // corpus-scale frame went unkeyed, the 100 TB mistake
+    assert(p.split("BroadcastNestedLoopJoin").length <= 3,
+      s"only the 1-row V aggregate may cross-join broadcast:\n$p")
+    assert(p.contains("partial_count"),
+      "bigram/context counts must partial-aggregate map-side")
+  }
+
+  test("v16: benchmark side broadcasts, corpus side is one dot_d scan, agg is partial") {
+    val p = plan("v16_semantic_decontaminate")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the suite-bounded benchmark side must broadcast:\n$p")
+    assert(p.contains("dot_d"), "cosines must go through the codegen expression")
+    assert(p.contains("partial_max"),
+      "per-vector max/count must partial-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the corpus never shuffle-joins for the decontamination scan")
+  }
 }
