@@ -131,6 +131,7 @@ object StreamOps {
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     nearDupCache.clear()  // ditto
+    decontamCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -242,6 +243,57 @@ object StreamOps {
   }
 
   private val nearDupCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Streaming benchmark decontamination — t19 run the way a
+    * continuously-ingesting pipeline runs it: each micro-batch of
+    * arriving documents is 8-gram-keyed IN the stream (stateless Column
+    * ops — the exact `norm`/`sid60` expressions the batch operator
+    * uses, so the gram ids cannot drift) and stream-static joined
+    * against the broadcast benchmark gram set, which comes from the
+    * SAME memoized gram index t19/t26/t33 read. Matches land in an
+    * exactly-once parquet sink; the drained rows then aggregate to
+    * t19's exact output — per-doc distinct-gram and distinct-bench-doc
+    * evidence — so the oracle IS t19's oracle. No state accumulates:
+    * the benchmark side is fixed (an eval suite), the join is
+    * stateless, and each arriving doc is scored once on arrival — each
+    * day's crawl is decontaminated WITHOUT rescanning the corpus.
+    * Result memoized per (session, dir) — the s06/s08 convention: one
+    * drain per harness run is the honest cost. */
+  def streamDecontaminate(s: SparkSession, d: String): DataFrame = {
+    decontamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    decontamCache.getOrElseUpdate((s, d), {
+      val bench = TextOps.wordGramIds(s, d, 8)
+        .filter(col("doc_id") < 50)
+        .select(col("gid"), col("doc_id").as("b_id"))
+      val (matches, nBatches, scratch) = graft.streaming.DocStream.runDocOnce(
+        s, docStreamSource(s, d), "graft_stream_decontam") { src =>
+          src.filter(col("doc_id") >= 50)
+            .select(col("doc_id"), split(TextOps.norm(col("text")), " ").as("ts"))
+            .filter(size(col("ts")) >= 8)
+            .select(col("doc_id"), col("ts"),
+              explode(expr("sequence(1, size(ts) - 7)")).as("i"))
+            .select(col("doc_id"),
+              TextOps.sid60(expr("array_join(slice(ts, i, 8), ' ')")).as("gid"))
+            .join(broadcast(bench), "gid")
+            .select(col("doc_id"), col("gid"), col("b_id"))
+        }
+      try {
+        // per-doc grams are NOT pre-deduplicated in the stream (a
+        // stateful distinct would need a watermark for nothing): the
+        // countDistinct aggregates collapse repeats, so the result
+        // still equals t19's distinct-gram join exactly
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        matches.groupBy("doc_id")
+          .agg(countDistinct(col("gid")).as("n_hits"),
+            countDistinct(col("b_id")).as("n_bench_docs"))
+          .orderBy("doc_id")
+          .localCheckpoint() // pin BEFORE the sink scratch dir is deleted
+      } finally rmrf(java.nio.file.Paths.get(scratch))
+    })
+  }
+
+  private val decontamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Streaming ETL into a LIVE relational database — the reference's
@@ -393,6 +445,18 @@ object StreamOps {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 2
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // the stream must reproduce BATCH t19's per-doc contamination
+    // evidence from incremental micro-batch arrivals — same oracle
+    "s09_stream_decontaminate" -> QueryDef(streamDecontaminate _,
+      s"""${TextOps.Gram8CtesDuck},
+         |bench AS (SELECT gid, doc_id AS b_id FROM g WHERE doc_id < 50),
+         |corp AS (SELECT gid, doc_id FROM g WHERE doc_id >= 50)
+         |SELECT corp.doc_id,
+         |  CAST(COUNT(DISTINCT corp.gid) AS BIGINT) AS n_hits,
+         |  CAST(COUNT(DISTINCT bench.b_id) AS BIGINT) AS n_bench_docs
+         |FROM corp JOIN bench ON bench.gid = corp.gid
+         |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin),
 
     // the audit reads the DATABASE back, so matching the fixture's
     // per-type stats proves every micro-batch landed exactly once

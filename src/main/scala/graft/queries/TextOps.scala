@@ -26,7 +26,7 @@ import graft.tables.Tables._
 object TextOps {
 
   /** lowercase → strip non-alphanumerics → collapse runs of spaces. */
-  private def norm(c: Column): Column =
+  private[queries] def norm(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
   private val NormSqlDuck =
@@ -44,7 +44,7 @@ object TextOps {
     * decontamination gram ids, where at 100 TB gram cardinality (~10¹¹)
     * a 32-bit id guarantees birthday collisions → clean training docs
     * falsely flagged as contaminated. */
-  private def sid60(c: Column): Column =
+  private[queries] def sid60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   // 16 universal-hash parameter pairs for MinHash, banded 4×4 for LSH.
@@ -117,7 +117,7 @@ object TextOps {
     * truncated-md5 gram ids) — the oracle twin of `wordGramIds(_, _, 8)`,
     * shared by t19, t26, and t33 so the gram keying can never drift
     * between the decontamination oracles. Starts its own WITH. */
-  private lazy val Gram8CtesDuck: String =
+  private[queries] lazy val Gram8CtesDuck: String =
     s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
        |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr WHERE length(nrm) >= 1),
        |g0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
@@ -1126,7 +1126,7 @@ object TextOps {
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-  private def wordGramIds(s: SparkSession, d: String, n: Int): DataFrame = {
+  private[queries] def wordGramIds(s: SparkSession, d: String, n: Int): DataFrame = {
     gramCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     gramCache.getOrElseUpdate((s, d, n), {
       val g = wordGramIdsUncached(s, d, n).persist()

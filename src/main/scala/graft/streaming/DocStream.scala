@@ -137,6 +137,28 @@ object DocStream {
     out.result().iterator
   }
 
+  /** Drain a multi-file document snapshot through an arbitrary
+    * STATELESS streaming plan (one micro-batch per file) into an
+    * exactly-once parquet file sink — the generic runner behind the
+    * document-stream queries that need no custom state (s09's
+    * stream-static decontamination join). Returns (result, micro-batch
+    * count, scratch root); the CALLER owns the scratch dir and deletes
+    * it once the frame is materialized. */
+  def runDocOnce(spark: SparkSession, sourceDir: String, name: String)(
+      plan: DataFrame => DataFrame): (DataFrame, Long, String) =
+    EventStream.withStatePartitions(spark) {
+      val root = java.nio.file.Files.createTempDirectory(name).toString
+      val src = spark.readStream.schema(docSchema).format("parquet")
+        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
+      val q = plan(src).writeStream.outputMode("append").format("parquet")
+        .option("path", s"$root/out")
+        .option("checkpointLocation", s"$root/cp")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      (spark.read.parquet(s"$root/out"), nBatches, root)
+    }
+
   /** Drain a multi-file document snapshot through the stateful band
     * index (one micro-batch per file) into an exactly-once parquet FILE
     * sink (the pair set is ~2M rows at sf0.1 — a driver-side memory
