@@ -1330,6 +1330,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source quality-distribution drift (PSI): each document lands
+    * in an alpha-ratio decile bucket (t07's score), and each source's
+    * bucket mix is compared against the CORPUS mix with the population
+    * stability index Σ (pₛ−q)·ln(pₛ/q) — the drift alarm a curation
+    * pipeline monitors per source/crawl snapshot: PSI ≈ 0 means the
+    * source matches the corpus quality profile, large PSI means its mix
+    * shifted (conventionally >0.25 = act). Cells where the source has
+    * no docs are skipped (pₛ = 0 contributes nothing countable), so the
+    * reported value is the observed-cell PSI; every kept term is ≥ 0 by
+    * sign agreement, so psi ≥ 0 always.
+    *
+    * Float discipline: pₛ−q = (n_sb·n − n_s·n_b)/(n_s·n) has an exact
+    * BIGINT numerator/denominator; ln(pₛ/q) = ln((n_sb·n)/(n_s·n_b))
+    * is one double ln of a ratio of exact BIGINT products, quantized
+    * FLOOR(·1e6) → BIGINT; each term is then one double divide + one
+    * multiply + FLOOR → BIGINT, summed exactly (the v03 pattern —
+    * aggregation order can never drift the hash).
+    *
+    * Scale: ONE corpus scan produces the (source, bucket) counts
+    * (map-side partial agg); n_s / n_b / n all derive from that
+    * ≤ \|sources\|×10-row frame, so every join below the first agg is
+    * metadata-scale at any corpus size. */
+  def sourceQualityDrift(s: SparkSession, d: String): DataFrame = {
+    val sb = documents(s, d)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_digit",
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("long"))
+      .withColumn("n_punct",
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
+      .withColumn("n_spaces",
+        (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long"))
+      .withColumn("alpha_ratio",
+        (col("n_chars") - col("n_digit") - col("n_punct") - col("n_spaces")).cast("double")
+          / col("n_chars"))
+      .select(col("source"),
+        least(floor(col("alpha_ratio") * 10).cast("long"), lit(9L)).as("b"))
+      .groupBy("source", "b").agg(count(lit(1)).as("n_sb"))
+    val ns = sb.groupBy("source").agg(sum(col("n_sb")).as("n_s"))
+    val nb = sb.groupBy("b").agg(sum(col("n_sb")).as("n_b"))
+    val n = sb.agg(sum(col("n_sb")).as("n"))
+    sb.join(ns, "source").join(nb, "b").crossJoin(broadcast(n))
+      .withColumn("lnq",
+        floor(log((col("n_sb") * col("n")).cast("double")
+          / (col("n_s") * col("n_b")).cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("q",
+        floor((col("n_sb") * col("n") - col("n_s") * col("n_b")).cast("double")
+          / (col("n_s") * col("n")).cast("double") * col("lnq")).cast("long"))
+      .groupBy("source")
+      .agg(max(col("n_s")).as("n_docs"),
+        count(lit(1)).as("n_buckets"),
+        round(sum(col("q")).cast("double") / lit(1e6), 6).as("psi"))
+      .orderBy("source")
+  }
+
   /** Gopher-style filter census: each document is judged against three
     * repetition/shape rules and each source reports how many docs each
     * rule rejects — the observability table a curation pipeline reads
@@ -2007,6 +2061,30 @@ object TextOps {
          |SELECT doc_id, n_grams,
          |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS familiarity
          |FROM p ORDER BY familiarity ASC, doc_id ASC LIMIT 25""".stripMargin),
+
+    "t37_source_quality_drift" -> QueryDef(sourceQualityDrift _,
+      """WITH s0 AS (SELECT source, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+        |    CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+        |  FROM documents),
+        |bk AS (SELECT source,
+        |    LEAST(CAST(FLOOR(CAST(n_chars - n_digit - n_punct - n_spaces AS DOUBLE)
+        |      / n_chars * 10) AS BIGINT), 9) AS b FROM s0),
+        |sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n_sb FROM bk GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
+        |nb AS (SELECT b, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM sb GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_sb) AS BIGINT) AS n FROM sb),
+        |t AS (SELECT sb.source, ns.n_s,
+        |    CAST(FLOOR(ln(CAST(sb.n_sb * tot.n AS DOUBLE)
+        |        / CAST(ns.n_s * nb.n_b AS DOUBLE)) * 1e6) AS BIGINT) AS lnq,
+        |    sb.n_sb * tot.n - ns.n_s * nb.n_b AS num,
+        |    ns.n_s * tot.n AS den
+        |  FROM sb JOIN ns USING (source) JOIN nb USING (b) CROSS JOIN tot)
+        |SELECT source, MAX(n_s) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  round(CAST(SUM(CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * lnq)
+        |    AS BIGINT)) AS DOUBLE) / 1e6, 6) AS psi
+        |FROM t GROUP BY source ORDER BY source""".stripMargin),
 
     "t36_bigram_lm_score" -> QueryDef(bigramLmScore _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
