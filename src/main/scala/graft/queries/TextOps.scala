@@ -1367,6 +1367,10 @@ object TextOps {
       .select(col("source"),
         least(floor(col("alpha_ratio") * 10).cast("long"), lit(9L)).as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("n_sb"))
+      // four consumers (sb/ns/nb/n) — materialize the ≤|sources|×10-row
+      // frame so the corpus scan runs exactly once (exchange reuse alone
+      // leaves repeated scans in the executed plan)
+      .localCheckpoint()
     val ns = sb.groupBy("source").agg(sum(col("n_sb")).as("n_s"))
     val nb = sb.groupBy("b").agg(sum(col("n_sb")).as("n_b"))
     val n = sb.agg(sum(col("n_sb")).as("n"))

@@ -385,6 +385,17 @@ class PlanSpec extends AnyFunSuite {
       "bigram/context counts must partial-aggregate map-side")
   }
 
+  test("t37: PSI runs on the checkpointed bucket frame — the corpus is never rescanned") {
+    val p = plan("t37_source_quality_drift")
+    assert(p.contains("ExistingRDD"),
+      s"the (source, bucket) counts must come from the materialized frame:\n$p")
+    assert(!p.contains("Scan parquet"),
+      s"everything downstream of the bucket counts is metadata-scale — a parquet " +
+        s"scan here means the corpus re-parses per consumer:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the only unkeyed join is the broadcast 1-row total")
+  }
+
   test("v16: benchmark side broadcasts, corpus side is one dot_d scan, agg is partial") {
     val p = plan("v16_semantic_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin"),
