@@ -213,7 +213,8 @@ object TextOps {
     * accumulate cached plans. */
   def clearCaches(): Unit = {
     (pairsCache.values ++ simhashPairsCache.values ++ clustersCache.values ++
-      starClustersCache.values ++ gramCache.values ++ bigramCache.values)
+      starClustersCache.values ++ gramCache.values ++ bigramCache.values ++
+      posGramCache.values)
       .foreach(df =>
         try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
         catch { case _: Throwable => () })
@@ -223,6 +224,7 @@ object TextOps {
     starClustersCache.clear()
     gramCache.clear()
     bigramCache.clear()
+    posGramCache.clear()
   }
 
   /** Per-language per-mille sampling rates for the training-mixture
@@ -1469,21 +1471,34 @@ object TextOps {
     * stays KEYED — no broadcast assumption, because at 100 TB the
     * duplicated-gram set is itself huge; the islands window partitions
     * per doc_id over duplicated positions only (bounded by doc length). */
+  /** Positioned 8-gram frame (doc_id, n_tok, i, gid) — t30's input,
+    * memoized per (session, dir) like [[wordGramIds]]: consumed twice
+    * per run (the ≥2-doc count and the survivor join) and across runs,
+    * it is the materialized POSITIONED gram table a real deployment
+    * persists next to the presence-only index. */
+  private val posGramCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def positionedGrams(s: SparkSession, d: String, n: Int): DataFrame = {
+    posGramCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    posGramCache.getOrElseUpdate((s, d), {
+      val g = documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+        .filter(size(col("ts")) >= n)
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"), col("ts"),
+          explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
+        .select(col("doc_id"), col("n_tok"), col("i"),
+          sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
+        .persist()
+      g.count() // materialize eagerly so every consumer reads the cache
+      g
+    })
+  }
+
   def dupPassageExtents(s: SparkSession, d: String): DataFrame = {
     val n = 8
-    // consumed twice (the ≥2-doc count and the survivor join) —
-    // localCheckpoint materializes the positioned grams once and lets
-    // the ContextCleaner reclaim the blocks; at real scale this is the
-    // materialized gram table the comment at t19 already calls for
-    val pos = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
-      .filter(size(col("ts")) >= n)
-      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"), col("ts"),
-        explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
-      .select(col("doc_id"), col("n_tok"), col("i"),
-        sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
-      .localCheckpoint()
+    val pos = positionedGrams(s, d, n)
     val shared = pos.select("gid", "doc_id").distinct()
       .groupBy("gid").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2).select("gid")
