@@ -214,7 +214,7 @@ object TextOps {
   def clearCaches(): Unit = {
     (pairsCache.values ++ simhashPairsCache.values ++ clustersCache.values ++
       starClustersCache.values ++ gramCache.values ++ bigramCache.values ++
-      posGramCache.values)
+      posGramCache.values ++ lmModelCache.values)
       .foreach(df =>
         try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
         catch { case _: Throwable => () })
@@ -225,6 +225,7 @@ object TextOps {
     gramCache.clear()
     bigramCache.clear()
     posGramCache.clear()
+    lmModelCache.clear()
   }
 
   /** Per-language per-mille sampling rates for the training-mixture
@@ -1310,20 +1311,36 @@ object TextOps {
     })
   }
 
+  /** The trained model (w₁, w₂) → quantized ln p(w₂|w₁) — memoized per
+    * (session, dir): this is THE artifact an LM-perplexity filter
+    * persists and ships (KenLM's binarized counts); training runs once,
+    * scoring passes only pay the probe join. */
+  private val lmModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def bigramLmModel(s: SparkSession, d: String): DataFrame = {
+    lmModelCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    lmModelCache.getOrElseUpdate((s, d), {
+      val bg = wordBigrams(s, d)
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
+      val v = documents(s, d)
+        .select(explode(split(norm(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) >= 1)
+        .agg(countDistinct(col("tok")).as("vs"))
+      val m = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
+        .select(col("w1"), col("w2"),
+          floor(log((col("c") + 1).cast("double") / (col("cc") + col("vs")).cast("double"))
+            * lit(1e6)).cast("long").as("q"))
+        .persist()
+      m.count() // materialize eagerly so every consumer reads the cache
+      m
+    })
+  }
+
   def bigramLmScore(s: SparkSession, d: String): DataFrame = {
-    val tk = documents(s, d)
-      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
     val bg = wordBigrams(s, d)
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("cc"))
-    val v = tk.select(explode(col("ts")).as("tok"))
-      .filter(length(col("tok")) >= 1)
-      .agg(countDistinct(col("tok")).as("vs"))
-    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(v))
-      .select(col("w1"), col("w2"),
-        floor(log((col("c") + 1).cast("double") / (col("cc") + col("vs")).cast("double"))
-          * lit(1e6)).cast("long").as("q"))
-    bg.join(model, Seq("w1", "w2"))
+    bg.join(bigramLmModel(s, d), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
       .select(col("doc_id"), col("n_bigrams"),

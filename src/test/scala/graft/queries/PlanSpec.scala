@@ -368,19 +368,17 @@ class PlanSpec extends AnyFunSuite {
       s"AQE should broadcast the small labels side at runtime:\n$exec")
   }
 
-  test("t36: bigram consumers scan the persisted frame; model joins are keyed, V broadcasts") {
+  test("t36: probe side reads the persisted bigram frame and LM model; no cartesian") {
     val p = plan("t36_bigram_lm_score")
-    // the memoized bigram frame feeds both model aggregates AND the
-    // probe side from the cache — the corpus is parsed once
+    // scoring = the persisted bigram frame ⋈ the persisted trained
+    // model — the corpus is never re-parsed and the model never
+    // retrains per scoring run
     assert(p.split("InMemoryTableScan").length >= 4,
-      s"model aggregates + probe side must all read the persisted bigram frame:\n$p")
+      s"probe side and model must both read persisted frames:\n$p")
     assert(!p.contains("CartesianProduct"),
-      "the only unkeyed join is the broadcast 1-row V scalar")
-    // the V scalar is the single cross join (formatted explain lists
-    // each node twice: tree + detail) — anything more means a
-    // corpus-scale frame went unkeyed, the 100 TB mistake
-    assert(p.split("BroadcastNestedLoopJoin").length <= 3,
-      s"only the 1-row V aggregate may cross-join broadcast:\n$p")
+      "the only unkeyed join is the broadcast 1-row V scalar inside model training")
+    // training (nested under the model's InMemoryRelation) aggregates
+    // the bigram/context counts map-side
     assert(p.contains("partial_count"),
       "bigram/context counts must partial-aggregate map-side")
   }
