@@ -248,8 +248,9 @@ object StreamOps {
   /** Streaming benchmark decontamination — t19 run the way a
     * continuously-ingesting pipeline runs it: each micro-batch of
     * arriving documents is 8-gram-keyed IN the stream (stateless Column
-    * ops — the exact `norm`/`sid60` expressions the batch operator
-    * uses, so the gram ids cannot drift) and stream-static joined
+    * ops through [[TextOps.explodeGramIds]] — the batch operator's own
+    * gram builder, so neither the ids nor the window arithmetic can
+    * drift) and stream-static joined
     * against the broadcast benchmark gram set, which comes from the
     * SAME memoized gram index t19/t26/t33 read. Matches land in an
     * exactly-once parquet sink; the drained rows then aggregate to
@@ -268,13 +269,7 @@ object StreamOps {
         .select(col("gid"), col("doc_id").as("b_id"))
       val (matches, nBatches, scratch) = graft.streaming.DocStream.runDocOnce(
         s, docStreamSource(s, d), "graft_stream_decontam") { src =>
-          src.filter(col("doc_id") >= 50)
-            .select(col("doc_id"), split(TextOps.norm(col("text")), " ").as("ts"))
-            .filter(size(col("ts")) >= 8)
-            .select(col("doc_id"), col("ts"),
-              explode(expr("sequence(1, size(ts) - 7)")).as("i"))
-            .select(col("doc_id"),
-              TextOps.sid60(expr("array_join(slice(ts, i, 8), ' ')")).as("gid"))
+          TextOps.explodeGramIds(src.filter(col("doc_id") >= 50), 8)
             .join(broadcast(bench), "gid")
             .select(col("doc_id"), col("gid"), col("b_id"))
         }

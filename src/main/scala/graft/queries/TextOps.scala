@@ -1138,18 +1138,28 @@ object TextOps {
     })
   }
 
-  private def wordGramIdsUncached(s: SparkSession, d: String, n: Int): DataFrame =
-    documents(s, d)
-      // single-file fixture input: spread the ×len explode across the
-      // cluster first (no-op at real scale where the corpus arrives in
-      // many splits)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+  /** The one structural definition of "60-bit id per word n-gram
+    * occurrence" over any (doc_id, text) frame — batch (wordGramIds)
+    * and stream (s09) both key THROUGH this, so the window arithmetic,
+    * slice width, and ≥n filter can never fork between them. Emits one
+    * row per occurrence; callers that reason about presence add
+    * distinct. */
+  private[queries] def explodeGramIds(df: DataFrame, n: Int): DataFrame =
+    df.select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
       .filter(size(col("ts")) >= n)
       .select(col("doc_id"), col("ts"),
         explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
       .select(col("doc_id"),
         sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
+
+  private def wordGramIdsUncached(s: SparkSession, d: String, n: Int): DataFrame =
+    explodeGramIds(
+      documents(s, d)
+        // single-file fixture input: spread the ×len explode across the
+        // cluster first (no-op at real scale where the corpus arrives in
+        // many splits)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+      n)
       .distinct()
 
   /** Cross-document boilerplate: word 3-grams present in ≥5 DISTINCT
@@ -1380,6 +1390,10 @@ object TextOps {
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long"))
       .withColumn("n_spaces",
         (length(col("text")) - length(regexp_replace(col("text"), " ", ""))).cast("long"))
+      // empty docs carry no quality signal and their 0/0 ratio is NaN —
+      // which Spark's long cast folds to bucket 0 but DuckDB's BIGINT
+      // cast rejects; excluding them keeps both engines identical
+      .filter(col("n_chars") > 0)
       .withColumn("alpha_ratio",
         (col("n_chars") - col("n_digit") - col("n_punct") - col("n_spaces")).cast("double")
           / col("n_chars"))
@@ -1494,11 +1508,11 @@ object TextOps {
     * it is the materialized POSITIONED gram table a real deployment
     * persists next to the presence-only index. */
   private val posGramCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
   private def positionedGrams(s: SparkSession, d: String, n: Int): DataFrame = {
-    posGramCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    posGramCache.getOrElseUpdate((s, d), {
+    posGramCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    posGramCache.getOrElseUpdate((s, d, n), {
       val g = documents(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
@@ -2106,7 +2120,7 @@ object TextOps {
         |  FROM documents),
         |bk AS (SELECT source,
         |    LEAST(CAST(FLOOR(CAST(n_chars - n_digit - n_punct - n_spaces AS DOUBLE)
-        |      / n_chars * 10) AS BIGINT), 9) AS b FROM s0),
+        |      / n_chars * 10) AS BIGINT), 9) AS b FROM s0 WHERE n_chars > 0),
         |sb AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS n_sb FROM bk GROUP BY 1, 2),
         |ns AS (SELECT source, CAST(SUM(n_sb) AS BIGINT) AS n_s FROM sb GROUP BY 1),
         |nb AS (SELECT b, CAST(SUM(n_sb) AS BIGINT) AS n_b FROM sb GROUP BY 1),

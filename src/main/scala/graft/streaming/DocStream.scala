@@ -150,13 +150,22 @@ object DocStream {
       val root = java.nio.file.Files.createTempDirectory(name).toString
       val src = spark.readStream.schema(docSchema).format("parquet")
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
-      val q = plan(src).writeStream.outputMode("append").format("parquet")
+      val planned = plan(src)
+      val q = planned.writeStream.outputMode("append").format("parquet")
         .option("path", s"$root/out")
         .option("checkpointLocation", s"$root/cp")
         .start()
       try q.processAllAvailable() finally q.stop()
+      // batch count from lastProgress.batchId (0-based), not
+      // recentProgress.length: recentProgress retains only the trailing
+      // spark.sql.streaming.numRecentProgressUpdates entries (default
+      // 100), so a snapshot with more files would silently undercount
       val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
-      (spark.read.parquet(s"$root/out"), nBatches, root)
+      // read back with the PLAN's schema: a drain that emitted zero rows
+      // leaves only _spark_metadata behind, and schema inference would
+      // throw where an empty frame is the correct answer (e.g. s09 on a
+      // clean corpus — batch t19 returns empty there too)
+      (spark.read.schema(planned.schema).parquet(s"$root/out"), nBatches, root)
     }
 
   /** Drain a multi-file document snapshot through the stateful band
@@ -169,12 +178,9 @@ object DocStream {
     * Each pair arrives exactly once (lowest-shared-band claiming). */
   def runNearDupOnce(spark: SparkSession, sourceDir: String,
       name: String): (DataFrame, Long, String) =
-    EventStream.withStatePartitions(spark) {
+    runDocOnce(spark, sourceDir, name) { srcDf =>
       import spark.implicits._
-      val root = java.nio.file.Files.createTempDirectory(name).toString
-      val src = spark.readStream.schema(docSchema).format("parquet")
-        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
-        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val src = srcDf.select(col("doc_id"), col("text")).as[(Long, String)]
       val banded = src.flatMap { case (docId, text) =>
         simhash60(text) match { // empty-normalization docs: t04's domain
           case None => Iterator.empty
@@ -182,18 +188,8 @@ object DocStream {
             (0 until Bands).iterator.map(k => BandDoc(k, bandVal(h, k), docId, h))
         }
       }
-      val q = banded.groupByKey(bd => (bd.band, bd.bval))
+      banded.groupByKey(bd => (bd.band, bd.bval))
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(nearDupFn)
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", s"$root/pairs")
-        .option("checkpointLocation", s"$root/cp")
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      // batch count from lastProgress.batchId (0-based), not
-      // recentProgress.length: recentProgress retains only the trailing
-      // spark.sql.streaming.numRecentProgressUpdates entries (default
-      // 100), so a snapshot with more files would silently undercount
-      val nBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
-      (spark.read.parquet(s"$root/pairs"), nBatches, root)
+        .toDF()
     }
 }
