@@ -208,6 +208,33 @@ object StreamOps {
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
       .orderBy("user_id")
 
+  /** Sessionization through Spark's NATIVE session_window aggregation —
+    * the built-in operator counterpart to s01's hand-rolled
+    * flatMapGroupsWithState: the same 30-minute-gap semantics declared
+    * as one groupBy(user, session_window(ts, gap)) instead of ~60 lines
+    * of custom state (the "compose existing ops before custom state"
+    * preference, proved on the same data). The drain emits ALL sessions
+    * including each user's open tail (s01's custom state deliberately
+    * holds the tail back), so the oracle is the full session set.
+    * Session end is reported as the LAST EVENT time (w.end minus the
+    * gap — session_window pads the window end by the gap). At scale the
+    * state store holds one merged window per open (user, session) and
+    * the watermark evicts closed ones; sums stay in exact decimal
+    * before the final double cast (s01's discipline). */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s, ev =>
+      ev.withWatermark("ts", "30 minutes")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          Tables.asDbl(sum(Tables.dec("value"))).as("sum_value")),
+      streamSource(s, d), "graft_stream_sesswin")
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("start_us"),
+        (unix_micros(col("w.end")) - lit(EventStream.GapUs)).as("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+
   /** Streaming near-duplicate detection (graft.streaming.DocStream):
     * documents arrive as 4 micro-batches, each is SimHash-fingerprinted
     * in-stream (stateless map) and compared only against the band
@@ -440,6 +467,23 @@ object StreamOps {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash60, b.simhash60)) <= 2
          |ORDER BY a_id, b_id""".stripMargin),
+
+    // ALL sessions including open tails (the native operator emits the
+    // tail on drain; s01's custom state holds it back) — otherwise the
+    // same gap semantics and exact-decimal sums as s01's oracle
+    "s10_stream_session_window" -> QueryDef(streamSessionWindow _,
+      s"""WITH x AS (SELECT user_id, event_id, ts, value,
+         |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+         |  FROM events),
+         |f AS (SELECT *, CASE WHEN prev_us IS NULL
+         |        OR epoch_us(ts) - prev_us > ${EventStream.GapUs} THEN 1 ELSE 0 END AS new_sess FROM x),
+         |g AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id FROM f)
+         |SELECT user_id, MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us,
+         |  CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM g GROUP BY user_id, sess_id
+         |ORDER BY user_id, start_us""".stripMargin),
 
     // the stream must reproduce BATCH t19's per-doc contamination
     // evidence from incremental micro-batch arrivals — same oracle
