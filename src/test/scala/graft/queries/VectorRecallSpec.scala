@@ -17,6 +17,34 @@ class VectorRecallSpec extends AnyFunSuite {
       .select("q_id", "hit_id").collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
 
+  test("v07's bucketed pairs are a subset of v02's truth; recall tracks (1−θ/π)⁸") {
+    val d01 = "/root/testdata/sf0.01"
+    val exact = VectorOps.cosineNearDupPairs(spark, d01).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val bucketed = VectorOps.lshNearDupPairs(spark, d01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must produce ≥0.45-cosine pairs")
+    // precision 1.0 by construction: candidates verify on exact cosine,
+    // so a bucketed pair outside the truth set means the verify broke
+    assert((bucketed -- exact.keySet).isEmpty,
+      s"bucketed pairs must verify exactly: ${(bucketed -- exact.keySet).take(3)}")
+    // recall is the ADVERTISED sign-LSH collision rate: a pair at angle
+    // θ shares all 8 planes with probability (1−θ/π)⁸ — on this corpus
+    // (merely-similar pairs, θ ≈ 60°) that is a few percent BY DESIGN
+    // (true duplicates at θ ≈ 0 survive with near-1). The planes are a
+    // fixed hash, so the measured recall is deterministic; assert it
+    // sits within an order of magnitude of the analytic prediction.
+    val predicted = exact.values
+      .map(c => math.pow(1 - math.acos(math.min(c, 1.0)) / math.Pi, 8)).sum
+    val recall = bucketed.size.toDouble / exact.size
+    info(f"v07 vs v02 truth: found ${bucketed.size}/${exact.size} " +
+      f"(recall $recall%.3f), analytic expectation ${predicted / exact.size}%.3f")
+    assert(bucketed.size <= math.max(4 * predicted, 8),
+      s"found ${bucketed.size} vs predicted $predicted — collision rate far above (1−θ/π)⁸")
+    assert(bucketed.size >= predicted / 4 - 2,
+      s"found ${bucketed.size} vs predicted $predicted — collision rate far below (1−θ/π)⁸")
+  }
+
   test("IVF(2-probe) and LSH top-5 recall vs exact top-5") {
     val exact = hits("v01_cosine_topk").map { case (q, s) => q -> s.take(5) }
     // exact top-5 = first 5 ranks of v01's top-10 — recompute properly:
