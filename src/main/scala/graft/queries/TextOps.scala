@@ -1359,6 +1359,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Novelty against a previous corpus snapshot — the dedup-across-dumps
+    * step (each new CommonCrawl-style dump scored against everything
+    * already ingested): documents of the NEW half (doc_id ≥ 250) report
+    * how many of their distinct 8-grams already exist anywhere in the
+    * OLD half (doc_id < 250) and the novelty share a pipeline thresholds
+    * on before paying full processing for a re-crawl.
+    *
+    * Scale: the inverse of t19's shape — there the benchmark side is
+    * suite-bounded and broadcasts; HERE the history side is the
+    * accumulated corpus (grows without bound), so the seen-gram set
+    * stays a KEYED left join on the 60-bit gid — broadcasting it is the
+    * 100 TB mistake. Both sides read the shared memoized gram index;
+    * novelty = one division of two exact BIGINTs, rounded once. */
+  def noveltyVsSnapshot(s: SparkSession, d: String): DataFrame = {
+    val grams = wordGramIds(s, d, 8)
+    val seen = grams.filter(col("doc_id") < 250).select("gid").distinct()
+      .withColumn("hit", lit(1L))
+    grams.filter(col("doc_id") >= 250)
+      .join(seen, Seq("gid"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        round((col("n_grams") - col("n_seen")).cast("double")
+          / col("n_grams").cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Per-source quality-distribution drift (PSI): each document lands
     * in an alpha-ratio decile bucket (t07's score), and each source's
     * bucket mix is compared against the CORPUS mix with the population
@@ -2111,6 +2139,18 @@ object TextOps {
          |SELECT doc_id, n_grams,
          |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS familiarity
          |FROM p ORDER BY familiarity ASC, doc_id ASC LIMIT 25""".stripMargin),
+
+    // history side joins KEYED (corpus-scale at 100 TB) — the inverse
+    // of t19's broadcast-benchmark discipline
+    "t38_novelty_vs_snapshot" -> QueryDef(noveltyVsSnapshot _,
+      s"""$Gram8CtesDuck,
+         |seen AS (SELECT DISTINCT gid FROM g WHERE doc_id < 250),
+         |nw AS (SELECT doc_id, g.gid, CASE WHEN seen.gid IS NULL THEN 0 ELSE 1 END AS hit
+         |       FROM g LEFT JOIN seen USING (gid) WHERE doc_id >= 250)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(hit) AS BIGINT) AS n_seen,
+         |  round(CAST(COUNT(*) - SUM(hit) AS DOUBLE) / COUNT(*), 6) AS novelty
+         |FROM nw GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     "t37_source_quality_drift" -> QueryDef(sourceQualityDrift _,
       """WITH s0 AS (SELECT source, CAST(LENGTH(text) AS BIGINT) AS n_chars,

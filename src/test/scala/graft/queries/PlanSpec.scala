@@ -394,6 +394,16 @@ class PlanSpec extends AnyFunSuite {
       "the only unkeyed join is the broadcast 1-row total")
   }
 
+  test("t38: both sides read the shared gram index; the history join is keyed") {
+    val p = plan("t38_novelty_vs_snapshot")
+    assert(p.split("InMemoryTableScan").length >= 4,
+      s"new half and history must both read the memoized gram index:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the seen-gram join must stay keyed on gid")
+    assert(p.contains("partial_count"),
+      "per-doc gram counts must partial-aggregate map-side")
+  }
+
   test("v16: benchmark side broadcasts, corpus side is one dot_d scan, agg is partial") {
     val p = plan("v16_semantic_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin"),
