@@ -1359,6 +1359,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** BPE merge candidates — the tokenizer-TRAINING inner step (t18
+    * counts whole tokens, t10 applies a fixed split; this computes the
+    * statistic the trainer's next merge decision reads): adjacent
+    * character-pair frequencies over the word vocabulary, weighted by
+    * word occurrence count, ranked — the top pair IS the next BPE merge,
+    * and ties break deterministically on the pair string.
+    *
+    * Scale: the ONLY corpus-scale operation is the word-count aggregate
+    * (map-side partial to \|vocab\| rows — the t18 shape); the pair
+    * explode runs over the VOCAB frame (×word-length, still vocab-scale),
+    * so a 100 TB corpus pays one token aggregation and the whole merge
+    * loop then iterates on metadata. Top-20 is orderBy+limit
+    * (TakeOrderedAndProject) and only those 20 rows meet the rank
+    * window — t18's bounded-window discipline. Counts are exact BIGINTs
+    * throughout; no float anywhere. */
+  def bpeMergeCandidates(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    val pairs = vocab
+      .select(col("tok"), col("f"),
+        explode(expr("sequence(1, length(tok) - 1)")).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"), col("f"))
+      .groupBy("pair").agg(sum(col("f")).as("n"))
+    val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(20)
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select("rk", "pair", "n")
+      .orderBy("rk")
+  }
+
   /** Novelty against a previous corpus snapshot — the dedup-across-dumps
     * step (each new CommonCrawl-style dump scored against everything
     * already ingested): documents of the NEW half (doc_id ≥ 250) report
@@ -2139,6 +2171,21 @@ object TextOps {
          |SELECT doc_id, n_grams,
          |  round(CAST(sum_c AS DOUBLE) / CAST(n_grams AS DOUBLE), 6) AS familiarity
          |FROM p ORDER BY familiarity ASC, doc_id ASC LIMIT 25""".stripMargin),
+
+    // corpus pays ONE token aggregation; the merge statistic iterates
+    // on the vocab-bounded frame (t18's shape)
+    "t39_bpe_merge_candidates" -> QueryDef(bpeMergeCandidates _,
+      s"""WITH nr AS (SELECT $NormSqlDuck AS nrm FROM documents),
+         |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f
+         |      FROM (SELECT unnest(string_split(nrm, ' ')) AS tok FROM nr)
+         |      WHERE length(tok) >= 2 GROUP BY tok),
+         |p AS (SELECT substr(tok, CAST(i AS INT), 2) AS pair, f
+         |      FROM (SELECT tok, f, unnest(generate_series(1, length(tok) - 1)) AS i FROM v)),
+         |c AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p GROUP BY pair),
+         |t AS (SELECT pair, n FROM c ORDER BY n DESC, pair ASC LIMIT 20)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT) AS rk,
+         |  pair, n
+         |FROM t ORDER BY rk""".stripMargin),
 
     // history side joins KEYED (corpus-scale at 100 TB) — the inverse
     // of t19's broadcast-benchmark discipline

@@ -394,6 +394,15 @@ class PlanSpec extends AnyFunSuite {
       "the only unkeyed join is the broadcast 1-row total")
   }
 
+  test("t39: top-20 merges are TakeOrderedAndProject; counts partial-aggregate") {
+    val p = plan("t39_bpe_merge_candidates")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("partial_count"),
+      "the corpus-scale token count must aggregate map-side")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("t38: both sides read the shared gram index; the history join is keyed") {
     val p = plan("t38_novelty_vs_snapshot")
     assert(p.split("InMemoryTableScan").length >= 4,
