@@ -669,6 +669,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * (t16's ≥0.9-Jaccard labeling) keep the HIGHEST-QUALITY member, not
+    * the lowest id — the policy real curation pipelines use, since the
+    * first-crawled copy of a page is often the worst one (truncated,
+    * boilerplate-wrapped). Survivor = argmax alpha_ratio, doc_id-asc
+    * tie-break; `upgraded` flags clusters where this differs from t11's
+    * keep-first rule (the rows a policy migration would actually flip).
+    *
+    * Scale: the cluster frame is |near-dup docs| ≪ corpus and memoized
+    * (dupClusters); quality joins in KEYED on doc_id; the argmax window
+    * partitions per cluster_id — frames bounded by cluster size, never
+    * corpus-wide. alpha_ratio is integer counts + one IEEE division, so
+    * the ordering (and thus the winner) is bit-identical across engines. */
+  def qualityCanonicalKeep(s: SparkSession, d: String): DataFrame = {
+    val cl = dupClusters(s, d).filter(col("cluster_sz") >= 2)
+    val q = qualityScore(s, d).select("doc_id", "alpha_ratio")
+    val wk = Window.partitionBy("cluster_id")
+    val w = wk.orderBy(col("alpha_ratio").desc, col("doc_id").asc)
+    cl.join(q, "doc_id")
+      .withColumn("first_id", min(col("doc_id")).over(wk))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("cluster_sz"),
+        col("doc_id").as("keep_id"), col("alpha_ratio").as("keep_alpha"),
+        (col("doc_id") =!= col("first_id")).cast("int").as("upgraded"))
+      .orderBy("cluster_id")
+  }
+
+  /** Benchmark-contamination span extents: the cross-corpus t30 — for
+    * every corpus doc that shares 8-token grams with the benchmark set
+    * (t19's docs 0-49 stand-in), the contiguous token ranges those hits
+    * cover. This is the scrub-don't-drop path: a doc with one quoted
+    * benchmark passage keeps its clean remainder, and the span list is
+    * exactly what the redaction step consumes. Two hit positions ≤8
+    * tokens apart merge into one extent (their gram windows overlap or
+    * abut), mirroring t30's island rule.
+    *
+    * Scale: positioned grams come from the memoized posGram index (one
+    * build per session/dir, shared with t30); the benchmark gram set is
+    * bounded by the eval suite's size — broadcast by nature, t19's
+    * discipline — and the islands window partitions per doc over HIT
+    * positions only (≪ doc length for any doc worth keeping). */
+  def contaminationExtents(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val pos = positionedGrams(s, d, n)
+    val bench = pos.filter(col("doc_id") < 50).select("gid").distinct()
+    val corp = pos.filter(col("doc_id") >= 50)
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    corp.join(broadcast(bench), "gid")
+      .withColumn("prev", lag(col("i"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") - col("prev") > n, 1L).otherwise(0L))
+      .withColumn("ext",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("ext"))
+      .agg(min(col("i")).as("span_start"),
+        (max(col("i")) - min(col("i")) + n).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_len", "n_grams")
+      .orderBy("doc_id", "span_start")
+  }
+
   /** End-to-end corpus curation — the flagship training-data pipeline in
     * one plan: language filter (predicted English), quality thresholds
     * (alpha_ratio ≥ 0.82, ≥100 chars), near-dup removal (≥0.9 Jaccard,
@@ -2240,6 +2302,50 @@ object TextOps {
          |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
          |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1e6, 6) AS avg_logp
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // the argmax ordering is (alpha_ratio DESC, doc_id ASC): alpha_ratio
+    // is integer counts + one IEEE division in both engines, so the
+    // winner is bit-identical by construction
+    "t40_quality_canonical_keep" -> QueryDef(qualityCanonicalKeep _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id),
+         |q AS (SELECT doc_id,
+         |    CAST(LENGTH(text) - (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+         |       - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |       - (LENGTH(text) - LENGTH(replace(text, ' ', ''))) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+         |  FROM documents),
+         |j AS (SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_sz, q.alpha_ratio
+         |      FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+         |      JOIN q ON q.doc_id = lab.id
+         |      WHERE sz.cluster_sz >= 2),
+         |r AS (SELECT doc_id, cluster_id, cluster_sz, alpha_ratio,
+         |      ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY alpha_ratio DESC, doc_id ASC) AS rk,
+         |      MIN(doc_id) OVER (PARTITION BY cluster_id) AS first_id FROM j)
+         |SELECT cluster_id, cluster_sz, doc_id AS keep_id, alpha_ratio AS keep_alpha,
+         |  CAST(CASE WHEN doc_id <> first_id THEN 1 ELSE 0 END AS INT) AS upgraded
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin),
+
+    // positioned-gram chain shared with t30; benchmark side (docs 0-49)
+    // is DISTINCT gids only — the broadcast-bounded side, t19's shape
+    "t41_contamination_extents" -> QueryDef(contaminationExtents _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr),
+         |p0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+         |       FROM tk WHERE len(ts) >= 8),
+         |p AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+         |      FROM p0),
+         |bench AS (SELECT DISTINCT gid FROM p WHERE doc_id < 50),
+         |dd AS (SELECT p.doc_id, p.i FROM p JOIN bench ON bench.gid = p.gid
+         |       WHERE p.doc_id >= 50),
+         |l AS (SELECT doc_id, i, LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM dd),
+         |b AS (SELECT doc_id, i, CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END AS brk FROM l),
+         |e AS (SELECT doc_id, i, CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ext FROM b)
+         |SELECT doc_id, MIN(i) AS span_start, MAX(i) - MIN(i) + 8 AS span_len,
+         |  CAST(COUNT(*) AS BIGINT) AS n_grams
+         |FROM e GROUP BY doc_id, ext ORDER BY doc_id, span_start""".stripMargin)
   )
 }

@@ -310,6 +310,64 @@ object VectorOps {
         col("n_members"))
   }
 
+  /** Cell-balanced diverse sample: an equal quota of the most
+    * representative members (top-8 by cosine-to-centroid) from every
+    * IVF cell — the embedding-space analogue of t17's mixture sampling,
+    * used to build a small subset that still spans the corpus's modes
+    * instead of oversampling its densest region. cell_sz rides along so
+    * the selection's coverage skew is auditable.
+    *
+    * Scale: per-group top-k via a two-level tournament, NOT one window
+    * per cell — with 16 cells a single rank window funnels n/16 rows
+    * through one task (the t18 failure shape re-materialized per
+    * group). Level 1 ranks inside (cell, salt % 32): 512 bounded
+    * slices; only the ≤ 32·8 level-1 survivors per cell reach the
+    * level-2 window, a constant-size frame at any corpus scale. The
+    * composition is exact, not approximate: ranking is a TOTAL order
+    * (ccos DESC, vec_id ASC), and every global top-8 row ranks ≤ 8
+    * inside its own salt slice, so the survivor union provably
+    * contains the global top-8. */
+  def cellBalancedSample(s: SparkSession, d: String): DataFrame = {
+    val cells = ivfCells(s, d)
+    val sz = cells.groupBy("cell").agg(count(lit(1)).as("cell_sz"))
+    tournamentTopK(cells, 8)
+      .join(broadcast(sz), "cell")
+      .select(col("cell"), col("rk"), col("vec_id"), col("ccos"), col("cell_sz"))
+      .orderBy("cell", "rk")
+  }
+
+  /** The v08/v11 cell assignment as a reusable frame: (vec_id, cell,
+    * ccos) — nearest of the 16 seed centroids, rounded-cosine + cid-asc
+    * tie-break. */
+  private[queries] def ivfCells(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"), col("ccos"))
+  }
+
+  /** Exact per-cell top-k over a (vec_id, cell, ccos) frame via the
+    * salted two-level tournament (containment proof in
+    * cellBalancedSample's scaladoc). Factored so CellSampleSpec can
+    * assert tournament ≡ one naive per-cell window on the SAME frame. */
+  private[queries] def tournamentTopK(cells: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cells.withColumn("salt", pmod(col("vec_id"), lit(32)))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("cell", "salt").orderBy(col("ccos").desc, col("vec_id").asc)))
+      .filter(col("srk") <= k)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("ccos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select("cell", "rk", "vec_id", "ccos")
+  }
+
   // --- SQ8 scalar quantization — the memory-bound scale path ------------
 
   /** SQ8 top-5: symmetric int8 scalar quantization (fixed grid
@@ -739,6 +797,28 @@ object VectorOps {
          |r AS (SELECT q_id, hit_id, cos,
          |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk
          |      FROM p)
-         |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin)
+         |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // the oracle restates the salted two-level tournament as ONE naive
+    // per-cell window — the equivalence the Spark plan must uphold
+    "v17_cell_balanced_sample" -> QueryDef(cellBalancedSample _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell, ccos FROM aff WHERE crn = 1),
+        |sz AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_sz FROM cells GROUP BY cell),
+        |r AS (SELECT cell, vec_id, ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id ASC) AS rk
+        |  FROM cells)
+        |SELECT r.cell, r.rk, r.vec_id, r.ccos, sz.cell_sz
+        |FROM r JOIN sz ON sz.cell = r.cell
+        |WHERE r.rk <= 8 ORDER BY r.cell, r.rk""".stripMargin)
   )
 }

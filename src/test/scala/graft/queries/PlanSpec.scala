@@ -413,6 +413,26 @@ class PlanSpec extends AnyFunSuite {
       "per-doc gram counts must partial-aggregate map-side")
   }
 
+  test("t40: argmax runs on the checkpointed cluster frame; quality joins keyed; no cartesian") {
+    val p = plan("t40_quality_canonical_keep")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"clusters must scan the checkpointed t16 labeling — the CC loop never re-runs:\n$p")
+    assert(p.contains("Window"),
+      "survivor selection must be a per-cluster window, not a self-join")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t41: corpus reads the shared posGram index, benchmark side broadcasts, islands window per doc") {
+    val p = plan("t41_contamination_extents")
+    assert(p.split("InMemoryTableScan").length >= 3,
+      s"both sides must read the memoized positioned-gram index:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-suite-bounded benchmark gram set must broadcast:\n$p")
+    assert(p.contains("Window"),
+      "extent merging must be a per-doc window, not a self-join")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("v16: benchmark side broadcasts, corpus side is one dot_d scan, agg is partial") {
     val p = plan("v16_semantic_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin"),
