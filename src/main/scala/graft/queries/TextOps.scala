@@ -900,6 +900,47 @@ object TextOps {
       .select("doc_id", "n_chars", "n_upper", "n_digit", "n_punct", "n_spaces", "alpha_ratio")
       .orderBy("doc_id")
 
+  /** The classic English function-word lists behind C4/Gopher-style
+    * stop-word quality filters: a doc whose token stream contains
+    * almost no function words is navigation chrome, keyword spam, or
+    * non-prose — exactly what t07's character ratios can't see. */
+  private val StopWords = Seq(
+    "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
+    "is", "are", "was", "for", "with", "as", "by", "it", "be", "that",
+    "this", "have", "from", "not")
+  private val GopherWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Stop-word quality signal (the Gopher stop-word rule + a stop-word
+    * ratio): per doc, total tokens, stop-word hits over a fixed 25-word
+    * function-word list, the ratio, distinct hits among Gopher's 8
+    * check words, and the pass flag (≥ 2 distinct check words — the
+    * published rule). Complements t07 (char-class ratios) and t20
+    * (repetition): the three together are the standard prose-quality
+    * battery.
+    *
+    * Scale: one token scan, conditional aggregation keyed on doc_id —
+    * map-side partial, no joins, no windows; the stop lists are literal
+    * IN-lists inside codegen, never a broadcast side. */
+  def stopwordQuality(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .filter(length(col("nrm")) >= 1)
+      .select(col("doc_id"), explode(split(col("nrm"), " ")).as("tok"))
+    toks.groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tok").isin(StopWords: _*), 1L).otherwise(0L)).as("n_stop"),
+        countDistinct(when(col("tok").isin(GopherWords: _*), col("tok")))
+          .as("n_gopher"))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+        round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("stop_ratio"),
+        col("n_gopher"),
+        (col("n_gopher") >= 2).cast("int").as("gopher_pass"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: md5 over the normalized text. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -2346,6 +2387,21 @@ object TextOps {
          |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ext FROM b)
          |SELECT doc_id, MIN(i) AS span_start, MAX(i) - MIN(i) + 8 AS span_len,
          |  CAST(COUNT(*) AS BIGINT) AS n_grams
-         |FROM e GROUP BY doc_id, ext ORDER BY doc_id, span_start""".stripMargin)
+         |FROM e GROUP BY doc_id, ext ORDER BY doc_id, span_start""".stripMargin),
+
+    "t42_stopword_quality" -> QueryDef(stopwordQuality _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
+         |        FROM nr WHERE length(nrm) >= 1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN tok IN (${StopWords.map("'" + _ + "'").mkString(", ")})
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+         |  round(CAST(SUM(CASE WHEN tok IN (${StopWords.map("'" + _ + "'").mkString(", ")})
+         |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS stop_ratio,
+         |  CAST(COUNT(DISTINCT CASE WHEN tok IN (${GopherWords.map("'" + _ + "'").mkString(", ")})
+         |    THEN tok END) AS BIGINT) AS n_gopher,
+         |  CAST(CASE WHEN COUNT(DISTINCT CASE WHEN tok IN (${GopherWords.map("'" + _ + "'").mkString(", ")})
+         |    THEN tok END) >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }
