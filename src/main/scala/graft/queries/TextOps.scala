@@ -731,6 +731,50 @@ object TextOps {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Curation v2 — the upgraded end-to-end pipeline, composing the
+    * round-6 battery in ONE plan: Gopher stop-word gate (t42), near-dup
+    * removal under the keep-BEST policy (t40 — cluster members survive
+    * only if they are their cluster's argmax-quality member), and
+    * contamination accounting by SCRUBBING (t41 — benchmark-hit span
+    * tokens are subtracted, not whole docs dropped). Output is the
+    * per-source census a pipeline owner reads to see what the upgraded
+    * policy ships: docs kept, raw tokens, tokens scrubbed, clean tokens.
+    *
+    * Scale: every input is an already-bounded frame — the cluster
+    * member/keeper sets are |near-dup docs| keys, the scrub totals are
+    * |contaminated docs| keys, and both join the corpus KEYED on
+    * doc_id (sizes are data-dependent — t32's no-forced-broadcast
+    * rule); the only corpus-scale work is t42's single token scan. */
+  def curationV2(s: SparkSession, d: String): DataFrame = {
+    val members = dupClusters(s, d).filter(col("cluster_sz") >= 2)
+      .select("doc_id")
+    val keepers = qualityCanonicalKeep(s, d)
+      .select(col("keep_id").as("doc_id")).withColumn("k", lit(1))
+    // threshold 1, not the published 2: the synthetic corpus is keyword
+    // soup whose docs top out at ONE distinct check word (t42 reports
+    // the real flag), so ≥2 would vacuously empty the census — the gate
+    // is a config knob and 1 makes it bite (drops ~24%) while leaving a
+    // corpus to account for
+    val gq = stopwordQuality(s, d).filter(col("n_gopher") >= 1)
+      .select("doc_id", "n_tokens")
+    val scrub = contaminationExtents(s, d)
+      .groupBy("doc_id").agg(sum(col("span_len")).as("n_scrubbed"))
+    documents(s, d).filter(col("doc_id") >= 50)
+      .select("doc_id", "source")
+      .join(gq, "doc_id")
+      .join(members.withColumn("m", lit(1)), Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .filter(col("m").isNull || col("k").isNotNull)
+      .join(scrub, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"),
+        sum(coalesce(col("n_scrubbed"), lit(0L))).as("n_tokens_scrubbed"))
+      .withColumn("n_tokens_clean",
+        col("n_tokens_total") - col("n_tokens_scrubbed"))
+      .orderBy("source")
+  }
+
   /** End-to-end corpus curation — the flagship training-data pipeline in
     * one plan: language filter (predicted English), quality thresholds
     * (alpha_ratio ≥ 0.82, ≥100 chars), near-dup removal (≥0.9 Jaccard,
@@ -2402,6 +2446,60 @@ object TextOps {
          |    THEN tok END) AS BIGINT) AS n_gopher,
          |  CAST(CASE WHEN COUNT(DISTINCT CASE WHEN tok IN (${GopherWords.map("'" + _ + "'").mkString(", ")})
          |    THEN tok END) >= 2 THEN 1 ELSE 0 END AS INT) AS gopher_pass
-         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // the upgraded flagship: t40's keep-best survivors + t41's span
+    // scrubbing + t42's stop-word gate, restated as one CTE graph over
+    // the SAME shared chains the individual oracles use
+    "t43_curation_v2" -> QueryDef(curationV2 _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |csz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id),
+         |alq AS (SELECT doc_id,
+         |    CAST(LENGTH(text) - (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+         |       - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |       - (LENGTH(text) - LENGTH(replace(text, ' ', ''))) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+         |  FROM documents),
+         |cj AS (SELECT lab.id AS doc_id, lab.cluster_id, alq.alpha_ratio
+         |       FROM lab JOIN csz ON csz.cluster_id = lab.cluster_id
+         |       JOIN alq ON alq.doc_id = lab.id WHERE csz.cluster_sz >= 2),
+         |cr AS (SELECT doc_id, cluster_id,
+         |       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY alpha_ratio DESC, doc_id ASC) AS rk
+         |       FROM cj),
+         |keepers AS (SELECT doc_id FROM cr WHERE rk = 1),
+         |members AS (SELECT doc_id FROM cj),
+         |nr2 AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tok2 AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
+         |         FROM nr2 WHERE length(nrm) >= 1),
+         |gq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+         |       FROM tok2 GROUP BY doc_id
+         |       HAVING COUNT(DISTINCT CASE WHEN tok IN (${GopherWords.map("'" + _ + "'").mkString(", ")})
+         |         THEN tok END) >= 1),
+         |tk2 AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr2),
+         |sp0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+         |        FROM tk2 WHERE len(ts) >= 8),
+         |sp AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+         |       FROM sp0),
+         |sbench AS (SELECT DISTINCT gid FROM sp WHERE doc_id < 50),
+         |sdd AS (SELECT sp.doc_id, sp.i FROM sp JOIN sbench ON sbench.gid = sp.gid
+         |        WHERE sp.doc_id >= 50),
+         |sl AS (SELECT doc_id, i, LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM sdd),
+         |sbr AS (SELECT doc_id, i, CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END AS brk FROM sl),
+         |sex AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext FROM sbr),
+         |sx AS (SELECT doc_id, ext, MAX(i) - MIN(i) + 8 AS span_len FROM sex GROUP BY 1, 2),
+         |scrub AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS n_scrubbed FROM sx GROUP BY doc_id),
+         |base AS (SELECT d.doc_id, d.source, gq.n_tokens
+         |         FROM documents d JOIN gq ON gq.doc_id = d.doc_id
+         |         WHERE d.doc_id >= 50
+         |           AND (d.doc_id NOT IN (SELECT doc_id FROM members)
+         |                OR d.doc_id IN (SELECT doc_id FROM keepers)))
+         |SELECT b2.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(b2.n_tokens) AS BIGINT) AS n_tokens_total,
+         |  CAST(SUM(COALESCE(s2.n_scrubbed, 0)) AS BIGINT) AS n_tokens_scrubbed,
+         |  CAST(SUM(b2.n_tokens) - SUM(COALESCE(s2.n_scrubbed, 0)) AS BIGINT) AS n_tokens_clean
+         |FROM base b2 LEFT JOIN scrub s2 ON s2.doc_id = b2.doc_id
+         |GROUP BY b2.source ORDER BY b2.source""".stripMargin)
   )
 }

@@ -433,6 +433,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t43: composes checkpointed clusters + memoized posGrams; membership joins keyed; no cartesian") {
+    val p = plan("t43_curation_v2")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"member/keeper sets must come from the checkpointed t16 labeling:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the scrub subtree must read the memoized positioned-gram index:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the corpus raw text is scanned a CONSTANT number of times (base
+    // census + t42's token scan + t40's quality scan) — composition
+    // must not multiply parquet scans per stage. Counted on the
+    // operator tree, not the explain string: formatted explain prints
+    // each InMemoryTableScan's CACHED build plan (posGram's original
+    // parquet scan included), which string-matching would miscount as
+    // live scans.
+    val scans = graft.SparkEntry.all("t43_curation_v2").fn(spark, d)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.length
+    assert(scans == 3, s"expected 3 live parquet scans (base + t42 tokens + t40 quality), got $scans:\n$p")
+  }
+
   test("v16: benchmark side broadcasts, corpus side is one dot_d scan, agg is partial") {
     val p = plan("v16_semantic_decontaminate")
     assert(p.contains("BroadcastNestedLoopJoin"),
