@@ -582,6 +582,40 @@ object TextOps {
     pairs
   }
 
+  /** MinHash calibration audit: for every shipped near-dup pair, the
+    * 16-slot signature's Jaccard ESTIMATE (agreeing-slot fraction —
+    * exactly what the LSH banding thresholds on) next to the exact
+    * shingle Jaccard, with the absolute error. This is the measurement
+    * that justifies (or re-tunes) the band/row parameters: E[est] =
+    * true Jaccard, and the observed error spread at 16 hashes is what
+    * a pipeline owner weighs against doubling signature width. The
+    * v-series twin is VectorRecallSpec's ANN recall; this makes the
+    * text sketch's fidelity a graded, oracle-checked number too.
+    *
+    * Scale: pairs come from the memoized t03 frame (|pairs| rows);
+    * signatures join KEYED on doc_id. The signature subtree is rebuilt
+    * here (one corpus scan) — a real deployment reads the persisted
+    * signature table built alongside the LSH index. est = k/16 is
+    * dyadic-exact; the exact jaccard is one IEEE division — both
+    * bit-identical across engines. */
+  def minhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshNearDupPairs(s, d)
+    val sig = shingles(s, d).withColumn("sid", sid(col("sh")))
+      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val sa = sig.select(col("doc_id").as("a_id") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val sb = sig.select(col("doc_id").as("b_id") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val agree = (0 until NumHashes).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    pairs.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("n_agree", agree)
+      .select(col("a_id"), col("b_id"), col("jaccard"), col("n_agree"),
+        (col("n_agree").cast("double") / NumHashes).as("est_jaccard"))
+      .withColumn("abs_err", round(abs(col("est_jaccard") - col("jaccard")), 6))
+      .orderBy("a_id", "b_id")
+  }
+
   /** 60-bit SimHash over whitespace tokens (with multiplicity). 60 bits
     * (not 16): banding a 16-bit signature yields only 32/32/64 distinct
     * buckets, so candidate volume is Σ|bucket|² ≈ 3n²/43 — a constant
@@ -2500,6 +2534,26 @@ object TextOps {
          |  CAST(SUM(COALESCE(s2.n_scrubbed, 0)) AS BIGINT) AS n_tokens_scrubbed,
          |  CAST(SUM(b2.n_tokens) - SUM(COALESCE(s2.n_scrubbed, 0)) AS BIGINT) AS n_tokens_clean
          |FROM base b2 LEFT JOIN scrub s2 ON s2.doc_id = b2.doc_id
-         |GROUP BY b2.source ORDER BY b2.source""".stripMargin)
+         |GROUP BY b2.source ORDER BY b2.source""".stripMargin),
+
+    // n_agree is a plain INT sum of CASEs (never a SUM aggregate — the
+    // HUGEINT trap); est = k/16 is dyadic-exact in both engines
+    "t44_minhash_calibration" -> QueryDef(minhashCalibration _,
+      s"""$DupesCtesDuck,
+         |tp AS (SELECT i.a_id, i.b_id,
+         |    CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+         |  FROM inter i
+         |  JOIN sizes za ON za.doc_id = i.a_id
+         |  JOIN sizes zb ON zb.doc_id = i.b_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5),
+         |cal AS (SELECT tp.a_id, tp.b_id, tp.jaccard,
+         |    (${(0 until NumHashes).map(j => s"CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END").mkString("\n     + ")}) AS n_agree
+         |  FROM tp
+         |  JOIN sig sa ON sa.doc_id = tp.a_id
+         |  JOIN sig sb ON sb.doc_id = tp.b_id)
+         |SELECT a_id, b_id, jaccard, n_agree,
+         |  CAST(n_agree AS DOUBLE) / $NumHashes AS est_jaccard,
+         |  round(abs(CAST(n_agree AS DOUBLE) / $NumHashes - jaccard), 6) AS abs_err
+         |FROM cal ORDER BY a_id, b_id""".stripMargin)
   )
 }
