@@ -243,6 +243,31 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  /** Stickiness (DAU / trailing-7-day WAU) per day — the engagement
+    * ratio product dashboards publish. The naive shape is a DISTINCT
+    * over a sliding 7-day window per day (the oracle restates it as a
+    * range-join COUNT DISTINCT); at scale that re-counts every user up
+    * to 7× per window through one window-partition task. Restatement:
+    * collapse to distinct (user, active-day) rows ONCE, then explode
+    * each active day into the ≤ 7 window-ends it supports and distinct
+    * again — two keyed aggregations with map-side partials, a fixed 7×
+    * fan-out, and no sliding window anywhere. */
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = events(s, d)
+      .withColumn("day", floor(unix_micros(col("ts")) / lit(86400000000L)))
+      .select("user_id", "day").distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
   private val countsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
@@ -316,6 +341,20 @@ object EventOps {
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM dly LEFT JOIN nn ON nn.event_type = dly.event_type AND nn.day = dly.day
         |ORDER BY 1, 2""".stripMargin),
+    // the oracle is the NAIVE sliding-window distinct (range join +
+    // COUNT DISTINCT) — the hash match proves the explode restatement
+    // is semantically free
+    "e13_stickiness" -> QueryDef(stickiness _,
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+        |wau AS (SELECT w.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+        |        FROM dau w JOIN ud u ON u.day BETWEEN w.day - 6 AND w.day
+        |        GROUP BY w.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |  round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON wau.day = dau.day ORDER BY dau.day""".stripMargin),
+
     "e10_spike_detection" -> QueryDef(spikeDetection _,
       """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
         |    event_type FROM events),
