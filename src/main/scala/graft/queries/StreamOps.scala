@@ -132,6 +132,7 @@ object StreamOps {
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     nearDupCache.clear()  // ditto
     decontamCache.clear() // ditto
+    qualityGateCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -318,6 +319,46 @@ object StreamOps {
   private val decontamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** In-stream quality gate — t42's Gopher stop-word rule applied at
+    * INGEST, where a real pipeline gates (rejecting at the door is a
+    * corpus scan saved later), with the per-source admission scorecard
+    * as the result. The gate is per-ROW expressions only (token split +
+    * array_intersect against the literal check-word list): stateless,
+    * no watermark, no shuffle inside the stream — every micro-batch
+    * filters at full map parallelism, which is exactly why this shape
+    * scales to any ingest rate. The admission aggregation happens on
+    * the drained output; threshold 1 matches t43 (the synthetic corpus
+    * tops out at one distinct check word — t42 reports the real flag). */
+  def streamQualityGate(s: SparkSession, d: String): DataFrame = {
+    qualityGateCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    qualityGateCache.getOrElseUpdate((s, d), {
+      val gopherArr = array(TextOps.GopherWords.map(lit): _*)
+      val (flags, nBatches, scratch) = graft.streaming.DocStream.runDocOnce(
+        s, docStreamSource(s, d), "graft_stream_qgate") { src =>
+          src.select(col("doc_id"), col("source"),
+            size(array_intersect(
+              array_distinct(split(TextOps.norm(col("text")), " ")), gopherArr))
+              .as("n_gopher"))
+        }
+      try {
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        flags
+          .groupBy("source")
+          .agg(
+            sum(when(col("n_gopher") >= 1, 1L).otherwise(0L)).as("n_admitted"),
+            sum(when(col("n_gopher") >= 1, 0L).otherwise(1L)).as("n_rejected"))
+          .withColumn("admit_rate",
+            round(col("n_admitted").cast("double") /
+              (col("n_admitted") + col("n_rejected")).cast("double"), 6))
+          .orderBy("source")
+          .localCheckpoint()
+      } finally rmrf(java.nio.file.Paths.get(scratch))
+    })
+  }
+
+  private val qualityGateCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Streaming ETL into a LIVE relational database — the reference's
     * flagship sink (JDBC bulk append) fed by a stream: each micro-batch
     * lands in an embedded-Derby table through `foreachBatch` + the same
@@ -496,6 +537,23 @@ object StreamOps {
          |  CAST(COUNT(DISTINCT bench.b_id) AS BIGINT) AS n_bench_docs
          |FROM corp JOIN bench ON bench.gid = corp.gid
          |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin),
+
+    // oracle = the batch restatement of the same per-doc gate over the
+    // full snapshot — the stream's per-row expressions must agree doc
+    // for doc regardless of the micro-batch split
+    "s11_stream_quality_gate" -> QueryDef(streamQualityGate _,
+      s"""WITH nr AS (SELECT doc_id, source, ${TextOps.NormSqlDuck} AS nrm FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
+         |        FROM nr WHERE length(nrm) >= 1),
+         |g AS (SELECT doc_id, COUNT(DISTINCT CASE WHEN tok IN (${TextOps.GopherWords.map("'" + _ + "'").mkString(", ")})
+         |        THEN tok END) AS ng FROM tok GROUP BY doc_id),
+         |f AS (SELECT d.source, COALESCE(g.ng, 0) AS ng
+         |      FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id)
+         |SELECT source,
+         |  CAST(SUM(CASE WHEN ng >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN ng >= 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+         |  round(CAST(SUM(CASE WHEN ng >= 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS admit_rate
+         |FROM f GROUP BY source ORDER BY source""".stripMargin),
 
     // the audit reads the DATABASE back, so matching the fixture's
     // per-type stats proves every micro-batch landed exactly once

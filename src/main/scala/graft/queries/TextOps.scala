@@ -29,7 +29,7 @@ object TextOps {
   private[queries] def norm(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  private val NormSqlDuck =
+  private[queries] val NormSqlDuck =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Portable 32-bit content hash: first 8 hex chars of md5 → BIGINT.
@@ -982,11 +982,11 @@ object TextOps {
     * stop-word quality filters: a doc whose token stream contains
     * almost no function words is navigation chrome, keyword spam, or
     * non-prose — exactly what t07's character ratios can't see. */
-  private val StopWords = Seq(
+  private[queries] val StopWords = Seq(
     "the", "a", "an", "and", "or", "but", "of", "to", "in", "on", "at",
     "is", "are", "was", "for", "with", "as", "by", "it", "be", "that",
     "this", "have", "from", "not")
-  private val GopherWords =
+  private[queries] val GopherWords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Stop-word quality signal (the Gopher stop-word rule + a stop-word
