@@ -168,6 +168,42 @@ object Multimodal {
         substring(base64(col("content")), 1, 8).as("prefix_b64"))
       .orderBy("media_id")
 
+  /** Payload nibble-entropy — the corruption/encryption signal for
+    * binary columns (the m-series analogue of t07/t42's text quality):
+    * Shannon entropy of the hex-nibble distribution. Truncated or
+    * zero-padded payloads score near 0; well-compressed or encrypted
+    * blobs approach ln(16) ≈ 2.77 nats; text-as-bytes sits in between
+    * (few nibble bins occupied — the same skew m05's dHash exploits).
+    * Per-nibble counts via 16 length-replace passes over the hex
+    * string — wide but map-only, pure codegen expressions, so it is
+    * oracle-checkable end to end; ln is floor-quantized at 1e-6 per
+    * nibble and summed in BIGINT (t36/t37's discipline), one final
+    * division. A 100 TB deployment would fold the histogram into
+    * m02's single-pass mapPartitions decoder; the expression form here
+    * states the IDENTICAL math SQL can verify. */
+  def payloadEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val hx = upper(hex(col("content")))
+    val len = length(hx)
+    val nibbles = "0123456789ABCDEF"
+    def cnt(ch: Char) =
+      (len - length(regexp_replace(hx, ch.toString, ""))).cast("long")
+    val terms = nibbles.map { ch =>
+      val c = cnt(ch)
+      when(c > 0,
+        c * floor(log(c.cast("double") / len.cast("double")) * lit(1e6)).cast("long"))
+        .otherwise(0L)
+    }.reduce(_ + _)
+    val present = nibbles.map(ch => when(cnt(ch) > 0, 1).otherwise(0)).reduce(_ + _)
+    syntheticMedia(spark, dir)
+      .filter(length(col("content")) > 0)
+      .select(col("media_id"), col("kind"),
+        length(col("content")).cast("long").as("n_bytes"),
+        present.as("n_nibbles"),
+        round(-terms.cast("double") / len.cast("double") / lit(1e6), 6)
+          .as("entropy"))
+      .orderBy("media_id")
+  }
+
   /** Feature pipeline summary through the typed Dataset path (stub
     * decoder) — demonstrates binary → mapPartitions → features → agg. */
   def featureSummary(spark: SparkSession, dir: String): DataFrame = {

@@ -44,6 +44,26 @@ object MediaOps {
         |  substr(to_base64(encode(text)), 1, 8) AS prefix_b64
         |FROM documents ORDER BY media_id""".stripMargin),
 
+    // per-nibble counts via the same length-replace identity on both
+    // sides; ln floor-quantized at 1e-6 before the BIGINT sum (t37)
+    "m08_payload_entropy" -> QueryDef(Multimodal.payloadEntropy _,
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    upper(to_hex(encode(text))) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |t AS (SELECT doc_id, kind, n, length(hx) AS len,
+         |    ${"0123456789ABCDEF".map(ch =>
+               s"length(hx) - length(replace(hx, '$ch', '')) AS c_$ch").mkString(",\n    ")}
+         |  FROM m)
+         |SELECT doc_id AS media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+         |  (${"0123456789ABCDEF".map(ch =>
+               s"CASE WHEN c_$ch > 0 THEN 1 ELSE 0 END").mkString(" + ")}) AS n_nibbles,
+         |  round(-CAST((${"0123456789ABCDEF".map(ch =>
+               s"CASE WHEN c_$ch > 0 THEN c_$ch * CAST(FLOOR(ln(CAST(c_$ch AS DOUBLE) / len) * 1e6) AS BIGINT) ELSE 0 END").mkString("\n   + ")}) AS DOUBLE) / len / 1e6, 6) AS entropy
+         |FROM t ORDER BY media_id""".stripMargin),
+
     // the stub decoder is a byte-histogram — which SQL can also state
     // (hex-nibble counting over the payload), so even the mapPartitions
     // path is hash-verified, not just rows-only
