@@ -64,4 +64,24 @@ class MultimodalSpec extends AnyFunSuite {
     val ds2 = Seq(MediaRow(2L, "audio", "x", base)).toDS()
     assert(chunkMedia(ds2).collect().map(_.chunk_len).sum == 600L)
   }
+
+  test("payload entropy: degenerate payload scores 0, two equal nibbles score ln 2") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_entropy")
+      .toFile.getAbsolutePath
+    Seq(
+      // bytes 0x11×4 → hex "11111111": one nibble → H = 0
+      (900L, ""),
+      // bytes 0x41×4 → hex "41414141": nibbles 4,1 equal → H = ln 2
+      (901L, "AAAA"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.payloadEntropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(out(900L) == ((4L, 1, 0.0)), s"degenerate payload must score 0: ${out(900L)}")
+    // FLOOR quantization rounds ln(0.5) = -693147.18e-6 DOWN to
+    // -693148e-6, so the deterministic score is 0.693148, not 0.693147
+    assert(out(901L) == ((4L, 2, 0.693148)),
+      s"uniform 2-nibble payload must score quantized ln 2: ${out(901L)}")
+  }
 }
