@@ -18,6 +18,9 @@ import graft.functions.DotProductD
   *     `bloom_contains(binary, long) → boolean` — Spark's own runtime-
   *     filter bloom expressions surfaced for the engine's prefilter
   *     operators (see graft.functions.BloomExpressions)
+  *   - `nibble_counts(binary) → array<long>` — fused one-pass nibble
+  *     histogram behind m08's entropy signal
+  *     (see graft.functions.BinaryExpressions)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -42,5 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "bloom_contains"),
       BloomExpressions.buildContains _))
+    ext.injectFunction((
+      FunctionIdentifier("nibble_counts"),
+      new ExpressionInfo(classOf[graft.functions.NibbleCounts].getName, "nibble_counts"),
+      graft.functions.BinaryExpressions.buildNibbleCounts _))
   }
 }

@@ -174,33 +174,32 @@ object Multimodal {
     * zero-padded payloads score near 0; well-compressed or encrypted
     * blobs approach ln(16) ≈ 2.77 nats; text-as-bytes sits in between
     * (few nibble bins occupied — the same skew m05's dHash exploits).
-    * Per-nibble counts via 16 length-replace passes over the hex
-    * string — wide but map-only, pure codegen expressions, so it is
-    * oracle-checkable end to end; ln is floor-quantized at 1e-6 per
-    * nibble and summed in BIGINT (t36/t37's discipline), one final
-    * division. A 100 TB deployment would fold the histogram into
-    * m02's single-pass mapPartitions decoder; the expression form here
-    * states the IDENTICAL math SQL can verify. */
+    * Per-nibble counts come from the codegen `nibble_counts`
+    * Expression (graft.functions.BinaryExpressions) — ONE fused byte
+    * loop per row, no hex-string materialization; the DuckDB oracle
+    * keeps the 16-way length-replace restatement, which is exactly the
+    * cross-engine check that the fused loop counts the same nibbles.
+    * ln is floor-quantized at 1e-6 per nibble and summed in BIGINT
+    * (t36/t37's discipline), one final division. */
   def payloadEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val hx = upper(hex(col("content")))
-    val len = length(hx)
-    val nibbles = "0123456789ABCDEF"
-    def cnt(ch: Char) =
-      (len - length(regexp_replace(hx, ch.toString, ""))).cast("long")
-    val terms = nibbles.map { ch =>
-      val c = cnt(ch)
+    graft.functions.BinaryExpressions.register(spark)
+    val base = syntheticMedia(spark, dir)
+      .filter(length(col("content")) > 0)
+      .withColumn("n_bytes", length(col("content")).cast("long"))
+      .withColumn("nc",
+        graft.functions.BinaryExpressions.nibble_counts(col("content")))
+      .withColumn("len", (col("n_bytes") * 2).cast("double"))
+    def cnt(i: Int) = element_at(col("nc"), i + 1)
+    val terms = (0 until 16).map { i =>
+      val c = cnt(i)
       when(c > 0,
-        c * floor(log(c.cast("double") / len.cast("double")) * lit(1e6)).cast("long"))
+        c * floor(log(c.cast("double") / col("len")) * lit(1e6)).cast("long"))
         .otherwise(0L)
     }.reduce(_ + _)
-    val present = nibbles.map(ch => when(cnt(ch) > 0, 1).otherwise(0)).reduce(_ + _)
-    syntheticMedia(spark, dir)
-      .filter(length(col("content")) > 0)
-      .select(col("media_id"), col("kind"),
-        length(col("content")).cast("long").as("n_bytes"),
-        present.as("n_nibbles"),
-        round(-terms.cast("double") / len.cast("double") / lit(1e6), 6)
-          .as("entropy"))
+    val present = (0 until 16).map(i => when(cnt(i) > 0, 1).otherwise(0)).reduce(_ + _)
+    base.select(col("media_id"), col("kind"), col("n_bytes"),
+      present.as("n_nibbles"),
+      round(-terms.cast("double") / col("len") / lit(1e6), 6).as("entropy"))
       .orderBy("media_id")
   }
 

@@ -31,6 +31,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
     } finally spark.stop() // later suites getOrCreate a fresh default session
   }
 
+  test("nibble_counts is injected, counts both nibbles, rejects non-binary") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // 'A' = 0x41 → nibbles 4 and 1, twice each for "AA"
+      val r = spark.sql(
+        "SELECT nibble_counts(CAST('AA' AS BINARY)) AS nc")
+        .collect().head.getSeq[Long](0)
+      assert(r.length == 16 && r(4) == 2L && r(1) == 2L && r.sum == 4L, r.toString)
+      val n = spark.sql("SELECT nibble_counts(CAST(NULL AS BINARY)) AS nc")
+        .collect().head
+      assert(n.isNullAt(0))
+      intercept[Exception] {
+        spark.sql("SELECT nibble_counts('AA')").collect() // string, not binary
+      }
+    } finally spark.stop()
+  }
+
   test("bloom_agg/bloom_contains are injected and round-trip from SQL") {
     SparkSession.getActiveSession.foreach(_.stop())
     val spark = SparkSession.builder().master("local[2]")
