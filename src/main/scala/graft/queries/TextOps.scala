@@ -582,6 +582,45 @@ object TextOps {
     pairs
   }
 
+  /** Zipf fit of the token rank-frequency curve: OLS slope/intercept of
+    * ln(freq) on ln(rank) over t18's top-200 vocabulary — the corpus
+    * statistic that says whether the token distribution is natural-
+    * language-shaped (slope ≈ −1) or synthetic/spammy (flat or
+    * cliffed). Exact distributed regression: each ln is floor-quantized
+    * (t36/t37's discipline — at 1e-5, not 1e-6: with 200 points,
+    * np·Σy² must stay inside BIGINT even when ln(freq) reflects a
+    * 100 TB corpus's top-token counts; 1e-5 caps the worst product at
+    * ~3e17), the five OLS sums (Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * BIGINT — exact under any combine tree — and slope/intercept/r²
+    * are final divisions. Bounded by construction: the regression
+    * frame is the top-200 rows at any corpus scale (t18's
+    * TakeOrderedAndProject discipline upstream). */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val xy = vocab(s, d)
+      .select(
+        floor(log(col("rk").cast("double")) * 1e5).cast("long").as("x"),
+        floor(log(col("n").cast("double")) * 1e5).cast("long").as("y"))
+    xy.agg(
+        count(lit(1)).as("np"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(zipfOutputs: _*)
+  }
+
+  private def zipfOutputs: Seq[Column] = {
+    val num = (col("np") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("np") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("np") * col("syy") - col("sy") * col("sy")).cast("double")
+    val slope = num / den
+    Seq(col("np").as("n_points"),
+      round(slope, 6).as("slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / col("np") / 1e5, 6).as("intercept"),
+      round((num * num) / (den * deny), 6).as("r2"))
+  }
+
   /** MinHash calibration audit: for every shipped near-dup pair, the
     * 16-slot signature's Jaccard ESTIMATE (agreeing-slot fraction —
     * exactly what the LSH banding thresholds on) next to the exact
@@ -2535,6 +2574,32 @@ object TextOps {
          |  CAST(SUM(b2.n_tokens) - SUM(COALESCE(s2.n_scrubbed, 0)) AS BIGINT) AS n_tokens_clean
          |FROM base b2 LEFT JOIN scrub s2 ON s2.doc_id = b2.doc_id
          |GROUP BY b2.source ORDER BY b2.source""".stripMargin),
+
+    // quantized at 1e-5 (BIGINT headroom for np·Σy² at 100 TB token
+    // counts); every CAST sits at the same point as the Spark column
+    // expression so the three final divisions are bit-identical
+    "t45_zipf_fit" -> QueryDef(zipfFit _,
+      s"""WITH nr AS (SELECT $NormSqlDuck AS nrm FROM documents),
+         |tok AS (SELECT unnest(string_split(nrm, ' ')) AS tok FROM nr WHERE length(nrm) >= 1),
+         |c AS (SELECT tok, COUNT(*) AS n FROM tok WHERE length(tok) >= 1 GROUP BY tok),
+         |r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk FROM c),
+         |xy AS (SELECT CAST(FLOOR(ln(CAST(rk AS DOUBLE)) * 1e5) AS BIGINT) AS x,
+         |       CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e5) AS BIGINT) AS y
+         |       FROM r WHERE rk <= 200),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         |       CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |       CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |       CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |       CAST(SUM(y * y) AS BIGINT) AS syy FROM xy)
+         |SELECT np AS n_points,
+         |  round(CAST(np * sxy - sx * sy AS DOUBLE) /
+         |        CAST(np * sxx - sx * sx AS DOUBLE), 6) AS slope,
+         |  round((CAST(sy AS DOUBLE) - (CAST(np * sxy - sx * sy AS DOUBLE) /
+         |        CAST(np * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+         |        / np / 1e5, 6) AS intercept,
+         |  round((CAST(np * sxy - sx * sy AS DOUBLE) * CAST(np * sxy - sx * sy AS DOUBLE)) /
+         |        (CAST(np * sxx - sx * sx AS DOUBLE) * CAST(np * syy - sy * sy AS DOUBLE)), 6) AS r2
+         |FROM s""".stripMargin),
 
     // n_agree is a plain INT sum of CASEs (never a SUM aggregate — the
     // HUGEINT trap); est = k/16 is dyadic-exact in both engines
