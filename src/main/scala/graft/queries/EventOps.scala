@@ -253,9 +253,13 @@ object EventOps {
     * again — two keyed aggregations with map-side partials, a fixed 7×
     * fan-out, and no sliding window anywhere. */
   def stickiness(s: SparkSession, d: String): DataFrame = {
+    // the distinct (user, day) frame feeds BOTH aggregations —
+    // materialize it once (|user-days| rows, bounded) so the events
+    // scan + distinct don't run twice in one plan
     val ud = events(s, d)
       .withColumn("day", floor(unix_micros(col("ts")) / lit(86400000000L)))
       .select("user_id", "day").distinct()
+      .localCheckpoint()
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
