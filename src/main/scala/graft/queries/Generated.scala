@@ -42,6 +42,55 @@ object Generated {
       "n_generated_tables", "n_waves")
   }
 
+  /** The FK graph as (parent, child) edges with self-edges dropped,
+    * plus the roots — the acyclic load-dependency DAG (85 nodes, 119
+    * edges, 324 total root paths: UNION ALL recursion is bounded). */
+  private lazy val fkDag: (Seq[(String, String)], Seq[String]) = {
+    val cat = catalog
+    val edges = cat.allFks.filter(f => f.table != f.refTable)
+      .map(f => (f.refTable, f.table)).distinct
+    val hasParent = edges.map(_._2).toSet
+    (edges, cat.order.filterNot(hasParent))
+  }
+
+  /** FK load depth via Spark's RECURSIVE CTE (new in Spark 4): each
+    * table's longest parent chain — the wave index the armed loader
+    * (g08/g09) schedules by, here computed by the SQL surface itself.
+    * Both engines run the SAME recursion over the SAME edge list and
+    * must agree node for node; GeneratorSpec additionally pins the
+    * result to Deps.waves' assignment, so the declarative recursion,
+    * the driver-side topo logic, and DuckDB's recursive engine form a
+    * three-way cross-check. UNION ALL (Spark's only recursive mode)
+    * is safe here because the DAG's path count is 324 — per-node MAX
+    * collapses path multiplicity after the fixpoint. */
+  def fkDepthRecursive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (edges, roots) = fkDag
+    edges.toDF("parent", "child").createOrReplaceTempView("g12_edges")
+    roots.toDF("tbl").createOrReplaceTempView("g12_roots")
+    s.sql("""
+      WITH RECURSIVE dpt AS (
+        SELECT tbl, 0 AS depth FROM g12_roots
+        UNION ALL
+        SELECT e.child AS tbl, dpt.depth + 1 AS depth
+        FROM dpt JOIN g12_edges e ON e.parent = dpt.tbl
+      )
+      SELECT tbl, MAX(depth) AS depth FROM dpt GROUP BY tbl ORDER BY tbl""")
+  }
+
+  private lazy val G12Oracle: String = {
+    val (edges, roots) = fkDag
+    s"""WITH RECURSIVE e(parent, child) AS (
+       |  SELECT * FROM (VALUES ${edges.map { case (p, c) => s"('$p', '$c')" }.mkString(",\n    ")})),
+       |r(tbl) AS (SELECT * FROM (VALUES ${roots.map(t => s"('$t')").mkString(", ")})),
+       |dpt AS (
+       |  SELECT tbl, 0 AS depth FROM r
+       |  UNION ALL
+       |  SELECT e.child AS tbl, dpt.depth + 1 AS depth
+       |  FROM dpt JOIN e ON e.parent = dpt.tbl)
+       |SELECT tbl, MAX(depth) AS depth FROM dpt GROUP BY tbl ORDER BY tbl""".stripMargin
+  }
+
   private val SliceTables = Seq("Ulke", "Il", "Banka", "VergiDairesi", "BankaSube")
 
   private[queries] def sliceCatalog: Catalog = {
@@ -287,6 +336,9 @@ object Generated {
         |t(n_rows, n_ids, n_tenants, min_belgeno_len, max_belgeno_len)""".stripMargin),
     "g04_column_type_census" -> QueryDef(columnTypeCensus _, G04Oracle),
     "g05_fk_fanout" -> QueryDef(fkFanout _, G05Oracle),
+    // NOT a frozen-VALUES oracle: DuckDB re-runs the recursion over the
+    // same embedded edge list with its own recursive engine
+    "g12_fk_depth_recursive" -> QueryDef(fkDepthRecursive _, Some(G12Oracle)),
     "g01_catalog_inventory" -> QueryDef(catalogInventory _,
       """SELECT * FROM (VALUES (CAST(85 AS BIGINT), CAST(1431 AS BIGINT),
         |  CAST(131 AS BIGINT), CAST(4 AS BIGINT), CAST(19 AS BIGINT),

@@ -108,6 +108,20 @@ class GeneratorSpec extends AnyFunSuite {
     assert(waves.head.nonEmpty)
   }
 
+  test("recursive-CTE depth (g12) agrees with Deps.waves' level assignment") {
+    // the FULL catalog (g12 recurses over every table, not just
+    // generation targets), waves computed with the same self-edge drop
+    val waves = Deps.waves(cat.order, cat.allFks)
+    val waveOf = waves.zipWithIndex.flatMap { case (ts, i) => ts.map(_ -> i) }.toMap
+    val rec = graft.queries.Generated.defs("g12_fk_depth_recursive")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rec.keySet == cat.order.toSet, "every table must get a depth")
+    val mismatches = rec.filter { case (t, d) => waveOf(t) != d }
+    assert(mismatches.isEmpty,
+      s"recursive depth must equal the wave index: ${mismatches.take(5)}")
+  }
+
   test("pipeline slice: Ulke→Banka chain end-to-end with FK integrity") {
     val sub = Set("Ulke", "Banka", "Il", "VergiDairesi")
     val subCat = Catalog(
