@@ -328,7 +328,9 @@ object VectorOps {
     * inside its own salt slice, so the survivor union provably
     * contains the global top-8. */
   def cellBalancedSample(s: SparkSession, d: String): DataFrame = {
-    val cells = ivfCells(s, d)
+    // the assignment feeds BOTH the size audit and the tournament —
+    // materialize it once (it IS the IVF index a deployment persists)
+    val cells = ivfCells(s, d).localCheckpoint()
     val sz = cells.groupBy("cell").agg(count(lit(1)).as("cell_sz"))
     tournamentTopK(cells, 8)
       .join(broadcast(sz), "cell")
@@ -512,6 +514,45 @@ object VectorOps {
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("ascore"))
       .orderBy("q_id", "rk")
+  }
+
+  /** One PQ codebook training round — the missing half of v12's story:
+    * v12 quantizes against a FIXED seed codebook; this is the Lloyd
+    * step that trains it, run independently in each of the 8 subspaces
+    * (assign every sub-vector to its nearest codeword under the same
+    * integer L2² objective v12 encodes with, then move each codeword to
+    * its member mean). Repeating per round with localCheckpoint (t16's
+    * loop discipline) trains the production codebook; v11 is the same
+    * step for the coarse IVF quantizer.
+    *
+    * Scale: the codebook is 8×16 sub-vectors — broadcast; assignment is
+    * a map-side min(struct) partial aggregation per (vector, subspace),
+    * never a window; the update is one keyed partial aggregation to the
+    * 8×16×8 = 1024-row codebook frame. Integer-grid sums (the quantized
+    * sub-vectors are exact integers) make the update reproducible under
+    * any combine tree — v03/v11's discipline. */
+  def pqTrainRound(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = embeddings(s, d).withColumn("qv",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
+    val enc = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"))
+      .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("code"))
+    enc.join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .withColumn("qx", col("x").cast("long"))
+      .groupBy("m", "code", "pos")
+      .agg(sum(col("qx")).as("sq"), count(lit(1)).as("n_members"))
+      .select(col("m"), col("code"), col("pos"),
+        (col("sq").cast("double") / col("n_members")).as("centroid"),
+        col("n_members"))
+      .orderBy("m", "code", "pos")
   }
 
   /** Semantic decontamination — the embedding-space twin of t19/t26's
@@ -749,6 +790,35 @@ object VectorOps {
         |  FROM adc WHERE vec_id <> q_id)
         |SELECT q_id, rk, vec_id AS hit_id, ascore
         |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // same encode chain as v12; the update is exact integer sums over
+    // the already-integral quantized grid, one final division
+    "v18_pq_train_round" -> QueryDef(pqTrainRound _,
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 200.0)) AS qv
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
+        |    (qv[ms.m * 8 + 1 : ms.m * 8 + 8])::DOUBLE[] AS sv
+        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+        |cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+        |cand AS (SELECT s.vec_id, s.m, c.j,
+        |    CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+        |       - 2 * list_dot_product(s.sv, c.cv) AS BIGINT) AS d2
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        |    FROM cand) t WHERE rn = 1),
+        |mem AS (SELECT e.m, e.code, s.sv FROM enc e
+        |        JOIN sub s ON s.vec_id = e.vec_id AND s.m = e.m),
+        |x AS (SELECT m, code,
+        |    CAST(unnest(generate_series(1, len(sv))) AS INT) - 1 AS pos, sv FROM mem),
+        |g AS (SELECT m, code, pos,
+        |    CAST(SUM(CAST(sv[pos + 1] AS BIGINT)) AS BIGINT) AS sq,
+        |    CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM x GROUP BY m, code, pos)
+        |SELECT m, code, pos, CAST(sq AS DOUBLE) / n_members AS centroid, n_members
+        |FROM g ORDER BY m, code, pos""".stripMargin),
 
     // quantized values are small integers (|q| ≤ 127, d = 64), so the
     // double dot product is exact — CAST to BIGINT is lossless and both
