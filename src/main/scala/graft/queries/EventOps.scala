@@ -252,14 +252,17 @@ object EventOps {
     * each active day into the ≤ 7 window-ends it supports and distinct
     * again — two keyed aggregations with map-side partials, a fixed 7×
     * fan-out, and no sliding window anywhere. */
-  def stickiness(s: SparkSession, d: String): DataFrame = {
-    // the distinct (user, day) frame feeds BOTH aggregations —
-    // materialize it once (|user-days| rows, bounded) so the events
-    // scan + distinct don't run twice in one plan
-    val ud = events(s, d)
+  /** Distinct (user, active-day) rows, materialized — the shared input
+    * of the engagement metrics (e13 stickiness, e15 retention): one
+    * events scan + distinct, |user-days| rows, bounded. */
+  private def userDays(s: SparkSession, d: String): DataFrame =
+    events(s, d)
       .withColumn("day", floor(unix_micros(col("ts")) / lit(86400000000L)))
       .select("user_id", "day").distinct()
       .localCheckpoint()
+
+  def stickiness(s: SparkSession, d: String): DataFrame = {
+    val ud = userDays(s, d)
     val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
     val wau = ud
       .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wday"))
@@ -270,6 +273,40 @@ object EventOps {
         round(col("dau").cast("double") / col("wau").cast("double"), 6)
           .as("stickiness"))
       .orderBy("day")
+  }
+
+  /** Day-N retention per signup cohort: for users whose FIRST signup
+    * event lands on day D, the share active again on exactly D+1 and
+    * on D+7 — the cohort curve read next to e13's stickiness. The
+    * return checks are user-keyed LEFT joins against the shared
+    * distinct (user, day) frame with the day offset folded into the
+    * join key: no window, no per-cohort scan, each join is
+    * |cohort users| × key lookup. Cohorts with no eligible return day
+    * inside the fixture window still report (rate over the full
+    * cohort — the standard dashboard convention). */
+  def dayNRetention(s: SparkSession, d: String): DataFrame = {
+    val ud = userDays(s, d)
+    val cohort = events(s, d)
+      .filter(col("event_type") === "signup")
+      .withColumn("day", floor(unix_micros(col("ts")) / lit(86400000000L)))
+      .groupBy("user_id").agg(min(col("day")).as("d0"))
+    val r1 = ud.select(col("user_id"), (col("day") - 1).as("d0"), lit(1).as("ret1"))
+      .distinct()
+    val r7 = ud.select(col("user_id"), (col("day") - 7).as("d0"), lit(1).as("ret7"))
+      .distinct()
+    cohort
+      .join(r1, Seq("user_id", "d0"), "left")
+      .join(r7, Seq("user_id", "d0"), "left")
+      .groupBy("d0")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("ret1"), lit(0))).as("n_day1"),
+        sum(coalesce(col("ret7"), lit(0))).as("n_day7"))
+      .select(col("d0"), col("n_users"),
+        round(col("n_day1").cast("double") / col("n_users").cast("double"), 6)
+          .as("day1_rate"),
+        round(col("n_day7").cast("double") / col("n_users").cast("double"), 6)
+          .as("day7_rate"))
+      .orderBy("d0")
   }
 
   private val countsCache =
@@ -345,6 +382,22 @@ object EventOps {
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM dly LEFT JOIN nn ON nn.event_type = dly.event_type AND nn.day = dly.day
         |ORDER BY 1, 2""".stripMargin),
+    "e14_day_n_retention" -> QueryDef(dayNRetention _,
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+        |c AS (SELECT user_id, MIN(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)) AS d0
+        |      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |r1 AS (SELECT DISTINCT user_id, day - 1 AS d0 FROM ud),
+        |r7 AS (SELECT DISTINCT user_id, day - 7 AS d0 FROM ud)
+        |SELECT c.d0, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  round(CAST(SUM(CASE WHEN r1.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS day1_rate,
+        |  round(CAST(SUM(CASE WHEN r7.user_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS day7_rate
+        |FROM c LEFT JOIN r1 ON r1.user_id = c.user_id AND r1.d0 = c.d0
+        |       LEFT JOIN r7 ON r7.user_id = c.user_id AND r7.d0 = c.d0
+        |GROUP BY c.d0 ORDER BY c.d0""".stripMargin),
+
     // the oracle is the NAIVE sliding-window distinct (range join +
     // COUNT DISTINCT) — the hash match proves the explode restatement
     // is semantically free
