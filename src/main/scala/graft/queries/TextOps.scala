@@ -599,6 +599,53 @@ object TextOps {
     pairs
   }
 
+  /** Per-source MinHash sketches + pairwise source similarity — the
+    * MERGEABLE-SKETCH pattern: a source's sketch is min-per-slot over
+    * its gram ids, and MIN is idempotent and associative, so sketches
+    * partial-aggregate map-side, merge across partitions/shards/days in
+    * any order, and never need the distinct gram SET materialized. At
+    * 100 TB each ingest shard keeps a 16-slot sketch per source and
+    * cross-source similarity is a 16-integer comparison — the exact
+    * gram-set Jaccard computed alongside here is the CALIBRATION track
+    * (t44's discipline): fixture-affordable truth that measures the
+    * estimate, dropped at deployment scale. Near-mirror sources (the
+    * t23 question, but on 8-gram content instead of vocabulary) surface
+    * as high est_sim. */
+  def sourceMinhashSim(s: SparkSession, d: String): DataFrame = {
+    val sg = wordGramIds(s, d, 8)
+      .join(documents(s, d).select("doc_id", "source"), "doc_id")
+      .select("source", "gid").distinct()
+    // slot hash: fold the 60-bit gid into the 31-bit field first so the
+    // affine step can't overflow BIGINT in either engine
+    val slotAggs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * pmod(col("gid"), lit(P31)) + lit(b), lit(P31))).as(s"mh$j")
+    }
+    val sketch = sg.groupBy("source").agg(slotAggs.head, slotAggs.tail: _*)
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sg.as("a")
+      .join(sg.as("b"),
+        col("a.gid") === col("b.gid") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val a = sketch.select(col("source").as("src_a") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"a$j")): _*)
+    val b = sketch.select(col("source").as("src_b") +:
+      (0 until NumHashes).map(j => col(s"mh$j").as(s"b$j")): _*)
+    val agree = (0 until NumHashes).map(j =>
+      when(col(s"a$j") === col(s"b$j"), 1).otherwise(0)).reduce(_ + _)
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("n_agree", agree)
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sza")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")), "src_b")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_agree"),
+        (col("n_agree").cast("double") / NumHashes).as("est_sim"),
+        round(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double"), 6).as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** Zipf fit of the token rank-frequency curve: OLS slope/intercept of
     * ln(freq) on ln(rank) over t18's top-200 vocabulary — the corpus
     * statistic that says whether the token distribution is natural-
@@ -2589,6 +2636,32 @@ object TextOps {
          |  CAST(SUM(b2.n_tokens) - SUM(COALESCE(s2.n_scrubbed, 0)) AS BIGINT) AS n_tokens_clean
          |FROM base b2 LEFT JOIN scrub s2 ON s2.doc_id = b2.doc_id
          |GROUP BY b2.source ORDER BY b2.source""".stripMargin),
+
+    // the sketch side folds gid into the 31-bit field before the affine
+    // hash (no BIGINT overflow in either engine); est = k/16 dyadic
+    "t46_source_minhash_sim" -> QueryDef(sourceMinhashSim _,
+      s"""$Gram8CtesDuck,
+         |sg AS (SELECT DISTINCT d.source, g.gid
+         |       FROM g JOIN documents d ON d.doc_id = g.doc_id),
+         |sk AS (SELECT source, ${MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+               s"MIN(($a * (gid % ${P31}) + $b) % ${P31}) AS mh$j" }.mkString(",\n    ")}
+         |  FROM sg GROUP BY source),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sg GROUP BY source),
+         |iv AS (SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |       FROM sg a JOIN sg b ON b.gid = a.gid AND a.source < b.source
+         |       GROUP BY a.source, b.source),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    (${(0 until NumHashes).map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END").mkString(" + ")}) AS n_agree
+         |  FROM sk a JOIN sk b ON a.source < b.source)
+         |SELECT pr.src_a, pr.src_b, pr.n_agree,
+         |  CAST(pr.n_agree AS DOUBLE) / $NumHashes AS est_sim,
+         |  round(CAST(COALESCE(iv.inter, 0) AS DOUBLE) /
+         |    CAST(za.sz + zb.sz - COALESCE(iv.inter, 0) AS DOUBLE), 6) AS jaccard
+         |FROM pr
+         |LEFT JOIN iv ON iv.src_a = pr.src_a AND iv.src_b = pr.src_b
+         |JOIN sz za ON za.source = pr.src_a
+         |JOIN sz zb ON zb.source = pr.src_b
+         |ORDER BY pr.src_a, pr.src_b""".stripMargin),
 
     // quantized at 1e-5 (BIGINT headroom for np·Σy² at 100 TB token
     // counts); every CAST sits at the same point as the Spark column
