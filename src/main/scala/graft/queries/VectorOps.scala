@@ -516,6 +516,29 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Graded recall@5 of the IVF index (v08) against the exact baseline
+    * (v01): per query, how many of the true top-5 the 2-probe
+    * approximate search returned. VectorRecallSpec measures this
+    * internally; this makes the number part of the ORACLE-CHECKED
+    * surface — the recall/scan-fraction trade-off an operator reads
+    * before shipping an index config is itself a deterministic query.
+    * Composes the two existing operators; both sides' plans keep their
+    * own scale shapes (broadcast queries / probed-cell pruning), and
+    * the comparison join is |queries|×5 rows. */
+  def ivfRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = cosineTopK(s, d).filter(col("rk") <= 5)
+      .select(col("q_id"), col("hit_id"))
+    val approx = ivfTopK(s, d)
+      .select(col("q_id").as("aq"), col("hit_id").as("a_hit"))
+    exact.join(approx,
+        col("q_id") === col("aq") && col("hit_id") === col("a_hit"), "left")
+      .groupBy("q_id")
+      .agg(count(col("a_hit")).as("n_found"))
+      .select(col("q_id"), col("n_found"),
+        round(col("n_found").cast("double") / 5.0, 6).as("recall"))
+      .orderBy("q_id")
+  }
+
   /** One PQ codebook training round — the missing half of v12's story:
     * v12 quantizes against a FIXED seed codebook; this is the Lloyd
     * step that trains it, run independently in each of the 8 subspaces
@@ -790,6 +813,43 @@ object VectorOps {
         |  FROM adc WHERE vec_id <> q_id)
         |SELECT q_id, rk, vec_id AS hit_id, ascore
         |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // composes v01's and v08's oracle chains verbatim (renamed CTEs) —
+    // the recall number itself is the graded output
+    "v19_ivf_recall" -> QueryDef(ivfRecall _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e q ON q.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |r AS (SELECT q_id, hit_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p),
+        |p2 AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+        |r2 AS (SELECT q_id, hit_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p2),
+        |ex AS (SELECT q_id, hit_id FROM r2 WHERE rk <= 5),
+        |ap AS (SELECT q_id, hit_id FROM r WHERE rk <= 5)
+        |SELECT ex.q_id, CAST(COUNT(ap.hit_id) AS BIGINT) AS n_found,
+        |  round(CAST(COUNT(ap.hit_id) AS DOUBLE) / 5.0, 6) AS recall
+        |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.hit_id = ex.hit_id
+        |GROUP BY ex.q_id ORDER BY ex.q_id""".stripMargin),
 
     // same encode chain as v12; the update is exact integer sums over
     // the already-integral quantized grid, one final division
