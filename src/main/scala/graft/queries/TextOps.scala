@@ -615,12 +615,7 @@ object TextOps {
     val sg = wordGramIds(s, d, 8)
       .join(documents(s, d).select("doc_id", "source"), "doc_id")
       .select("source", "gid").distinct()
-    // slot hash: fold the 60-bit gid into the 31-bit field first so the
-    // affine step can't overflow BIGINT in either engine
-    val slotAggs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(lit(a) * pmod(col("gid"), lit(P31)) + lit(b), lit(P31))).as(s"mh$j")
-    }
-    val sketch = sg.groupBy("source").agg(slotAggs.head, slotAggs.tail: _*)
+    val sketch = gramSketch(sg)
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
     val inter = sg.as("a")
       .join(sg.as("b"),
@@ -644,6 +639,19 @@ object TextOps {
         round(col("inter").cast("double") /
           (col("sza") + col("szb") - col("inter")).cast("double"), 6).as("jaccard"))
       .orderBy("src_a", "src_b")
+  }
+
+  /** Per-group MinHash sketch over a (source, gid) frame — min-per-slot
+    * with the 60-bit gid folded into the 31-bit field first (so the
+    * affine step can't overflow BIGINT in either engine). Factored so
+    * SketchMergeSpec can execute the mergeability claim: because MIN is
+    * idempotent and associative, sketch(A ∪ B) = slotwise-min(sketch(A),
+    * sketch(B)) — the property that lets shards sketch independently. */
+  private[queries] def gramSketch(sg: DataFrame): DataFrame = {
+    val slotAggs = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(lit(a) * pmod(col("gid"), lit(P31)) + lit(b), lit(P31))).as(s"mh$j")
+    }
+    sg.groupBy("source").agg(slotAggs.head, slotAggs.tail: _*)
   }
 
   /** Zipf fit of the token rank-frequency curve: OLS slope/intercept of
