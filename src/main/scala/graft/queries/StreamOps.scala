@@ -133,6 +133,7 @@ object StreamOps {
     nearDupCache.clear()  // ditto
     decontamCache.clear() // ditto
     qualityGateCache.clear() // ditto
+    sketchStreamCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -359,6 +360,42 @@ object StreamOps {
   private val qualityGateCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Streaming sketch maintenance — t46's mergeability property run
+    * LIVE: each micro-batch computes its own partial per-source MinHash
+    * sketch (the batch's docs → gram ids → min per slot) and appends it
+    * to a partials table; the final per-source sketch is the slotwise
+    * MIN over all partials. Micro-batches ARE the ingest shards here,
+    * so hash-matching batch t46's sketch (the oracle) proves sketches
+    * can be maintained incrementally at ingest — no reprocessing, no
+    * distinct-gram state, state per source = 16 longs per batch row.
+    * SketchMergeSpec proves the algebra; this proves the pipeline. */
+  def streamSketchMaintenance(s: SparkSession, d: String): DataFrame = {
+    sketchStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    sketchStreamCache.getOrElseUpdate((s, d), {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_sketch")
+      try {
+        val partials = scratch.resolve("partials").toString
+        val nBatches = graft.streaming.DocStream.runDocForeachBatch(
+          s, docStreamSource(s, d), (batch, id) => {
+            val sg = TextOps.explodeGramIds(batch, 8)
+              .join(batch.select("doc_id", "source"), "doc_id")
+              .select("source", "gid")
+            TextOps.gramSketch(sg).withColumn("batch_id", lit(id))
+              .write.mode("append").parquet(partials)
+          })
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        val mins = (0 until TextOps.NumHashes).map(j => min(col(s"mh$j")).as(s"mh$j"))
+        s.read.parquet(partials)
+          .groupBy("source").agg(mins.head, mins.tail: _*)
+          .orderBy("source")
+          .localCheckpoint() // pin before the scratch dir is deleted
+      } finally rmrf(scratch)
+    })
+  }
+
+  private val sketchStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Streaming ETL into a LIVE relational database — the reference's
     * flagship sink (JDBC bulk append) fed by a stream: each micro-batch
     * lands in an embedded-Derby table through `foreachBatch` + the same
@@ -537,6 +574,16 @@ object StreamOps {
          |  CAST(COUNT(DISTINCT bench.b_id) AS BIGINT) AS n_bench_docs
          |FROM corp JOIN bench ON bench.gid = corp.gid
          |GROUP BY corp.doc_id ORDER BY corp.doc_id""".stripMargin),
+
+    // oracle = batch t46's sketch chain: the slotwise-min merge of the
+    // per-micro-batch partials must land on the batch sketch exactly
+    "s12_stream_sketch_maintenance" -> QueryDef(streamSketchMaintenance _,
+      s"""${TextOps.Gram8CtesDuck},
+         |sg AS (SELECT DISTINCT d.source, g.gid
+         |       FROM g JOIN documents d ON d.doc_id = g.doc_id)
+         |SELECT source, ${TextOps.MhA.zip(TextOps.MhB).zipWithIndex.map { case ((a, b), j) =>
+               s"MIN(($a * (gid % 2147483647) + $b) % 2147483647) AS mh$j" }.mkString(",\n  ")}
+         |FROM sg GROUP BY source ORDER BY source""".stripMargin),
 
     // oracle = the batch restatement of the same per-doc gate over the
     // full snapshot — the stream's per-row expressions must agree doc

@@ -137,6 +137,20 @@ object DocStream {
     out.result().iterator
   }
 
+  /** Drain a multi-file document snapshot through a foreachBatch sink
+    * (one micro-batch per file) — the runner for per-batch side effects
+    * (s12's partial-sketch emission). Returns the micro-batch count
+    * from lastProgress.batchId (recentProgress is bounded). */
+  def runDocForeachBatch(spark: SparkSession, sourceDir: String,
+      sink: (DataFrame, Long) => Unit): Long =
+    EventStream.withStatePartitions(spark) {
+      val src = spark.readStream.schema(docSchema).format("parquet")
+        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
+      val q = src.writeStream.foreachBatch(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+    }
+
   /** Drain a multi-file document snapshot through an arbitrary
     * STATELESS streaming plan (one micro-batch per file) into an
     * exactly-once parquet file sink — the generic runner behind the
