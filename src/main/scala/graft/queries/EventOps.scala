@@ -99,6 +99,22 @@ object EventOps {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
       .orderBy("event_type")
 
+  /** e06's semantics through Spark 4's VARIANT type (the t34-vs-t16
+    * pattern: same oracle, alternative engine path): the JSON payload
+    * parses ONCE into a variant column and every field reads out of the
+    * parsed representation via typed `variant_get` — at 100 TB the
+    * difference vs per-field `get_json_object` is one parse per row
+    * instead of one per (row × field), and VARIANT columns persist to
+    * parquet so downstream queries skip the parse entirely. */
+  def variantProps(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("pv", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(pv, '$.k', 'long')"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** Weekly cohort retention: users bucketed by first-seen week, counted
     * per (cohort, active week) — two keyed aggregations over integer
     * epoch weeks, the standard retention triangle. */
@@ -476,6 +492,15 @@ object EventOps {
         |GROUP BY c.cohort_wk, ev.wk ORDER BY c.cohort_wk, ev.wk""".stripMargin),
 
     "e06_json_props" -> QueryDef(jsonProps _,
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // e06's oracle verbatim — VARIANT is the alternative engine path,
+    // and both must aggregate the same typed extractions
+    "e15_variant_props" -> QueryDef(variantProps _,
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(props->>'k' AS BIGINT)) AS min_k,
