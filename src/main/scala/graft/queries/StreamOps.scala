@@ -21,6 +21,19 @@ object StreamOps {
   private val sourceCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
+  // JVM-exit backstop for snapshot dirs: the Harness entry points call
+  // clearCaches() on teardown, but ScalaTest suites build these plans
+  // without ever tearing StreamOps down, and each leaked snapshot is a
+  // full fixture copy in /tmp. Every snapshot dir registers here; the
+  // hook reaps whatever clearCaches hasn't already deleted.
+  private val allScratch = scala.collection.concurrent.TrieMap.empty[String, Unit]
+  private[queries] def trackScratch(dir: String): String = {
+    allScratch.put(dir, ()); dir
+  }
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    allScratch.keys.foreach(d =>
+      try rmrf(java.nio.file.Paths.get(d)) catch { case _: Throwable => () })))
+
   /** Drop (and delete the snapshot dirs of) entries whose session has
     * stopped — evicting without deleting would orphan the dirs forever. */
   private def evictDead(cache: scala.collection.concurrent.TrieMap[(SparkSession, String), String]): Unit =
@@ -43,7 +56,7 @@ object StreamOps {
         // failed snapshot never reaches the cache — reclaim the dir now
         rmrf(dir); throw e
       }
-      dir.toString
+      trackScratch(dir.toString)
     })
   }
 
@@ -65,7 +78,7 @@ object StreamOps {
           .repartition(4)
           .write.mode("overwrite").parquet(dir.toString)
       } catch { case e: Throwable => rmrf(dir); throw e }
-      dir.toString
+      trackScratch(dir.toString)
     })
   }
 
@@ -85,7 +98,7 @@ object StreamOps {
           .repartition(4)
           .write.mode("overwrite").parquet(dir.toString)
       } catch { case e: Throwable => rmrf(dir); throw e }
-      dir.toString
+      trackScratch(dir.toString)
     })
   }
 
@@ -104,7 +117,7 @@ object StreamOps {
         ev.write.mode("overwrite").parquet(dir.toString)
         ev.write.mode("append").parquet(dir.toString)
       } catch { case e: Throwable => rmrf(dir); throw e }
-      dir.toString
+      trackScratch(dir.toString)
     })
   }
 
