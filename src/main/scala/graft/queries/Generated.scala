@@ -178,6 +178,50 @@ object Generated {
         .toDF().orderBy("table_name")
     }
 
+  /** Staged MERGE upsert round-trip — the incremental-refresh posture
+    * the reference's append-only loads (g07–g10) stop short of: a
+    * synthetic delta (half updates, half new rows) lands in a staging
+    * table through the same per-partition JDBC writer, then ONE MERGE
+    * statement reconciles it into the constrained target — update
+    * matched, insert unmatched — and Spark audits the database content
+    * back. This is the standard exactly-once-ish upsert shape for
+    * relational sinks at scale: the expensive distributed work is the
+    * bulk stage append (partition-parallel), and the transactional
+    * reconcile is one set-based statement on the database side, never
+    * row-at-a-time from the driver. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g13") {
+      import graft.load.{JdbcRoundTrip, JdbcSink}
+      import s.implicits._
+      val url = s"jdbc:derby:memory:graft_g13_${System.nanoTime()}"
+      val target = JdbcSink.Target(url, "", "")
+      JdbcRoundTrip.ensureDatabase(url)
+      try {
+        JdbcSink.execute(target, Seq(
+          """CREATE TABLE "dim_target" ("id" BIGINT PRIMARY KEY, "name" VARCHAR(40), "score" BIGINT, "version" BIGINT)""",
+          """CREATE TABLE "dim_stage" ("id" BIGINT, "name" VARCHAR(40), "score" BIGINT)"""))
+          .flatten.foreach(e => sys.error(s"g13 ddl failed: $e"))
+        val base = (1L to 20L).map(i => (i, s"row$i", i * 10, 1L))
+          .toDF("id", "name", "score", "version")
+        base.write.mode("append").jdbc(url, "\"dim_target\"", JdbcSink.props(target))
+        val delta = ((2L to 20L by 2).map(i => (i, s"row$i", i * 100)) ++
+          (21L to 25L).map(i => (i, s"row$i", i * 10)))
+          .toDF("id", "name", "score")
+        delta.write.mode("append").jdbc(url, "\"dim_stage\"", JdbcSink.props(target))
+        JdbcSink.execute(target, Seq(
+          """MERGE INTO "dim_target" t USING "dim_stage" s ON t."id" = s."id"
+            |WHEN MATCHED THEN UPDATE SET t."score" = s."score", t."version" = t."version" + 1
+            |WHEN NOT MATCHED THEN INSERT ("id", "name", "score", "version") VALUES (s."id", s."name", s."score", 1)""".stripMargin))
+          .flatten.foreach(e => sys.error(s"g13 merge failed: $e"))
+        s.read.jdbc(url, "\"dim_target\"", JdbcSink.props(target))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("version") === 2, 1L).otherwise(0L)).as("n_updated"),
+            sum(when(col("version") === 1, 1L).otherwise(0L)).as("n_base_or_inserted"),
+            sum(col("score")).as("sum_score"))
+          .localCheckpoint() // materialize before the database is dropped
+      } finally JdbcRoundTrip.dropDatabaseQuietly(url)
+    }
+
   /** Armed wave load at the reference's ACTUAL scope (fill_db.py:137-139
     * iterates every table of the live DB): the FULL 85-table catalog (77
     * after the F1 skips), deployed fully constrained on Derby, loaded in
@@ -339,6 +383,13 @@ object Generated {
     // NOT a frozen-VALUES oracle: DuckDB re-runs the recursion over the
     // same embedded edge list with its own recursive engine
     "g12_fk_depth_recursive" -> QueryDef(fkDepthRecursive _, Some(G12Oracle)),
+    // frozen oracle: 25 rows (20 base + 5 inserted), 10 updated (even
+    // ids re-scored ×100), sum = 1000 (odd) + 11000 (updated even) +
+    // 1150 (inserts 21-25)
+    "g13_merge_upsert" -> QueryDef(mergeUpsert _,
+      """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(10 AS BIGINT),
+        |  CAST(15 AS BIGINT), CAST(13150 AS BIGINT)))
+        |  t(n_rows, n_updated, n_base_or_inserted, sum_score)""".stripMargin),
     "g01_catalog_inventory" -> QueryDef(catalogInventory _,
       """SELECT * FROM (VALUES (CAST(85 AS BIGINT), CAST(1431 AS BIGINT),
         |  CAST(131 AS BIGINT), CAST(4 AS BIGINT), CAST(19 AS BIGINT),
