@@ -298,6 +298,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Split-integrity audit — the CI gate a training pipeline runs on
+    * t32's output before a run: per split, doc and token mass (the
+    * 90/5/5 sanity view), plus the one number that must be ZERO — the
+    * count of near-dup clusters whose members landed in more than one
+    * split. The zero is structural (t32 keys the hash on the cluster
+    * root), but an audit that derives it from the DATA catches the
+    * regression where someone re-keys the split on doc_id; it is the
+    * difference between "the code looks right" and "this exact corpus
+    * cannot leak". Every input is a memoized/bounded frame; the
+    * crossing check aggregates |near-dup docs| rows keyed on
+    * cluster_id. */
+  def splitIntegrity(s: SparkSession, d: String): DataFrame = {
+    val sp = leakageSafeSplit(s, d)
+    val toks = tokenStats(s, d).select("doc_id", "n_tokens")
+    val crossing = sp
+      .join(dupClusters(s, d).select("doc_id", "cluster_id"), "doc_id")
+      .groupBy("cluster_id").agg(countDistinct(col("split")).as("n_splits"))
+      .agg(coalesce(sum(when(col("n_splits") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("n_crossing"))
+    sp.join(toks, "doc_id")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .crossJoin(broadcast(crossing))
+      .select("split", "n_docs", "n_tokens", "n_crossing")
+      .orderBy("split")
+  }
+
   /** Benchmark decontamination: corpus documents sharing any 8-token
     * word n-gram with the benchmark set (docs 0-49 stand in for an
     * external eval table) — the standard pre-training hygiene step that
@@ -2410,6 +2438,29 @@ object TextOps {
          |SELECT doc_id, split_key,
          |  CASE WHEN hv < 900 THEN 'train' WHEN hv < 950 THEN 'val' ELSE 'test' END AS split
          |FROM h ORDER BY doc_id""".stripMargin),
+
+    // the n_crossing column must be 0 — derived from the DATA, not
+    // assumed from t32's construction
+    "t47_split_integrity" -> QueryDef(splitIntegrity _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |k AS (SELECT d.doc_id, COALESCE(lab.cluster_id, d.doc_id) AS split_key
+         |      FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+         |h AS (SELECT doc_id, split_key,
+         |  ('0x' || substr(md5(CAST(split_key AS VARCHAR) || ':split'), 1, 8))::BIGINT % 1000 AS hv
+         |  FROM k),
+         |spl AS (SELECT doc_id,
+         |  CASE WHEN hv < 900 THEN 'train' WHEN hv < 950 THEN 'val' ELSE 'test' END AS split
+         |  FROM h),
+         |nr2 AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk2 AS (SELECT doc_id, CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens FROM nr2),
+         |cr AS (SELECT COALESCE(CAST(SUM(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_crossing
+         |       FROM (SELECT lab.cluster_id, COUNT(DISTINCT spl.split) AS ns
+         |             FROM lab JOIN spl ON spl.doc_id = lab.id GROUP BY lab.cluster_id) q)
+         |SELECT spl.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(tk2.n_tokens) AS BIGINT) AS n_tokens, cr.n_crossing
+         |FROM spl JOIN tk2 ON tk2.doc_id = spl.doc_id CROSS JOIN cr
+         |GROUP BY spl.split, cr.n_crossing ORDER BY spl.split""".stripMargin),
 
     "t25_boilerplate_share" -> QueryDef(boilerplateShare _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
