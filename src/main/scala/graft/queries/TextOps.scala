@@ -1953,6 +1953,94 @@ object TextOps {
           .as("ttr"))
       .orderBy("source")
 
+  /** The fixed probe-term set for the retrieval queries (t48/t49): two
+    * common tokens plus the one rare token in the fixture vocabulary
+    * (`dup`, df≈25/500), so idf actually separates the ranking. */
+  private[queries] val QueryTerms = Seq("spark", "query", "dup")
+  private val QueryTermsSqlDuck = QueryTerms.map(t => s"'$t'").mkString(", ")
+
+  /** TF-IDF ranked retrieval for a fixed probe-term set — the ad-hoc
+    * "which docs match this query" lookup a curation/review UI issues
+    * against the corpus. idf = ln(N/df) is floor-quantized to a 1e-6
+    * BIGINT grid (t36/t45's discipline), tf·idf accumulates in exact
+    * BIGINT under any combine tree, and the headline score is one final
+    * rounded division — hash-identical across engines.
+    *
+    * Scale: the token explode is filtered to the probe terms BEFORE any
+    * shuffle — the semi-join a real inverted index answers with a
+    * posting-list probe; without the index the filter still means
+    * shuffle volume is |matching doc-term rows|, never corpus tokens.
+    * df/idf is a |terms|-row broadcast frame; the top-20 selection plans
+    * as TakeOrderedAndProject (per-partition heaps, no global sort), so
+    * the ranking never funnels the corpus through one task. */
+  def tfidfTopk(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long").as("idfq"))
+    tf.join(broadcast(idf), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("idfq")).as("scoreq"))
+      .orderBy(col("scoreq").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("scoreq").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** BM25 (k1=1.2, b=0.75) over the same probe-term set — the ranking
+    * function an actual retrieval layer runs, with document-length
+    * normalization TF-IDF lacks. The only libm call (ln in the idf) is
+    * floor-quantized to BIGINT immediately; the per-(doc, term)
+    * saturation ratio tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)) is pure
+    * IEEE arithmetic from exact integers written with identical
+    * association in both engines, and per-term scores integer-sum.
+    *
+    * Scale: dl (per-doc token counts) is the |docs|-row frame t06
+    * already maintains — the doc-length join stays KEYED on doc_id (at
+    * corpus scale dl is huge; only the |terms|-row idf frame and the
+    * two scalars broadcast). avgdl is one scalar aggregate broadcast
+    * back, never a window. Top-20 plans as TakeOrderedAndProject. */
+  def bm25Topk(s: SparkSession, d: String): DataFrame = {
+    val toksAll = documents(s, d)
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+    val dl = toksAll.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val avg = dl.agg((sum(col("dl")).cast("double") /
+      count(lit(1)).cast("double")).as("avgdl"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = toksAll.filter(col("tok").isin(QueryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        floor(log(((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * 1e6)
+          .cast("long").as("idfq"))
+    tf.join(broadcast(idf), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avg))
+      .withColumn("q",
+        floor(col("idfq").cast("double") *
+          (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl"))))
+        ).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("q")).as("scoreq"))
+      .orderBy(col("scoreq").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("scoreq").cast("double") / 1e6, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -2766,6 +2854,57 @@ object TextOps {
          |SELECT a_id, b_id, jaccard, n_agree,
          |  CAST(n_agree AS DOUBLE) / $NumHashes AS est_jaccard,
          |  round(abs(CAST(n_agree AS DOUBLE) / $NumHashes - jaccard), 6) AS abs_err
-         |FROM cal ORDER BY a_id, b_id""".stripMargin)
+         |FROM cal ORDER BY a_id, b_id""".stripMargin),
+
+    // idf is floor-quantized to a BIGINT grid before any sum (the one
+    // libm call), tf·idf sums exactly; inner LIMIT 20 selects on the
+    // total order (scoreq DESC, doc_id) so both engines keep the same 20
+    "t48_tfidf_topk" -> QueryDef(tfidfTopk _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tkn AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM nr),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tkn
+         |       WHERE tok IN ($QueryTermsSqlDuck) GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (SELECT tok,
+         |    CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6)
+         |         AS BIGINT) AS idfq
+         |  FROM tf CROSS JOIN nd GROUP BY tok, n_docs),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(tf * idfq) AS BIGINT) AS scoreq
+         |  FROM tf JOIN idf USING (tok) GROUP BY doc_id
+         |  ORDER BY scoreq DESC, doc_id LIMIT 20)
+         |SELECT doc_id, n_terms, round(CAST(scoreq AS DOUBLE) / 1e6, 6) AS score
+         |FROM sc ORDER BY score DESC, doc_id""".stripMargin),
+
+    // double constants in scientific notation (2.2e0 not 2.2): a bare
+    // decimal literal is DECIMAL in DuckDB, and DECIMAL→DOUBLE coercion
+    // inside the saturation ratio must not differ from Spark's double
+    // literals; association is parenthesized identically in both engines
+    "t49_bm25_topk" -> QueryDef(bm25Topk _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tkn AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM nr),
+         |tka AS (SELECT doc_id, tok FROM tkn WHERE length(tok) >= 1),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tka GROUP BY 1),
+         |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tka
+         |       WHERE tok IN ($QueryTermsSqlDuck) GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (SELECT tok,
+         |    CAST(FLOOR(ln((CAST(n_docs - COUNT(*) AS DOUBLE) + 5e-1) /
+         |                  (CAST(COUNT(*) AS DOUBLE) + 5e-1) + 1e0) * 1e6)
+         |         AS BIGINT) AS idfq
+         |  FROM tf CROSS JOIN nd GROUP BY tok, n_docs),
+         |q AS (SELECT tf.doc_id,
+         |    CAST(FLOOR(CAST(idfq AS DOUBLE) *
+         |        (CAST(tf AS DOUBLE) * 2.2e0) /
+         |        (CAST(tf AS DOUBLE) + 1.2e0 *
+         |          (2.5e-1 + 7.5e-1 * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS BIGINT) AS q
+         |  FROM tf JOIN idf USING (tok) JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN ad),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(q) AS BIGINT) AS scoreq
+         |  FROM q GROUP BY doc_id
+         |  ORDER BY scoreq DESC, doc_id LIMIT 20)
+         |SELECT doc_id, n_terms, round(CAST(scoreq AS DOUBLE) / 1e6, 6) AS score
+         |FROM sc ORDER BY score DESC, doc_id""".stripMargin)
   )
 }
