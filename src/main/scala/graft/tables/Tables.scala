@@ -13,8 +13,18 @@ import org.apache.spark.sql.Column
   * interface.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // The fixtures carry NTZ (timestamp[us], no tz) timestamp columns.
+    // The engine computes in session-time TIMESTAMP (UTC session), where
+    // every epoch extraction (unix_micros & co.) is defined; with the
+    // session pinned to UTC the NTZ→LTZ cast is micros-value-exact, so
+    // this normalization changes types only, never instants.
+    val ntz = raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }
+    ntz.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")

@@ -9,9 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * over-approximate, so the exact confirm join sees every true hit) and
   * a usefully low false-positive rate at the sized capacity. */
 class BloomExpressionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("no false negatives; absent keys mostly rejected") {
     BloomExpressions.register(spark)

@@ -6,10 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class ScoredTopKSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("typed top-k aggregator ≡ window row_number top-n") {
     import spark.implicits._

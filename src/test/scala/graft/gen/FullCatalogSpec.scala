@@ -7,10 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** End-to-end: every non-skipped table of the 85-table corpus generates
   * and sinks without error, with FK integrity across all waves. */
 class FullCatalogSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[8]")
-    .config("spark.sql.shuffle.partitions", "8")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("full catalog generates: 77 tables, all ok, FK-consistent") {
     val cat = DdlParser.parseFile("/root/reference/script.sql")

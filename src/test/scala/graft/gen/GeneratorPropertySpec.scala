@@ -17,10 +17,7 @@ class GeneratorPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
     assert(res.passed, res.status.toString)
   }
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   lazy val cat: Catalog = DdlParser.parseFile("/root/reference/script.sql")
 

@@ -9,10 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Generator semantics: determinism, constraint satisfaction, FK
   * consistency, reference dispatch behavior (SURVEY.md §5 test plan). */
 class GeneratorSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   lazy val cat: Catalog = DdlParser.parseFile("/root/reference/script.sql")
 

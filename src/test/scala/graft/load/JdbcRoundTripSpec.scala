@@ -9,9 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * retargeted DDL, bulk-append generated rows through the Spark JDBC
   * writer, re-arm constraints, read back through spark.read.jdbc. */
 class JdbcRoundTripSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   lazy val cat: Catalog = DdlParser.parseFile("/root/reference/script.sql")
 

@@ -8,12 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Scale techniques behave as claimed: salting preserves join results;
   * bucketing deletes the join exchange. */
 class ScaleOpsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("wh").toString)
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   val d = "/root/testdata/sf0.001"
 

@@ -11,10 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * text trained on the same corpus).
   */
 class BigramLmSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("hand-computed smoothed log-probs on an enumerable corpus") {
     import spark.implicits._

@@ -8,10 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * classic BPE textbook corpus, checked position by position.
   */
 class BpeMergeSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("hand-computed merge candidates on the textbook corpus") {
     import spark.implicits._

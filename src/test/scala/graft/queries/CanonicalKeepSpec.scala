@@ -18,10 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * and benchmark docs themselves never surface.
   */
 class CanonicalKeepSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   private def writeDocs(rows: Seq[(Long, String)]): String = {
     import spark.implicits._

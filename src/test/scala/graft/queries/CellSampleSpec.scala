@@ -14,10 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * approximation; this spec is that proof executed.
   */
 class CellSampleSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("tournament top-8 ≡ naive per-cell window on a skewed, tie-heavy frame") {
     import spark.implicits._

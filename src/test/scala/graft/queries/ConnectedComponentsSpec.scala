@@ -8,11 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the star variant must not need MORE rounds on an adversarial
   * chain-shaped dup graph — the robustness case it exists for. */
 class ConnectedComponentsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("500-node chain: both bodies label every node 0; star needs no more rounds") {
     import spark.implicits._

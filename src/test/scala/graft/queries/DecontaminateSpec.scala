@@ -9,10 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * the hit set is a property of the grams, not of the id encoding.
   */
 class DecontaminateSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("planted 8-gram overlap is the exact hit set; 7-gram near-miss never flags") {
     import spark.implicits._

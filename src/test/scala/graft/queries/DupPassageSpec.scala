@@ -10,10 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (gap > 8) stay distinct extents.
   */
 class DupPassageSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   private val s8 = (1 to 8).map(i => s"s$i").mkString(" ")
   private val t8 = (1 to 8).map(i => s"t$i").mkString(" ")

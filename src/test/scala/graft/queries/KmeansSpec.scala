@@ -12,10 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * monotonicity; the property that makes "repeat to convergence" safe
   * to run unsupervised at scale). */
 class KmeansSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   private val d = "/root/testdata/sf0.001"
 

@@ -10,10 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * multiplicity), inherited from the shared gram index.
   */
 class NoveltySpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("planted duplicate scores 0, fresh text 1, one shared gram the exact share") {
     import spark.implicits._

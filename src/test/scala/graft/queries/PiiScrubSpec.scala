@@ -11,10 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * mid-text rather than in the appended contact line.
   */
 class PiiScrubSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("no pattern survives scrubbing; mid-text PII is counted and removed") {
     import spark.implicits._

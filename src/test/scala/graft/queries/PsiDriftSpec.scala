@@ -11,10 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * bucket 9; all-digit text → ratio 0 → bucket 0.
   */
 class PsiDriftSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   private def write(dir: String, docs: Seq[(Long, String, String)]): Unit = {
     import spark.implicits._

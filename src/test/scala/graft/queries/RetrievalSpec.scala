@@ -10,10 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * ranks the shorter of two docs with identical term profiles higher.
   */
 class RetrievalSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   // probe terms are (spark, query, dup); fixture df: spark 4/4 (idf 0),
   // query 2/4, dup 1/4 (the rare term)

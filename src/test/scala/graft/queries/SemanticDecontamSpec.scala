@@ -9,10 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * vectors make every cosine enumerable by hand.
   */
 class SemanticDecontamSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("planted duplicate flags at 1.0; orthogonal never flags; hits count per benchmark item") {
     import spark.implicits._

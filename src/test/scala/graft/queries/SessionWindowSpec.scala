@@ -10,11 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (bounds, counts, and exact-decimal sums).
   */
 class SessionWindowSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   val d = "/root/testdata/sf0.001"
 

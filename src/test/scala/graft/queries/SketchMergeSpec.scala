@@ -11,9 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * shards sketch independently and merge in any order at 100 TB.
   */
 class SketchMergeSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("sketch(A ∪ B) == slotwise min of shard sketches, shards overlapping") {
     import spark.implicits._

@@ -9,10 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * and punctuation-normalized forms still match ("The," → "the").
   */
 class StopwordSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("distinct-check-word rule, multiplicity counting, normalization") {
     import spark.implicits._

@@ -10,11 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * answer and against the batch operator on the same fixture.
   */
 class StreamDecontamSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("streamed hit set equals the batch operator's on a planted corpus") {
     import spark.implicits._

@@ -15,10 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * bucket edge, a single giant bucket, rows straddling range boundaries).
   */
 class TokenBudgetSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   /** The semantics t22's oracle states: one global cumulative window. */
   private def reference(docs: DataFrame): Set[Long] = {

@@ -6,9 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** ANN quality: the approximate paths trade recall for pruning — make
   * the tradeoff measured, not assumed. */
 class VectorRecallSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   val d = "/root/testdata/sf0.001"
 

@@ -5,8 +5,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 class RulesSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("parses the full data_rules.json corpus (85 tables / 1431 rules)") {
     val cfg = RulesConfig.load(spark, "/root/reference/data_rules.json")

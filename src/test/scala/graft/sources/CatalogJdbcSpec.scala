@@ -7,9 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * (no live database in this container; the SQL texts themselves are
   * string-asserted). */
 class CatalogJdbcSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   test("J1/A1: fk edge join + map build") {
     import spark.implicits._

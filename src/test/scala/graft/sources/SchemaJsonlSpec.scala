@@ -7,9 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** S3/J4/K3: JSONL schema source → rule inference → JSON config sink
   * (the generate_config_v2 pipeline, SURVEY.md §3.3). */
 class SchemaJsonlSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   lazy val fixture: String = {
     val p = java.nio.file.Files.createTempDirectory("jsonl").resolve("schema.jsonl")

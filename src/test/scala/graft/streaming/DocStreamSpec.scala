@@ -8,11 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * emits the SAME pair set under any micro-batch split of the corpus —
   * arrival order moves WHEN a pair emits, never WHETHER. */
 class DocStreamSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   val sfDir = "/root/testdata/sf0.001"
 

@@ -9,11 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Stream/batch parity: the streaming plans replayed over the fixture
   * must agree with their batch twins in graft.queries.EventOps. */
 class EventStreamSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   val sfDir = "/root/testdata/sf0.001"
 

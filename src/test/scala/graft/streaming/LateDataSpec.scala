@@ -13,10 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * proving the drop is watermark semantics, not data loss.
   */
 class LateDataSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   // divisible by 300 s so the 5-min window starts exactly here
   private val base = 1699999800L

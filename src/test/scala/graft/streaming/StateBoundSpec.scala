@@ -18,11 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * The per-batch state-store metrics come from the query's own progress
   * records — numRowsTotal per batch IS the state bound. */
 class StateBoundSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.ui.enabled", "false").getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.session
 
   val sfDir = "/root/testdata/sf0.001"
   val NSlices = 12
