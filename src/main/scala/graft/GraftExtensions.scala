@@ -21,6 +21,9 @@ import graft.functions.DotProductD
   *   - `nibble_counts(binary) → array<long>` — fused one-pass nibble
   *     histogram behind m08's entropy signal
   *     (see graft.functions.BinaryExpressions)
+  *   - `marker_counts(string, array<string>) → array<int>` — fused
+  *     multi-marker occurrence counter behind t05's language ID
+  *     (see graft.functions.StringExpressions)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -49,5 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nibble_counts"),
       new ExpressionInfo(classOf[graft.functions.NibbleCounts].getName, "nibble_counts"),
       graft.functions.BinaryExpressions.buildNibbleCounts _))
+    ext.injectFunction((
+      FunctionIdentifier("marker_counts"),
+      new ExpressionInfo(classOf[graft.functions.MarkerCounts].getName, "marker_counts"),
+      graft.functions.StringExpressions.buildMarkerCounts _))
   }
 }

@@ -74,4 +74,28 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(!rows.getBoolean(1), "distant key must probe false at this sizing")
     } finally spark.stop()
   }
+
+  test("marker_counts is injected, counts non-overlapping, rejects bad types") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      // 'aaaa' vs 'aa' → 2 (non-overlapping left-to-right, replace's
+      // semantics); multi-byte CJK markers count by character
+      val r = spark.sql(
+        "SELECT marker_counts(' aaaa the 的的 ', array('aa', ' the ', '的', 'zz')) AS c")
+        .collect().head.getSeq[Int](0)
+      assert(r == Seq(2, 1, 2, 0), r.toString)
+      val n = spark.sql(
+        "SELECT marker_counts(CAST(NULL AS STRING), array('a')) AS c")
+        .collect().head
+      assert(n.isNullAt(0))
+      intercept[Exception] {
+        spark.sql("SELECT marker_counts('x', 7)").collect()
+      }
+    } finally spark.stop()
+  }
 }
