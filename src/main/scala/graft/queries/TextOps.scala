@@ -2041,20 +2041,27 @@ object TextOps {
     * IEEE arithmetic from exact integers written with identical
     * association in both engines, and per-term scores integer-sum.
     *
-    * Scale: dl (per-doc token counts) is the |docs|-row frame t06
-    * already maintains — the doc-length join stays KEYED on doc_id (at
-    * corpus scale dl is huge; only the |terms|-row idf frame and the
-    * two scalars broadcast). avgdl is one scalar aggregate broadcast
-    * back, never a window. Top-20 plans as TakeOrderedAndProject. */
+    * Scale: dl (per-doc token counts) is MAP-ONLY — `size(split(...))`
+    * per row, never an explode: the corpus-token explode+groupBy the
+    * naive restatement pays shuffles |corpus tokens| rows just to count
+    * them per doc. Only probe-matching rows ever shuffle (tf). The
+    * doc-length join stays KEYED on doc_id (at corpus scale dl is huge;
+    * only the |terms|-row idf frame and the two scalars broadcast).
+    * avgdl is one scalar aggregate broadcast back, never a window.
+    * Top-20 plans as TakeOrderedAndProject. */
   def bm25Topk(s: SparkSession, d: String): DataFrame = {
-    val toksAll = documents(s, d)
-      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
-      .filter(length(col("tok")) >= 1)
-    val dl = toksAll.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // empty-normalized docs have no tokens (split of "" yields [""]):
+    // filter them from dl exactly as the explode+nonempty-filter did
+    val dl = documents(s, d)
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .filter(length(col("nrm")) > 0)
+      .select(col("doc_id"), size(split(col("nrm"), " ")).cast("long").as("dl"))
     val avg = dl.agg((sum(col("dl")).cast("double") /
       count(lit(1)).cast("double")).as("avgdl"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val tf = toksAll.filter(col("tok").isin(QueryTerms: _*))
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -2922,10 +2929,10 @@ object TextOps {
     "t49_bm25_topk" -> QueryDef(bm25Topk _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
          |tkn AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM nr),
-         |tka AS (SELECT doc_id, tok FROM tkn WHERE length(tok) >= 1),
-         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tka GROUP BY 1),
+         |dl AS (SELECT doc_id, CAST(len(string_split(nrm, ' ')) AS BIGINT) AS dl
+         |       FROM nr WHERE length(nrm) > 0),
          |ad AS (SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tka
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tkn
          |       WHERE tok IN ($QueryTermsSqlDuck) GROUP BY 1, 2),
          |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
          |idf AS (SELECT tok,
