@@ -137,7 +137,17 @@ object Multimodal {
     * real pipeline swaps the histogram for a DCT aHash over decoded
     * pixels; the hashing/grouping plumbing is identical. Payloads never
     * shuffle — only (id, 31-bit hash) leaves the map. */
-  def phashDupGroups(spark: SparkSession, dir: String): DataFrame = {
+  def phashDupGroups(spark: SparkSession, dir: String): DataFrame =
+    phashes(spark, dir)
+      .groupBy("phash")
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select("phash", "keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** The shared (media_id, 31-bit dHash) frame behind m05/m09. Payloads
+    * never shuffle — only the 8-byte hash leaves the map. */
+  private def phashes(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     syntheticMedia(spark, dir).as[MediaRow]
       .filter(_.content.nonEmpty)
@@ -150,11 +160,69 @@ object Multimodal {
         while (j < 31) { if (hist(j) > hist(j + 1)) h |= 1L << j; j += 1 }
         (m.media_id, h)
       }.toDF("media_id", "phash")
-      .groupBy("phash")
-      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-      .filter(col("n_copies") > 1)
-      .select("phash", "keep_id", "n_copies")
-      .orderBy("keep_id")
+  }
+
+  /** Hamming-≤2 payload near-dup PAIRS — the m-series twin of t13's
+    * banded SimHash index, with CONTENT-DEFINED CHUNKS as the feature
+    * set: a 60-bit SimHash over each payload's distinct CDC chunk
+    * digests (m06's chunker, spec-proved to re-chunk only an edit's
+    * neighborhood), so payloads sharing most chunks land within a few
+    * bits of each other while unrelated payloads are ~30 bits apart.
+    * Chunk features are what make a byte-level index edit-robust: a
+    * positional dHash (the image-resize trick) shifts every sample on
+    * insertion — measured min-hamming 12 across the fixture's genuine
+    * near-dups — and m05's histogram hash collapses same-language
+    * payloads into a few dense values (~n²/10 "pairs"). Pigeonhole
+    * banding, 4 bands × 15 bits (t13's post-widening shape): two bit
+    * flips dirty ≤2 bands, so every hamming-≤2 pair collides on an
+    * intact band; candidates meet inside (band, key) buckets (32k
+    * keys/band, cardinality grows with content diversity), then one
+    * exact bit_count(xor) verify. The DuckDB twin restates ALL-PAIRS
+    * hamming over the same chunk chain — the fixture-affordable truth
+    * that the banding loses nothing at the ≤2 radius. Payload bytes
+    * never shuffle: the chunker emits digests map-side, the SimHash is
+    * two keyed partial aggregations over ~|chunks| rows. */
+  /** The (media_id, 60-bit chunk-SimHash) frame behind m09 — factored so
+    * ChunkSimhashSpec can brute-force pair hammings against the banded
+    * query's output. */
+  private[multimodal] def chunkSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val f = chunkMedia(syntheticMedia(spark, dir).as[MediaRow]).toDF()
+      .select(col("media_id"), col("chunk_md5")).distinct()
+      .withColumn("fid",
+        expr("CAST(conv(substring(chunk_md5, 1, 15), 16, 10) AS BIGINT)"))
+    // one shuffle of |chunks| rows: 60 conditional sums partial-aggregate
+    // map-side, vs the 60× bit-explode shape (t04) that shuffles
+    // |chunks|·60 rows through two aggregations
+    val contribs = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(fid, $b) & CAST(1 AS BIGINT)") === 1, 1)
+        .otherwise(-1)).as(s"v$b"))
+    f.groupBy("media_id").agg(contribs.head, contribs.tail: _*)
+      .select(col("media_id"),
+        (0 until 60).map(b =>
+          when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("phash60"))
+  }
+
+  def chunkSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = chunkSimhash(spark, dir)
+    val ph = (0 until 4).foldLeft(sig) { (df, k) =>
+      df.withColumn(s"band$k",
+        shiftright(col("phash60"), 15 * k).bitwiseAND(lit(32767L)))
+    }
+    val a = ph.select(col("media_id").as("a_id") +: col("phash60").as("ha") +:
+      (0 until 4).map(k => col(s"band$k").as(s"a$k")): _*)
+    val b = ph.select(col("media_id").as("b_id") +: col("phash60").as("hb") +:
+      (0 until 4).map(k => col(s"band$k").as(s"c$k")): _*)
+    val cand = (0 until 4).map { k =>
+      a.join(b, col(s"a$k") === col(s"c$k") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "ha", "hb")
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 2)
+      .select("a_id", "b_id", "hamming")
+      .orderBy("a_id", "b_id")
   }
 
   /** Real (non-stub) metadata extraction over the binary column —

@@ -178,26 +178,53 @@ object MediaOps {
     // the 31-bit dHash is integer math over a byte histogram the oracle
     // restates per-byte via the hex dump (m04's bv idiom), so even the
     // typed-Dataset hashing path is hash-verified in closed form
-    "m05_phash_dup_groups" -> QueryDef(Multimodal.phashDupGroups _, {
-      val counts = (0 until 32)
-        .map(j => s"CAST(COUNT(CASE WHEN bv % 32 = $j THEN 1 END) AS BIGINT) AS c$j")
-        .mkString(",\n        ")
-      val bitSum = (0 until 31)
-        .map(j => s"CASE WHEN c$j > c${j + 1} THEN ${1 << j} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH m AS (SELECT doc_id, to_hex(encode(text)) AS hx,
-         |             octet_length(encode(text)) AS n FROM documents
-         |           WHERE octet_length(encode(text)) > 0),
-         |v AS (SELECT doc_id,
-         |        ('0x' || substr(hx, CAST(2 * unnest(generate_series(1, n)) - 1 AS INT), 2))::BIGINT AS bv
-         |      FROM m),
-         |h AS (SELECT doc_id,
-         |        $counts
-         |      FROM v GROUP BY doc_id),
-         |p AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS phash FROM h)
+    "m05_phash_dup_groups" -> QueryDef(Multimodal.phashDupGroups _,
+      s"""$PhashCtesDuck
          |SELECT phash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
          |FROM p GROUP BY phash HAVING COUNT(*) > 1
-         |ORDER BY keep_id""".stripMargin
-    })
+         |ORDER BY keep_id""".stripMargin),
+
+    // the engine runs 4×15-bit pigeonhole buckets + exact verify over
+    // the 60-bit chunk-feature SimHash; the oracle restates ALL-PAIRS
+    // hamming over the same CDC chunk chain — the fixture-affordable
+    // truth that the banding loses nothing at the ≤2 radius
+    "m09_chunk_simhash_pairs" -> QueryDef(Multimodal.chunkSimhashPairs _,
+      s"""$CdcChunksCtesDuck,
+         |f AS (SELECT DISTINCT doc_id,
+         |        ('0x' || substr(chunk_md5, 1, 15))::BIGINT AS fid FROM ch),
+         |bits AS (SELECT doc_id, CAST(unnest(generate_series(0, 59)) AS INT) AS bb,
+         |        fid FROM f),
+         |sg AS (SELECT doc_id, bb,
+         |    CASE WHEN SUM(CASE WHEN ((fid >> bb) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN 1 ELSE 0 END AS bit
+         |  FROM bits GROUP BY doc_id, bb),
+         |p AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << bb) AS BIGINT) AS ph
+         |  FROM sg GROUP BY doc_id)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.ph, b.ph)) <= 2
+         |ORDER BY 1, 2""".stripMargin)
   )
+
+  /** The m05/m09-shared phash oracle chain, ending in `p(doc_id, phash)`
+    * (per-byte hex-dump histogram → 31-bit adjacent-bin dHash). */
+  private lazy val PhashCtesDuck: String = {
+    val counts = (0 until 32)
+      .map(j => s"CAST(COUNT(CASE WHEN bv % 32 = $j THEN 1 END) AS BIGINT) AS c$j")
+      .mkString(",\n        ")
+    val bitSum = (0 until 31)
+      .map(j => s"CASE WHEN c$j > c${j + 1} THEN ${1 << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+       |             octet_length(encode(text)) AS n FROM documents
+       |           WHERE octet_length(encode(text)) > 0),
+       |v AS (SELECT doc_id,
+       |        ('0x' || substr(hx, CAST(2 * unnest(generate_series(1, n)) - 1 AS INT), 2))::BIGINT AS bv
+       |      FROM m),
+       |h AS (SELECT doc_id,
+       |        $counts
+       |      FROM v GROUP BY doc_id),
+       |p AS (SELECT doc_id, CAST($bitSum AS BIGINT) AS phash FROM h)""".stripMargin
+  }
 }
