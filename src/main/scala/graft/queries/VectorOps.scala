@@ -608,6 +608,59 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** k-center farthest-first seeding (k = 5, seed₁ = vec 0) — the
+    * deterministic initialization step upstream of v11's Lloyd round
+    * and v18's PQ training: each next seed is the vector LEAST covered
+    * by the chosen set (argmin of max cosine-to-chosen, 1e-6-rounded,
+    * vec_id tie-break), the greedy 2-approximation of the k-center
+    * cover. kmeans++'s D²-sampling replaces the argmin with a draw;
+    * farthest-first is its derandomized twin — same spread-the-seeds
+    * effect, bit-reproducible.
+    *
+    * Scale: the coverage frame mc(vec_id, mc) updates per round with
+    * ONE broadcast of the single chosen row and a map-only greatest() —
+    * k·|vectors| work, no shuffle, no window, and NO driver collect:
+    * each round's winner is a 1-row TakeOrderedAndProject frame that
+    * broadcasts into the next round (the whole k-step greedy is one
+    * lazy plan). Output is the k seeds with their selection
+    * farthestness. */
+  def kcenterSeeds(s: SparkSession, d: String): DataFrame = {
+    val k = 5
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    def seedCols(seed: DataFrame) = broadcast(seed.select(
+      col("vec_id").as("s_id"), col("v").as("sv"), col("nrm").as("sn")))
+    def cosToSeed = round(dot("v", "sv") / (col("nrm") * col("sn")), 6)
+    val seed1 = e.filter(col("vec_id") === 0)
+    // the coverage frame carries (v, nrm) so every round's update is
+    // MAP-ONLY: anti-broadcast the 1-row winner out, cross-broadcast the
+    // new seed in, greatest() the new cosine — no keyed join per round.
+    // localCheckpoint per round (the t16 iterative-loop rule): each mc
+    // is read twice (this round's argmin + next round's update), so an
+    // unmaterialized chain re-derives the whole lineage ~2^k times
+    var mc = e.filter(col("vec_id") =!= 0).crossJoin(seedCols(seed1))
+      .select(col("vec_id"), col("v"), col("nrm"), cosToSeed.as("c"))
+      .localCheckpoint()
+    var out = seed1.select(lit(1).as("seed_rank"), col("vec_id"),
+      lit(-1.0).as("farthest_cos"))
+    for (i <- 2 to k) {
+      val w = mc.orderBy(col("c").asc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("w_id"), col("c").as("w_c"))
+      out = out.unionByName(
+        w.select(lit(i).as("seed_rank"), col("w_id").as("vec_id"),
+          col("w_c").as("farthest_cos")))
+      if (i < k) {
+        val seedI = e.join(broadcast(w.select(col("w_id").as("vec_id"))), "vec_id")
+        mc = mc.join(broadcast(w.select("w_id")),
+            col("vec_id") === col("w_id"), "left_anti")
+          .crossJoin(seedCols(seedI))
+          .select(col("vec_id"), col("v"), col("nrm"),
+            greatest(col("c"), cosToSeed).as("c"))
+          .localCheckpoint()
+      }
+    }
+    out.orderBy("seed_rank")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -949,6 +1002,36 @@ object VectorOps {
         |  FROM cells)
         |SELECT r.cell, r.rk, r.vec_id, r.ccos, sz.cell_sz
         |FROM r JOIN sz ON sz.cell = r.cell
-        |WHERE r.rk <= 8 ORDER BY r.cell, r.rk""".stripMargin)
+        |WHERE r.rk <= 8 ORDER BY r.cell, r.rk""".stripMargin),
+
+    // the greedy steps unroll to one CTE pair per seed; every cosine is
+    // rounded at 1e-6 BEFORE the GREATEST/argmin, so the winner (and
+    // the tie-break) is decided on identical numbers in both engines
+    "v20_kcenter_seeds" -> QueryDef(kcenterSeeds _, {
+      def cosD(a: String, b: String) =
+        s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+      val steps = (2 to 5).map { i =>
+        val upd =
+          if (i == 5) "" // m5 is never read
+          else s""",
+             |m$i AS (SELECT m.vec_id, GREATEST(m.c, ${cosD("ev.v", "s.sv")}) AS c
+             |  FROM m${i - 1} m JOIN e ev ON ev.vec_id = m.vec_id
+             |  CROSS JOIN s$i s WHERE m.vec_id <> s.sid)"""
+        s""",
+           |w$i AS (SELECT vec_id, c FROM m${i - 1} ORDER BY c ASC, vec_id ASC LIMIT 1),
+           |s$i AS (SELECT e.vec_id AS sid, e.v AS sv FROM e JOIN w$i ON w$i.vec_id = e.vec_id)$upd"""
+      }.mkString
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s1 AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id = 0),
+         |m1 AS (SELECT e.vec_id, ${cosD("e.v", "s.sv")} AS c
+         |  FROM e CROSS JOIN s1 s WHERE e.vec_id <> 0)$steps
+         |SELECT seed_rank, vec_id, farthest_cos FROM (
+         |  SELECT 1 AS seed_rank, CAST(0 AS BIGINT) AS vec_id, -1.0 AS farthest_cos
+         |  UNION ALL SELECT 2, vec_id, c FROM w2
+         |  UNION ALL SELECT 3, vec_id, c FROM w3
+         |  UNION ALL SELECT 4, vec_id, c FROM w4
+         |  UNION ALL SELECT 5, vec_id, c FROM w5
+         |) ORDER BY seed_rank""".stripMargin
+    })
   )
 }
