@@ -336,6 +336,63 @@ object EventOps {
     countsCache.clear()
   }
 
+  /** RFM (recency / frequency / monetary) quintile segmentation — the
+    * user-value census a growth team keys campaigns on. Each user gets
+    * three 1–5 scores against corpus-wide quintile thresholds; output is
+    * the segment census (score triple → user count).
+    *
+    * Scale: the naive scorer is NTILE(5) OVER (ORDER BY ...) — three
+    * GLOBAL sort windows funneling |users| rows through one task (the
+    * t18 trap). Instead each threshold quadruple derives from a BOUNDED
+    * histogram (e12's discipline): recency lives on the observation
+    * window's day domain, frequency on distinct per-user counts,
+    * monetary floor-quantized to whole currency units — each histogram
+    * is ≪ |users| rows, its cumulative window is metadata-scale, and
+    * the 1-row threshold frame broadcasts back. Scores then compare
+    * against four constants per dimension — map-only. Boundary ties all
+    * land in the lower quintile (deterministic, unlike NTILE's
+    * arbitrary tie split); monetary sums in exact DECIMAL before the
+    * quantize (the Dec rule). */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("day", floor(unix_micros(col("ts")) / lit(86400000000L)))
+    val maxDay = ev.agg(max(col("day")).as("max_day"))
+    val per = ev.groupBy("user_id")
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("freq"),
+        sum(dec("value")).as("mon"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        (col("max_day") - col("last_day")).cast("long").as("recency"),
+        col("freq"), floor(col("mon")).cast("long").as("mon_d"))
+    // quintile thresholds off the bounded value histogram: q_k = min v
+    // with cum·5 ≥ k·n — one cumulative window over |distinct values|
+    def thresholds(c: String): DataFrame = {
+      val hist = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("n")).as("tot"))
+      val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+      hist.withColumn("cum", sum(col("n")).over(w))
+        .crossJoin(broadcast(tot))
+        .agg(
+          min(when(col("cum") * 5 >= col("tot"), col("v"))).as(s"${c}_q1"),
+          min(when(col("cum") * 5 >= col("tot") * 2, col("v"))).as(s"${c}_q2"),
+          min(when(col("cum") * 5 >= col("tot") * 3, col("v"))).as(s"${c}_q3"),
+          min(when(col("cum") * 5 >= col("tot") * 4, col("v"))).as(s"${c}_q4"))
+    }
+    def above(c: String) = (1 to 4)
+      .map(k => (col(c) > col(s"${c}_q$k")).cast("int")).reduce(_ + _)
+    per
+      .crossJoin(broadcast(thresholds("recency")))
+      .crossJoin(broadcast(thresholds("freq")))
+      .crossJoin(broadcast(thresholds("mon_d")))
+      .select(col("user_id"),
+        (lit(5) - above("recency")).as("r_score"), // recent = low recency = 5
+        (lit(1) + above("freq")).as("f_score"),
+        (lit(1) + above("mon_d")).as("m_score"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private val D = "DECIMAL(18,2)"
@@ -558,6 +615,42 @@ object EventOps {
          |r AS (SELECT user_id, sv, n_events,
          |    ROW_NUMBER() OVER (ORDER BY sv DESC, user_id ASC) AS rk FROM a)
          |SELECT rk, user_id, CAST(sv AS DOUBLE) AS total_value, n_events
-         |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin)
+         |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin),
+
+    // thresholds restate the engine's bounded-histogram quintiles
+    // verbatim (q_k = min v with cum·5 ≥ k·n); boundary ties land low
+    // in both engines, so the census is tie-stable
+    "e16_rfm_segments" -> QueryDef(rfmSegments _, {
+      def th(src: String, c: String) =
+        s"""${c}h AS (SELECT $c AS v, COUNT(*) AS n FROM $src GROUP BY 1),
+           |${c}c AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cum,
+           |          (SELECT SUM(n) FROM ${c}h) AS tot FROM ${c}h),
+           |${c}t AS (SELECT
+           |    MIN(CASE WHEN cum*5 >= tot THEN v END) AS ${c}_q1,
+           |    MIN(CASE WHEN cum*5 >= tot*2 THEN v END) AS ${c}_q2,
+           |    MIN(CASE WHEN cum*5 >= tot*3 THEN v END) AS ${c}_q3,
+           |    MIN(CASE WHEN cum*5 >= tot*4 THEN v END) AS ${c}_q4 FROM ${c}c)"""
+      def above(c: String) = (1 to 4)
+        .map(k => s"(CASE WHEN $c > ${c}_q$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH ev AS (SELECT user_id,
+         |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day, value
+         |  FROM events),
+         |mx AS (SELECT MAX(day) AS max_day FROM ev),
+         |per AS (SELECT user_id,
+         |    CAST(mx.max_day - MAX(day) AS BIGINT) AS recency,
+         |    CAST(COUNT(*) AS BIGINT) AS freq,
+         |    CAST(FLOOR(SUM(CAST(value AS $D))) AS BIGINT) AS mon_d
+         |  FROM ev CROSS JOIN mx GROUP BY user_id, mx.max_day),
+         |${th("per", "recency")},
+         |${th("per", "freq")},
+         |${th("per", "mon_d")},
+         |sc AS (SELECT user_id,
+         |    5 - (${above("recency")}) AS r_score,
+         |    1 + (${above("freq")}) AS f_score,
+         |    1 + (${above("mon_d")}) AS m_score
+         |  FROM per CROSS JOIN recencyt CROSS JOIN freqt CROSS JOIN mon_dt)
+         |SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_users
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+    })
   )
 }
