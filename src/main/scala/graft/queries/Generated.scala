@@ -222,6 +222,58 @@ object Generated {
       } finally JdbcRoundTrip.dropDatabaseQuietly(url)
     }
 
+  /** Live schema-evolution round-trip — the day-2 posture after the
+    * reference's deploy-then-fill (apply_mssql.py deploys a frozen DDL;
+    * real schemas then MOVE): widen a loaded table with ALTER TABLE ADD
+    * COLUMN WITH DEFAULT, backfill part of the history with ONE
+    * set-based UPDATE, append new rows through the same partition-
+    * parallel JDBC writer now carrying the widened schema, and
+    * RE-INTROSPECT the live catalog (Derby's SYS.SYSCOLUMNS — the S5
+    * column-metadata scan against a moving target) to prove the engine
+    * sees the evolution it performed. The audit pins: both catalog
+    * snapshots' column counts, the backfilled/default-remainder split
+    * (a partial backfill is the realistic migration state), and the
+    * exact post-evolution content sum. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g14") {
+      import graft.load.{JdbcRoundTrip, JdbcSink}
+      import s.implicits._
+      val url = s"jdbc:derby:memory:graft_g14_${System.nanoTime()}"
+      val target = JdbcSink.Target(url, "", "")
+      JdbcRoundTrip.ensureDatabase(url)
+      try {
+        JdbcSink.execute(target, Seq(
+          """CREATE TABLE "dim_evo" ("id" BIGINT PRIMARY KEY, "name" VARCHAR(40))"""))
+          .flatten.foreach(e => sys.error(s"g14 ddl failed: $e"))
+        def nCols: Long = s.read.jdbc(url,
+            """(SELECT c.COLUMNNAME FROM SYS.SYSCOLUMNS c
+              |  JOIN SYS.SYSTABLES t ON t.TABLEID = c.REFERENCEID
+              |  WHERE t.TABLENAME = 'dim_evo') sc""".stripMargin,
+            JdbcSink.props(target)).count()
+        val base = (1L to 20L).map(i => (i, s"row$i")).toDF("id", "name")
+        base.write.mode("append").jdbc(url, "\"dim_evo\"", JdbcSink.props(target))
+        val colsV1 = nCols
+        JdbcSink.execute(target, Seq(
+          """ALTER TABLE "dim_evo" ADD COLUMN "score" BIGINT WITH DEFAULT -1""",
+          // partial backfill: the realistic mid-migration state
+          """UPDATE "dim_evo" SET "score" = "id" * 10 WHERE "id" <= 15"""))
+          .flatten.foreach(e => sys.error(s"g14 evolution failed: $e"))
+        val colsV2 = nCols
+        val fresh = (21L to 25L).map(i => (i, s"row$i", i * 10))
+          .toDF("id", "name", "score")
+        fresh.write.mode("append").jdbc(url, "\"dim_evo\"", JdbcSink.props(target))
+        s.read.jdbc(url, "\"dim_evo\"", JdbcSink.props(target))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("score") === -1L, 1L).otherwise(0L)).as("n_default_left"),
+            sum(when(col("score") =!= -1L, 1L).otherwise(0L)).as("n_scored"),
+            sum(col("score")).as("sum_score"))
+          .select(lit(colsV1).as("n_cols_v1"), lit(colsV2).as("n_cols_v2"),
+            col("n_rows"), col("n_scored"), col("n_default_left"),
+            col("sum_score"))
+          .localCheckpoint() // materialize before the database is dropped
+      } finally JdbcRoundTrip.dropDatabaseQuietly(url)
+    }
+
   /** Armed wave load at the reference's ACTUAL scope (fill_db.py:137-139
     * iterates every table of the live DB): the FULL 85-table catalog (77
     * after the F1 skips), deployed fully constrained on Derby, loaded in
@@ -390,6 +442,15 @@ object Generated {
       """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(10 AS BIGINT),
         |  CAST(15 AS BIGINT), CAST(13150 AS BIGINT)))
         |  t(n_rows, n_updated, n_base_or_inserted, sum_score)""".stripMargin),
+
+    // frozen deterministic audit: 2 → 3 catalog columns, 15 backfilled
+    // + 5 on the ALTER default + 5 appended wide = 25 rows,
+    // Σ = 10·(Σ1..15) − 5 + 10·(Σ21..25) = 2345
+    "g14_schema_evolution" -> QueryDef(schemaEvolution _,
+      """SELECT * FROM (VALUES (CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+        |  CAST(25 AS BIGINT), CAST(20 AS BIGINT), CAST(5 AS BIGINT),
+        |  CAST(2345 AS BIGINT)))
+        |  t(n_cols_v1, n_cols_v2, n_rows, n_scored, n_default_left, sum_score)""".stripMargin),
     "g01_catalog_inventory" -> QueryDef(catalogInventory _,
       """SELECT * FROM (VALUES (CAST(85 AS BIGINT), CAST(1431 AS BIGINT),
         |  CAST(131 AS BIGINT), CAST(4 AS BIGINT), CAST(19 AS BIGINT),
