@@ -27,6 +27,7 @@ object Harness {
       queries.EventOps.clearCaches()
       queries.VectorOps.clearCaches()
       queries.Generated.clearCaches()
+      multimodal.Multimodal.clearCaches()
       spark.stop()
     }
   }
