@@ -12,7 +12,7 @@ object MediaOps {
   /** The CDC chunk restatement (boundaries + per-chunk md5 of the
     * uppercase-hex bytes) shared by the m06 census and m07 near-dup
     * oracles: ends in `ch(doc_id, kind, chunk_no, chunk_len, chunk_md5)`. */
-  private val CdcChunksCtesDuck: String =
+  private[queries] val CdcChunksCtesDuck: String =
     """WITH m AS (SELECT doc_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -147,6 +147,7 @@ object StreamOps {
     decontamCache.clear() // ditto
     qualityGateCache.clear() // ditto
     sketchStreamCache.clear() // ditto
+    chunkStreamCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -373,6 +374,58 @@ object StreamOps {
   private val qualityGateCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Streaming CDC chunk census — m06's storage-dedup view computed AT
+    * INGEST: each arriving micro-batch of payloads runs the typed
+    * content-defined chunker INSIDE the stream (a stateless typed
+    * transform — the proof that the engine's binary-payload plumbing
+    * survives micro-batch execution), emits only (kind, len, digest)
+    * rows to the exactly-once sink, and the drained chunk log
+    * aggregates to the census. Hash-matching batch m06 proves in-stream
+    * chunking ≡ batch chunking under any micro-batch split — boundaries
+    * are content-defined, so a payload chunks identically whichever
+    * batch delivers it. At 100 TB/day this is the shape of a dedup-
+    * aware ingest tier: payload bytes are touched once on arrival,
+    * never re-scanned, and only digests land in the lake's chunk
+    * table. */
+  def streamChunkCensus(s: SparkSession, d: String): DataFrame = {
+    chunkStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    chunkStreamCache.getOrElseUpdate((s, d), {
+      import graft.multimodal.Multimodal
+      import s.implicits._
+      val (chunks, nBatches, scratch) = graft.streaming.DocStream.runDocOnce(
+        s, docStreamSource(s, d), "graft_stream_chunk") { src =>
+          Multimodal.chunkMedia(src.select(
+              col("doc_id").as("media_id"),
+              when(pmod(col("doc_id"), lit(3)) === 0, "image")
+                .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+                .otherwise("video").as("kind"),
+              lit("application/octet-stream").as("mime"),
+              encode(col("text"), "UTF-8").as("content"))
+            .as[Multimodal.MediaRow]).toDF()
+            .select("kind", "chunk_len", "chunk_md5")
+        }
+      try {
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        chunks.groupBy("kind", "chunk_md5", "chunk_len")
+          .agg(count(lit(1)).as("n_copies"))
+          .groupBy("kind")
+          .agg(sum(col("n_copies")).as("n_chunks"),
+            count(lit(1)).as("n_unique"),
+            sum(col("n_copies") * col("chunk_len")).as("sum_bytes"),
+            sum(col("chunk_len")).as("unique_bytes"))
+          .select(col("kind"), col("n_chunks"), col("n_unique"),
+            col("sum_bytes"), col("unique_bytes"),
+            round(col("unique_bytes").cast("double") /
+              col("sum_bytes").cast("double"), 6).as("dedup_ratio"))
+          .orderBy("kind")
+          .localCheckpoint()
+      } finally rmrf(java.nio.file.Paths.get(scratch))
+    })
+  }
+
+  private val chunkStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Streaming sketch maintenance — t46's mergeability property run
     * LIVE: each micro-batch computes its own partial per-source MinHash
     * sketch (the batch's docs → gram ids → min per slot) and appends it
@@ -597,6 +650,19 @@ object StreamOps {
          |SELECT source, ${TextOps.MhA.zip(TextOps.MhB).zipWithIndex.map { case ((a, b), j) =>
                s"MIN(($a * (gid % 2147483647) + $b) % 2147483647) AS mh$j" }.mkString(",\n  ")}
          |FROM sg GROUP BY source ORDER BY source""".stripMargin),
+
+    // oracle = batch m06's census verbatim: content-defined boundaries
+    // chunk a payload identically whichever micro-batch delivers it
+    "s13_stream_chunk_census" -> QueryDef(streamChunkCensus _,
+      s"""${MediaOps.CdcChunksCtesDuck},
+         |tot AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(chunk_len) AS BIGINT) AS sum_bytes FROM ch GROUP BY kind),
+         |uq AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_unique,
+         |    CAST(SUM(chunk_len) AS BIGINT) AS unique_bytes
+         |  FROM (SELECT DISTINCT kind, chunk_md5, chunk_len FROM ch) d GROUP BY kind)
+         |SELECT t.kind, t.n_chunks, u.n_unique, t.sum_bytes, u.unique_bytes,
+         |  round(CAST(u.unique_bytes AS DOUBLE) / CAST(t.sum_bytes AS DOUBLE), 6) AS dedup_ratio
+         |FROM tot t JOIN uq u ON u.kind = t.kind ORDER BY t.kind""".stripMargin),
 
     // oracle = the batch restatement of the same per-doc gate over the
     // full snapshot — the stream's per-row expressions must agree doc
