@@ -460,4 +460,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       "the corpus never shuffle-joins for the decontamination scan")
   }
+
+  test("t05: language scoring is ONE codegen marker_counts pass, no regex in the plan") {
+    val p = plan("t05_lang_id")
+    assert(p.contains("marker_counts") || p.contains("InMemory"),
+      s"scores must come from the fused expression (or its persisted frame):\n$p")
+    assert(!p.contains("regexp_replace") || p.contains("InMemory"),
+      "the replace-diff restatement must not survive into the scoring plan")
+  }
+
+  test("t49: BM25 doc length is map-only, idf broadcasts, top-20 is TakeOrderedAndProject") {
+    val p = plan("t49_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-20 must never be a global sort:\n$p")
+    // dl = size(split(...)) per row: exactly ONE generator (the tf
+    // explode) may appear — a second means doc lengths re-explode tokens
+    assert("""\(\d+\) Generate""".r.findAllIn(p).length <= 1,
+      s"doc length must not explode corpus tokens:\n$p")
+  }
+
+  test("e16: quintile thresholds broadcast back; no global NTILE window over users") {
+    val p = plan("e16_rfm_segments")
+    assert(!p.contains("ntile"), "no NTILE — thresholds come from bounded histograms")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row threshold frames must broadcast:\n$p")
+  }
+
+  test("m09: band candidates hash-join on band keys; signature aggregates partially") {
+    val p = plan("m09_chunk_simhash_pairs")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"the 60 conditional sums must partial-aggregate map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must meet on band-key equality, never all-pairs")
+  }
 }
