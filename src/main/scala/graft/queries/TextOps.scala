@@ -2017,7 +2017,12 @@ object TextOps {
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
       .filter(col("tok").isin(QueryTerms: _*))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // tf feeds BOTH the df/idf aggregate (keyed on tok) and the score
+    // join (keyed on doc_id) — different shuffle keys, so without a
+    // materialization the corpus token explode runs twice; the frame is
+    // |matching doc-term rows| (probe-filtered), so checkpointing is cheap
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("tok"),
@@ -2059,10 +2064,12 @@ object TextOps {
     val avg = dl.agg((sum(col("dl")).cast("double") /
       count(lit(1)).cast("double")).as("avgdl"))
     val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // checkpointed for the same two-consumer reason as t48's tf
     val tf = documents(s, d)
       .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
       .filter(col("tok").isin(QueryTerms: _*))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .select(col("tok"),
