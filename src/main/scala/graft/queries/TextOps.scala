@@ -2094,6 +2094,47 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** PMI collocations: the top word pairs by pointwise mutual
+    * information ln(M·c₁₂ / (c₁·c₂)) with a min-count floor — the
+    * phrase-mining / tokenizer-merge signal (t39 ranks by RAW pair
+    * frequency; PMI surfaces pairs that co-occur far above what their
+    * marginals predict, which is what makes a collocation). Marginals
+    * are derived FROM the bigram-count frame (left/right sums), so the
+    * measure is self-consistent by construction.
+    *
+    * Scale: bigram counts partial-aggregate map-side to the |distinct
+    * bigrams| frame (memoized via wordBigrams) and are checkpointed
+    * ONCE — four consumers (total, both marginals, the scored join)
+    * would otherwise re-aggregate the corpus four times (the t48/t49
+    * lesson). Marginals are vocabulary-scale and join KEYED (a 100 TB
+    * corpus's vocabulary does not broadcast); only the 1-row total
+    * crosses. The PMI ratio multiplies in DOUBLE on both engines —
+    * M·c₁₂ overflows BIGINT at petabyte token counts — then
+    * floor-quantizes at 1e-6 (t36's discipline) so ranking and
+    * tie-break (pmi DESC, pair ASC) are decided on identical numbers;
+    * top-20 plans as TakeOrderedAndProject. */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val c2 = wordBigrams(s, d)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
+    val m = c2.agg(sum(col("n_pair")).as("m"))
+    val cl = c2.groupBy("w1").agg(sum(col("n_pair")).as("cl"))
+    val cr = c2.groupBy("w2").agg(sum(col("n_pair")).as("cr"))
+    c2.filter(col("n_pair") >= 20)
+      .join(cl, "w1")
+      .join(cr, "w2")
+      .crossJoin(broadcast(m))
+      .withColumn("pmiq",
+        floor(log((col("m").cast("double") * col("n_pair").cast("double")) /
+          (col("cl").cast("double") * col("cr").cast("double"))) * 1e6)
+          .cast("long"))
+      .orderBy(col("pmiq").desc, col("w1"), col("w2"))
+      .limit(20)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("pmiq").cast("double") / 1e6, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -2704,6 +2745,30 @@ object TextOps {
         |  round(CAST(SUM(CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * lnq)
         |    AS BIGINT)) AS DOUBLE) / 1e6, 6) AS psi
         |FROM t GROUP BY source ORDER BY source""".stripMargin),
+
+    // marginals derive from the same c2 frame in both engines; the PMI
+    // ratio multiplies in DOUBLE (M·c overflows BIGINT at PB scale) and
+    // floor-quantizes before the rank, so the top-20 cut is tie-stable
+    "t50_pmi_collocations" -> QueryDef(pmiCollocations _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM (SELECT doc_id, ts,
+         |               CAST(unnest(generate_series(1, len(ts) - 1)) AS INT) AS i
+         |             FROM tk WHERE len(ts) >= 2)),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY 1, 2),
+         |mm AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS m FROM c2),
+         |cl AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS cl FROM c2 GROUP BY 1),
+         |cr AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS cr FROM c2 GROUP BY 1),
+         |p AS (SELECT c2.w1, c2.w2, c2.n_pair,
+         |    CAST(FLOOR(ln((CAST(mm.m AS DOUBLE) * CAST(c2.n_pair AS DOUBLE)) /
+         |                  (CAST(cl.cl AS DOUBLE) * CAST(cr.cr AS DOUBLE))) * 1e6) AS BIGINT) AS pmiq
+         |  FROM c2 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN mm
+         |  WHERE c2.n_pair >= 20),
+         |sel AS (SELECT w1, w2, n_pair, pmiq FROM p
+         |        ORDER BY pmiq DESC, w1, w2 LIMIT 20)
+         |SELECT w1, w2, n_pair, round(CAST(pmiq AS DOUBLE) / 1e6, 6) AS pmi
+         |FROM sel ORDER BY pmi DESC, w1, w2""".stripMargin),
 
     "t36_bigram_lm_score" -> QueryDef(bigramLmScore _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
