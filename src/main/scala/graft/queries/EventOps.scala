@@ -393,6 +393,42 @@ object EventOps {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Value-concentration (Lorenz) deciles: for k = 1..10, the share of
+    * total event value held by the POOREST k·n/10 users — the
+    * concentration curve behind "top 10% of users drive X% of revenue",
+    * read top-down. Within a straddling value bucket every user has the
+    * SAME total, so the partial-bucket mass (target − prev_users)·v is
+    * exact, not interpolated.
+    *
+    * Scale: per-user totals sum in exact DECIMAL then floor-quantize to
+    * whole units (e16's discipline); the Lorenz math runs entirely on
+    * the bounded value HISTOGRAM — one metadata-scale cumulative
+    * window, a 10-row decile frame, and a range join of 10 × |distinct
+    * values| — never a global sort of users (the NTILE/percent_rank
+    * restatement funnels |users| rows through one task). */
+  def lorenzDeciles(s: SparkSession, d: String): DataFrame = {
+    val per = events(s, d).groupBy("user_id")
+      .agg(sum(dec("value")).as("mon"))
+      .select(col("user_id"), floor(col("mon")).cast("long").as("v"))
+    val h = per.groupBy("v").agg(count(lit(1)).as("nu"))
+      .withColumn("mass", col("v") * col("nu"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = h
+      .withColumn("cum_u", sum(col("nu")).over(w))
+      .withColumn("cum_m", sum(col("mass")).over(w))
+      .withColumn("prev_u", col("cum_u") - col("nu"))
+      .withColumn("prev_m", col("cum_m") - col("mass"))
+    val tot = h.agg(sum(col("nu")).as("n"), sum(col("mass")).as("m"))
+    val ks = s.range(1, 11).toDF("k").crossJoin(broadcast(tot))
+      .withColumn("target", floor(col("k") * col("n") / 10).cast("long"))
+    ks.join(cum, col("prev_u") < col("target") && col("target") <= col("cum_u"))
+      .select(col("k"), col("target").as("n_users"),
+        (col("prev_m") + (col("target") - col("prev_u")) * col("v")).as("cum_value"),
+        round((col("prev_m") + (col("target") - col("prev_u")) * col("v"))
+          .cast("double") / col("m").cast("double"), 6).as("share"))
+      .orderBy("k")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private val D = "DECIMAL(18,2)"
@@ -616,6 +652,29 @@ object EventOps {
          |    ROW_NUMBER() OVER (ORDER BY sv DESC, user_id ASC) AS rk FROM a)
          |SELECT rk, user_id, CAST(sv AS DOUBLE) AS total_value, n_events
          |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin),
+
+    // same bounded-histogram discipline as e16; the straddling bucket's
+    // partial mass is exact because co-bucketed users share one total
+    "e17_lorenz_deciles" -> QueryDef(lorenzDeciles _,
+      s"""WITH per AS (SELECT user_id,
+         |    CAST(FLOOR(SUM(CAST(value AS $D))) AS BIGINT) AS v
+         |  FROM events GROUP BY user_id),
+         |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS nu,
+         |    CAST(v * COUNT(*) AS BIGINT) AS mass FROM per GROUP BY v),
+         |cum AS (SELECT v, nu, mass,
+         |    SUM(nu) OVER (ORDER BY v) AS cum_u,
+         |    SUM(mass) OVER (ORDER BY v) AS cum_m FROM h),
+         |tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS n,
+         |    CAST(SUM(mass) AS BIGINT) AS m FROM h),
+         |ks AS (SELECT CAST(unnest(generate_series(1, 10)) AS BIGINT) AS k),
+         |tg AS (SELECT k, CAST(FLOOR(k * n / 10) AS BIGINT) AS target, m
+         |       FROM ks CROSS JOIN tot)
+         |SELECT tg.k, tg.target AS n_users,
+         |  CAST(cum.cum_m - cum.mass + (tg.target - (cum.cum_u - cum.nu)) * cum.v AS BIGINT) AS cum_value,
+         |  round(CAST(cum.cum_m - cum.mass + (tg.target - (cum.cum_u - cum.nu)) * cum.v AS DOUBLE)
+         |    / CAST(tg.m AS DOUBLE), 6) AS share
+         |FROM tg JOIN cum ON (cum.cum_u - cum.nu) < tg.target AND tg.target <= cum.cum_u
+         |ORDER BY tg.k""".stripMargin),
 
     // thresholds restate the engine's bounded-histogram quintiles
     // verbatim (q_k = min v with cum·5 ≥ k·n); boundary ties land low
