@@ -2094,6 +2094,57 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** DSIR-style domain-relevance selection: rank corpus docs by the
+    * importance ratio ln p_target(x) − ln p_corpus(x) under add-one-
+    * smoothed bigram LMs — the data-selection method that picks
+    * pretraining docs RESEMBLING a target domain (here t19's benchmark
+    * convention, docs 0–49) instead of filtering on absolute quality.
+    * Both scores use the SAME smoothing formula, so the ratio is a
+    * like-for-like log-likelihood difference per bigram.
+    *
+    * Scale: the corpus model is t36's memoized artifact (trained once,
+    * keyed probe join — corpus vocabulary never broadcasts); the target
+    * model's count frames are keyed LEFT joins with 0-fallback (unseen
+    * target bigrams smooth to 1/(c₁+V), exactly add-one) and their size
+    * is target-corpus-dependent, so no forced broadcast (the t32 rule —
+    * AQE converts while the target is suite-sized). Per-bigram logs
+    * floor-quantize at 1e-6 BEFORE the per-doc sums (t36), the final
+    * per-bigram average difference computes in exact-below-2⁵³ doubles
+    * identically in both engines, and the top-20 most-target-like docs
+    * plan as TakeOrderedAndProject. */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val bg = wordBigrams(s, d)
+    val tbg = bg.filter(col("doc_id") < 50)
+    val c2t = tbg.groupBy("w1", "w2").agg(count(lit(1)).as("c2t"))
+    val c1t = tbg.groupBy("w1").agg(count(lit(1)).as("c1t"))
+    val vt = documents(s, d).filter(col("doc_id") < 50)
+      .select(explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .agg(countDistinct(col("tok")).as("vst"))
+    val corp = bg.filter(col("doc_id") >= 50)
+    val tq = corp
+      .join(c2t, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .crossJoin(broadcast(vt))
+      .withColumn("qt",
+        floor(log((coalesce(col("c2t"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("c1t"), lit(0L)) + col("vst")).cast("double")) * 1e6)
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qt")).as("sqt"))
+    val cq = corp.join(bigramLmModel(s, d), Seq("w1", "w2"))
+      .groupBy("doc_id").agg(sum(col("q")).as("sqc"))
+    tq.join(cq, "doc_id")
+      .withColumn("rq",
+        floor((col("sqt") - col("sqc")).cast("double") /
+          col("n_bigrams").cast("double")).cast("long"))
+      .orderBy(col("rq").desc, col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("rq").cast("double") / 1e6, 6).as("importance"))
+      .orderBy(col("importance").desc, col("doc_id"))
+  }
+
   /** PMI collocations: the top word pairs by pointwise mutual
     * information ln(M·c₁₂ / (c₁·c₂)) with a min-count floor — the
     * phrase-mining / tokenizer-merge signal (t39 ranks by RAW pair
@@ -2745,6 +2796,45 @@ object TextOps {
         |  round(CAST(SUM(CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * lnq)
         |    AS BIGINT)) AS DOUBLE) / 1e6, 6) AS psi
         |FROM t GROUP BY source ORDER BY source""".stripMargin),
+
+    // both LM scores share t36's smoothing/quantization; unseen target
+    // bigrams COALESCE to the add-one floor, and the per-bigram average
+    // difference computes in exact-below-2^53 doubles on both engines
+    "t51_dsir_select" -> QueryDef(dsirSelect _,
+      s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tk AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM (SELECT doc_id, ts,
+         |               CAST(unnest(generate_series(1, len(ts) - 1)) AS INT) AS i
+         |             FROM tk WHERE len(ts) >= 2)),
+         |cb AS (SELECT * FROM bg WHERE doc_id >= 50),
+         |tb AS (SELECT * FROM bg WHERE doc_id < 50),
+         |c2t AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2t FROM tb GROUP BY 1, 2),
+         |c1t AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1t FROM tb GROUP BY 1),
+         |vt AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vst
+         |       FROM (SELECT unnest(ts) AS tok FROM tk WHERE doc_id < 50)
+         |       WHERE length(tok) >= 1),
+         |tq AS (SELECT cb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CAST(FLOOR(ln(CAST(COALESCE(c2t.c2t, 0) + 1 AS DOUBLE) /
+         |        CAST(COALESCE(c1t.c1t, 0) + vt.vst AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS sqt
+         |  FROM cb LEFT JOIN c2t USING (w1, w2) LEFT JOIN c1t USING (w1)
+         |  CROSS JOIN vt GROUP BY cb.doc_id),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cc FROM bg GROUP BY 1),
+         |v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vs
+         |      FROM (SELECT unnest(ts) AS tok FROM tk) WHERE length(tok) >= 1),
+         |cq AS (SELECT cb.doc_id,
+         |    CAST(SUM(CAST(FLOOR(ln(CAST(c2.c + 1 AS DOUBLE) / CAST(c1.cc + v.vs AS DOUBLE))
+         |        * 1e6) AS BIGINT)) AS BIGINT) AS sqc
+         |  FROM cb JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+         |  GROUP BY cb.doc_id),
+         |j AS (SELECT tq.doc_id, tq.n_bigrams,
+         |    CAST(FLOOR(CAST(tq.sqt - cq.sqc AS DOUBLE) / CAST(tq.n_bigrams AS DOUBLE)) AS BIGINT) AS rq
+         |  FROM tq JOIN cq USING (doc_id)),
+         |sel AS (SELECT doc_id, n_bigrams, rq FROM j
+         |        ORDER BY rq DESC, doc_id LIMIT 20)
+         |SELECT doc_id, n_bigrams, round(CAST(rq AS DOUBLE) / 1e6, 6) AS importance
+         |FROM sel ORDER BY importance DESC, doc_id""".stripMargin),
 
     // marginals derive from the same c2 frame in both engines; the PMI
     // ratio multiplies in DOUBLE (M·c overflows BIGINT at PB scale) and
