@@ -608,6 +608,54 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** IVF recall-vs-probes tuning curve: mean recall@5 over the query
+    * set at nprobe ∈ {1, 2, 4} — the trade-off curve an ANN operator
+    * actually tunes against (v19 grades ONE operating point; this is
+    * the curve it sits on). Recall is monotone in nprobe by
+    * construction — more probed cells only add candidates.
+    *
+    * Scale: the |vectors|×16 affinity frame computes ONCE
+    * (localCheckpoint — three curve points would re-derive it three
+    * times, the t48/t49 lesson) and each point reuses v08's exact scale
+    * shape: probed cells bound the candidate set, the rank window
+    * partitions per query, and the final count is |queries|×5 rows per
+    * point. The exact baseline comes from the v01 path with its own
+    * plan intact. */
+  def ivfProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val aff = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid").asc)))
+      .select("vec_id", "cid", "crn")
+      .localCheckpoint()
+    val cells = aff.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
+    val base = e.join(cells, "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = cosineTopK(s, d).filter(col("rk") <= 5)
+      .select(col("q_id"), col("hit_id"))
+    Seq(1, 2, 4).map { np =>
+      val probes = aff.filter(col("vec_id") < 10 && col("crn") <= np)
+        .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+      val hits = base.join(broadcast(q.join(probes, "q_id")),
+          col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("hit_id"))
+      exact.join(hits, Seq("q_id", "hit_id"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .select(lit(np).as("nprobe"), col("n_found"),
+          round(col("n_found").cast("double") / 50.0, 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
   /** k-center farthest-first seeding (k = 5, seed₁ = vec 0) — the
     * deterministic initialization step upstream of v11's Lloyd round
     * and v18's PQ training: each next seed is the vector LEAST covered
@@ -1003,6 +1051,45 @@ object VectorOps {
         |SELECT r.cell, r.rk, r.vec_id, r.ccos, sz.cell_sz
         |FROM r JOIN sz ON sz.cell = r.cell
         |WHERE r.rk <= 8 ORDER BY r.cell, r.rk""".stripMargin),
+
+    // one candidate/rank/top-5/count chain per probe depth over the
+    // shared affinity CTE; the exact baseline is v19's all-pairs chain
+    "v21_ivf_probe_curve" -> QueryDef(ivfProbeCurve _, {
+      val cosQB = """round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6)""".stripMargin
+      def point(np: Int) =
+        s""",
+           |pr$np AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= $np),
+           |p$np AS (SELECT pr.q_id, b.vec_id AS hit_id, $cosQB AS cos
+           |  FROM pr$np pr
+           |  JOIN e q ON q.vec_id = pr.q_id
+           |  JOIN cells cl ON cl.cell = pr.pcell
+           |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+           |r$np AS (SELECT q_id, hit_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p$np),
+           |ap$np AS (SELECT q_id, hit_id FROM r$np WHERE rk <= 5),
+           |f$np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+           |         FROM ex JOIN ap$np USING (q_id, hit_id))"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |aff AS (SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_dot_product(e.v, c.cv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+         |        c.cid ASC) AS crn
+         |  FROM e, c),
+         |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+         |p2x AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id, $cosQB AS cos
+         |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+         |r2x AS (SELECT q_id, hit_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p2x),
+         |ex AS (SELECT q_id, hit_id FROM r2x WHERE rk <= 5)${Seq(1, 2, 4).map(point).mkString}
+         |SELECT nprobe, n_found, round(CAST(n_found AS DOUBLE) / 50.0, 6) AS recall FROM (
+         |  SELECT 1 AS nprobe, n_found FROM f1
+         |  UNION ALL SELECT 2, n_found FROM f2
+         |  UNION ALL SELECT 4, n_found FROM f4
+         |) ORDER BY nprobe""".stripMargin
+    }),
 
     // the greedy steps unroll to one CTE pair per seed; every cosine is
     // rounded at 1e-6 BEFORE the GREATEST/argmin, so the winner (and
