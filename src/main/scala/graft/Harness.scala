@@ -28,6 +28,7 @@ object Harness {
       queries.VectorOps.clearCaches()
       queries.Generated.clearCaches()
       multimodal.Multimodal.clearCaches()
+      queries.MediaOps.clearCaches()
       spark.stop()
     }
   }

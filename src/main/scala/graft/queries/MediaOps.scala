@@ -9,6 +9,37 @@ import graft.multimodal.Multimodal
   * in MultimodalSpec). */
 object MediaOps {
 
+  /** Payload near-dup CLUSTERS — connected components over m09's
+    * hamming-≤2 pair graph, the m-series twin of t16: pairs say "these
+    * two payloads match", clusters answer the storage question "how
+    * many distinct assets do we actually hold, and who is the
+    * canonical copy" (cluster_id = min member = the keeper under the
+    * t11 keep-first rule). Runs the SAME production CC body
+    * (ccPointerJumping: min-label propagation + pointer jumping,
+    * O(log diameter) rounds, localCheckpoint lineage truncation) over
+    * the media pair graph; the oracle re-derives the labeling with a
+    * recursive-CTE transitive closure over the same chunk-SimHash
+    * chain — both engines walk the graph independently end to end. */
+  def mediaDupClusters(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    mediaClustersCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    mediaClustersCache.getOrElseUpdate((s, d), {
+      val pairs = Multimodal.chunkSimhashPairs(s, d).select(col("a_id"), col("b_id"))
+      val (labels, _) = TextOps.ccPointerJumping(s, pairs)
+      labels
+        .join(labels.groupBy("lbl").agg(count(lit(1)).as("cluster_sz")), "lbl")
+        .select(col("id").as("media_id"), col("lbl").as("cluster_id"), col("cluster_sz"))
+        .orderBy("media_id")
+        .localCheckpoint()
+    })
+  }
+
+  private val mediaClustersCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]
+
+  /** Teardown hook (Harness). */
+  def clearCaches(): Unit = mediaClustersCache.clear()
+
   /** The CDC chunk restatement (boundaries + per-chunk md5 of the
     * uppercase-hex bytes) shared by the m06 census and m07 near-dup
     * oracles: ends in `ch(doc_id, kind, chunk_no, chunk_len, chunk_md5)`. */
@@ -189,23 +220,48 @@ object MediaOps {
     // hamming over the same CDC chunk chain — the fixture-affordable
     // truth that the banding loses nothing at the ≤2 radius
     "m09_chunk_simhash_pairs" -> QueryDef(Multimodal.chunkSimhashPairs _,
-      s"""$CdcChunksCtesDuck,
-         |f AS (SELECT DISTINCT doc_id,
-         |        ('0x' || substr(chunk_md5, 1, 15))::BIGINT AS fid FROM ch),
-         |bits AS (SELECT doc_id, CAST(unnest(generate_series(0, 59)) AS INT) AS bb,
-         |        fid FROM f),
-         |sg AS (SELECT doc_id, bb,
-         |    CASE WHEN SUM(CASE WHEN ((fid >> bb) & 1) = 1 THEN 1 ELSE -1 END) > 0
-         |         THEN 1 ELSE 0 END AS bit
-         |  FROM bits GROUP BY doc_id, bb),
-         |p AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << bb) AS BIGINT) AS ph
-         |  FROM sg GROUP BY doc_id)
+      s"""$ChunkPhashCtesDuck
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
          |FROM p a JOIN p b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.ph, b.ph)) <= 2
-         |ORDER BY 1, 2""".stripMargin)
+         |ORDER BY 1, 2""".stripMargin),
+
+    // the oracle walks the same pair graph with a recursive-CTE
+    // transitive closure (t16's shape) — both engines derive the
+    // labeling independently, end to end
+    "m10_media_dup_clusters" -> QueryDef(mediaDupClusters _,
+      s"""${ChunkPhashCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |mpr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+         |ed AS (SELECT a_id AS src, b_id AS dst FROM mpr
+         |       UNION SELECT b_id, a_id FROM mpr),
+         |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
+         |       UNION
+         |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
+         |lab AS (SELECT id, MIN(lbl) AS cluster_id FROM cc GROUP BY id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id)
+         |SELECT lab.id AS media_id, lab.cluster_id, sz.cluster_sz
+         |FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+         |ORDER BY media_id""".stripMargin)
   )
+
+  /** The m09/m10-shared phash oracle chain, ending in `p(doc_id, ph)`:
+    * CDC chunks → distinct 60-bit digest features → per-bit majority
+    * SimHash. */
+  private lazy val ChunkPhashCtesDuck: String =
+    s"""$CdcChunksCtesDuck,
+       |f AS (SELECT DISTINCT doc_id,
+       |        ('0x' || substr(chunk_md5, 1, 15))::BIGINT AS fid FROM ch),
+       |bits AS (SELECT doc_id, CAST(unnest(generate_series(0, 59)) AS INT) AS bb,
+       |        fid FROM f),
+       |sg AS (SELECT doc_id, bb,
+       |    CASE WHEN SUM(CASE WHEN ((fid >> bb) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |         THEN 1 ELSE 0 END AS bit
+       |  FROM bits GROUP BY doc_id, bb),
+       |p AS (SELECT doc_id, CAST(SUM(CAST(bit AS BIGINT) << bb) AS BIGINT) AS ph
+       |  FROM sg GROUP BY doc_id)""".stripMargin
 
   /** The m05/m09-shared phash oracle chain, ending in `p(doc_id, phash)`
     * (per-byte hex-dump histogram → 31-bit adjacent-bin dHash). */
