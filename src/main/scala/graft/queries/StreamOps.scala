@@ -148,6 +148,7 @@ object StreamOps {
     qualityGateCache.clear() // ditto
     sketchStreamCache.clear() // ditto
     chunkStreamCache.clear() // ditto
+    retrievalStreamCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -426,6 +427,41 @@ object StreamOps {
   private val chunkStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Streaming retrieval scoring — t48's TF-IDF scorer run AT INGEST:
+    * the idf model trains ONCE batch-side from the corpus snapshot (the
+    * offline-train / online-score posture every retrieval deployment
+    * runs), broadcasts into the stream, and each arriving micro-batch
+    * of docs scores itself with the SAME Column expressions via
+    * foreachBatch — each row is a whole doc, so per-doc tf is complete
+    * within its batch and no cross-batch state is needed. The drained
+    * score log must agree doc for doc with the batch scorer under the
+    * frozen model (t48's oracle chain minus the top-k cut), which is
+    * exactly the parity a search tier relies on: index-time scores ==
+    * reindex-from-snapshot scores. */
+  def streamRetrievalScore(s: SparkSession, d: String): DataFrame = {
+    retrievalStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    retrievalStreamCache.getOrElseUpdate((s, d), {
+      val idf = TextOps.tfidfIdf(s, d).localCheckpoint()
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_retr")
+      try {
+        val partials = scratch.resolve("scores").toString
+        val nBatches = graft.streaming.DocStream.runDocForeachBatch(
+          s, docStreamSource(s, d), (batch, _) =>
+            TextOps.tfidfScore(batch, idf)
+              .write.mode("append").parquet(partials))
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        s.read.parquet(partials)
+          .select(col("doc_id"), col("n_terms"),
+            round(col("scoreq").cast("double") / 1e6, 6).as("score"))
+          .orderBy("doc_id")
+          .localCheckpoint() // pin before the scratch dir is deleted
+      } finally rmrf(scratch)
+    })
+  }
+
+  private val retrievalStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Streaming sketch maintenance — t46's mergeability property run
     * LIVE: each micro-batch computes its own partial per-source MinHash
     * sketch (the batch's docs → gram ids → min per slot) and appends it
@@ -650,6 +686,24 @@ object StreamOps {
          |SELECT source, ${TextOps.MhA.zip(TextOps.MhB).zipWithIndex.map { case ((a, b), j) =>
                s"MIN(($a * (gid % 2147483647) + $b) % 2147483647) AS mh$j" }.mkString(",\n  ")}
          |FROM sg GROUP BY source ORDER BY source""".stripMargin),
+
+    // oracle = t48's scoring chain minus the top-k cut: the frozen idf
+    // model makes index-time scores == reindex-from-snapshot scores
+    "s14_stream_retrieval_score" -> QueryDef(streamRetrievalScore _,
+      s"""WITH nr AS (SELECT doc_id, ${TextOps.NormSqlDuck} AS nrm FROM documents),
+         |tkn AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM nr),
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tkn
+         |       WHERE tok IN (${TextOps.QueryTermsSqlDuck}) GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (SELECT tok,
+         |    CAST(FLOOR(ln(CAST(n_docs AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1e6)
+         |         AS BIGINT) AS idfq
+         |  FROM tf CROSS JOIN nd GROUP BY tok, n_docs),
+         |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(tf * idfq) AS BIGINT) AS scoreq
+         |  FROM tf JOIN idf USING (tok) GROUP BY doc_id)
+         |SELECT doc_id, n_terms, round(CAST(scoreq AS DOUBLE) / 1e6, 6) AS score
+         |FROM sc ORDER BY doc_id""".stripMargin),
 
     // oracle = batch m06's census verbatim: content-defined boundaries
     // chunk a payload identically whichever micro-batch delivers it

@@ -1996,7 +1996,7 @@ object TextOps {
     * common tokens plus the one rare token in the fixture vocabulary
     * (`dup`, df≈25/500), so idf actually separates the ranking. */
   private[queries] val QueryTerms = Seq("spark", "query", "dup")
-  private val QueryTermsSqlDuck = QueryTerms.map(t => s"'$t'").mkString(", ")
+  private[queries] val QueryTermsSqlDuck = QueryTerms.map(t => s"'$t'").mkString(", ")
 
   /** TF-IDF ranked retrieval for a fixed probe-term set — the ad-hoc
     * "which docs match this query" lookup a curation/review UI issues
@@ -2037,6 +2037,34 @@ object TextOps {
         round(col("scoreq").cast("double") / 1e6, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  /** The frozen idf model (tok, idfq) for the probe-term set — trained
+    * batch-side from the corpus snapshot; s14 broadcasts it into the
+    * ingest stream (models train offline, score online). */
+  private[queries] def tfidfIdf(s: SparkSession, d: String): DataFrame = {
+    val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    documents(s, d)
+      .select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        floor(log(col("n_docs").cast("double") / col("df").cast("double")) * 1e6)
+          .cast("long").as("idfq"))
+  }
+
+  /** Per-doc TF-IDF scoring of any (doc_id, text) frame against a given
+    * idf model — t48's scoring stage, shared with the in-stream scorer
+    * (s14): one probe-filtered explode, one keyed tf aggregation, the
+    * broadcast model join, exact BIGINT accumulation. */
+  private[queries] def tfidfScore(docs: DataFrame, idf: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(col("tok").isin(QueryTerms: _*))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .join(broadcast(idf), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf") * col("idfq")).as("scoreq"))
 
   /** BM25 (k1=1.2, b=0.75) over the same probe-term set — the ranking
     * function an actual retrieval layer runs, with document-length
