@@ -336,6 +336,34 @@ object EventOps {
     countsCache.clear()
   }
 
+  /** Inter-event gap percentiles: P50/P90/P99 of the seconds between a
+    * user's consecutive events — the distribution whose knee JUSTIFIES
+    * the sessionization gap threshold (e01's 30 minutes is a parameter;
+    * this is the evidence a pipeline owner reads before setting it).
+    *
+    * Scale: the lag window partitions by user_id — the one natural
+    * shuffle every event operator here shares; percentiles come off the
+    * bounded (gap_sec) histogram with exact integer rank thresholds
+    * (e12's discipline), never a global sort or percentile_approx. */
+  def interEventGaps(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .select(floor((unix_micros(col("ts")) - col("prev_us")) / lit(1000000L))
+        .cast("long").as("gap_sec"))
+    val hist = gaps.groupBy("gap_sec").agg(count(lit(1)).as("c"))
+    val tot = hist.agg(sum(col("c")).as("n"))
+    val w = Window.orderBy("gap_sec").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .crossJoin(broadcast(tot))
+    cum.agg(
+        max(col("n")).as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("gap_sec"))).as("p50_sec"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("gap_sec"))).as("p90_sec"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("gap_sec"))).as("p99_sec"))
+  }
+
   /** RFM (recency / frequency / monetary) quintile segmentation — the
     * user-value census a growth team keys campaigns on. Each user gets
     * three 1–5 scores against corpus-wide quintile thresholds; output is
@@ -652,6 +680,24 @@ object EventOps {
          |    ROW_NUMBER() OVER (ORDER BY sv DESC, user_id ASC) AS rk FROM a)
          |SELECT rk, user_id, CAST(sv AS DOUBLE) AS total_value, n_events
          |FROM r WHERE rk <= 5 ORDER BY rk""".stripMargin),
+
+    // exact integer rank thresholds over the bounded gap histogram
+    // (e12's discipline); the lag partitions per user in both engines
+    "e18_inter_event_gaps" -> QueryDef(interEventGaps _,
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |lg AS (SELECT user_id, us,
+        |    LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev_us
+        |  FROM ev),
+        |g AS (SELECT CAST(FLOOR((us - prev_us) / 1000000) AS BIGINT) AS gap_sec
+        |      FROM lg WHERE prev_us IS NOT NULL),
+        |h AS (SELECT gap_sec, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1),
+        |cum AS (SELECT gap_sec, c, SUM(c) OVER (ORDER BY gap_sec) AS cum,
+        |        (SELECT SUM(c) FROM h) AS n FROM h)
+        |SELECT CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |  MIN(CASE WHEN cum * 2 >= n THEN gap_sec END) AS p50_sec,
+        |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_sec END) AS p90_sec,
+        |  MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_sec END) AS p99_sec
+        |FROM cum""".stripMargin),
 
     // same bounded-histogram discipline as e16; the straddling bucket's
     // partial mass is exact because co-bucketed users share one total
