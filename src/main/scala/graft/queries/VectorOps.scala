@@ -656,6 +656,59 @@ object VectorOps {
     }.reduce(_ unionByName _).orderBy("nprobe")
   }
 
+  /** MMR (maximal marginal relevance) diverse top-5 for query vector 0:
+    * greedy argmax of λ·cos(q,d) − (1−λ)·max cos(d, selected) with
+    * λ = 0.7 over the exact top-20 candidate pool — the re-ranker that
+    * stops a result list from being five near-copies of the best hit
+    * (plain top-k happily returns a dup cluster; MMR's diversity
+    * penalty is v20's coverage idea applied inside a result page).
+    *
+    * Scale: the pool is TakeOrderedAndProject top-20 — BOUNDED at any
+    * corpus size — so the greedy loop runs on a constant-size frame:
+    * each round is one 1-row winner broadcast + a map-only greatest()
+    * update (v20's shape), localCheckpointed. All cosines floor-
+    * quantize to the 1e-6 BIGINT grid BEFORE any comparison and the
+    * MMR score is pure integer arithmetic (7·relq − 3·mcq), so the
+    * argmax and its vec_id tie-break are decided on identical numbers
+    * in both engines. */
+  def mmrTopk(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    val q = base.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val cand = base.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        floor(dot("qv", "v") / (col("qn") * col("nrm")) * 1e6)
+          .cast("long").as("relq"))
+      .orderBy(col("relq").desc, col("vec_id").asc).limit(20)
+      .localCheckpoint()
+    var mc = cand.withColumn("mcq", lit(-1000000L)) // cos −1: nothing selected yet
+    var out: DataFrame = null
+    for (i <- 1 to 5) {
+      val w = mc
+        .withColumn("scoreq", lit(7L) * col("relq") - lit(3L) * col("mcq"))
+        .orderBy(col("scoreq").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("w_id"), col("relq").as("w_relq"),
+          col("scoreq").as("w_scoreq"))
+      val row = w.select(lit(i).as("sel_rank"), col("w_id").as("vec_id"),
+        round(col("w_relq").cast("double") / 1e6, 6).as("relevance"),
+        round(col("w_scoreq").cast("double") / 1e7, 7).as("mmr_score"))
+      out = if (out == null) row else out.unionByName(row)
+      if (i < 5) {
+        val sv = cand.join(broadcast(w.select(col("w_id").as("vec_id"))), "vec_id")
+          .select(col("v").as("sv"), col("nrm").as("sn"))
+        mc = mc.join(broadcast(w.select("w_id")),
+            col("vec_id") === col("w_id"), "left_anti")
+          .crossJoin(broadcast(sv))
+          .withColumn("mcq", greatest(col("mcq"),
+            floor(dot("v", "sv") / (col("nrm") * col("sn")) * 1e6).cast("long")))
+          .drop("sv", "sn")
+          .localCheckpoint()
+      }
+    }
+    out.orderBy("sel_rank")
+  }
+
   /** k-center farthest-first seeding (k = 5, seed₁ = vec 0) — the
     * deterministic initialization step upstream of v11's Lloyd round
     * and v18's PQ training: each next seed is the vector LEAST covered
@@ -1089,6 +1142,43 @@ object VectorOps {
          |  UNION ALL SELECT 2, n_found FROM f2
          |  UNION ALL SELECT 4, n_found FROM f4
          |) ORDER BY nprobe""".stripMargin
+    }),
+
+    // the greedy rounds unroll to one CTE pair per selection; cosines
+    // floor-quantize at 1e-6 before any comparison and the MMR score is
+    // integer arithmetic, so argmax + tie-break agree across engines
+    "v22_mmr_topk" -> QueryDef(mmrTopk _, {
+      def cosQ(a: String, b: String) =
+        s"CAST(FLOOR(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) * 1e6) AS BIGINT)"
+      val steps = (1 to 5).map { i =>
+        val upd =
+          if (i == 5) ""
+          else s""",
+             |m${i + 1} AS (SELECT m.vec_id, m.v, m.relq,
+             |    GREATEST(m.mcq, ${cosQ("m.v", "s.sv")}) AS mcq
+             |  FROM m$i m
+             |  CROSS JOIN (SELECT c.v AS sv FROM cand c JOIN w$i ON w$i.vec_id = c.vec_id) s
+             |  WHERE m.vec_id <> (SELECT vec_id FROM w$i))"""
+        s""",
+           |w$i AS (SELECT vec_id, relq, 7 * relq - 3 * mcq AS scoreq FROM m$i
+           |        ORDER BY scoreq DESC, vec_id ASC LIMIT 1)$upd"""
+      }.mkString
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cand AS (SELECT e.vec_id, e.v, ${cosQ("e.v", "q.qv")} AS relq
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  ORDER BY relq DESC, vec_id ASC LIMIT 20),
+         |m1 AS (SELECT vec_id, v, relq, CAST(-1000000 AS BIGINT) AS mcq FROM cand)$steps
+         |SELECT sel_rank, vec_id,
+         |  round(CAST(relq AS DOUBLE) / 1e6, 6) AS relevance,
+         |  round(CAST(scoreq AS DOUBLE) / 1e7, 7) AS mmr_score
+         |FROM (
+         |  SELECT 1 AS sel_rank, vec_id, relq, scoreq FROM w1
+         |  UNION ALL SELECT 2, vec_id, relq, scoreq FROM w2
+         |  UNION ALL SELECT 3, vec_id, relq, scoreq FROM w3
+         |  UNION ALL SELECT 4, vec_id, relq, scoreq FROM w4
+         |  UNION ALL SELECT 5, vec_id, relq, scoreq FROM w5
+         |) ORDER BY sel_rank""".stripMargin
     }),
 
     // the greedy steps unroll to one CTE pair per seed; every cosine is
