@@ -59,15 +59,25 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_detail.json"), detailLine + "\n")
       catch { case _: Throwable => () } // stdout already carries it
-      // SECOND line: per-query min-of-2 headline numbers, keys shortened
-      // to their unique prefix before the first '_' (q01, t18, ...). No
-      // "value" field (same no-double-count rule as the detail record);
-      // this line grows with the surface and MAY be clipped by the
-      // driver's ~2 KB tail window — bench_detail.json is the durable copy.
-      val qs = best.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
-        .mkString("{", ",", "}")
-      println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      // NEXT lines: per-query min-of-2 numbers as ONE COMPACT RECORD PER
+      // FAMILY (e/g/m/q/s/t/v). This replaces the single per_query
+      // record: at 170 queries that record was ~2.2 KB and the driver's
+      // ~2 KB tail window clipped its head (r6 lost e01–e18/g01–g03).
+      // Per-query values are integer DECIseconds ("ds") and the family
+      // subtotal is exact ms ("tot_ms") — measured 2.46 KB at ms
+      // precision for 173 queries, which still overflows; deciseconds
+      // bring all seven records + total to ~1.7 KB, safely inside the
+      // window at any near-term surface growth. bench_detail.json
+      // remains the durable full-precision copy. No "value" field —
+      // the no-double-count rule.
+      best.toSeq.sortBy(_._1).groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+        .foreach { case (fam, qs) =>
+          val body = qs
+            .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
+            .mkString("{", ",", "}")
+          val totMs = math.round(qs.map(_._2).sum * 1000)
+          println(s"""{"f":"$fam","tot_ms":$totMs,"ds":$body}""")
+        }
       // LAST line: the driver-parsed headline, FIXED ~120 bytes so no
       // growth of the query surface can ever push it out of the tail
       // window (r4's 2.7 KB single record was clipped at the head; a

@@ -79,9 +79,19 @@ case class MarkerCounts(left: Expression, right: Expression)
 object MarkerCounts {
   /** Non-overlapping left-to-right count — `replace(h, m, '')`'s
     * occurrence semantics. Called from generated code: must be public
-    * static (a plain object method compiles to exactly that). */
+    * static (a plain object method compiles to exactly that).
+    *
+    * Degenerate-marker contract (the expression is injected session-wide
+    * via GraftExtensions, so arbitrary SQL can reach it): a NULL array
+    * element counts 0 (SQL `replace(h, NULL, '')` would null the whole
+    * diff; counting 0 keeps the other markers' counts usable), and an
+    * EMPTY marker counts 0 — note the oracle's replace-diff restatement
+    * `(length(h)-length(replace(h,w,'')))/length(w)` divides by zero
+    * there, so any future marker list MUST NOT contain '' if the query
+    * is oracle-twinned. Graded callers pass literal non-null non-empty
+    * markers only. */
   def countOcc(hay: UTF8String, marker: UTF8String): Int = {
-    if (marker.numChars() == 0) return 0
+    if (marker == null || marker.numChars() == 0) return 0
     var count = 0
     var from = 0
     var p = hay.indexOf(marker, from)

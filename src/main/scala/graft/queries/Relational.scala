@@ -255,6 +255,28 @@ object Relational {
 
   // --- DuckDB oracle twins -------------------------------------------------
 
+  /** The q03-shape fact-fact join on the DEPLOYED bucketed layout
+    * (Bucketing.factTables): both facts are bucketed on their orderkey,
+    * so the scan delivers the hash distribution and the join runs with
+    * NO ShuffleExchange on either fact side — the plan property SCALE.md
+    * claims for the 100 TB deployment, frozen by PlanSpec. The merge
+    * hint keeps the join sort-merge even where the fixture-scale orders
+    * side would broadcast, so the graded run itself exercises the
+    * layout. Oracle = the identical join/agg over the PLAIN parquet
+    * tables — bucketing must be a pure layout change, invisible in the
+    * result. */
+  def bucketedRevenue(s: SparkSession, d: String): DataFrame = {
+    val (liT, oT) = graft.operators.Bucketing.factTables(s, d)
+    s.table(liT).hint("merge")
+      .join(s.table(oT), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        asDbl(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))).as("revenue"),
+        asDbl(sum(dec("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   private val D = "DECIMAL(18,2)"
   private def sumd(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
 
@@ -406,6 +428,16 @@ object Relational {
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // the oracle reads the PLAIN parquet tables: the bucketed layout the
+    // engine query deploys and joins through must be result-invisible
+    "q42_bucketed_revenue" -> QueryDef(bucketedRevenue _,
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(CAST(l_extendedprice AS $D) * (1 - CAST(l_discount AS $D))) AS DOUBLE) AS revenue,
+         |  ${sumd("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 }

@@ -102,6 +102,26 @@ object StreamOps {
     })
   }
 
+  /** A 4-file snapshot of the EMBEDDINGS table — the vector-modality
+    * stream (s15): with maxFilesPerTrigger=1 it replays as 4 real
+    * micro-batches of arriving vectors. Any split works — per-vector
+    * scores are complete within the batch that delivers the vector. */
+  private val embSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def embStreamSource(s: SparkSession, d: String): String = {
+    evictDead(embSourceCache)
+    embSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_emb")
+      try {
+        Tables.embeddings(s, d)
+          .select("vec_id", "embedding", "label")
+          .repartition(4)
+          .write.mode("overwrite").parquet(dir.toString)
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      trackScratch(dir.toString)
+    })
+  }
+
   /** A deliberately at-least-once copy of the fixture: every event
     * delivered twice (two identical parquet files) — the input shape a
     * replayed/retried ingest produces, which s03's dedup must collapse. */
@@ -134,13 +154,15 @@ object StreamOps {
 
   def clearCaches(): Unit = {
     (sourceCache.values ++ dupSourceCache.values ++ multiFileSourceCache.values
-      ++ docSourceCache.values)
+      ++ docSourceCache.values ++ embSourceCache.values)
       .foreach(dir =>
         try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
     sourceCache.clear()
     dupSourceCache.clear()
     multiFileSourceCache.clear()
     docSourceCache.clear()
+    embSourceCache.clear()
+    semStreamCache.clear() // checkpointed frame; scratch deleted eagerly
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     nearDupCache.clear()  // ditto
@@ -425,6 +447,45 @@ object StreamOps {
   }
 
   private val chunkStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Streaming semantic decontamination — v16 run AT INGEST: the
+    * benchmark suite (bounded by SUITE size, the broadcast v16 already
+    * justifies) freezes batch-side once, and each arriving micro-batch
+    * of vectors scores itself against it through the SAME shared body
+    * ([[VectorOps.semanticScoreAgainst]]) via foreachBatch — per-vector
+    * scores are complete within the batch that delivers the vector (the
+    * suite is fully in hand), so no cross-batch state exists and the
+    * drained score log equals batch v16 under ANY micro-batch split.
+    * This is the missing modality twin: events (s01–s07), text
+    * (s08–s11, s14), payload chunks (s13) — and now vectors. At 100
+    * TB/day each arriving embedding is scored once on arrival; the
+    * corpus is never rescanned when the eval suite is fixed. */
+  def streamSemanticDecontam(s: SparkSession, d: String): DataFrame = {
+    semStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    semStreamCache.getOrElseUpdate((s, d), {
+      // the frozen suite: localCheckpoint so four micro-batches read a
+      // materialized 30-row frame, not four re-derivations
+      val bench = VectorOps.benchVectors(s, d).localCheckpoint()
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_sem")
+      try {
+        val partials = scratch.resolve("scores").toString
+        val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
+          s, embStreamSource(s, d), graft.streaming.DocStream.embSchema,
+          (batch, _) =>
+            VectorOps.semanticScoreAgainst(
+              VectorOps.withVecNorm(batch).filter(col("vec_id") % 17 =!= 0), bench)
+              .write.mode("append").parquet(partials))
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        s.read.parquet(partials)
+          .select("vec_id", "max_cos", "n_hits", "contaminated")
+          .orderBy("vec_id")
+          .localCheckpoint() // pin before the scratch dir is deleted
+      } finally rmrf(scratch)
+    })
+  }
+
+  private val semStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Streaming retrieval scoring — t48's TF-IDF scorer run AT INGEST:
@@ -767,6 +828,22 @@ object StreamOps {
       s"""SELECT c_mktsegment, COUNT(*) AS n,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
-         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // oracle = batch v16's statement verbatim: in-stream scoring against
+    // the frozen suite must agree vector for vector with the batch
+    // operator under any micro-batch split
+    "s15_stream_semantic_decontam" -> QueryDef(streamSemanticDecontam _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |b AS (SELECT vec_id AS b_id, v AS bv, nrm AS bn FROM n WHERE vec_id % 17 = 0),
+        |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 17 != 0),
+        |p AS (SELECT c.vec_id,
+        |        round(list_dot_product(c.v, b.bv) / (c.nrm * b.bn), 6) AS cos
+        |      FROM c, b)
+        |SELECT vec_id, max(cos) AS max_cos,
+        |  CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  CAST(CASE WHEN max(cos) >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)
   )
 }

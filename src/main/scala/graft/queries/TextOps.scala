@@ -1090,7 +1090,10 @@ object TextOps {
     }).orderBy("doc_id")
   }
 
-  private def langIdUncached(s: SparkSession, d: String): DataFrame = {
+  // private[queries] so PlanSpec can assert the BUILD plan of the cached
+  // frame (the memoized plan is all InMemoryTableScan, which made the
+  // marker_counts/no-regex lock vacuous — round-6 advice)
+  private[queries] def langIdUncached(s: SparkSession, d: String): DataFrame = {
     graft.functions.StringExpressions.register(s)
     import graft.functions.StringExpressions.marker_counts
     val latin = Seq(" the ", " and ", " of ", " is ",
@@ -1489,7 +1492,13 @@ object TextOps {
   private[queries] def wordGramIds(s: SparkSession, d: String, n: Int): DataFrame = {
     gramCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     gramCache.getOrElseUpdate((s, d, n), {
-      val g = wordGramIdsUncached(s, d, n).persist()
+      // cross-RUN artifact (ArtifactStore): a fresh JVM loads the
+      // persisted gram table instead of re-tokenizing the corpus — the
+      // end state the round-5 memo comment promised; the session memo
+      // above still bounds it to one scan per (session, dir, n)
+      val g = graft.sources.ArtifactStore.loadOrBuild(
+        s, "gram_index", s"${graft.sources.ArtifactStore.key(d, "documents.parquet")}_n$n")(
+        wordGramIdsUncached(s, d, n)).persist()
       g.count() // materialize eagerly so every consumer reads the cache
       g
     })
@@ -1663,15 +1672,17 @@ object TextOps {
   private def wordBigrams(s: SparkSession, d: String): DataFrame = {
     bigramCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     bigramCache.getOrElseUpdate((s, d), {
-      val g = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ts) - 1), " +
-            "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
-          .as("b"))
-        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val g = graft.sources.ArtifactStore.loadOrBuild(
+        s, "bigram_index", graft.sources.ArtifactStore.key(d, "documents.parquet"))(
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), " +
+              "i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
         .persist()
       g.count() // materialize eagerly so every consumer reads the cache
       g
@@ -1930,14 +1941,16 @@ object TextOps {
   private def positionedGrams(s: SparkSession, d: String, n: Int): DataFrame = {
     posGramCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
     posGramCache.getOrElseUpdate((s, d, n), {
-      val g = documents(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
-        .filter(size(col("ts")) >= n)
-        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"), col("ts"),
-          explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
-        .select(col("doc_id"), col("n_tok"), col("i"),
-          sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid"))
+      val g = graft.sources.ArtifactStore.loadOrBuild(
+        s, "pos_gram_index", s"${graft.sources.ArtifactStore.key(d, "documents.parquet")}_n$n")(
+        documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), split(norm(col("text")), " ").as("ts"))
+          .filter(size(col("ts")) >= n)
+          .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"), col("ts"),
+            explode(expr(s"sequence(1, size(ts) - ${n - 1})")).as("i"))
+          .select(col("doc_id"), col("n_tok"), col("i"),
+            sid60(expr(s"array_join(slice(ts, i, $n), ' ')")).as("gid")))
         .persist()
       g.count() // materialize eagerly so every consumer reads the cache
       g

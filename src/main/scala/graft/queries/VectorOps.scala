@@ -28,11 +28,18 @@ object VectorOps {
     * (graft.functions.VectorExpressions) — same in-order IEEE fold as
     * the interpreted aggregate/zip_with composition, ~250× faster on
     * pair scans. */
+  /** The one (v, nrm) preparation both batch and stream share — any
+    * frame with an `embedding ARRAY<FLOAT>` column. Uses the Column
+    * builder (not the registry) so a streaming micro-batch's cloned
+    * session needs no function registration. */
+  private[queries] def withVecNorm(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorExpressions.dot_d(col("v"), col("v"))))
+
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    embeddings(s, d)
-      .withColumn("v", expr("transform(embedding, x -> cast(x AS double))"))
-      .withColumn("nrm", sqrt(expr("dot_d(v, v)")))
+    withVecNorm(embeddings(s, d))
   }
 
   private def dot(a: String, b: String) =
@@ -593,18 +600,32 @@ object VectorOps {
     * the per-vector max/count partial-aggregates map-side on vec_id.
     * Per-pair cosines round(·,6) before aggregation (max over rounded
     * values is order-independent), counts are exact integers. */
-  def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val base = vecs(s, d)
-    val bench = base.filter(col("vec_id") % 17 === 0)
+  /** The benchmark-suite side of semantic decontamination (vec_id ≡ 0
+    * mod 17 plays the held-out suite) — shared by batch v16 and stream
+    * s15 so the model can never fork between them. */
+  private[queries] def benchVectors(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).filter(col("vec_id") % 17 === 0)
       .select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-    base.filter(col("vec_id") % 17 =!= 0)
-      .crossJoin(broadcast(bench))
+
+  /** The one scoring body batch v16 and stream s15 share: every corpus
+    * vector × broadcast benchmark suite → per-vector max cosine, ≥0.4
+    * hit count, contaminated flag. Per-pair cosines round(·,6) BEFORE
+    * aggregation, so the result is identical under any partitioning —
+    * including a micro-batch split. */
+  private[queries] def semanticScoreAgainst(corpus: DataFrame,
+      bench: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(bench))
       .withColumn("cos", round(dot("v", "bv") / (col("nrm") * col("bn")), 6))
       .groupBy("vec_id")
       .agg(max(col("cos")).as("max_cos"),
         sum(when(col("cos") >= 0.4, 1L).otherwise(0L)).as("n_hits"))
       .withColumn("contaminated",
         when(col("max_cos") >= 0.4, 1L).otherwise(0L))
+
+  def semanticDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val base = vecs(s, d)
+    semanticScoreAgainst(base.filter(col("vec_id") % 17 =!= 0),
+      benchVectors(s, d))
       .orderBy("vec_id")
   }
 
@@ -638,6 +659,11 @@ object VectorOps {
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val exact = cosineTopK(s, d).filter(col("rk") <= 5)
       .select(col("q_id"), col("hit_id"))
+    // recall denominator DERIVED from the exact baseline (1-row scalar
+    // broadcast), never a hard-coded |queries|×5: a query with fewer
+    // than 5 eligible neighbors would silently misstate recall if the
+    // constant and the data ever disagreed (round-6 advice)
+    val exn = exact.agg(count(lit(1)).as("n_exact"))
     Seq(1, 2, 4).map { np =>
       val probes = aff.filter(col("vec_id") < 10 && col("crn") <= np)
         .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
@@ -651,9 +677,73 @@ object VectorOps {
         .select(col("q_id"), col("vec_id").as("hit_id"))
       exact.join(hits, Seq("q_id", "hit_id"), "left_semi")
         .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(exn))
         .select(lit(np).as("nprobe"), col("n_found"),
-          round(col("n_found").cast("double") / 50.0, 6).as("recall"))
+          round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
     }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** Margin-ranked multi-probe LSH recall curve — the tuning curve for
+    * the sign-LSH rung of the ANN ladder (v21's shape for LSH; raises
+    * the round-6 weak point: v06's naive Hamming≤1 probing measured
+    * recall@5 0.40 at a 5/16 scan).
+    *
+    * Standard multi-probe LSH (Lv et al., VLDB'07): the probe sequence
+    * flips the planes the query is CLOSEST to — rank all 16 flip masks
+    * by the summed |margin| of their flipped planes and probe the first
+    * T. A pair of near-zero margins outranks one large single-plane
+    * flip, which is exactly the case naive Hamming-order probing wastes
+    * a probe on. recall@T is graded for T ∈ {1, 3, 5, 8}; T=5 is v06's
+    * scan fraction.
+    *
+    * Scale: the ranked probe frame is |queries|×16 rows
+    * (localCheckpoint, computed once for all four curve points); each
+    * point is v06's exact shape — probe buckets bound candidates,
+    * per-query rank window, |queries|×5 rows out. Margins quantize to
+    * the 1e-6 BIGINT grid before ranking (the v03 discipline) so probe
+    * order — and therefore recall — is decided on identical numbers in
+    * both engines. The recall denominator derives from the exact
+    * baseline (the v21 rule), never a hard-coded constant. */
+  def lshProbeCurve(s: SparkSession, d: String): DataFrame = {
+    val base = withBucket(s, d)
+    val q0 = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qb0"))
+    val withMargins = (0 until NumPlanes).foldLeft(q0) { (df, j) =>
+      df.withColumn(s"m$j",
+        floor(abs(graft.functions.VectorExpressions.dot_d(col("qv"), planeArr(j))) * 1e6)
+          .cast("long"))
+    }
+    val ranked = withMargins
+      .withColumn("mask", explode(array((0 until (1 << NumPlanes)).map(lit): _*)))
+      .withColumn("msum", (0 until NumPlanes).map(j =>
+          when(shiftright(col("mask"), j).bitwiseAND(lit(1)) === 1, col(s"m$j"))
+            .otherwise(lit(0L))).reduce(_ + _))
+      .withColumn("prn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("msum").asc, col("mask").asc)))
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("qb0").bitwiseXOR(col("mask")).as("pb"), col("prn"))
+      .localCheckpoint()
+    val exact = cosineTopK(s, d).filter(col("rk") <= 5)
+      .select(col("q_id"), col("hit_id"))
+    val exn = exact.agg(count(lit(1)).as("n_exact"))
+    Seq(1, 3, 5, 8).map { t =>
+      val probes = ranked.filter(col("prn") <= t)
+      val hits = base.join(broadcast(probes),
+          col("pb") === col("bucket") && col("q_id") =!= col("vec_id"))
+        .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("hit_id"))
+      exact.join(hits, Seq("q_id", "hit_id"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(exn))
+        .select(lit(t).as("n_probes"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("n_probes")
   }
 
   /** MMR (maximal marginal relevance) diverse top-5 for query vector 0:
@@ -1136,12 +1226,13 @@ object VectorOps {
          |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
          |r2x AS (SELECT q_id, hit_id,
          |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p2x),
-         |ex AS (SELECT q_id, hit_id FROM r2x WHERE rk <= 5)${Seq(1, 2, 4).map(point).mkString}
-         |SELECT nprobe, n_found, round(CAST(n_found AS DOUBLE) / 50.0, 6) AS recall FROM (
+         |ex AS (SELECT q_id, hit_id FROM r2x WHERE rk <= 5),
+         |exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)${Seq(1, 2, 4).map(point).mkString}
+         |SELECT nprobe, n_found, round(CAST(n_found AS DOUBLE) / n_exact, 6) AS recall FROM (
          |  SELECT 1 AS nprobe, n_found FROM f1
          |  UNION ALL SELECT 2, n_found FROM f2
          |  UNION ALL SELECT 4, n_found FROM f4
-         |) ORDER BY nprobe""".stripMargin
+         |), exn ORDER BY nprobe""".stripMargin
     }),
 
     // the greedy rounds unroll to one CTE pair per selection; cosines
@@ -1209,6 +1300,54 @@ object VectorOps {
          |  UNION ALL SELECT 4, vec_id, c FROM w4
          |  UNION ALL SELECT 5, vec_id, c FROM w5
          |) ORDER BY seed_rank""".stripMargin
+    }),
+
+    // one probe/candidate/rank/count chain per curve point over the
+    // shared margin-ranked probe CTE; margins quantize to the 1e-6
+    // BIGINT grid BEFORE ranking so the probe order is identical in
+    // both engines; the denominator derives from the exact baseline
+    "v23_lsh_probe_curve" -> QueryDef(lshProbeCurve _, {
+      val cosQB = """round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6)""".stripMargin
+      val msum = (0 until NumPlanes).map(j =>
+        s"(CASE WHEN (mask >> $j) & 1 = 1 THEN m$j ELSE 0 END)").mkString(" + ")
+      val margins = (0 until NumPlanes).map(j =>
+        s"CAST(FLOOR(ABS(list_dot_product(v, ${planeSqlList(j)}::DOUBLE[])) * 1e6) AS BIGINT) AS m$j")
+        .mkString(",\n         |       ")
+      def point(t: Int) =
+        s""",
+           |pr$t AS (SELECT q_id, pb FROM ranked WHERE prn <= $t),
+           |p$t AS (SELECT pr.q_id, b.vec_id AS hit_id, $cosQB AS cos
+           |  FROM pr$t pr
+           |  JOIN e q ON q.vec_id = pr.q_id
+           |  JOIN e b ON b.bucket = pr.pb AND b.vec_id != pr.q_id),
+           |r$t AS (SELECT q_id, hit_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p$t),
+           |ap$t AS (SELECT q_id, hit_id FROM r$t WHERE rk <= 5),
+           |f$t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+           |        FROM ex JOIN ap$t USING (q_id, hit_id))"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |             ${bucketSqlDuck()} AS bucket FROM embeddings),
+         |qm AS (SELECT vec_id AS q_id, bucket AS qb0,
+         |       $margins
+         |       FROM e WHERE vec_id < 10),
+         |mk AS (SELECT q_id, qb0, CAST(m.mask AS INT) AS mask, $msum AS msum
+         |       FROM qm, (SELECT unnest(generate_series(0, ${(1 << NumPlanes) - 1})) AS mask) m),
+         |ranked AS (SELECT q_id, xor(qb0, mask) AS pb,
+         |           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY msum ASC, mask ASC) AS prn
+         |           FROM mk),
+         |px AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id, $cosQB AS cos
+         |  FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+         |rx AS (SELECT q_id, hit_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM px),
+         |ex AS (SELECT q_id, hit_id FROM rx WHERE rk <= 5),
+         |exn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex)${Seq(1, 3, 5, 8).map(point).mkString}
+         |SELECT n_probes, n_found, round(CAST(n_found AS DOUBLE) / n_exact, 6) AS recall FROM (
+         |  SELECT 1 AS n_probes, n_found FROM f1
+         |  UNION ALL SELECT 3, n_found FROM f3
+         |  UNION ALL SELECT 5, n_found FROM f5
+         |  UNION ALL SELECT 8, n_found FROM f8
+         |), exn ORDER BY n_probes""".stripMargin
     })
   )
 }

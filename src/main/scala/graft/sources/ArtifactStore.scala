@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-RUN persistence for derived index artifacts (gram / positioned
+  * gram / bigram tables): the session-lifetime memos in TextOps make one
+  * JVM cheap, but a FRESH JVM used to re-tokenize the whole corpus. This
+  * is the "persisted table reused across decontamination runs" a real
+  * deployment keeps — build once, write parquet, and every later run
+  * (same JVM or not) serves its consumers from the artifact scan.
+  *
+  * Layout: `$GRAFT_ARTIFACT_DIR (default ./artifacts)/<kind>/<key>`,
+  * where the key folds in the SOURCE FIXTURE's size+mtime — a
+  * regenerated corpus can never silently serve a stale index (the
+  * versioning a production feature store does with snapshot ids).
+  *
+  * Both the build path and the load path end in a parquet scan of the
+  * artifact, so consumers see the identical plan shape either way, and
+  * the frame's contents are byte-identical to the computed frame
+  * (longs/strings round-trip parquet exactly).
+  */
+object ArtifactStore {
+
+  def root: String = sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "artifacts")
+
+  /** Observability for specs: how many artifacts were built vs served
+    * from disk in this JVM. */
+  val builds = new AtomicInteger(0)
+  val loads = new AtomicInteger(0)
+
+  /** Stale-proof key: md5 over the dir path and the source file's
+    * (recursive) byte length and max mtime. */
+  def key(sourceDir: String, sourceFile: String): String = {
+    val p = Paths.get(sourceDir, sourceFile)
+    var len = 0L; var mtime = 0L
+    def walk(x: Path): Unit =
+      if (Files.isDirectory(x)) {
+        val st = Files.list(x)
+        try st.forEach(walk(_)) finally st.close()
+      } else if (Files.exists(x)) {
+        len += Files.size(x)
+        mtime = math.max(mtime, Files.getLastModifiedTime(x).toMillis)
+      }
+    walk(p)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(s"$sourceDir|$len|$mtime".getBytes("UTF-8"))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Serve the artifact at `<root>/<kind>/<name>`, building it with
+    * `build` on first use. Returns a DataFrame that SCANS THE ARTIFACT
+    * in both paths. Synchronized JVM-wide: two sessions racing the same
+    * path (parallel test suites) must not interleave a write. */
+  def loadOrBuild(s: SparkSession, kind: String, name: String)
+      (build: => DataFrame): DataFrame = synchronized {
+    val dir = Paths.get(root, kind, name)
+    if (!Files.exists(dir.resolve("_SUCCESS"))) {
+      build.write.mode("overwrite").parquet(dir.toString)
+      builds.incrementAndGet()
+    } else loads.incrementAndGet()
+    s.read.parquet(dir.toString)
+  }
+}

@@ -30,6 +30,11 @@ object DocStream {
   val docSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
 
+  /** Schema of the embeddings table (TESTDATA.md) — the vector-modality
+    * stream source (s15). */
+  val embSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+
   /** t04's 60-bit SimHash computed in a typed per-row map — one md5
     * per token and an int[60] of bit votes (the first cut, a nested
     * higher-order-function Column, interpreted one md5 per token PER
@@ -143,8 +148,16 @@ object DocStream {
     * from lastProgress.batchId (recentProgress is bounded). */
   def runDocForeachBatch(spark: SparkSession, sourceDir: String,
       sink: (DataFrame, Long) => Unit): Long =
+    runSourceForeachBatch(spark, sourceDir, docSchema, sink)
+
+  /** Schema-generic foreachBatch drain (one micro-batch per file) — the
+    * runner any modality's snapshot stream shares (documents for
+    * s12/s14, embeddings for s15). */
+  def runSourceForeachBatch(spark: SparkSession, sourceDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      sink: (DataFrame, Long) => Unit): Long =
     EventStream.withStatePartitions(spark) {
-      val src = spark.readStream.schema(docSchema).format("parquet")
+      val src = spark.readStream.schema(schema).format("parquet")
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
       val q = src.writeStream.foreachBatch(sink).start()
       try q.processAllAvailable() finally q.stop()

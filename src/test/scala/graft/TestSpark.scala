@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * shared builder makes the canonical config a fact instead of a race.
   */
 object TestSpark {
+  /** One warehouse dir per JVM: createTempDirectory inside the builder
+    * ran on EVERY session call (leaking an empty dir each time and
+    * triggering ignored-static-conf warnings once a session exists). */
+  private val warehouseDir: String =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+
   /** A def, not a lazy val: GraftExtensionsSpec legitimately stops the
     * default session to bind its extensions session, and getOrCreate
     * after a stop re-creates WITH this builder's canonical config. */
@@ -23,8 +29,7 @@ object TestSpark {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // an owned tmp warehouse: saveAsTable (ScaleOpsSpec bucketing) refuses
     // locations left behind by a previous JVM's default warehouse dir
-    .config("spark.sql.warehouse.dir",
-      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.warehouse.dir", warehouseDir)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }

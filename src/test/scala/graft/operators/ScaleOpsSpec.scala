@@ -34,6 +34,50 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(skew.map(_.getAs[Double]("share")).sum > 0)
   }
 
+  test("AQE OptimizeSkewedJoin actually splits a planted hot key") {
+    // SCALE.md calls AQE "the runtime safety net" for skew; this pins
+    // that claim to an executed plan. One key carries 50k of 60k left
+    // rows; with fixture-scale thresholds lowered to match the data
+    // volume (the 100 TB defaults are 256MB/64MB), the skewed partition
+    // must split into multiple reducer tasks — visible as skew=true on
+    // the join and a skewed AQEShuffleRead.
+    //
+    // Scope of the MANUAL salt (q36 / SkewJoin.saltedJoin) after this:
+    // AQE splits a skewed SORT-MERGE join's partition only when the
+    // other side's matching partition can be replicated — it does NOT
+    // help a skewed aggregation, a broadcast-ineligible join where BOTH
+    // sides skew on the same key, or a stateful streaming join. Those
+    // are the cases the explicit salt still owns.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 60000).select(
+        when(col("id") < 50000, lit(1L)).otherwise(col("id") - 49000).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 2).as("rv"))
+      val j = left.join(right, "k")
+      // collect() (not count()) so THIS queryExecution finalizes its
+      // adaptive plan — count() spawns a separate execution
+      assert(j.collect().length == 50000 + 1000) // correctness first: 50k hot + 1k tail
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"OptimizeSkewedJoin must mark the join skewed:\n$p")
+      assert(p.contains("AQEShuffleRead") && p.contains("skewed"),
+        s"the hot partition must be read as split skewed slices:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     // drop catalog entries AND their locations: the in-memory catalog
     // forgets tables across JVMs while the warehouse dirs survive, and
