@@ -72,8 +72,7 @@ object Bucketing {
     factCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     factCache.getOrElseUpdate((s, d), {
       // table names keyed by dir so sf0.001/sf0.01/sf0.1 coexist
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val h = dirKey(d)
       val (liT, oT) = (s"graft_li_bkt_$h", s"graft_o_bkt_$h")
       dropWithLocation(s, liT); dropWithLocation(s, oT)
       writeBucketed(graft.tables.Tables.lineitem(s, d), liT, "l_orderkey", FactBuckets)
@@ -81,4 +80,46 @@ object Bucketing {
       (liT, oT)
     })
   }
+
+  private def dirKey(d: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  /** The orders fact deployed PARTITIONED by o_orderpriority, plus a
+    * priority DIM table (key + derived attribute) — the third physical-
+    * layout lever after broadcast and bucketing: partition pruning.
+    *
+    * The dim must be a SEPARATE STORED TABLE, not a derived frame: a
+    * frame computed from orders carries Catalyst constraints linking
+    * `prio_code` back to the key, the attribute filter then infers onto
+    * the fact's partition column, and STATIC pruning handles it — no
+    * dynamic pruning left to demonstrate. Written as its own table the
+    * columns are independent, so a filter on `prio_code` can only reach
+    * the fact as a runtime dynamicpruning subquery on the join key —
+    * exactly how a date-dim prunes a date-partitioned 100 TB fact
+    * ("this week's dims" reads one week, not the decade). Returns
+    * (factTable, dimTable); written once per (session, dir). */
+  def partitionedOrdersWithDim(s: SparkSession, d: String): (String, String) = {
+    partCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    partCache.getOrElseUpdate((s, d), {
+      val t = s"graft_o_part_${dirKey(d)}"
+      val dim = s"graft_prio_dim_${dirKey(d)}"
+      dropWithLocation(s, t); dropWithLocation(s, dim)
+      graft.tables.Tables.orders(s, d)
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .format("parquet")
+        .saveAsTable(t)
+      import org.apache.spark.sql.functions.{col, substring}
+      graft.tables.Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          substring(col("o_orderpriority"), 1, 1).as("prio_code"))
+        .distinct()
+        .write.mode("overwrite").format("parquet").saveAsTable(dim)
+      (t, dim)
+    })
+  }
+
+  private val partCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String)]
 }

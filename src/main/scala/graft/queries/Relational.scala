@@ -277,6 +277,28 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Dynamic partition pruning on the DEPLOYED partitioned layout
+    * (Bucketing.partitionedOrdersWithDim): the filter sits on the dim's
+    * NON-key attribute (`prio_code IN ('1','2')` — the date-dim
+    * pattern), so static pruning cannot reach the fact's partition
+    * column and Catalyst must insert a dynamicpruning subquery that
+    * feeds the probe keys into the fact scan's PartitionFilters at
+    * runtime — the scan then reads 2 of 5 partition directories.
+    * PlanSpec freezes the dynamicpruning property; the oracle restates
+    * dim + filter + join over plain parquet. At 100 TB the partition
+    * column is the date and this is the plan shape of every "join the
+    * fact against this week's dims" query. */
+  def partitionPrunedRevenue(s: SparkSession, d: String): DataFrame = {
+    val (oT, dimT) = graft.operators.Bucketing.partitionedOrdersWithDim(s, d)
+    val o = s.table(oT)
+    val dim = s.table(dimT).filter(col("prio_code").isin("1", "2"))
+    o.join(broadcast(dim), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        asDbl(sum(dec("o_totalprice"))).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   private val D = "DECIMAL(18,2)"
   private def sumd(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
 
@@ -429,6 +451,18 @@ object Relational {
          |JOIN part ON l_partkey = p_partkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // the oracle restates the deployed dim (distinct key + derived
+    // attribute) and its non-key filter over PLAIN parquet: the
+    // partitioned layout + runtime pruning must be result-invisible
+    "q43_partition_pruned_revenue" -> QueryDef(partitionPrunedRevenue _,
+      s"""WITH dim AS (SELECT DISTINCT o_orderpriority,
+         |    substr(o_orderpriority, 1, 1) AS prio_code FROM orders)
+         |SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+         |  ${sumd("o_totalprice")} AS sum_price
+         |FROM orders o JOIN dim ON dim.o_orderpriority = o.o_orderpriority
+         |WHERE dim.prio_code IN ('1', '2')
+         |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin),
 
     // the oracle reads the PLAIN parquet tables: the bucketed layout the
     // engine query deploys and joins through must be result-invisible

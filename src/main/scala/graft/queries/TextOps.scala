@@ -453,6 +453,63 @@ object TextOps {
   private val starClustersCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** t52: the near-dup clustering with the CC body AUTO-DISPATCHED by
+    * [[ccChoose]] on the live pair graph's average degree, and the
+    * choice recorded as an audit column — the "pipeline that switches
+    * bodies on graph depth" t34's scaladoc anticipated, now graded. The
+    * heuristic inputs are two metadata-scale aggregates over the
+    * memoized t03 pair frame; the labeling itself reuses the memoized
+    * t16/t34 cluster table for the chosen body (identical labels by the
+    * fixpoint-uniqueness argument, pinned by their shared oracle), so
+    * dispatching costs two tiny jobs, never a second CC loop. The
+    * ORACLE recomputes the same CASE from the same counts — the
+    * dispatch rule is hash-checked, not just the labels. */
+  def dupClustersAuto(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
+      .select(col("a_id"), col("b_id"))
+    val nE = pairs.count()
+    val nN = pairs.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct().count()
+    val algo = ccChoose(nE, nN)
+    val base = if (algo == "pointer_jumping") dupClusters(s, d)
+               else dupClustersStar(s, d)
+    base.withColumn("cc_algo", lit(algo)).orderBy("doc_id")
+  }
+
+  /** Average-degree threshold for the CC body dispatch: below it the
+    * pair graph is sparse enough to be chain-shaped (depth can approach
+    * |component|, the case the star rewrites were kept for); at or
+    * above it neighborhoods overlap, components are shallow, and
+    * pointer jumping's label rounds converge in a handful of rounds.
+    * Shared with the oracle restatement so the choice is hash-checked. */
+  private[queries] val CcAvgDegThreshold = 3.0
+
+  /** The dispatch rule itself — pure so both ccAuto and the t52 oracle
+    * CASE express the identical function of (edges, nodes). */
+  private[queries] def ccChoose(nEdges: Long, nNodes: Long): String =
+    if (nNodes == 0 || 2.0 * nEdges / nNodes >= CcAvgDegThreshold)
+      "pointer_jumping"
+    else "large_small_star"
+
+  /** Auto-dispatched connected components over an undirected pair list
+    * (a_id, b_id): measures the graph's average degree with two
+    * metadata-scale aggregates, picks the round body by [[ccChoose]],
+    * and returns (labels, algo) — the labeling is IDENTICAL either way
+    * (both bodies converge to the unique min-label fixpoint; t16 vs t34
+    * pin that equivalence on the live graph), so the dispatch is purely
+    * a cost choice and the recorded algo is an audit column, not a
+    * semantic one. */
+  private[queries] def ccAuto(s: SparkSession, pairs: DataFrame): (DataFrame, String) = {
+    val nE = pairs.count()
+    val nN = pairs.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .distinct().count()
+    val algo = ccChoose(nE, nN)
+    val (labels, _) =
+      if (algo == "pointer_jumping") ccPointerJumping(s, pairs)
+      else ccLargeSmallStar(s, pairs)
+    (labels, algo)
+  }
+
   /** Partition count for an iterative graph loop: sized to the edge
     * count, not the cluster-wide shuffle default, so each round's jobs
     * don't pay 32 near-empty tasks. */
@@ -2451,6 +2508,22 @@ object TextOps {
          |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id)
          |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_sz
          |FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id
+         |ORDER BY doc_id""".stripMargin),
+
+    // same labels; the oracle ALSO recomputes the dispatch heuristic
+    // (avg degree of the ≥0.9 pair graph vs threshold 3) so the body
+    // choice itself is hash-checked, not just the labeling
+    "t52_cc_auto_clusters" -> QueryDef(dupClustersAuto _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id),
+         |hx AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne FROM p9),
+         |hn AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS nn FROM ed),
+         |alg AS (SELECT CASE WHEN nn = 0 OR 2.0 * ne / nn >= $CcAvgDegThreshold
+         |               THEN 'pointer_jumping' ELSE 'large_small_star' END AS cc_algo
+         |        FROM hx, hn)
+         |SELECT lab.id AS doc_id, lab.cluster_id, sz.cluster_sz, alg.cc_algo
+         |FROM lab JOIN sz ON sz.cluster_id = lab.cluster_id, alg
          |ORDER BY doc_id""".stripMargin),
 
     "t15_multi_signal_dedup" -> QueryDef(multiSignalDedup _,

@@ -42,6 +42,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(pj(7L) == 7L && pj(9L) == 7L)
   }
 
+  test("ccAuto dispatches by average degree and labels identically either way") {
+    import spark.implicits._
+    // a 30-node chain: avg degree 2·29/30 < 3 → the deep-graph body
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val (chainLabels, chainAlgo) = TextOps.ccAuto(spark, chain)
+    assert(chainAlgo == "large_small_star",
+      s"a chain (avg deg <3) must dispatch to the star body, got $chainAlgo")
+    assert(chainLabels.collect().map(_.getLong(1)).forall(_ == 0L))
+    // a 10-clique: avg degree 2·45/10 = 9 → shallow, pointer jumping
+    val clique = (for (i <- 0L until 10L; j <- i + 1 until 10L) yield (i, j))
+      .toDF("a_id", "b_id")
+    val (cliqueLabels, cliqueAlgo) = TextOps.ccAuto(spark, clique)
+    assert(cliqueAlgo == "pointer_jumping",
+      s"a clique (avg deg ≥3) must dispatch to pointer jumping, got $cliqueAlgo")
+    assert(cliqueLabels.collect().map(_.getLong(1)).forall(_ == 0L))
+    // the rule itself, at the boundary: 2E/N = 3 exactly → pointer jumping
+    assert(TextOps.ccChoose(3, 2) == "pointer_jumping")
+    assert(TextOps.ccChoose(1, 2) == "large_small_star")
+    assert(TextOps.ccChoose(0, 0) == "pointer_jumping") // empty graph: no loop either way
+  }
+
   test("t32 leakage guard: every member of a dup cluster gets the SAME split") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val d = "/root/testdata/sf0.01"

@@ -521,6 +521,19 @@ class PlanSpec extends AnyFunSuite {
       s"both fact scans must be bucketed:\n$p")
   }
 
+  test("q43: data-derived probe keys dynamically prune the partitioned fact scan") {
+    // the probe side (top-2 priorities BY COUNT) is not a literal, so
+    // only DPP — a runtime dynamicpruning subquery feeding the scan's
+    // PartitionFilters — can prune; a plan without it reads all 5
+    // partitions for a 2-partition answer
+    val df = graft.SparkEntry.all("q43_partition_pruned_revenue").fn(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"the partitioned scan must carry a dynamic pruning filter:\n$p")
+    assert(df.collect().length == 2)
+  }
+
   test("m09: band candidates hash-join on band keys; signature aggregates partially") {
     val p = plan("m09_chunk_simhash_pairs")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
