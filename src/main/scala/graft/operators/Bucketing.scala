@@ -40,8 +40,9 @@ object Bucketing {
   def dropWithLocation(spark: SparkSession, table: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // listFiles() returns NULL (not empty) on a concurrently-deleted dir
     def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
       f.delete(); ()
     }
     rmrf(new java.io.File(wh, table.toLowerCase))
@@ -68,7 +69,11 @@ object Bucketing {
     * /read-forever split a real deployment gets from a persistent
     * metastore. The write is the one-time cost the reference pays when
     * `run_engine.py` deploys its index DDL. */
-  def factTables(s: SparkSession, d: String): (String, String) = {
+  // deploys run under the object lock: TrieMap.getOrElseUpdate may
+  // evaluate its builder TWICE under concurrent first access — harmless
+  // for the pure-DataFrame memos elsewhere, destructive here where the
+  // builder runs DROP + rm -rf + saveAsTable on a shared location
+  def factTables(s: SparkSession, d: String): (String, String) = synchronized {
     factCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     factCache.getOrElseUpdate((s, d), {
       // table names keyed by dir so sf0.001/sf0.01/sf0.1 coexist
@@ -99,7 +104,7 @@ object Bucketing {
     * exactly how a date-dim prunes a date-partitioned 100 TB fact
     * ("this week's dims" reads one week, not the decade). Returns
     * (factTable, dimTable); written once per (session, dir). */
-  def partitionedOrdersWithDim(s: SparkSession, d: String): (String, String) = {
+  def partitionedOrdersWithDim(s: SparkSession, d: String): (String, String) = synchronized {
     partCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     partCache.getOrElseUpdate((s, d), {
       val t = s"graft_o_part_${dirKey(d)}"

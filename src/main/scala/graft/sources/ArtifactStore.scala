@@ -25,6 +25,14 @@ object ArtifactStore {
 
   def root: String = sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "artifacts")
 
+  /** Derivation-code version, folded into every artifact key. The
+    * fixture key (size+mtime) catches data changes; THIS catches code
+    * changes — bump it whenever the tokenization/normalization that
+    * FEEDS an artifact changes (norm(), sid60, gram windows), or a
+    * persisted index built by the old code will silently serve the new
+    * engine and either fail the oracle confusingly or mask the fix. */
+  val FormatVersion = 1
+
   /** Observability for specs: how many artifacts were built vs served
     * from disk in this JVM. */
   val builds = new AtomicInteger(0)
@@ -45,21 +53,44 @@ object ArtifactStore {
       }
     walk(p)
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(s"$sourceDir|$len|$mtime".getBytes("UTF-8"))
+    md.update(s"$sourceDir|$len|$mtime|v$FormatVersion".getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString.take(12)
   }
 
   /** Serve the artifact at `<root>/<kind>/<name>`, building it with
     * `build` on first use. Returns a DataFrame that SCANS THE ARTIFACT
-    * in both paths. Synchronized JVM-wide: two sessions racing the same
-    * path (parallel test suites) must not interleave a write. */
+    * in both paths. Concurrency: synchronized JVM-wide (parallel test
+    * suites in one JVM), and cross-PROCESS safe via write-to-temp +
+    * atomic rename — two processes racing the same key each build into
+    * their own temp dir and the loser of the rename discards, so a
+    * reader can never observe a half-written artifact behind a
+    * _SUCCESS marker. */
   def loadOrBuild(s: SparkSession, kind: String, name: String)
       (build: => DataFrame): DataFrame = synchronized {
     val dir = Paths.get(root, kind, name)
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
-      build.write.mode("overwrite").parquet(dir.toString)
-      builds.incrementAndGet()
+      val tmp = Paths.get(root, kind,
+        s"$name.tmp-${ProcessHandle.current().pid()}")
+      build.write.mode("overwrite").parquet(tmp.toString)
+      try {
+        Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        builds.incrementAndGet()
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.DirectoryNotEmptyException =>
+          // another process won the rename; serve theirs
+          rmrf(tmp)
+          loads.incrementAndGet()
+      }
     } else loads.incrementAndGet()
     s.read.parquet(dir.toString)
+  }
+
+  private def rmrf(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val st = Files.list(p)
+      try st.forEach(rmrf(_)) finally st.close()
+    }
+    Files.deleteIfExists(p); ()
   }
 }

@@ -79,18 +79,9 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("bucketed join plans without a shuffle exchange") {
-    // drop catalog entries AND their locations: the in-memory catalog
-    // forgets tables across JVMs while the warehouse dirs survive, and
-    // saveAsTable refuses a location it doesn't own
-    def rmrf(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmrf)
-      f.delete(); ()
-    }
-    Seq("li_b", "o_b").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      rmrf(new java.io.File(wh, t))
-    }
+    // the production drop (catalog entry + warehouse location — stale
+    // dirs from a previous JVM break saveAsTable otherwise)
+    Seq("li_b", "o_b").foreach(Bucketing.dropWithLocation(spark, _))
     Bucketing.writeBucketed(
       Tables.lineitem(spark, d).select("l_orderkey", "l_quantity"),
       "li_b", "l_orderkey", 8)

@@ -527,11 +527,11 @@ class PlanSpec extends AnyFunSuite {
     // PartitionFilters — can prune; a plan without it reads all 5
     // partitions for a 2-partition answer
     val df = graft.SparkEntry.all("q43_partition_pruned_revenue").fn(spark, d)
-    df.collect()
+    val rows = df.collect()
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"),
       s"the partitioned scan must carry a dynamic pruning filter:\n$p")
-    assert(df.collect().length == 2)
+    assert(rows.length == 2)
   }
 
   test("m09: band candidates hash-join on band keys; signature aggregates partially") {
