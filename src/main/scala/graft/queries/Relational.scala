@@ -299,6 +299,39 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** SCD Type-2 dimension versioning — THE warehouse-load pattern for a
+    * changing dimension (the reference's domain loads dimension tables;
+    * this is their day-2 story): a deterministic day-2 delta (customers
+    * with custkey ≡ 0 mod 97 move to AUTOMOBILE) is applied by CLOSING
+    * the changed rows (valid_to = day 2, no longer current) and
+    * appending the new versions (valid_from = day 2, open-ended) —
+    * history is never updated in place, every point-in-time query
+    * remains answerable.
+    *
+    * Scale: one keyed LEFT join against the delta (a day's changes —
+    * data-dependent, so NEVER forced broadcast; AQE converts when small,
+    * the t32 discipline) plus map-only version arithmetic; the
+    * dimension is scanned once and shuffled once on its key. At 100 TB
+    * the dimension history grows by |changes|/day, not |dim|/day. */
+  def scd2Dimension(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val delta = c
+      .filter(pmod(col("c_custkey"), lit(97)) === 0 && col("c_mktsegment") =!= "AUTOMOBILE")
+      .select(col("c_custkey"), lit("AUTOMOBILE").as("new_segment"))
+    val j = c.join(delta, Seq("c_custkey"), "left")
+    val closed = j.select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment").as("segment"),
+      lit(1L).as("valid_from"),
+      when(col("new_segment").isNotNull, lit(2L)).as("valid_to"),
+      when(col("new_segment").isNotNull, 0L).otherwise(1L).as("is_current"))
+    val fresh = j.filter(col("new_segment").isNotNull)
+      .select(col("c_custkey"), col("c_name"),
+        col("new_segment").as("segment"),
+        lit(2L).as("valid_from"), lit(null).cast("long").as("valid_to"),
+        lit(1L).as("is_current"))
+    closed.unionByName(fresh).orderBy(col("c_custkey"), col("valid_from"))
+  }
+
   private val D = "DECIMAL(18,2)"
   private def sumd(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
 
@@ -451,6 +484,24 @@ object Relational {
          |JOIN part ON l_partkey = p_partkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // the oracle restates close-and-append over the same deterministic
+    // delta; NULL valid_to = the open-ended current version
+    "q44_scd2_dimension" -> QueryDef(scd2Dimension _,
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |d AS (SELECT c_custkey, 'AUTOMOBILE' AS new_segment FROM c
+        |      WHERE c_custkey % 97 = 0 AND c_mktsegment <> 'AUTOMOBILE'),
+        |j AS (SELECT c.c_custkey, c.c_name, c.c_mktsegment, d.new_segment
+        |      FROM c LEFT JOIN d ON d.c_custkey = c.c_custkey)
+        |SELECT c_custkey, c_name, c_mktsegment AS segment,
+        |  CAST(1 AS BIGINT) AS valid_from,
+        |  CASE WHEN new_segment IS NOT NULL THEN CAST(2 AS BIGINT) END AS valid_to,
+        |  CAST(CASE WHEN new_segment IS NOT NULL THEN 0 ELSE 1 END AS BIGINT) AS is_current
+        |FROM j
+        |UNION ALL
+        |SELECT c_custkey, c_name, new_segment, CAST(2 AS BIGINT), NULL, CAST(1 AS BIGINT)
+        |FROM j WHERE new_segment IS NOT NULL
+        |ORDER BY c_custkey, valid_from""".stripMargin),
 
     // the oracle restates the deployed dim (distinct key + derived
     // attribute) and its non-key filter over PLAIN parquet: the

@@ -163,6 +163,7 @@ object StreamOps {
     docSourceCache.clear()
     embSourceCache.clear()
     semStreamCache.clear() // checkpointed frame; scratch deleted eagerly
+    gramIndexStreamCache.clear() // ditto
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     nearDupCache.clear()  // ditto
@@ -486,6 +487,42 @@ object StreamOps {
   }
 
   private val semStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Streaming gram-index maintenance — the EXACT-index twin of s12's
+    * sketch maintenance, and the ingest-side half of the ArtifactStore
+    * story: each micro-batch of arriving documents emits its own
+    * (doc_id, gid) rows through the batch operator's gram builder
+    * ([[TextOps.explodeGramIds]] — same ids, same windows) into an
+    * append-only index table; the maintained index must equal the
+    * batch-built index exactly, proving a persisted gram index can be
+    * kept current BY THE INGEST STREAM — new docs append their rows,
+    * nothing is recomputed, because the index is per-doc decomposable
+    * (one row per (doc, gram), no cross-doc aggregation). Graded as the
+    * per-doc index summary (distinct-gram count + gid range) against
+    * the batch gram chain's oracle. */
+  def streamIndexMaintenance(s: SparkSession, d: String): DataFrame = {
+    gramIndexStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    gramIndexStreamCache.getOrElseUpdate((s, d), {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_stream_gidx")
+      try {
+        val partials = scratch.resolve("index").toString
+        val nBatches = graft.streaming.DocStream.runDocForeachBatch(
+          s, docStreamSource(s, d), (batch, _) =>
+            TextOps.explodeGramIds(batch, 8).distinct()
+              .write.mode("append").parquet(partials))
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        s.read.parquet(partials)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            min(col("gid")).as("min_gid"), max(col("gid")).as("max_gid"))
+          .orderBy("doc_id")
+          .localCheckpoint() // pin before the scratch dir is deleted
+      } finally rmrf(scratch)
+    })
+  }
+
+  private val gramIndexStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Streaming retrieval scoring — t48's TF-IDF scorer run AT INGEST:
@@ -829,6 +866,15 @@ object StreamOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // oracle = the batch gram chain's per-doc summary: the index the
+    // stream maintains by appending each micro-batch's rows must equal
+    // the index a batch rebuild would produce, gram for gram
+    "s16_stream_index_maintenance" -> QueryDef(streamIndexMaintenance _,
+      s"""${TextOps.Gram8CtesDuck}
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  MIN(gid) AS min_gid, MAX(gid) AS max_gid
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
     // oracle = batch v16's statement verbatim: in-stream scoring against
     // the frozen suite must agree vector for vector with the batch
