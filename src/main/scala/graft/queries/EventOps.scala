@@ -364,6 +364,41 @@ object EventOps {
         min(when(col("cum") * 100 >= col("n") * 99, col("gap_sec"))).as("p99_sec"))
   }
 
+  /** Last-touch attribution: every purchase credits the user's most
+    * recent preceding NON-purchase event inside a 7-day lookback; a
+    * purchase with no in-window touch is 'direct'. Output is the channel
+    * census (touch event_type → purchases, attributed revenue) a
+    * marketing team reads to split credit.
+    *
+    * Scale: one window partitioned by user_id (the shared event-ops
+    * shuffle) carrying the last non-null touch via
+    * last(_, ignoreNulls) over UNBOUNDED PRECEDING..1 PRECEDING —
+    * single pass, no self-join of purchases against touches (the naive
+    * as-of join re-shuffles both sides and explodes on active users).
+    * touch type and timestamp are null on exactly the same rows, so the
+    * two ignoreNulls carries always read the SAME touch row. Revenue
+    * sums in exact DECIMAL (the Dec rule). */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("touch_type",
+        when(col("event_type") =!= "purchase", col("event_type")))
+      .withColumn("touch_us",
+        when(col("event_type") =!= "purchase", unix_micros(col("ts"))))
+      .withColumn("lt", last(col("touch_type"), ignoreNulls = true).over(w))
+      .withColumn("lt_us", last(col("touch_us"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("lt").isNotNull &&
+          unix_micros(col("ts")) - col("lt_us") <= lit(7L * 86400000000L),
+          col("lt")).otherwise(lit("direct")))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        asDbl(sum(dec("value"))).as("attributed_value"))
+      .orderBy("channel")
+  }
+
   /** RFM (recency / frequency / monetary) quintile segmentation — the
     * user-value census a growth team keys campaigns on. Each user gets
     * three 1–5 scores against corpus-wide quintile thresholds; output is
@@ -698,6 +733,23 @@ object EventOps {
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_sec END) AS p90_sec,
         |  MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_sec END) AS p99_sec
         |FROM cum""".stripMargin),
+    "e19_last_touch_attribution" -> QueryDef(lastTouchAttribution _,
+      s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+         |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+         |    CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END AS touch_us
+         |  FROM events),
+         |l AS (SELECT *,
+         |    LAST_VALUE(touch_type IGNORE NULLS) OVER w AS lt,
+         |    LAST_VALUE(touch_us IGNORE NULLS) OVER w AS lt_us
+         |  FROM t
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |p AS (SELECT CASE WHEN lt IS NOT NULL AND epoch_us(ts) - lt_us <= 604800000000
+         |        THEN lt ELSE 'direct' END AS channel, value
+         |  FROM l WHERE event_type = 'purchase')
+         |SELECT channel, COUNT(*) AS n_purchases,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS attributed_value
+         |FROM p GROUP BY channel ORDER BY channel""".stripMargin),
 
     // same bounded-histogram discipline as e16; the straddling bucket's
     // partial mass is exact because co-bucketed users share one total

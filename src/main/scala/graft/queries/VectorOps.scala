@@ -523,6 +523,72 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF-PQ top-5 — the production composite the ladder builds toward:
+    * v08's coarse quantizer routes each query to its 2 nearest of 16
+    * cells, and ONLY the vectors living in those probed cells are
+    * scored, by v12's PQ-ADC table lookups (8 subspaces × 16 codewords,
+    * integer-exact inner products). This is the FAISS IVFPQ shape: at
+    * 100 TB the index scans nprobe/nlist of the corpus AND reads 4-byte
+    * codes instead of 256-byte vectors — the two compressions multiply
+    * (2/16 cells × 64× code compression ≈ 500× less scan bandwidth than
+    * the v01 flat scan).
+    *
+    * Scale: centroid affinity and the query LUT×probe frame broadcast
+    * (16 rows and |queries|·nprobe·8·16 rows respectively); the corpus
+    * routes through ONE keyed join (codes ⋈ cell assignment on vec_id —
+    * both corpus-sized, both already clustered by vec_id from their
+    * group-bys); the ADC sum partial-aggregates map-side. Every score
+    * is an exact integer (v12's quantized grid), so Spark and DuckDB
+    * rank bit-identically. Cells partition the corpus, so a (query,
+    * vector) pair matches at most one probed cell — the 8-term ADC sum
+    * never double-counts. */
+  def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val aff = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid").asc)))
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    // v12's PQ machinery, verbatim: quantized sub-vectors, seed codebook,
+    // integer L2² encode, query inner-product LUT
+    val eq = embeddings(s, d).withColumn("qv",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val sub = eq.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
+    val cand = sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"),
+        dot("sv", "cv").cast("long").as("ip"))
+    val enc = cand
+      .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("code"))
+    // LUT ⋈ probes — 10 queries × 2 probes × 8 subspaces × 16 codewords
+    // = 2,560 rows at ANY corpus size: broadcast structurally justified
+    val plut = cand.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m").as("lm"), col("j"), col("ip").as("qip"))
+      .join(probes, "q_id")
+    enc.join(cells, "vec_id")
+      .join(broadcast(plut),
+        col("m") === col("lm") && col("cell") === col("pcell") &&
+          col("code") === col("j"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("qip")).as("ascore"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("ascore").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("ascore"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Graded recall@5 of the IVF index (v08) against the exact baseline
     * (v01): per query, how many of the true top-5 the 2-probe
     * approximate search returned. VectorRecallSpec measures this
@@ -1055,6 +1121,46 @@ object VectorOps {
         |top AS (SELECT q_id, vec_id, ascore,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS rk
         |  FROM adc WHERE vec_id <> q_id)
+        |SELECT q_id, rk, vec_id AS hit_id, ascore
+        |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "v24_ivfpq_topk" -> QueryDef(ivfPqTopK _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 200.0)) AS qv
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
+        |    (qv[ms.m * 8 + 1 : ms.m * 8 + 8])::DOUBLE[] AS sv
+        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+        |cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 16),
+        |cand AS (SELECT s.vec_id, s.m, c.j,
+        |    CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+        |       - 2 * list_dot_product(s.sv, c.cv) AS BIGINT) AS d2,
+        |    CAST(list_dot_product(s.sv, c.cv) AS BIGINT) AS ip
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        |    FROM cand) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
+        |adc AS (SELECT l.q_id, en.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
+        |  FROM enc en
+        |  JOIN cells cl ON cl.vec_id = en.vec_id
+        |  JOIN probes pr ON pr.pcell = cl.cell
+        |  JOIN lut l ON l.q_id = pr.q_id AND l.m = en.m AND l.j = en.code
+        |  WHERE en.vec_id <> pr.q_id
+        |  GROUP BY l.q_id, en.vec_id),
+        |top AS (SELECT q_id, vec_id, ascore,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS rk
+        |  FROM adc)
         |SELECT q_id, rk, vec_id AS hit_id, ascore
         |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
 

@@ -78,6 +78,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("Spark's runtime bloom filter injects a might_contain probe on the fact scan side") {
+    // t26 builds its decontamination bloom BY HAND (bloom_agg /
+    // bloom_contains) because the filter must persist across queries;
+    // for a single join Spark 4's InjectRuntimeFilter does the same
+    // semi-join reduction automatically: a selective dim-side filter
+    // grows a bloom that prunes the fact side BEFORE its shuffle. At
+    // 100 TB defaults (creation side <10MB, application side >10GB)
+    // this fires exactly on the dim⋈fact joins SCALE.md cares about;
+    // here the size thresholds scale down to the fixture.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, d)
+      val o = Tables.orders(spark, d).filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("l_linenumber")).as("s"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"InjectRuntimeFilter must add a bloom probe to the fact side:\n$p")
+      assert(p.contains("bloom_filter_agg"),
+        s"the dim side must grow the bloom in a scalar subquery:\n$p")
+      // correctness: the probed plan returns exactly the unprobed result
+      val rows = j.collect()
+      assert(rows.length == 1 && rows.head.getLong(1) > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     // the production drop (catalog entry + warehouse location — stale
     // dirs from a previous JVM break saveAsTable otherwise)

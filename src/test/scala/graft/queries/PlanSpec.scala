@@ -235,6 +235,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_d"), "all distances go through the codegen expression")
   }
 
+  test("e19: attribution is one events scan + one user_id window — no purchase×touch self-join") {
+    val p = plan("e19_last_touch_attribution")
+    val scans = "events\\.parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected a single events scan, got $scans:\n$p")
+    assert(!p.contains("Join"),
+      s"last-touch must carry via the window, never join purchases to touches:\n$p")
+    assert(p.contains("partial_sum"), "revenue census partial-aggs map-side")
+  }
+
+  test("v24: IVFPQ routes codes↔cells through ONE keyed join; LUT×probes broadcast; no cartesian") {
+    val p = plan("v24_ivfpq_topk")
+    // codes ⋈ cell-assignment is the ONE corpus×corpus join — keyed on
+    // vec_id, so it must plan as a hash/sort-merge EQUI join, and the
+    // 2,560-row LUT×probe frame must broadcast against it
+    assert(p.contains("BroadcastHashJoin"), s"LUT×probes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "nothing corpus-scale may cross-join (centroids broadcast is BNLJ-free here)")
+    assert(p.contains("partial_min"),
+      "PQ codeword assignment stays a map-side min(struct) agg (v12's shape)")
+    assert(p.contains("partial_sum"), "ADC sums partial-agg map-side")
+    assert(p.contains("dot_d"), "all distances go through the codegen expression")
+  }
+
   test("q39: unpivot plans as a map-side Expand over the aggregate — no join, no extra shuffle") {
     val p = plan("q39_unpivot_metrics")
     assert(p.contains("Expand"), s"native unpivot must plan as Expand:\n$p")

@@ -61,8 +61,17 @@ class VectorRecallSpec extends AnyFunSuite {
     val rSq8 = recall(hits("v09_sq8_topk"))
     val rPq = recall(hits("v12_pq_adc_topk"))
     val rTrunc = recall(hits("v13_truncated_rerank"))
+    val rIvfPq = recall(hits("v24_ivfpq_topk"))
     info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f, " +
-      f"SQ8=$rSq8%.2f, PQ-ADC(8×16)=$rPq%.2f, trunc16+rerank=$rTrunc%.2f")
+      f"SQ8=$rSq8%.2f, PQ-ADC(8×16)=$rPq%.2f, trunc16+rerank=$rTrunc%.2f, " +
+      f"IVFPQ(2/16 + 8×16)=$rIvfPq%.2f")
+    // the composite can only lose candidates relative to its parts: its
+    // recall is bounded above by BOTH the IVF routing (which prunes
+    // cells) and the PQ ranking (which blurs scores) — but it must stay
+    // far from random (random recall@5 over 500 candidates ≈ 0.01)
+    assert(rIvfPq >= 0.1, s"IVFPQ recall degenerate: $rIvfPq")
+    assert(rIvfPq <= rIvf + 1e-9,
+      s"IVFPQ cannot beat its own coarse router: $rIvfPq > $rIvf")
     assert(rIvf >= 0.3, s"IVF recall degenerate: $rIvf")
     assert(rLsh >= 0.3, s"LSH recall degenerate: $rLsh")
     // SQ8 scans everything (no pruning) — quantization noise only, so
