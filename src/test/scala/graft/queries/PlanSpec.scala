@@ -258,6 +258,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_d"), "all distances go through the codegen expression")
   }
 
+  test("v25: residual IVFPQ — train update is keyed partial-agg, codebooks broadcast, no cartesian") {
+    val p = plan("v25_ivfpq_residual_topk")
+    assert(p.contains("partial_min"),
+      "both assignment passes (seed + trained) stay map-side min(struct) aggs")
+    assert(p.contains("partial_sum"),
+      "the Lloyd member-mean update and ADC sums partial-agg map-side")
+    assert(p.contains("BroadcastHashJoin"), "codebook/centroid/LUT frames broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("dot_d"), "all distances go through the codegen expression")
+  }
+
   test("q39: unpivot plans as a map-side Expand over the aggregate — no join, no extra shuffle") {
     val p = plan("q39_unpivot_metrics")
     assert(p.contains("Expand"), s"native unpivot must plan as Expand:\n$p")
