@@ -82,9 +82,67 @@ object VectorOps {
   private val cosinePairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The centroid-affinity frame (vec_id, cid, ccos, crn): every
+    * vector's rounded cosine + rank against all 16 coarse centroids.
+    * This is the IVF routing table SIX operators derive cells/probes
+    * from (v08, v17, v19, v21, v24, v25), so — like the t19 gram index
+    * and the v02/t15 pair frame — it is memoized per (session, dir)
+    * and localCheckpoint'ed: |vectors|×16 rows, built once per harness
+    * run. Plan-shape assertions for the build run against
+    * centroidAffinityUncached (the t05 cached-plan lesson). */
+  private[queries] def centroidAffinityUncached(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .select(col("vec_id"), col("cid"), col("ccos"), col("crn"))
+  }
+
+  private[queries] def centroidAffinity(s: SparkSession, d: String): DataFrame = {
+    affinityCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    affinityCache.getOrElseUpdate((s, d), centroidAffinityUncached(s, d).localCheckpoint())
+  }
+
+  private val affinityCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** The PQ candidate frame (vec_id, m, j, d2, ip): every vector's
+    * quantized sub-vectors against every seed codeword — the frame
+    * v12's encode+LUT, v18's training assignment, and v24's composite
+    * all start from. Memoized like the affinity frame; build-shape
+    * assertions run against pqCandUncached. */
+  private[queries] def pqCandUncached(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val eq = embeddings(s, d).withColumn("qv",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val sub = eq.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cb = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
+    sub.join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"),
+        dot("sv", "cv").cast("long").as("ip"))
+  }
+
+  private[queries] def pqCand(s: SparkSession, d: String): DataFrame = {
+    pqCandCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    pqCandCache.getOrElseUpdate((s, d), pqCandUncached(s, d).localCheckpoint())
+  }
+
+  private val pqCandCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Teardown hook (Harness calls this before spark.stop()). */
-  def clearCaches(): Unit =
+  def clearCaches(): Unit = {
     cosinePairsCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
+    affinityCache.clear()
+    pqCandCache.clear()
+  }
 
   /** Per-label quantized centroids.
     * Floats are quantized to 1e-6 grid BIGINTs before summation so the
@@ -144,14 +202,7 @@ object VectorOps {
     * (its size is data-dependent — no forced broadcast, t32's rule). */
   def semanticDedup(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val aff = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid").asc)))
-    val cells = aff.filter(col("crn") === 1)
+    val cells = centroidAffinity(s, d).filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val m = e.join(cells, "vec_id")
     val a = m.select(col("cell"), col("vec_id").as("a_id"),
@@ -252,13 +303,7 @@ object VectorOps {
     * a broadcast. Exact ranking inside the probed cells. */
   def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val aff = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid").asc)))
+    val aff = centroidAffinity(s, d)
     val cells = aff.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
@@ -348,18 +393,9 @@ object VectorOps {
   /** The v08/v11 cell assignment as a reusable frame: (vec_id, cell,
     * ccos) — nearest of the 16 seed centroids, rounded-cosine + cid-asc
     * tie-break. */
-  private[queries] def ivfCells(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("crn") === 1)
+  private[queries] def ivfCells(s: SparkSession, d: String): DataFrame =
+    centroidAffinity(s, d).filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"), col("ccos"))
-  }
 
   /** Exact per-cell top-k over a (vec_id, cell, ccos) frame via the
     * salted two-level tournament (containment proof in
@@ -490,19 +526,10 @@ object VectorOps {
     * integer — bit-identical rankings in both engines with zero float
     * discipline. */
   def pqAdcTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    val e = embeddings(s, d).withColumn("qv",
-      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
-    // (vector, subspace) → 8-dim quantized sub-vector
-    val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
-      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
-    val cb = sub.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
-    // exact integer L2² (encode objective) + inner product (ADC score)
-    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
-    val cand = sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"),
-        dot("sv", "cv").cast("long").as("ip"))
+    // the shared candidate frame: quantized sub-vectors × seed codebook
+    // with exact integer L2² (encode objective) + inner product (ADC
+    // score) — memoized, build shape asserted via pqCandUncached
+    val cand = pqCand(s, d)
     // encode: nearest codeword per (vector, subspace); min(struct) is a
     // partial (map-side) aggregation — no window over the corpus
     val enc = cand
@@ -543,30 +570,14 @@ object VectorOps {
     * vector) pair matches at most one probed cell — the 8-term ADC sum
     * never double-counts. */
   def ivfPqTopK(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val aff = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid").asc)))
+    val aff = centroidAffinity(s, d)
     val cells = aff.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-    // v12's PQ machinery, verbatim: quantized sub-vectors, seed codebook,
-    // integer L2² encode, query inner-product LUT
-    val eq = embeddings(s, d).withColumn("qv",
-      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
-    val sub = eq.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
-      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
-    val cb = sub.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
-    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
-    val cand = sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"),
-        dot("sv", "cv").cast("long").as("ip"))
+    // v12's PQ machinery, shared: the memoized candidate frame carries
+    // integer L2² (encode) + inner product (LUT) per codeword
+    val cand = pqCand(s, d)
     val enc = cand
       .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.j").as("code"))
@@ -619,14 +630,8 @@ object VectorOps {
     * cells stays the one keyed corpus join; the LUT×probe frame stays
     * 2,560 rows at any corpus size. */
   def ivfPqResidualTopK(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val aff = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid").asc)))
+    graft.functions.VectorExpressions.register(s)
+    val aff = centroidAffinity(s, d)
     val cells = aff.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
@@ -740,11 +745,8 @@ object VectorOps {
       expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
     val sub = e.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
       .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
-    val cb = sub.filter(col("vec_id") < 16)
-      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
-    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
-    val enc = sub.join(broadcast(cb), "m")
-      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"))
+    val enc = pqCand(s, d)
+      .select(col("vec_id"), col("m"), col("j"), col("d2"))
       .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.j").as("code"))
     enc.join(sub, Seq("vec_id", "m"))
@@ -808,24 +810,17 @@ object VectorOps {
     * the curve it sits on). Recall is monotone in nprobe by
     * construction — more probed cells only add candidates.
     *
-    * Scale: the |vectors|×16 affinity frame computes ONCE
-    * (localCheckpoint — three curve points would re-derive it three
-    * times, the t48/t49 lesson) and each point reuses v08's exact scale
+    * Scale: the |vectors|×16 affinity frame is the SHARED memoized
+    * routing table (centroidAffinity — three curve points, and five
+    * sibling operators, would re-derive it otherwise; the t48/t49
+    * lesson) and each point reuses v08's exact scale
     * shape: probed cells bound the candidate set, the rank window
     * partitions per query, and the final count is |queries|×5 rows per
     * point. The exact baseline comes from the v01 path with its own
     * plan intact. */
   def ivfProbeCurve(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val aff = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cid").asc)))
-      .select("vec_id", "cid", "crn")
-      .localCheckpoint()
+    val aff = centroidAffinity(s, d).select("vec_id", "cid", "crn")
     val cells = aff.filter(col("crn") === 1).select(col("vec_id"), col("cid").as("cell"))
     val base = e.join(cells, "vec_id")
     val q = e.filter(col("vec_id") < 10)

@@ -226,13 +226,19 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("v12: PQ encode is partial min(struct), codebook + LUT broadcast, ADC sum partial-aggs") {
+    // the candidate frame is memoized (pqCand) — assert its BUILD plan
+    // via the uncached hook, not the cached scan (the t05 lesson)
+    val pc = VectorOps.pqCandUncached(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pc.contains("BroadcastHashJoin"), s"codebook must broadcast in the build:\n$pc")
+    assert(pc.contains("dot_d"), "candidate distances go through the codegen expression")
+    assert(!pc.contains("CartesianProduct"))
     val p = plan("v12_pq_adc_topk")
     assert(p.contains("partial_min"),
       s"codeword assignment must be a map-side min(struct) agg, not a window:\n$p")
     assert(p.contains("partial_sum"), "ADC sums must partial-agg map-side")
-    assert(p.split("BroadcastHashJoin").length >= 3, "codebook and LUT must broadcast")
+    assert(p.contains("BroadcastHashJoin"), "the LUT must broadcast")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("dot_d"), "all distances go through the codegen expression")
   }
 
   test("e19: attribution is one events scan + one user_id window — no purchase×touch self-join") {
@@ -245,6 +251,13 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("v24: IVFPQ routes codes↔cells through ONE keyed join; LUT×probes broadcast; no cartesian") {
+    // the affinity routing table is memoized (centroidAffinity) —
+    // assert ITS build plan via the uncached hook (the t05 lesson)
+    val pa = VectorOps.centroidAffinityUncached(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pa.contains("dot_d"), s"affinity cosines go through the codegen expression:\n$pa")
+    assert(pa.contains("BroadcastNestedLoopJoin"),
+      "the 16-row centroid frame broadcasts against the corpus")
     val p = plan("v24_ivfpq_topk")
     // codes ⋈ cell-assignment is the ONE corpus×corpus join — keyed on
     // vec_id, so it must plan as a hash/sort-merge EQUI join, and the
@@ -255,7 +268,6 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min"),
       "PQ codeword assignment stays a map-side min(struct) agg (v12's shape)")
     assert(p.contains("partial_sum"), "ADC sums partial-agg map-side")
-    assert(p.contains("dot_d"), "all distances go through the codegen expression")
   }
 
   test("v25: residual IVFPQ — train update is keyed partial-agg, codebooks broadcast, no cartesian") {
