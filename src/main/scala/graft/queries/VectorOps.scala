@@ -104,7 +104,16 @@ object VectorOps {
 
   private[queries] def centroidAffinity(s: SparkSession, d: String): DataFrame = {
     affinityCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    affinityCache.getOrElseUpdate((s, d), centroidAffinityUncached(s, d).localCheckpoint())
+    affinityCache.getOrElseUpdate((s, d), {
+      // cross-RUN artifact (the gram-index pattern): the routing table
+      // IS the coarse half of a deployed ANN index — a fresh JVM loads
+      // the parquet instead of re-scoring the corpus against centroids
+      val f = graft.sources.ArtifactStore.loadOrBuild(
+        s, "ivf_affinity", graft.sources.ArtifactStore.key(d, "embeddings.parquet"))(
+        centroidAffinityUncached(s, d)).persist()
+      f.count() // materialize eagerly so every consumer reads the cache
+      f
+    })
   }
 
   private val affinityCache =
@@ -131,7 +140,15 @@ object VectorOps {
 
   private[queries] def pqCand(s: SparkSession, d: String): DataFrame = {
     pqCandCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    pqCandCache.getOrElseUpdate((s, d), pqCandUncached(s, d).localCheckpoint())
+    pqCandCache.getOrElseUpdate((s, d), {
+      // cross-RUN artifact: the candidate frame is the PQ half of the
+      // deployed index (codes derive from it with one partial agg)
+      val f = graft.sources.ArtifactStore.loadOrBuild(
+        s, "pq_cand", graft.sources.ArtifactStore.key(d, "embeddings.parquet"))(
+        pqCandUncached(s, d)).persist()
+      f.count() // materialize eagerly so every consumer reads the cache
+      f
+    })
   }
 
   private val pqCandCache =
