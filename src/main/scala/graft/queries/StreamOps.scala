@@ -122,6 +122,50 @@ object StreamOps {
     })
   }
 
+  /** A TIME-SLICED 4-file snapshot of the events table: file i holds
+    * the i-th quarter of the event-time range, and file mtimes ascend
+    * with the slice index so FileStreamSource (oldest-first) replays
+    * them in event-time order under maxFilesPerTrigger=1 — the arrival
+    * shape of a real day-by-day ingest. This is the source for stateful
+    * consumers whose state must CARRY across batches in time order
+    * (s17's attribution: a touch in slice k attributes a purchase in
+    * slice k+1). */
+  private val timeSliceSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def timeSlicedStreamSource(s: SparkSession, d: String): String = {
+    evictDead(timeSliceSourceCache)
+    timeSliceSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_ts")
+      try {
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
+        val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
+        for (i <- 0 until 4) {
+          val from = lo + (hi - lo) * i / 4
+          val to = lo + (hi - lo) * (i + 1) / 4
+          val sliceDir = dir.resolve(s"build$i")
+          ev.filter(unix_micros(col("ts")) >= from && unix_micros(col("ts")) < to)
+            .coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
+          // move the part file up as slice<i>.parquet with an ASCENDING
+          // mtime — FileStreamSource orders new files oldest-first, and
+          // sequential writes alone can tie within the fs timestamp
+          // granularity
+          val part = java.nio.file.Files.list(sliceDir).filter(p =>
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          val dst = dir.resolve(s"slice$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+          rmrf(sliceDir)
+        }
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      trackScratch(dir.toString)
+    })
+  }
+
   /** A deliberately at-least-once copy of the fixture: every event
     * delivered twice (two identical parquet files) — the input shape a
     * replayed/retried ingest produces, which s03's dedup must collapse. */
@@ -525,6 +569,28 @@ object StreamOps {
   private val gramIndexStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Streaming last-touch attribution — e19's stateful twin, and the
+    * one streaming query whose state must CARRY ACROSS MICRO-BATCHES in
+    * event-time order: the source replays as four time-sliced batches
+    * (a day-by-day ingest shape), each user's single (touch type, time)
+    * lives in flatMapGroupsWithState, and a purchase arriving in slice
+    * k+1 attributes to a touch from slice k via state, not via any
+    * rescan. Per-purchase attributions drain to the sink; the graded
+    * frame is the channel census, which must hash-match batch e19's
+    * oracle exactly — window-carried batch semantics ≡ state-carried
+    * streaming semantics. State is |users|-bounded (one small case
+    * class each; production adds the semantically-free 7-day TTL). */
+  def streamAttribution(s: SparkSession, d: String): DataFrame = {
+    val (rows, nBatches) = EventStream.runAttributionOnce(
+      s, timeSlicedStreamSource(s, d), "graft_stream_attrib")
+    require(nBatches >= 4,
+      s"expected the 4 time-sliced micro-batches to replay, got $nBatches")
+    rows.groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        Tables.asDbl(sum(Tables.dec(col("value")))).as("attributed_value"))
+      .orderBy("channel")
+  }
+
   /** Streaming retrieval scoring — t48's TF-IDF scorer run AT INGEST:
     * the idf model trains ONCE batch-side from the corpus snapshot (the
     * offline-train / online-score posture every retrieval deployment
@@ -890,6 +956,27 @@ object StreamOps {
         |SELECT vec_id, max(cos) AS max_cos,
         |  CAST(SUM(CASE WHEN cos >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
         |  CAST(CASE WHEN max(cos) >= 0.4 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
-        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin)
+        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin),
+
+    // oracle = batch e19's statement verbatim: state carried across
+    // time-sliced micro-batches must reproduce the batch window's
+    // last-touch semantics channel for channel
+    "s17_stream_attribution" -> QueryDef(streamAttribution _,
+      """WITH t AS (SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,
+        |    CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END AS touch_us
+        |  FROM events),
+        |l AS (SELECT *,
+        |    LAST_VALUE(touch_type IGNORE NULLS) OVER w AS lt,
+        |    LAST_VALUE(touch_us IGNORE NULLS) OVER w AS lt_us
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT CASE WHEN lt IS NOT NULL AND epoch_us(ts) - lt_us <= 604800000000
+        |        THEN lt ELSE 'direct' END AS channel, value
+        |  FROM l WHERE event_type = 'purchase')
+        |SELECT channel, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin)
   )
 }

@@ -142,6 +142,66 @@ object EventStream {
       q.recentProgress.map(_.batchId).distinct.length.toLong
     }
 
+  // --- stateful last-touch attribution (e19's streaming twin) -----------
+
+  final case class TouchState(touchType: String, touchUs: Long)
+  final case class AttribOut(user_id: Long, event_id: Long, purchase_us: Long,
+      channel: String, value: Double)
+
+  /** Per-user attribution state machine: non-purchase events update the
+    * ONE (type, time) touch in state; purchases emit their channel —
+    * the last in-window touch, else 'direct' — scored at ARRIVAL
+    * against state carried across micro-batches. State is exactly one
+    * small case class per user (|users|-bounded; a production deploy
+    * adds an event-time TTL at the 7-day lookback — older touches can
+    * never attribute, so expiry is semantically free). Within a batch,
+    * events sort by full-µs time + event_id, matching the batch
+    * window's ORDER BY (e19) — so a same-batch touch→purchase pair
+    * resolves identically to the batch twin. */
+  def attributeFn(userId: Long, evs: Iterator[Ev],
+      state: GroupState[TouchState]): Iterator[AttribOut] = {
+    val LookbackUs = 7L * 86400000000L
+    var st = state.getOption.orNull
+    val out = scala.collection.mutable.ArrayBuffer.empty[AttribOut]
+    def usOf(e: Ev): Long = (e.ts.getTime / 1000) * 1000000L + e.ts.getNanos / 1000
+    evs.toSeq.sortBy(e => (usOf(e), e.event_id)).foreach { e =>
+      val us = usOf(e)
+      if (e.event_type == "purchase") {
+        val channel =
+          if (st != null && us - st.touchUs <= LookbackUs) st.touchType
+          else "direct"
+        out += AttribOut(userId, e.event_id, us, channel, e.value)
+      } else st = TouchState(e.event_type, us)
+    }
+    if (st != null) state.update(st)
+    out.iterator
+  }
+
+  /** Streaming attribution over a typed event stream. */
+  def attribute(events: Dataset[Ev]): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(attributeFn)
+  }
+
+  /** Drain a (time-sliced) source through the attribution state machine
+    * one file per micro-batch; returns the per-purchase log plus how
+    * many NON-EMPTY micro-batches ran, so callers can assert the state
+    * actually carried across real batch boundaries. */
+  def runAttributionOnce(spark: SparkSession, sourceDir: String,
+      name: String): (DataFrame, Long) =
+    withStatePartitions(spark) {
+      import spark.implicits._
+      val src = spark.readStream.schema(schema).format("parquet")
+        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
+        .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      val q = attribute(src).toDF().writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      (spark.table(name), q.recentProgress.count(_.numInputRows > 0).toLong)
+    }
+
   /** Same harness for the typed stateful sessionization (Append mode —
     * flatMapGroupsWithState emits closed sessions; each user's open
     * session stays in state). */
