@@ -78,6 +78,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE coalesces a small shuffle output below the configured partition count") {
+    // the third AQE property SCALE.md leans on (skew-split and the
+    // runtime bloom are pinned above): a shuffle sized for the cluster
+    // (32 partitions here, thousands at 100 TB) whose OUTPUT is small
+    // must coalesce to few reducer tasks at runtime, so |groups|-scale
+    // aggregations never pay thousands of near-empty task launches.
+    val confs = Seq(
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64MB")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val agg = Tables.lineitem(spark, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+      assert(agg.collect().length > 0) // finalize THIS adaptive plan
+      val p = agg.queryExecution.executedPlan.toString
+      assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+        s"the tiny aggregate shuffle must read coalesced:\n$p")
+      // AQEShuffleRead nodes live INSIDE the adaptive plan's query
+      // stages, which are TreeNode LEAVES — descend through both
+      // AdaptiveSparkPlanExec.executedPlan and QueryStageExec.plan
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+      def reads(p: SparkPlan): Seq[Int] = p.collect {
+        case r: AQEShuffleReadExec => Seq(r.partitionSpecs.length)
+        case a: AdaptiveSparkPlanExec => reads(a.executedPlan)
+        case q: QueryStageExec => reads(q.plan)
+      }.flatten
+      val parts = reads(agg.queryExecution.executedPlan)
+      val configured = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      assert(parts.nonEmpty && parts.min < configured,
+        s"expected < $configured post-shuffle partitions, got $parts")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("Spark's runtime bloom filter injects a might_contain probe on the fact scan side") {
     // t26 builds its decontamination bloom BY HAND (bloom_agg /
     // bloom_contains) because the filter must persist across queries;
