@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Graph-analytics operators over graphs DERIVED from the relational
+  * fixtures — the iterative/combinatorial surface beside the t16/t34
+  * connected components: PageRank (p01), triangle counting (p02), and
+  * degree distribution (p03).
+  *
+  * Portability contract: p01 runs ENTIRELY in 64-bit integer fixed-point
+  * (rank mass Q = 10^12 per node; per-edge contribution = rank div deg;
+  * damping = (85 · Σ) div 100) — float PageRank sums are order-dependent
+  * and would never hash-match across engines, integer sums are exact in
+  * any order. p03 bins degrees by floor(log2) computed as
+  * length(bin(d)) − 1 — integer again, no float log whose last ulp could
+  * flip a floor() between engines.
+  *
+  * Scale design: edges build from keyed equi-joins with bounded per-key
+  * fan-out (lines per order); each PageRank iteration is one keyed
+  * join + one keyed partial-agg shuffled on node id — the degree frame
+  * is data-scale and joins KEYED (never forced broadcast); iteration
+  * frames localCheckpoint per round (the t16 lineage lesson). Triangle
+  * counting orients edges low-degree → high-degree first, the classic
+  * trick that bounds the path-join fan-out by O(√m) per node instead of
+  * the max raw degree.
+  */
+object GraphOps {
+
+  /** Fixed-point unit: each node starts with Q of rank mass. Headroom:
+    * 85 · n · Q must stay inside int64 — fine to n ≈ 10^5 nodes; at
+    * larger n a deployment scales Q down (10^6 keeps rank resolution
+    * of 1e-6 at n = 10^11). */
+  private val Q = 1000000000000L
+  private val Iters = 5
+
+  /** Undirected customer↔supplier bipartite graph: an edge per distinct
+    * (customer, supplier) trading pair observed in orders ⋈ lineitem.
+    * Node encoding 2k / 2k+1 keeps the two key spaces disjoint. */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .distinct()
+    pairs.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+  }
+
+  /** p01 — 5 PageRank iterations in exact integer fixed-point; top-20
+    * nodes by final rank. One keyed join + one keyed partial-agg per
+    * iteration; degree and rank frames are data-scale so they join
+    * keyed, with localCheckpoint truncating lineage each round. */
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankOn(bipartiteEdges(s, d))
+
+  /** Core on an explicit directed edge frame (both directions present
+    * for an undirected graph) — factored for GraphOpsSpec's planted
+    * graphs. */
+  private[queries] def pagerankOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    var rank = deg.select(col("node"), lit(Q).as("r"))
+    for (_ <- 1 to Iters) {
+      rank = rank.join(deg, "node")
+        .select(col("node"), expr("r div d").as("contrib"))
+        .join(edges, col("node") === col("src"))
+        .groupBy(col("dst").as("node"))
+        // div, not /: Spark's `/` on longs is DOUBLE division — the one
+        // float op that would break the integer-exactness contract
+        .agg(expr("(85 * sum(contrib)) div 100").as("msum"))
+        .select(col("node"), (lit(15L * (Q / 100)) + col("msum")).as("r"))
+        .localCheckpoint()
+    }
+    rank
+      .withColumn("node_type", when(pmod(col("node"), lit(2)) === 0, "cust").otherwise("supp"))
+      .withColumn("entity_id", expr("node div 2"))
+      .orderBy(col("r").desc, col("node").asc).limit(20)
+      .select(col("node_type"), col("entity_id"), col("r").as("rank_fp"))
+  }
+
+  private val PagerankDuck: String = {
+    val base =
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT cn AS src, sn AS dst FROM e0
+         |          UNION ALL SELECT sn, cn FROM e0),
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |r0 AS (SELECT node, CAST($Q AS BIGINT) AS r FROM deg)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(${15L * (Q / 100)} + (85 * SUM(p.r // dg.d)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p JOIN deg dg ON dg.node = p.node
+         |  JOIN edges e ON e.src = p.node GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+       |  node // 2 AS entity_id, r AS rank_fp
+       |FROM r$Iters ORDER BY r DESC, node ASC LIMIT 20""".stripMargin
+  }
+
+  /** Distinct undirected part co-occurrence edges (a < b), from pairs of
+    * parts appearing in the same order — the keyed self-join whose
+    * per-key fan-out is (lines per order choose 2), bounded by order
+    * size, never by corpus size. */
+  private def partEdges(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.join(li.withColumnRenamed("pk", "pk2"), "ok")
+      .filter(col("pk") < col("pk2"))
+      .select(col("pk").as("a"), col("pk2").as("b"))
+      .distinct()
+  }
+
+  /** p02 — triangle count of the part co-occurrence graph, via
+    * degree-ordered orientation: each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher one, so every out-
+    * neighborhood is O(√m) and the wedge join can't blow up on a hub
+    * part the way a raw a→b→c join would. Output also carries the
+    * graph census (nodes/edges) the count is relative to. */
+  def triangleCount(s: SparkSession, d: String): DataFrame =
+    triangleCountOn(partEdges(s, d))
+
+  /** Core on an explicit (a < b) undirected edge frame — factored so
+    * GraphOpsSpec can drive it with planted graphs of known count. */
+  private[queries] def triangleCountOn(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    // orient by (degree, id): lower endpoint → higher endpoint
+    val dirE = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // feeds the wedge join twice + the census
+    val wedges = dirE.select(col("src").as("x"), col("dst").as("y"))
+      .join(dirE.select(col("src").as("y"), col("dst").as("z")), "y")
+    val tri = wedges.join(
+      dirE.select(col("src").as("x"), col("dst").as("z")), Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val census = dirE.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    tri.crossJoin(census).select("n_triangles", "n_edges", "n_nodes")
+  }
+
+  private val TriangleDuck: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT n, COUNT(*) AS dg FROM
+      |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+      |dire AS (SELECT
+      |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b) THEN u.a ELSE u.b END AS src,
+      |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND u.a < u.b) THEN u.b ELSE u.a END AS dst
+      |  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |  FROM dire e1 JOIN dire e2 ON e2.src = e1.dst
+      |  JOIN dire e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      |census AS (SELECT (SELECT COUNT(*) FROM dire) AS n_edges,
+      |                  (SELECT COUNT(*) FROM deg) AS n_nodes)
+      |SELECT t.n_triangles, c.n_edges, c.n_nodes FROM tri t, census c""".stripMargin
+
+  /** p03 — log2-binned degree distribution of the part graph. The bin is
+    * length(bin(d)) − 1 = floor(log2 d) computed in INTEGER space —
+    * a float log2's last ulp could flip floor() between engines. One
+    * keyed degree agg + one ≤64-row histogram agg. */
+  def degreeHistogram(s: SparkSession, d: String): DataFrame = {
+    val und = partEdges(s, d)
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    deg.groupBy((length(bin(col("dg"))) - 1).cast("long").as("log2_bin"))
+      .agg(count(lit(1)).as("n_nodes"), min("dg").as("min_deg"), max("dg").as("max_deg"))
+      .orderBy("log2_bin")
+  }
+
+  private val DegreeHistDuck: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      |deg AS (SELECT n, COUNT(*) AS dg FROM
+      |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n)
+      |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS log2_bin,
+      |  COUNT(*) AS n_nodes, MIN(dg) AS min_deg, MAX(dg) AS max_deg
+      |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),
+    "p02_triangle_count" -> QueryDef(triangleCount _, TriangleDuck),
+    "p03_degree_histogram" -> QueryDef(degreeHistogram _, DegreeHistDuck)
+  )
+}

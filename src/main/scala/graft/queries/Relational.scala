@@ -332,6 +332,49 @@ object Relational {
     closed.unionByName(fresh).orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** q45 — incremental maintenance of a join-view aggregate.
+    *
+    * View: revenue + order count per nation (orders ⋈ customer ⋈ nation).
+    * The fact stream splits at a cutoff date into SNAPSHOT (what a
+    * deployment has already folded into a persisted materialized
+    * aggregate) and DELTA (the new day's append). The incremental
+    * refresh is dV = delta ⋈ dims, merged into the snapshot aggregate by
+    * re-aggregating the UNION of partials — sum/count are mergeable, so
+    * merge(agg(S), agg(D)) ≡ agg(S ∪ D). Both paths are graded side by
+    * side with a data-derived consistency flag.
+    *
+    * Scale: the refresh touches |delta| fact rows + |view| aggregate
+    * rows — never the 100 TB snapshot (its aggregate stands in for it).
+    * Dims broadcast under the view's join; exact-decimal revenue makes
+    * the merged and recomputed sums EXACTLY equal, which is what lets
+    * `consistent` be a hard equality rather than a tolerance — the same
+    * reason a production IVM pipeline accumulates money in decimals. */
+  def incrementalViewMaintenance(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("2000-01-01").cast("timestamp")
+    val dims = customer(s, d).join(nation(s, d),
+      col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    def viewAgg(facts: DataFrame): DataFrame =
+      facts.join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), sum(dec("o_totalprice")).as("rev"))
+    val o = orders(s, d)
+    val snapAgg = viewAgg(o.filter(col("o_orderdate") < cut))
+    val deltaAgg = viewAgg(o.filter(col("o_orderdate") >= cut))
+    // the merge: re-aggregate the union of partials (|view| rows each)
+    val inc = snapAgg.unionByName(deltaAgg).groupBy("n_name")
+      .agg(sum("n_orders").as("n_inc"), sum("rev").cast(Dec).as("rev_inc"))
+    val full = viewAgg(o)
+      .select(col("n_name"), col("n_orders").as("n_full"), col("rev").as("rev_full"))
+    inc.join(full, "n_name") // |nations| rows per side
+      .withColumn("consistent",
+        (col("n_inc") === col("n_full") && col("rev_inc") === col("rev_full")).cast("int"))
+      .select(col("n_name"), col("n_inc"), col("n_full"),
+        asDbl(col("rev_inc")).as("rev_inc"), asDbl(col("rev_full")).as("rev_full"),
+        col("consistent"))
+      .orderBy("n_name")
+  }
+
   private val D = "DECIMAL(18,2)"
   private def sumd(c: String) = s"CAST(SUM(CAST($c AS $D)) AS DOUBLE)"
 
@@ -523,6 +566,33 @@ object Relational {
          |  ${sumd("l_quantity")} AS sum_qty,
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // the oracle restates BOTH refresh paths — the merged partials and
+    // the full recompute — so the mergeability claim itself is graded,
+    // not just the final numbers
+    "q45_incremental_view" -> QueryDef(incrementalViewMaintenance _,
+      s"""WITH dims AS (SELECT c_custkey, n_name FROM customer
+         |  JOIN nation ON c_nationkey = n_nationkey),
+         |snap AS (SELECT n_name, COUNT(*) AS n_orders,
+         |    SUM(CAST(o_totalprice AS $D)) AS rev
+         |  FROM orders JOIN dims ON o_custkey = c_custkey
+         |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00' GROUP BY n_name),
+         |delta AS (SELECT n_name, COUNT(*) AS n_orders,
+         |    SUM(CAST(o_totalprice AS $D)) AS rev
+         |  FROM orders JOIN dims ON o_custkey = c_custkey
+         |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00' GROUP BY n_name),
+         |inc AS (SELECT n_name, CAST(SUM(n_orders) AS BIGINT) AS n_inc,
+         |    CAST(SUM(rev) AS $D) AS rev_inc
+         |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM delta) GROUP BY n_name),
+         |felled AS (SELECT n_name, COUNT(*) AS n_full,
+         |    SUM(CAST(o_totalprice AS $D)) AS rev_full
+         |  FROM orders JOIN dims ON o_custkey = c_custkey GROUP BY n_name)
+         |SELECT i.n_name, i.n_inc, f.n_full,
+         |  CAST(i.rev_inc AS DOUBLE) AS rev_inc, CAST(f.rev_full AS DOUBLE) AS rev_full,
+         |  CAST(CASE WHEN i.n_inc = f.n_full AND i.rev_inc = f.rev_full
+         |       THEN 1 ELSE 0 END AS INT) AS consistent
+         |FROM inc i JOIN felled f ON f.n_name = i.n_name
+         |ORDER BY i.n_name""".stripMargin)
   )
 }

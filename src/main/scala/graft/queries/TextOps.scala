@@ -2288,6 +2288,56 @@ object TextOps {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
   }
 
+  /** t53 — repeated-span removal with document REWRITE (the C4/RefinedWeb
+    * "remove duplicated spans, keep the document" curation step, a
+    * different contract from t01/t16 which drop whole documents).
+    *
+    * The corpus is chunked into fixed 10-word spans; every span keeps
+    * only its globally-first occurrence (ordered by doc_id, then span
+    * index — deterministic, so later boilerplate repetitions vanish
+    * INSIDE surviving documents too); each document is rebuilt from its
+    * surviving spans in order. Graded output carries the rebuilt text's
+    * md5, not the text — result rows stay fixed-width however large the
+    * documents are.
+    *
+    * Scale: one tokenize pass; spans shuffle by their md5 key (16-byte
+    * keys, the t01 discipline) and the keep-first window partitions by
+    * span hash — group size = duplicate count, never corpus size; the
+    * rebuild re-groups by doc_id, bounded by document length. No
+    * all-pairs anything: identical spans meet in the hash shuffle. */
+  def spanDedupRewrite(s: SparkSession, d: String): DataFrame =
+    spanDedupRewriteOn(documents(s, d))
+
+  /** Core on an explicit (doc_id, text) frame — factored so
+    * SpanDedupSpec can drive it with planted span overlaps. */
+  private[queries] def spanDedupRewriteOn(docs: DataFrame): DataFrame = {
+    val spanW = 10
+    val w = docs
+      .select(col("doc_id"), split(norm(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 1)
+    val spans = w
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, cast(ceil(size(w) / ${spanW}.0) as int) - 1)")).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        array_join(slice(col("w"), col("ci") * spanW + 1, lit(spanW)), " ").as("span"))
+    val kept = spans
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("span"))).orderBy(col("doc_id").asc, col("ci").asc)))
+      .filter(col("rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("ci"), col("span")))),
+          x => x.getField("span")), " ")).as("rebuilt_md5"))
+    // left join from the span census: a document whose EVERY span is a
+    // repeat of an earlier doc still appears, rewritten to empty
+    spans.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt_md5"), md5(lit(""))).as("rebuilt_md5"))
+      .orderBy("doc_id")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -2517,6 +2567,27 @@ object TextOps {
     // same labels; the oracle ALSO recomputes the dispatch heuristic
     // (avg degree of the ≥0.9 pair graph vs threshold 3) so the body
     // choice itself is hash-checked, not just the labeling
+    "t53_span_dedup_rewrite" -> QueryDef(spanDedupRewrite _,
+      s"""WITH w AS (SELECT doc_id, string_split($NormSqlDuck, ' ') AS w FROM documents),
+         |ch AS (SELECT doc_id, w,
+         |    CAST(unnest(generate_series(0, CAST(CEIL(len(w) / 10.0) AS INT) - 1)) AS BIGINT) AS ci
+         |  FROM w WHERE len(w) >= 1),
+         |sp AS (SELECT doc_id, ci,
+         |    array_to_string(list_slice(w, ci * 10 + 1, ci * 10 + 10), ' ') AS span
+         |  FROM ch),
+         |kp AS (SELECT doc_id, ci, span,
+         |    row_number() OVER (PARTITION BY md5(span) ORDER BY doc_id, ci) AS rn
+         |  FROM sp),
+         |reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(span, ' ' ORDER BY ci)) AS rebuilt_md5
+         |  FROM kp WHERE rn = 1 GROUP BY doc_id),
+         |cen AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id)
+         |SELECT c.doc_id, c.n_spans,
+         |  COALESCE(r.n_kept, 0) AS n_kept,
+         |  COALESCE(r.rebuilt_md5, md5('')) AS rebuilt_md5
+         |FROM cen c LEFT JOIN reb r ON r.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin),
+
     "t52_cc_auto_clusters" -> QueryDef(dupClustersAuto _,
       s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$ClusterLabCtesDuck,

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-graph locks on the p-family (GraphOps): PageRank's integer
+  * fixed-point semantics and triangle counting's degree-ordered
+  * orientation, on graphs small enough to reason about exactly.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.session
+
+  private def undirected(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val und = pairs.toDF("a", "b")
+    und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+  }
+
+  test("p01: on a symmetric cycle every node converges to the same rank") {
+    // 4-cycle: perfectly symmetric, so after any number of exact
+    // iterations all ranks are EQUAL — any asymmetry is a math bug
+    val ranks = GraphOps.pagerankOn(undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+      .collect().map(_.getLong(2)).toSet
+    assert(ranks.size == 1, s"symmetric graph must give one rank value, got $ranks")
+  }
+
+  test("p01: star center outranks leaves; ranks are deterministic across runs") {
+    val star = undirected((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (10L, 5L))
+    val a = GraphOps.pagerankOn(star).collect()
+    val b = GraphOps.pagerankOn(star).collect()
+    assert(a.toSeq == b.toSeq, "integer fixed-point PageRank must be bit-deterministic")
+    val ranked = a.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val hub = ranked.filter(t => t._1 == "cust" && t._2 == 5L).map(_._3)
+    val leaves = ranked.filterNot(t => t._1 == "cust" && t._2 == 5L).map(_._3)
+    assert(hub.length == 1 && leaves.length == 5)
+    assert(leaves.forall(_ < hub.head), s"hub must outrank leaves: $ranked")
+    assert(leaves.toSet.size == 1, s"symmetric leaves must tie: $ranked")
+  }
+
+  test("p02: planted K4 plus a pendant path counts exactly 4 triangles") {
+    // K4 has C(4,3)=4 triangles; the path 4-5-6 adds none
+    val und = {
+      import spark.implicits._
+      Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+        (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    }
+    val r = GraphOps.triangleCountOn(und).collect().head
+    assert(r.getLong(0) == 4L, s"expected 4 triangles, got $r")
+    assert(r.getLong(1) == 9L && r.getLong(2) == 7L)
+  }
+
+  test("p02: orientation is a permutation of the edge set (no edge lost or duplicated)") {
+    // a hub node with high degree: orientation must still preserve m
+    val hub = (1L to 12L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))
+    val und = { import spark.implicits._; hub.toDF("a", "b") }
+    val r = GraphOpsSpecHelper.census(und)
+    assert(r == (14L, 13L), s"14 edges / 13 nodes expected, got $r")
+  }
+}
+
+private object GraphOpsSpecHelper {
+  def census(und: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val row = GraphOps.triangleCountOn(und).collect().head
+    (row.getLong(1), row.getLong(2))
+  }
+}
