@@ -264,6 +264,54 @@ object StreamOps {
       streamSource(s, d), "graft_stream_static")
       .orderBy("c_mktsegment")
 
+  /** s18 — the SCD2 temporal dimension (q44's shape, keyed by real
+    * validity TIMESTAMPS) as one broadcastable frame: customers whose
+    * key is ≡0 mod 7 switch segment to AUTOMOBILE at the cutoff; every
+    * version row carries [valid_from, valid_to). */
+  private[queries] val Scd2Cut = "2024-01-16 00:00:00"
+  private[queries] def scd2TimeDim(s: SparkSession, d: String): DataFrame = {
+    val cut = lit(Scd2Cut).cast("timestamp")
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val changed = c.filter(pmod(col("c_custkey"), lit(7)) === 0 &&
+      col("c_mktsegment") =!= "AUTOMOBILE")
+    val v1 = c.join(changed.select(col("c_custkey").as("k")),
+        col("c_custkey") === col("k"), "left")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+        lit("1900-01-01").cast("timestamp").as("valid_from"),
+        when(col("k").isNotNull, cut)
+          .otherwise(lit("2100-01-01").cast("timestamp")).as("valid_to"))
+    val v2 = changed.select(col("c_custkey"), lit("AUTOMOBILE").as("segment"),
+      cut.as("valid_from"), lit("2100-01-01").cast("timestamp").as("valid_to"))
+    v1.unionByName(v2)
+  }
+
+  /** Per-row temporal enrichment: the version valid AT EVENT TIME, as a
+    * broadcast range join — factored so Scd2StreamSpec can drive it as a
+    * batch frame with planted boundary events. */
+  private[queries] def asOfEnrich(dim: DataFrame)(ev: DataFrame): DataFrame =
+    ev.join(broadcast(dim), col("user_id") === col("c_custkey") &&
+      col("ts") >= col("valid_from") && col("ts") < col("valid_to"))
+
+  /** Streaming SCD2 as-of enrichment: the event stream joined to the
+    * TEMPORAL dimension at event time — an event before the segment
+    * change attributes to the OLD segment, after it to the new one; a
+    * plain stream-static equi-join (s04) would smear the change over
+    * history. Stateless like s04: the versioned dim broadcasts per
+    * micro-batch, the range predicate evaluates per row, no join state
+    * accumulates. At 100 TB/day this is the standard warehouse-ingest
+    * enrichment: dimension updates land as new version rows (q44/g13's
+    * MERGE), the stream picks the right version by event time, and
+    * late-arriving events STILL enrich correctly — event time, not
+    * arrival time, selects the version. */
+  def streamScd2AsOf(s: SparkSession, d: String): DataFrame =
+    EventStream.runOnce(s, ev =>
+      asOfEnrich(scd2TimeDim(s, d))(ev)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          Tables.asDbl(sum(Tables.dec("value"))).as("sum_value")),
+      streamSource(s, d), "graft_stream_scd2")
+      .orderBy("segment")
+
   /** Stream-stream self-join with an event-time interval: each click
     * joined to the same user's purchases within the following 30 minutes
     * (attribution). Both sides carry watermarks and the join condition
@@ -926,6 +974,26 @@ object StreamOps {
          |FROM sess s JOIN last l ON s.user_id = l.user_id
          |WHERE s.sess_id < l.last_sess
          |ORDER BY s.user_id, s.sess_id""".stripMargin),
+
+    // oracle = the batch restatement of the temporal join over the same
+    // parquet: version selection by EVENT time must be stream-invisible
+    "s18_stream_scd2_asof" -> QueryDef(streamScd2AsOf _,
+      s"""WITH changed AS (SELECT c_custkey FROM customer
+         |  WHERE c_custkey % 7 = 0 AND c_mktsegment <> 'AUTOMOBILE'),
+         |dim AS (
+         |  SELECT c.c_custkey, c.c_mktsegment AS segment,
+         |    TIMESTAMP '1900-01-01 00:00:00' AS vf,
+         |    CASE WHEN ch.c_custkey IS NOT NULL THEN TIMESTAMP '$Scd2Cut'
+         |         ELSE TIMESTAMP '2100-01-01 00:00:00' END AS vt
+         |  FROM customer c LEFT JOIN changed ch ON ch.c_custkey = c.c_custkey
+         |  UNION ALL
+         |  SELECT c_custkey, 'AUTOMOBILE', TIMESTAMP '$Scd2Cut',
+         |    TIMESTAMP '2100-01-01 00:00:00' FROM changed)
+         |SELECT d.segment, COUNT(*) AS n,
+         |  CAST(SUM(CAST(e.value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events e JOIN dim d ON e.user_id = d.c_custkey
+         |  AND e.ts >= d.vf AND e.ts < d.vt
+         |GROUP BY d.segment ORDER BY d.segment""".stripMargin),
 
     "s04_stream_static_join" -> QueryDef(streamStaticJoin _,
       s"""SELECT c_mktsegment, COUNT(*) AS n,
