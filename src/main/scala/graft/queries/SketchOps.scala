@@ -337,7 +337,102 @@ object SketchOps {
        |  MIN(bmin) AS v_min, MAX(bmax) AS v_max
        |FROM cum GROUP BY grp ORDER BY grp""".stripMargin
 
+  // --- bitmap sliding-window distinct ------------------------------------
+
+  /** k06 — distinct users per trailing 7-day window via BITMAP words:
+    * each user sets one bit in word (user div 32 — 32-bit words: a shift of 63 overflows SIGNED int64 in strict engines, 31 never does); daily bitmaps OR
+    * into window bitmaps (OR is idempotent + mergeable — no pre-dedup,
+    * map-side combine does the fold); distinct = Σ popcount(word).
+    * This is the roaring-bitmap warehouse pattern that replaces
+    * COUNT(DISTINCT) over sliding windows: state per window is
+    * |user-space|/32 words (10^9 users → 32M words, keyed, mergeable),
+    * and windows build from day partials — never a rescan. The sliding
+    * window itself is e13's fixed 7× fan-out restatement, not a global
+    * range window. */
+  def bitmapWindowDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("di"),
+      col("user_id"))
+    val fan = e.select(col("di"), col("user_id"),
+        explode(sequence(lit(0L), lit(6L))).as("o"))
+      .select((col("di") + col("o")).as("wd"), col("user_id"))
+    val bm = fan
+      .groupBy(col("wd"), expr("user_id div 32").as("word"))
+      .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(user_id % 32 as int)))").as("bits"))
+    bm.groupBy("wd")
+      .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
+      .orderBy("wd")
+  }
+
+  private val BitmapWindowDuck: String =
+    """WITH d AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+      |    user_id FROM events),
+      |fan AS (SELECT di + CAST(unnest(generate_series(0, 6)) AS BIGINT) AS wd,
+      |    user_id FROM d),
+      |bm AS (SELECT wd, user_id // 32 AS word,
+      |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+      |  FROM fan GROUP BY wd, word)
+      |SELECT wd, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct
+      |FROM bm GROUP BY wd ORDER BY wd""".stripMargin
+
+  // --- AMS second-moment sketch ------------------------------------------
+
+  private[queries] val AmsD = 5
+
+  /** k07 — AMS (tug-of-war) F2 sketch per event type: F2 = Σ c_u² is the
+    * self-join size / skew statistic; the sketch estimates it from d=5
+    * signed sums S_j = Σ sign_j(u)·c_u, est = median(S_j²) — one keyed
+    * pass over per-user counts, d fixed rows of state per group, vs the
+    * exact Σc² which needs every per-user count. Signs derive from md5
+    * parity, the median of 5 integers is an exact sort-and-pick — both
+    * engines reproduce the ESTIMATE bit-for-bit (E[S²] = F2; single-
+    * sketch spread is ±√2·F2, so the realized err_permille is graded as
+    * data, not asserted small). */
+  def amsF2(s: SparkSession, d: String): DataFrame = {
+    val cnt = events(s, d).groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the exact F2 and the d sketch rows
+    val est = cnt
+      .select(col("event_type"), col("cnt"), col("user_id"),
+        explode(sequence(lit(0), lit(AmsD - 1))).as("j"))
+      .withColumn("sign",
+        lit(1L) - lit(2L) * pmod(h32(concat(col("j"), lit("_"), col("user_id")), "ams"), lit(2)))
+      .groupBy("event_type", "j").agg(sum(col("sign") * col("cnt")).as("sj"))
+      .withColumn("estj", col("sj") * col("sj"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("estj").asc, col("j").asc)))
+      .filter(col("rk") === (AmsD + 1) / 2) // median of 5 = 3rd smallest
+      .select(col("event_type"), col("estj").as("ams_est"))
+    val exact = cnt.groupBy("event_type")
+      .agg(sum(col("cnt") * col("cnt")).as("f2_exact"))
+    exact.join(est, "event_type") // |types| rows each side
+      .withColumn("err_permille",
+        floor(abs(col("ams_est") - col("f2_exact")) * lit(1000) / col("f2_exact")).cast("long"))
+      .select("event_type", "f2_exact", "ams_est", "err_permille")
+      .orderBy("event_type")
+  }
+
+  private val AmsF2Duck: String =
+    s"""WITH cnt AS (SELECT event_type, user_id, COUNT(*) AS cnt
+       |  FROM events GROUP BY event_type, user_id),
+       |ex AS (SELECT event_type, user_id, cnt,
+       |    CAST(unnest(generate_series(0, ${AmsD - 1})) AS BIGINT) AS j FROM cnt),
+       |sj AS (SELECT event_type, j,
+       |    CAST(SUM((1 - 2 * (${h32Duck("j || '_' || user_id", "ams")} % 2)) * cnt) AS BIGINT) AS sj
+       |  FROM ex GROUP BY event_type, j),
+       |md AS (SELECT event_type, sj * sj AS estj,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY sj * sj ASC, j ASC) AS rk
+       |  FROM sj),
+       |f2 AS (SELECT event_type, CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact
+       |  FROM cnt GROUP BY event_type)
+       |SELECT f.event_type, f.f2_exact, m.estj AS ams_est,
+       |  CAST(FLOOR(ABS(m.estj - f.f2_exact) * 1000 / f.f2_exact) AS BIGINT) AS err_permille
+       |FROM f2 f JOIN md m ON m.event_type = f.event_type AND m.rk = ${(AmsD + 1) / 2}
+       |ORDER BY f.event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "k06_bitmap_window_distinct" -> QueryDef(bitmapWindowDistinct _, BitmapWindowDuck),
+    "k07_ams_f2" -> QueryDef(amsF2 _, AmsF2Duck),
     "k01_kmv_distinct" -> QueryDef(kmvDistinct _, KmvDistinctDuck),
     "k02_cms_heavy_hitters" -> QueryDef(cmsHeavyHitters _, CmsHeavyHittersDuck),
     "k03_hash_sample_estimate" -> QueryDef(hashSampleEstimate _, HashSampleDuck),

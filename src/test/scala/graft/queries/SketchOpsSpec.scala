@@ -107,6 +107,32 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k06: bitmap window distinct equals naive countDistinct per window") {
+    import spark.implicits._
+    val bm = SketchOps.bitmapWindowDistinct(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = graft.tables.Tables.events(spark, sf).select(
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("di"),
+      col("user_id"))
+    val naive = e.select(col("di"), col("user_id"),
+        explode(sequence(lit(0L), lit(6L))).as("o"))
+      .select((col("di") + col("o")).as("wd"), col("user_id"))
+      .groupBy("wd").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bm == naive, "popcount-of-ORed-bitmaps must equal exact distinct")
+  }
+
+  test("k07: AMS output is self-consistent (err derives from est/exact; both graded)") {
+    val rows = SketchOps.amsF2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (f2, est, err) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= 0 && f2 > 0)
+      assert(err == math.floor(math.abs(est - f2).toDouble * 1000 / f2).toLong,
+        s"err column must derive from est/exact: $r")
+    }
+  }
+
   test("k05: theta-sketch intersection estimate lands within band of the exact overlap") {
     val r = SketchOps.kmvSetOps(spark, sf).collect().head
     val exact = r.getLong(r.fieldIndex("n_exact_inter"))
