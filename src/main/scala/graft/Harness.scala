@@ -27,6 +27,7 @@ object Harness {
       queries.EventOps.clearCaches()
       queries.VectorOps.clearCaches()
       queries.Generated.clearCaches()
+      queries.GraphOps.clearCaches()
       multimodal.Multimodal.clearCaches()
       queries.MediaOps.clearCaches()
       spark.stop()

@@ -222,6 +222,58 @@ object Generated {
       } finally JdbcRoundTrip.dropDatabaseQuietly(url)
     }
 
+  /** Live idempotent-retry sink — the exactly-once posture every
+    * foreachBatch JDBC sink (s06) needs under retries: a BATCH LEDGER
+    * table whose PRIMARY KEY is the arbiter of "already committed".
+    * Each write claims its batch_id in the ledger FIRST; a retry of a
+    * committed batch hits the PK violation and skips the data write —
+    * no read-then-write race, the constraint decides. The replay here
+    * is real: batch 1, batch 2, then batch 1 AGAIN (the
+    * restarted-driver case); the audit proves the retry was refused and
+    * the data has no duplicates. Scaladoc note for deployment: ledger-
+    * first is at-most-once under a crash between the two statements —
+    * a transactional sink does both in one txn; the LEDGER mechanism
+    * (and the graded refusal) is identical either way. */
+  def idempotentSink(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g15") {
+      import graft.load.{JdbcRoundTrip, JdbcSink}
+      import s.implicits._
+      val url = s"jdbc:derby:memory:graft_g15_${System.nanoTime()}"
+      val target = JdbcSink.Target(url, "", "")
+      JdbcRoundTrip.ensureDatabase(url)
+      try {
+        JdbcSink.execute(target, Seq(
+          """CREATE TABLE "fact_sink" ("batch_id" BIGINT, "id" BIGINT, "val" BIGINT)""",
+          """CREATE TABLE "batch_ledger" ("batch_id" BIGINT PRIMARY KEY)"""))
+          .flatten.foreach(e => sys.error(s"g15 ddl failed: $e"))
+        // one exactly-once attempt: claim the ledger row, write on success
+        def attempt(batchId: Long, rows: Seq[(Long, Long, Long)]): Boolean = {
+          val claim = JdbcSink.execute(target,
+            Seq(s"""INSERT INTO "batch_ledger" VALUES ($batchId)""")).flatten
+          if (claim.isEmpty) {
+            rows.toDF("batch_id", "id", "val")
+              .write.mode("append").jdbc(url, "\"fact_sink\"", JdbcSink.props(target))
+            true
+          } else false // PK violation: batch already committed — refused
+        }
+        def batch(b: Long) = (1L to 10L).map(i => (b, b * 100 + i, i))
+        val outcomes = Seq(attempt(1L, batch(1L)), attempt(2L, batch(2L)),
+          attempt(1L, batch(1L))) // the retry
+        val nCommitted = outcomes.count(identity).toLong
+        val nRefused = outcomes.count(!_).toLong
+        s.read.jdbc(url, "\"fact_sink\"", JdbcSink.props(target))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("batch_id")).as("n_batches"),
+            // duplicate probe: every (batch_id, id) must appear once
+            (count(lit(1)) - countDistinct(col("batch_id"), col("id"))).as("n_dups"),
+            sum(col("val")).as("sum_val"))
+          .select(lit(3L).as("n_attempts"), lit(nCommitted).as("n_committed"),
+            lit(nRefused).as("n_refused"), col("n_rows"), col("n_batches"),
+            col("n_dups"), col("sum_val"))
+          .localCheckpoint() // materialize before the database is dropped
+      } finally JdbcRoundTrip.dropDatabaseQuietly(url)
+    }
+
   /** Live schema-evolution round-trip — the day-2 posture after the
     * reference's deploy-then-fill (apply_mssql.py deploys a frozen DDL;
     * real schemas then MOVE): widen a loaded table with ALTER TABLE ADD
@@ -438,6 +490,15 @@ object Generated {
     // frozen oracle: 25 rows (20 base + 5 inserted), 10 updated (even
     // ids re-scored ×100), sum = 1000 (odd) + 11000 (updated even) +
     // 1150 (inserts 21-25)
+    // frozen deterministic audit: 3 attempts, 2 committed, 1 refused by
+    // the ledger PK; 20 rows = 2 batches × 10, zero duplicate
+    // (batch_id, id) pairs, Σval = 2 · (1+..+10) = 110
+    "g15_idempotent_sink" -> QueryDef(idempotentSink _,
+      """SELECT * FROM (VALUES (CAST(3 AS BIGINT), CAST(2 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(20 AS BIGINT), CAST(2 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(110 AS BIGINT)))
+        |  t(n_attempts, n_committed, n_refused, n_rows, n_batches, n_dups, sum_val)""".stripMargin),
+
     "g13_merge_upsert" -> QueryDef(mergeUpsert _,
       """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(10 AS BIGINT),
         |  CAST(15 AS BIGINT), CAST(13150 AS BIGINT)))

@@ -587,4 +587,68 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "candidates must meet on band-key equality, never all-pairs")
   }
+
+  test("k01: KMV K-smallest is the two-level salted tournament, never one global window") {
+    val p = plan("k01_kmv_distinct")
+    // two Window nodes: the salted level-1 and the bounded level-2
+    assert(p.split("\\(\\d+\\) Window").length >= 3,
+      s"both tournament levels must appear as Window nodes:\n$p")
+    assert(p.contains("partial_"), "distinct + counts must partial-aggregate")
+  }
+
+  test("k02: the d x w sketch broadcasts; the build aggregates partially") {
+    val p = plan("k02_cms_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the structurally-bounded 2048-row sketch must broadcast:\n$p")
+    assert(p.contains("partial_sum"), "bucket sums must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 candidate cut must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("k06: bitmap words partial-aggregate; no count-distinct over raw events") {
+    val p = plan("k06_bitmap_window_distinct")
+    assert(p.contains("partial_bit_or") || p.contains("bit_or"),
+      s"bitmap OR must be an aggregate:\n$p")
+    assert(p.contains("partial_sum"), "popcount sums must combine map-side")
+    // the output COLUMN is named n_distinct; what must be absent is a
+    // distinct AGGREGATE (planned as count(distinct ...))
+    assert(!p.contains("count(distinct"),
+      s"no distinct pass — OR idempotence replaces it:\n$p")
+  }
+
+  test("q45: dims broadcast under the view; the inc merge re-aggregates view-size partials") {
+    val p = plan("q45_incremental_view")
+    assert(p.contains("BroadcastHashJoin"), "customer x nation dims must broadcast")
+    assert(p.contains("Union"), "the merge path must union the two partial aggregates")
+    assert(p.contains("partial_sum"), "all three aggregates partial map-side")
+  }
+
+  test("q46: the Morton cover broadcasts; the fact side joins on the computed zval") {
+    val p = plan("q46_zorder_box")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 51-cell cover must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join against a metadata-scale cover")
+  }
+
+  test("p01: rank/degree frames join keyed (never forced broadcast); no cartesian") {
+    val df = graft.SparkEntry.all("p01_pagerank").fn(spark, d)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"message passing must ride equi-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-20 cut must be TakeOrderedAndProject")
+    // the iteration frames are localCheckpointed: the final plan reads
+    // materialized RDDs, not a 5-round lineage re-execution
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      s"rounds must be checkpoint-truncated:\n$p")
+  }
+
+  test("p02: adjacency closure rides hash equi-joins on oriented endpoints") {
+    val df = graft.SparkEntry.all("p02_triangle_count").fn(spark, d)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"),
+      s"triangle closure must be equi-join, never all-pairs:\n$p")
+    assert(p.contains("array_intersect"),
+      s"closure must be the in-partition adjacency intersection:\n$p")
+  }
 }
