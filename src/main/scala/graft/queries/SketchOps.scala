@@ -349,20 +349,28 @@ object SketchOps {
     * and windows build from day partials — never a rescan. The sliding
     * window itself is e13's fixed 7× fan-out restatement, not a global
     * range window. */
-  def bitmapWindowDistinct(s: SparkSession, d: String): DataFrame = {
-    val e = events(s, d).select(
-      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("di"),
-      col("user_id"))
-    val fan = e.select(col("di"), col("user_id"),
+  /** The k06 bitmap-word aggregation as a reusable body: (ts, user_id)
+    * rows → (wd, word, bits). Shared verbatim by the streaming twin
+    * (s19), whose at-least-once duplicate absorption rests on THIS
+    * aggregation being idempotent — one body, no drift. */
+  private[queries] def bitmapWords(ev: DataFrame): DataFrame =
+    ev.select(
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("di"),
+        col("user_id"))
+      .select(col("di"), col("user_id"),
         explode(sequence(lit(0L), lit(6L))).as("o"))
       .select((col("di") + col("o")).as("wd"), col("user_id"))
-    val bm = fan
       .groupBy(col("wd"), expr("user_id div 32").as("word"))
       .agg(expr("bit_or(shiftleft(cast(1 as bigint), cast(user_id % 32 as int)))").as("bits"))
+
+  /** Popcount roll-up of a bitmap-word frame — the second shared half. */
+  private[queries] def popcountDistinct(bm: DataFrame): DataFrame =
     bm.groupBy("wd")
       .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
       .orderBy("wd")
-  }
+
+  def bitmapWindowDistinct(s: SparkSession, d: String): DataFrame =
+    popcountDistinct(bitmapWords(events(s, d)))
 
   private val BitmapWindowDuck: String =
     """WITH d AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
@@ -430,9 +438,89 @@ object SketchOps {
        |FROM f2 f JOIN md m ON m.event_type = f.event_type AND m.rk = ${(AmsD + 1) / 2}
        |ORDER BY f.event_type""".stripMargin
 
+  // --- column profiler ----------------------------------------------------
+
+  /** k08 — table profiling (the pre-training "know your data" pass a
+    * Deequ-style checker runs): per categorical column of orders —
+    * priority, status, order year — row/null/distinct counts, the top
+    * value with its frequency, and the KMV distinct estimate beside the
+    * exact count (on a 10^12-row table the exact count is the column
+    * you'd drop; the sketch column is why it's here).
+    *
+    * Scale: the melt is a map-side explode (×3 slim rows); per-(column,
+    * value) counts are one keyed agg; every per-column reduction is a
+    * MERGEABLE aggregate — top value via max(struct(freq, value)), no
+    * window anywhere, so a column with 10^9 distinct values cannot
+    * funnel through one task (the profiler trap: rank-by-frequency per
+    * column is a global sort in disguise; the struct-max is its
+    * aggregate twin, ties resolved to the LARGER value in both
+    * engines). */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val melted = orders(s, d).select(
+      explode(map(
+        lit("o_orderpriority"), col("o_orderpriority"),
+        lit("o_orderstatus"), col("o_orderstatus"),
+        lit("order_year"), year(col("o_orderdate")).cast("string")
+      )).as(Seq("c", "v")))
+    val counts = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the profile and the KMV sketch
+    val prof = counts.groupBy("c").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_nulls"),
+      sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
+      // null values are excluded from the top-value race (max ignores
+      // the null branch), mirroring the oracle's WHERE v IS NOT NULL
+      max(when(col("v").isNotNull, struct(col("cnt"), col("v")))).as("top"))
+    val kmv = kSmallest(
+        counts.filter(col("v").isNotNull)
+          .select(col("c").as("grp"), h60(col("v"), "kmv").as("hv")),
+        "grp", KmvK)
+      .groupBy("grp").agg(max("hv").as("kth"), count(lit(1)).as("n_kept"))
+      .withColumn("kmv_distinct_est",
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) * lit(Pow60) / col("kth").cast("double")).cast("long")))
+      .select(col("grp").as("c"), col("kmv_distinct_est"))
+    prof.join(kmv, "c") // |columns| rows each side
+      .select(col("c").as("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("top.v").as("top_value"),
+        col("top.cnt").as("top_freq"), col("kmv_distinct_est"))
+      .orderBy("column_name")
+  }
+
+  private val ColumnProfileDuck: String =
+    s"""WITH m AS (
+       |  SELECT 'o_orderpriority' AS c, o_orderpriority AS v FROM orders
+       |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+       |  UNION ALL SELECT 'order_year',
+       |    CAST(CAST(EXTRACT(year FROM o_orderdate) AS INT) AS VARCHAR) FROM orders),
+       |cnts AS (SELECT c, v, COUNT(*) AS cnt FROM m GROUP BY c, v),
+       |top AS (SELECT c, v AS top_value, cnt AS top_freq,
+       |    row_number() OVER (PARTITION BY c ORDER BY cnt DESC, v DESC) AS rn
+       |  FROM cnts WHERE v IS NOT NULL),
+       |prof AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       |    CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_nulls,
+       |    CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct
+       |  FROM cnts GROUP BY c),
+       |hv AS (SELECT c AS grp, ${h60Duck("v", "kmv")} AS hv
+       |       FROM cnts WHERE v IS NOT NULL),
+       |rk AS (SELECT grp, hv,
+       |    row_number() OVER (PARTITION BY grp ORDER BY hv) AS rk FROM hv),
+       |kth AS (SELECT grp, MAX(hv) AS kth, COUNT(*) AS n_kept
+       |        FROM rk WHERE rk <= $KmvK GROUP BY grp)
+       |SELECT p.c AS column_name, p.n_rows, p.n_nulls, p.n_distinct,
+       |  t.top_value, t.top_freq,
+       |  CASE WHEN k.n_kept < $KmvK THEN k.n_kept
+       |       ELSE CAST(FLOOR(${(KmvK - 1).toDouble} * $Pow60 / CAST(k.kth AS DOUBLE)) AS BIGINT)
+       |  END AS kmv_distinct_est
+       |FROM prof p
+       |JOIN top t ON t.c = p.c AND t.rn = 1
+       |JOIN kth k ON k.grp = p.c
+       |ORDER BY p.c""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "k06_bitmap_window_distinct" -> QueryDef(bitmapWindowDistinct _, BitmapWindowDuck),
     "k07_ams_f2" -> QueryDef(amsF2 _, AmsF2Duck),
+    "k08_column_profile" -> QueryDef(columnProfile _, ColumnProfileDuck),
     "k01_kmv_distinct" -> QueryDef(kmvDistinct _, KmvDistinctDuck),
     "k02_cms_heavy_hitters" -> QueryDef(cmsHeavyHitters _, CmsHeavyHittersDuck),
     "k03_hash_sample_estimate" -> QueryDef(hashSampleEstimate _, HashSampleDuck),

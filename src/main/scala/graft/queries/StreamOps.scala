@@ -312,6 +312,24 @@ object StreamOps {
       streamSource(s, d), "graft_stream_scd2")
       .orderBy("segment")
 
+  /** s19 — streaming bitmap-distinct maintenance, deliberately fed the
+    * AT-LEAST-ONCE (doubled) replay source: k06's bitmap-word
+    * aggregation runs in-stream and the drained popcount still
+    * hash-matches the exactly-once batch oracle, with NO dedup operator
+    * anywhere — OR is idempotent, so redelivery cannot change a bitmap.
+    * This is the structural alternative to s03's stateful
+    * dropDuplicates: s03 SPENDS watermarked state to reconcile
+    * at-least-once delivery; s19 chooses an aggregate that never needed
+    * reconciling. At 100 TB/day that choice deletes the dedup state
+    * store entirely for every metric that can be phrased as a bitmap /
+    * max / min / set-union. State here = one word row per (window,
+    * user-block), watermark-free Complete mode over a bounded key
+    * space. */
+  def streamBitmapDistinct(s: SparkSession, d: String): DataFrame =
+    SketchOps.popcountDistinct(
+      EventStream.runOnce(s, ev => SketchOps.bitmapWords(ev),
+        dupStreamSource(s, d), "graft_stream_bitmap"))
+
   /** Stream-stream self-join with an event-time interval: each click
     * joined to the same user's purchases within the following 30 minutes
     * (attribution). Both sides carry watermarks and the join condition
@@ -994,6 +1012,20 @@ object StreamOps {
          |FROM events e JOIN dim d ON e.user_id = d.c_custkey
          |  AND e.ts >= d.vf AND e.ts < d.vt
          |GROUP BY d.segment ORDER BY d.segment""".stripMargin),
+
+    // oracle = batch k06's statement verbatim: the DOUBLED stream must
+    // converge to the exactly-once bitmap counts through OR idempotence
+    // alone — no dedup operator in the plan
+    "s19_stream_bitmap_distinct" -> QueryDef(streamBitmapDistinct _,
+      """WITH d AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+        |    user_id FROM events),
+        |fan AS (SELECT di + CAST(unnest(generate_series(0, 6)) AS BIGINT) AS wd,
+        |    user_id FROM d),
+        |bm AS (SELECT wd, user_id // 32 AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM fan GROUP BY wd, word)
+        |SELECT wd, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct
+        |FROM bm GROUP BY wd ORDER BY wd""".stripMargin),
 
     "s04_stream_static_join" -> QueryDef(streamStaticJoin _,
       s"""SELECT c_mktsegment, COUNT(*) AS n,

@@ -122,6 +122,15 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(bm == naive, "popcount-of-ORed-bitmaps must equal exact distinct")
   }
 
+  test("k06/s19: the bitmap aggregation is idempotent — a doubled input changes nothing") {
+    // the property s19's at-least-once claim rests on, executed as batch:
+    // OR-ing every event twice must produce the identical word frame
+    val ev = graft.tables.Tables.events(spark, sf).select("ts", "user_id")
+    val once = SketchOps.popcountDistinct(SketchOps.bitmapWords(ev)).collect()
+    val twice = SketchOps.popcountDistinct(SketchOps.bitmapWords(ev.unionAll(ev))).collect()
+    assert(once.toSeq == twice.toSeq, "redelivery must be invisible to an idempotent aggregate")
+  }
+
   test("k07: AMS output is self-consistent (err derives from est/exact; both graded)") {
     val rows = SketchOps.amsF2(spark, sf).collect()
     assert(rows.nonEmpty)
