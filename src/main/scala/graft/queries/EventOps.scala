@@ -494,6 +494,32 @@ object EventOps {
 
   // --- DuckDB oracle twins -------------------------------------------------
 
+  /** e20 — censored time-to-next-purchase (the survival-analysis input
+    * churn models train on): per user, each purchase's gap to the NEXT
+    * purchase in whole days; the last purchase has no successor and is
+    * CENSORED at the observation horizon (max event time) rather than
+    * silently dropped — dropping censored tails is the classic
+    * survival-data bug, it biases every gap estimate downward.
+    *
+    * Scale: one user-keyed window (the e01 shuffle), integer epoch-µs
+    * gap math (`div`, never float days), and the horizon is a 1-row
+    * scalar aggregate broadcast back (the e16 threshold pattern);
+    * output is a ≤|days| histogram. */
+  def survivalGaps(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val horizon = events(s, d).agg(max(unix_micros(col("ts"))).as("h_us"))
+    events(s, d).filter(col("event_type") === "purchase")
+      .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(byUser))
+      .crossJoin(broadcast(horizon))
+      .withColumn("censored", col("next_us").isNull)
+      .withColumn("gap_days",
+        expr("(coalesce(next_us, h_us) - unix_micros(ts)) div 86400000000"))
+      .groupBy("gap_days")
+      .agg(sum(when(col("censored"), 0L).otherwise(1L)).as("n_observed"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("n_censored"))
+      .orderBy("gap_days")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   /** The e09 funnel's stage CTE chain (per-user frontiers s1..s4),
@@ -733,6 +759,21 @@ object EventOps {
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_sec END) AS p90_sec,
         |  MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_sec END) AS p99_sec
         |FROM cum""".stripMargin),
+    // the oracle keeps censored tails (coalesce to the horizon), the
+    // survival-data contract the engine must reproduce
+    "e20_survival_gaps" -> QueryDef(survivalGaps _,
+      """WITH p AS (SELECT user_id, ts, event_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        |h AS (SELECT MAX(epoch_us(ts)) AS h_us FROM events),
+        |g AS (SELECT p.us,
+        |    LEAD(p.us) OVER (PARTITION BY p.user_id ORDER BY p.ts, p.event_id) AS next_us,
+        |    h.h_us
+        |  FROM p, h)
+        |SELECT (COALESCE(next_us, h_us) - us) // 86400000000 AS gap_days,
+        |  CAST(SUM(CASE WHEN next_us IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_observed,
+        |  CAST(SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "e19_last_touch_attribution" -> QueryDef(lastTouchAttribution _,
       s"""WITH t AS (SELECT user_id, ts, event_id, event_type, value,
          |    CASE WHEN event_type <> 'purchase' THEN event_type END AS touch_type,

@@ -305,6 +305,45 @@ object Relational2 {
         |FROM nation_sq_v n ORDER BY n.n_name""".stripMargin)
   }
 
+  /** q47 — deletion-cascade impact report (the GDPR/right-to-be-
+    * forgotten pass a training-data pipeline must run before a rebuild):
+    * a deterministic ~1% customer deletion list cascades along the FK
+    * chain (customers → their orders → those orders' lineitems), and the
+    * report partitions every table plus revenue into deleted/kept.
+    *
+    * Scale: the deletion list is data-dependent (grows with the
+    * customer table) so it joins KEYED as semi/anti — never forced
+    * broadcast; the cascade rides the FK equi-keys (custkey, orderkey),
+    * exactly the joins the tables are bucketed by at deployment; all
+    * counts/sums are partial aggregates. The md5 gate makes the
+    * "deletion request sample" rerunnable in both engines (k03's
+    * discipline). */
+  def forgetCascade(s: SparkSession, d: String): DataFrame = {
+    val delCust = customer(s, d)
+      .filter(pmod(conv(substring(md5(concat(col("c_custkey").cast("string"), lit(":forget"))), 1, 8), 16, 10)
+        .cast("long"), lit(101L)) === 0)
+      .select(col("c_custkey").as("k"))
+    val o = orders(s, d)
+    val oDel = o.join(delCust, col("o_custkey") === col("k"), "left_semi")
+    val oKeep = o.join(delCust, col("o_custkey") === col("k"), "left_anti")
+    val li = lineitem(s, d)
+    val liDel = li.join(oDel.select(col("o_orderkey").as("dk")),
+      col("l_orderkey") === col("dk"), "left_semi")
+    val liKeep = li.join(oDel.select(col("o_orderkey").as("dk")),
+      col("l_orderkey") === col("dk"), "left_anti")
+    val cc = delCust.agg(count(lit(1)).as("n_cust_del"))
+    val oc = oDel.agg(count(lit(1)).as("n_orders_del"),
+        asDbl(sum(dec("o_totalprice"))).as("rev_deleted"))
+      .crossJoin(oKeep.agg(count(lit(1)).as("n_orders_kept"),
+        asDbl(sum(dec("o_totalprice"))).as("rev_kept")))
+    val lc = liDel.agg(count(lit(1)).as("n_li_del"))
+      .crossJoin(liKeep.agg(count(lit(1)).as("n_li_kept")))
+    // three 1-row audit frames — scalar crossJoins, the standard pattern
+    cc.crossJoin(oc).crossJoin(lc)
+      .select("n_cust_del", "n_orders_del", "n_orders_kept",
+        "n_li_del", "n_li_kept", "rev_deleted", "rev_kept")
+  }
+
   // --- q46: Z-order (Morton) clustering + cell-aligned box query --------
 
   /** Bits per dimension of the Morton code. Price cells 0–9 need 4; the
@@ -368,6 +407,23 @@ object Relational2 {
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    // the oracle states the cascade as IN/NOT-IN subqueries — the
+    // semi/anti join strategy must be result-invisible
+    "q47_forget_cascade" -> QueryDef(forgetCascade _,
+      s"""WITH del AS (SELECT c_custkey AS k FROM customer
+         |  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':forget'), 1, 8))::BIGINT % 101 = 0),
+         |odel AS (SELECT * FROM orders WHERE o_custkey IN (SELECT k FROM del)),
+         |okeep AS (SELECT * FROM orders WHERE o_custkey NOT IN (SELECT k FROM del)),
+         |ldel AS (SELECT * FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM odel)),
+         |lkeep AS (SELECT * FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM odel))
+         |SELECT (SELECT COUNT(*) FROM del) AS n_cust_del,
+         |  (SELECT COUNT(*) FROM odel) AS n_orders_del,
+         |  (SELECT COUNT(*) FROM okeep) AS n_orders_kept,
+         |  (SELECT COUNT(*) FROM ldel) AS n_li_del,
+         |  (SELECT COUNT(*) FROM lkeep) AS n_li_kept,
+         |  (SELECT CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) FROM odel) AS rev_deleted,
+         |  (SELECT CAST(SUM(CAST(o_totalprice AS $D)) AS DOUBLE) FROM okeep) AS rev_kept""".stripMargin),
+
     // the oracle is the PLAIN 2-D box filter: the Morton cover the
     // engine routes through must be result-invisible; zval in the
     // output grades the interleave bit math on both engines

@@ -1037,6 +1037,58 @@ object VectorOps {
     out.orderBy("seed_rank")
   }
 
+  // --- v26: binary (sign-bit) embeddings + Hamming ANN --------------------
+
+  /** Pack dims [off, off+32) of `v` into one 32-bit word by sign —
+    * 32-bit words for the same reason as k06 (shifting bit 63 overflows
+    * a strict engine's signed shift). Map-only fold, codegen'd. */
+  private def signPack(vcol: String, off: Int): Column =
+    expr(s"aggregate(sequence(0, 31), cast(0 as bigint), (acc, i) -> " +
+      s"acc + IF(element_at($vcol, i + ${off + 1}) > cast(0 as double), " +
+      s"shiftleft(cast(1 as bigint), i), cast(0 as bigint)))")
+
+  /** v26 — binary-embedding ANN: each 64-dim float vector collapses to
+    * TWO 32-bit sign words (16 B vs 256 B — the 16× memory-bandwidth
+    * lever, one step past v09's SQ8), and candidates rank by Hamming
+    * distance = popcount(xor) on the words — pure integer, identical in
+    * every engine, and the cheapest distance a scan can evaluate. The
+    * graded result is the top-10 by (hamming, id) per query; sign
+    * agreement is a monotone proxy for cosine on mean-centered-ish
+    * data, and VectorRecallSpec measures exactly how lossy the proxy is
+    * against v01's exact ranking (the ladder's documented-recall
+    * discipline). At 100 TB this scan composes with v08's IVF cells:
+    * binarize WITHIN a cell, probe cells first. */
+  def binaryHammingTopK(s: SparkSession, d: String): DataFrame = {
+    val packed = vecs(s, d).select(col("vec_id"),
+      signPack("v", 0).as("lo"), signPack("v", 32).as("hi"))
+    val q = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    packed.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("hamming",
+        (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi"))).cast("long"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("vec_id").asc)))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("hamming"))
+      .orderBy("q_id", "rk")
+  }
+
+  private def signPackDuck(off: Int): String =
+    s"CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN v[i + ${off + 1}] > 0 " +
+      s"THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  private val BinaryHammingDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT vec_id, ${signPackDuck(0)} AS lo, ${signPackDuck(32)} AS hi FROM e),
+       |j AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+       |        CAST(bit_count(xor(q.lo, b.lo)) + bit_count(xor(q.hi, b.hi)) AS BIGINT) AS hamming
+       |      FROM p q JOIN p b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+       |r AS (SELECT q_id, hit_id, hamming,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming ASC, hit_id ASC) AS rk
+       |      FROM j)
+       |SELECT q_id, rk, hit_id, hamming FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -1051,6 +1103,8 @@ object VectorOps {
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   val defs: Map[String, QueryDef] = Map(
+    "v26_binary_hamming_topk" -> QueryDef(binaryHammingTopK _, BinaryHammingDuck),
+
     "v01_cosine_topk" -> QueryDef(cosineTopK _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |p AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,

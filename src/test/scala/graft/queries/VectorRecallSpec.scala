@@ -124,4 +124,16 @@ class VectorRecallSpec extends AnyFunSuite {
     assert(curve(5) >= rNaive,
       f"margin-ranked probing must not trail naive at the same scan: ${curve(5)}%.2f < $rNaive%.2f")
   }
+
+  test("v26 binary-hamming recall@10 vs exact cosine — the 16 B/vector rung, measured") {
+    val exact = hits("v01_cosine_topk")
+    val binary = hits("v26_binary_hamming_topk")
+    val recall = exact.keys.toSeq.map { q =>
+      (binary(q) & exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    info(f"v26 binary-hamming recall@10 vs exact: $recall%.2f (16 B vs 256 B per vector)")
+    // sign bits keep coarse direction: well above chance (10/499 ≈ 0.02),
+    // well below the float rungs — the documented position on the ladder
+    assert(recall > 0.15, f"binary recall collapsed: $recall%.2f")
+  }
 }
