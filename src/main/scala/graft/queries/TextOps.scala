@@ -2338,6 +2338,38 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t54 — dedup-adjusted EFFECTIVE token counts per source: the number
+    * a training-mix planner actually budgets with. Raw token counts
+    * overstate a corpus wherever near-duplicates exist; here each t16
+    * dup-cluster contributes ONLY its representative's tokens (min
+    * doc_id — the same keep rule as t01/t14), everything unclustered
+    * counts as-is, and the per-source savings ships as a graded
+    * permille. Composes two existing truths — the t16 clustering and
+    * the t06 tokenization — rather than re-deriving either.
+    *
+    * Scale: the cluster frame is |near-dup docs| ≪ corpus (memoized,
+    * checkpointed); representatives derive from it with one keyed agg;
+    * both joins onto the token frame are keyed left joins (the cluster
+    * side grows with dup density — never forced broadcast); the final
+    * rollup is one partial agg over |sources| groups. */
+  def effectiveTokens(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d).select(col("doc_id"), col("source"),
+      size(split(norm(col("text")), " ")).cast("long").as("n_tok"))
+    val clusters = dupClusters(s, d).select("doc_id", "cluster_id")
+    val reps = clusters.groupBy("cluster_id").agg(min("doc_id").as("rep"))
+    tok.join(clusters, Seq("doc_id"), "left")
+      .join(reps, Seq("cluster_id"), "left")
+      .withColumn("kept", col("cluster_id").isNull || col("doc_id") === col("rep"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum("n_tok").as("tok_raw"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("tok_effective"))
+      .withColumn("savings_permille",
+        floor((col("tok_raw") - col("tok_effective")) * lit(1000) / col("tok_raw")).cast("long"))
+      .orderBy("source")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -2567,6 +2599,26 @@ object TextOps {
     // same labels; the oracle ALSO recomputes the dispatch heuristic
     // (avg degree of the ≥0.9 pair graph vs threshold 3) so the body
     // choice itself is hash-checked, not just the labeling
+    // composes the t16 labeling CTE (shared definition — the keying can
+    // never drift) with the t06 tokenization; keep rule = cluster MIN id
+    "t54_effective_tokens" -> QueryDef(effectiveTokens _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |reps AS (SELECT cluster_id, MIN(id) AS rep FROM lab GROUP BY cluster_id),
+         |tok AS (SELECT doc_id, source,
+         |    CAST(LEN(string_split($NormSqlDuck, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |fl AS (SELECT t.source, t.n_tok,
+         |    CASE WHEN l.id IS NULL OR t.doc_id = r.rep THEN 1 ELSE 0 END AS kept
+         |  FROM tok t LEFT JOIN lab l ON l.id = t.doc_id
+         |  LEFT JOIN reps r ON r.cluster_id = l.cluster_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_tok) AS BIGINT) AS tok_raw,
+         |  CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_effective,
+         |  CAST(FLOOR((SUM(n_tok) - SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END)) * 1000
+         |       / SUM(n_tok)) AS BIGINT) AS savings_permille
+         |FROM fl GROUP BY source ORDER BY source""".stripMargin),
+
     "t53_span_dedup_rewrite" -> QueryDef(spanDedupRewrite _,
       s"""WITH w AS (SELECT doc_id, string_split($NormSqlDuck, ' ') AS w FROM documents),
          |ch AS (SELECT doc_id, w,
