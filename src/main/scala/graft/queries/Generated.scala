@@ -274,6 +274,51 @@ object Generated {
       } finally JdbcRoundTrip.dropDatabaseQuietly(url)
     }
 
+  /** g16 — FEDERATED join: the parquet fact tables joined against a
+    * dimension living in a REAL relational database (Derby), in one
+    * plan — the lakehouse-meets-OLTP shape every enterprise deployment
+    * runs (fact history in files, reference data in the operational
+    * DB). The dimension filter pushes INTO the database as SQL
+    * (PushedFilters on the JDBCRelation scan — PlanSpec freezes it), so
+    * the DB ships only matching rows; the 25-row dim then broadcasts
+    * under the fact join. Unlike g07–g15 the database STAYS ALIVE for
+    * the session (the g09 memoized-lifetime pattern) and the returned
+    * frame is LAZY — each run re-plans the true federated scan, which
+    * is also what lets PlanSpec see the pushdown instead of a
+    * checkpointed RDD. */
+  private val fedDbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  def federatedJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.load.{JdbcRoundTrip, JdbcSink}
+    fedDbCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    val url = fedDbCache.getOrElseUpdate((s, d), {
+      val u = s"jdbc:derby:memory:graft_g16_${System.nanoTime()}"
+      val target = JdbcSink.Target(u, "", "")
+      JdbcRoundTrip.ensureDatabase(u)
+      JdbcSink.execute(target, Seq(
+        """CREATE TABLE "dim_nation" ("n_nationkey" BIGINT, "n_name" VARCHAR(32), "n_regionkey" BIGINT)"""))
+        .flatten.foreach(e => sys.error(s"g16 ddl failed: $e"))
+      graft.tables.Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("append").jdbc(u, "\"dim_nation\"", JdbcSink.props(target))
+      u
+    })
+    val props = graft.load.JdbcSink.props(graft.load.JdbcSink.Target(url, "", ""))
+    val dim = s.read.jdbc(url, "\"dim_nation\"", props)
+      .filter(col("n_regionkey") === 1) // pushes into Derby's WHERE clause
+    graft.tables.Tables.orders(s, d)
+      .join(graft.tables.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(dim), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(countDistinct("c_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        graft.tables.Tables.asDbl(sum(graft.tables.Tables.dec("o_totalprice"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
   /** Live schema-evolution round-trip — the day-2 posture after the
     * reference's deploy-then-fill (apply_mssql.py deploys a frozen DDL;
     * real schemas then MOVE): widen a loaded table with ALTER TABLE ADD
@@ -367,7 +412,13 @@ object Generated {
   def deferredFkLink(s: SparkSession, d: String): DataFrame = armedFull(s)._2
 
   /** Teardown hook (Harness) — drop memoized audits with the session. */
-  def clearCaches(): Unit = { armedFullCache.clear(); liveCache.clear() }
+  def clearCaches(): Unit = {
+    armedFullCache.clear(); liveCache.clear()
+    // drop the session-lifetime federated DBs eagerly (in-memory Derby
+    // would otherwise hold its pages until JVM exit)
+    fedDbCache.values.foreach(graft.load.JdbcRoundTrip.dropDatabaseQuietly)
+    fedDbCache.clear()
+  }
 
   private def armedFullLoadUncached(s: SparkSession): (DataFrame, DataFrame) = {
     import s.implicits._
@@ -490,6 +541,20 @@ object Generated {
     // frozen oracle: 25 rows (20 base + 5 inserted), 10 updated (even
     // ids re-scored ×100), sum = 1000 (odd) + 11000 (updated even) +
     // 1150 (inserts 21-25)
+    // the oracle restates the federated semantics over pure parquet:
+    // the dimension's residence (live Derby vs file) must be
+    // result-invisible — only the PLAN differs (JDBCRelation + pushed
+    // dim filter, frozen by PlanSpec)
+    "g16_federated_join" -> QueryDef(federatedJoin _,
+      s"""SELECT n_name, COUNT(DISTINCT c_custkey) AS n_customers,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE n_regionkey = 1
+         |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
     // frozen deterministic audit: 3 attempts, 2 committed, 1 refused by
     // the ledger PK; 20 rows = 2 batches × 10, zero duplicate
     // (batch_id, id) pairs, Σval = 2 · (1+..+10) = 110

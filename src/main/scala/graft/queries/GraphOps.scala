@@ -198,6 +198,69 @@ object GraphOps {
       |                  (SELECT COUNT(*) FROM deg) AS n_nodes)
       |SELECT t.n_triangles, c.n_edges, c.n_nodes FROM tri t, census c""".stripMargin
 
+  private val LpRounds = 3
+
+  /** p04 — synchronous label propagation (the community-detection
+    * baseline GraphFrames ships): labels start as node ids; each round
+    * every node adopts the MOST FREQUENT label among its neighbors,
+    * ties to the SMALLEST label — the deterministic tie-break that
+    * makes sync LP reproducible at all (random tie-breaks are why LP is
+    * usually non-deterministic; the min rule is the portable
+    * convention). 3 fixed rounds, graded as the top-20 communities by
+    * size.
+    *
+    * Scale: a round is one keyed join (labels ⋈ edges) + one keyed
+    * count + one mode-pick via max(struct(cnt, −label)) — an AGGREGATE,
+    * not a per-node rank window, so a 10^9-degree hub never funnels one
+    * task; localCheckpoint per round (the t16 rule). */
+  def labelPropagation(s: SparkSession, d: String): DataFrame =
+    labelPropagationOn(partEdges(s, d))
+
+  /** Core on an explicit (a, b) undirected edge frame — factored for
+    * GraphOpsSpec's planted two-community barbell. */
+  private[queries] def labelPropagationOn(und: DataFrame): DataFrame = {
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to LpRounds) {
+      labels = labels.join(edges, col("node") === col("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // mode with min-label tie-break as ONE aggregate: max of
+        // (cnt, −label) picks the largest count, then the smallest label
+        .groupBy(col("dst").as("node"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community").asc).limit(20)
+  }
+
+  private val LabelPropDuck: String = {
+    val base =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |edges AS (SELECT a AS src, b AS dst FROM und
+        |          UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+    val rounds = (1 to LpRounds).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, p.lbl, COUNT(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.dst
+         |                       ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+         |  FROM l${i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst, p.lbl),
+         |l$i AS (SELECT node, lbl FROM c$i WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT lbl AS community, COUNT(*) AS n_members
+       |FROM l$LpRounds GROUP BY lbl
+       |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin
+  }
+
   /** p03 — log2-binned degree distribution of the part graph. The bin is
     * length(bin(d)) − 1 = floor(log2 d) computed in INTEGER space —
     * a float log2's last ulp could flip floor() between engines. One
@@ -224,6 +287,7 @@ object GraphOps {
   val defs: Map[String, QueryDef] = Map(
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),
     "p02_triangle_count" -> QueryDef(triangleCount _, TriangleDuck),
-    "p03_degree_histogram" -> QueryDef(degreeHistogram _, DegreeHistDuck)
+    "p03_degree_histogram" -> QueryDef(degreeHistogram _, DegreeHistDuck),
+    "p04_label_propagation" -> QueryDef(labelPropagation _, LabelPropDuck)
   )
 }

@@ -51,6 +51,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 9L && r.getLong(2) == 7L)
   }
 
+  test("p04: barbell graph resolves to exactly two equal communities") {
+    import spark.implicits._
+    // two triangles joined by one bridge edge: deterministic sync LP
+    // with the min-label tie-break keeps them as separate communities
+    // (hand-simulated: {0,1,2} → label 0, {10,11,12} → label 2)
+    val und = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (2L, 10L)).toDF("a", "b")
+    val out = GraphOps.labelPropagationOn(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 2L -> 3L),
+      s"expected two 3-member communities (labels 0 and 2), got $out")
+  }
+
   test("p02: orientation is a permutation of the edge set (no edge lost or duplicated)") {
     // a hub node with high degree: orientation must still preserve m
     val hub = (1L to 12L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))

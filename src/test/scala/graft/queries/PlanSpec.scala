@@ -643,6 +643,15 @@ class PlanSpec extends AnyFunSuite {
       s"rounds must be checkpoint-truncated:\n$p")
   }
 
+  test("g16: the dimension filter pushes INTO the database scan") {
+    val p = plan("g16_federated_join")
+    assert(p.contains("JDBCRelation"),
+      s"the dim side must be a real federated JDBC scan:\n$p")
+    assert(p.contains("EqualTo(n_regionkey,1)"),
+      s"the region filter must push into Derby's WHERE clause:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the filtered 5-row dim must broadcast")
+  }
+
   test("p02: adjacency closure rides hash equi-joins on oriented endpoints") {
     val df = graft.SparkEntry.all("p02_triangle_count").fn(spark, d)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
