@@ -2370,6 +2370,37 @@ object TextOps {
       .orderBy("source")
   }
 
+  private val ApportionN = 100000L
+
+  /** t55 — training-mix budget apportionment by the largest-remainder
+    * (Hamilton) method: a fixed budget of token units splits across
+    * sources proportional to t54's EFFECTIVE token mass, with the
+    * fractional seats going to the largest remainders — the exact
+    * integer apportionment that sums to the budget BY CONSTRUCTION
+    * (naive rounding of quotas doesn't, and float quotas aren't even
+    * portable). Everything is integer: base = (N·w) div W, remainder =
+    * (N·w) mod W, ties on remainder break by source name.
+    *
+    * Scale: the apportionment runs on the |sources| aggregate frame
+    * (≤ dozens of rows) — the global remainder-rank window never sees
+    * corpus rows; both scalar frames (total mass, seat shortfall)
+    * broadcast (the e16 threshold pattern). */
+  def budgetApportion(s: SparkSession, d: String): DataFrame = {
+    val eff = effectiveTokens(s, d).select(col("source"), col("tok_effective"))
+    val tot = eff.agg(sum("tok_effective").as("W"))
+    val q = eff.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($ApportionN * tok_effective) div W"))
+      .withColumn("rem", expr(s"($ApportionN * tok_effective) % W"))
+    val short = q.agg((lit(ApportionN) - sum("base")).as("short"))
+    q.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source").asc)))
+      .withColumn("alloc",
+        (col("base") + when(col("rk") <= col("short"), 1L).otherwise(0L)).cast("long"))
+      .select("source", "tok_effective", "alloc")
+      .orderBy("source")
+  }
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def mhSelect = MhA.zip(MhB).zipWithIndex.map { case ((a, b), j) =>
@@ -2599,6 +2630,33 @@ object TextOps {
     // same labels; the oracle ALSO recomputes the dispatch heuristic
     // (avg degree of the ≥0.9 pair graph vs threshold 3) so the body
     // choice itself is hash-checked, not just the labeling
+    // composes the t54 chain; apportionment in exact integers so Σalloc
+    // equals the budget by construction in both engines
+    "t55_budget_apportion" -> QueryDef(budgetApportion _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |reps AS (SELECT cluster_id, MIN(id) AS rep FROM lab GROUP BY cluster_id),
+         |tok AS (SELECT doc_id, source,
+         |    CAST(LEN(string_split($NormSqlDuck, ' ')) AS BIGINT) AS n_tok FROM documents),
+         |fl AS (SELECT t.source, t.n_tok,
+         |    CASE WHEN l.id IS NULL OR t.doc_id = r.rep THEN 1 ELSE 0 END AS kept
+         |  FROM tok t LEFT JOIN lab l ON l.id = t.doc_id
+         |  LEFT JOIN reps r ON r.cluster_id = l.cluster_id),
+         |eff AS (SELECT source,
+         |    CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_effective
+         |  FROM fl GROUP BY source),
+         |tt AS (SELECT CAST(SUM(tok_effective) AS BIGINT) AS w FROM eff),
+         |qa AS (SELECT source, tok_effective,
+         |    ($ApportionN * tok_effective) // tt.w AS base,
+         |    ($ApportionN * tok_effective) % tt.w AS rem
+         |  FROM eff, tt),
+         |sh AS (SELECT $ApportionN - CAST(SUM(base) AS BIGINT) AS short FROM qa),
+         |rr AS (SELECT source, tok_effective, base, rem,
+         |    row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM qa)
+         |SELECT r.source, r.tok_effective,
+         |  CAST(r.base + CASE WHEN r.rk <= s.short THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rr r, sh s ORDER BY r.source""".stripMargin),
+
     // composes the t16 labeling CTE (shared definition — the keying can
     // never drift) with the t06 tokenization; keep rule = cluster MIN id
     "t54_effective_tokens" -> QueryDef(effectiveTokens _,

@@ -78,4 +78,17 @@ class TokenBudgetSpec extends AnyFunSuite {
     // so every range holds ≤ a few docs and most ranges are empty
     check((0L until 300L).map(i => (i * 1009L, 4L, 2L + i % 7)), "sparse")
   }
+
+  test("t55: largest-remainder apportionment sums exactly to the budget, each within 1 of quota") {
+    val rows = TextOps.budgetApportion(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._3).sum == 100000L, "Hamilton apportionment must sum to N exactly")
+    val w = rows.map(_._2).sum.toDouble
+    rows.foreach { case (src, tok, alloc) =>
+      val quota = 100000L * tok / w
+      assert(math.abs(alloc - quota) <= 1.0 + 1e-9,
+        s"$src: alloc $alloc must sit within 1 seat of quota $quota")
+    }
+  }
 }
