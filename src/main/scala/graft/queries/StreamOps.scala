@@ -210,6 +210,7 @@ object StreamOps {
     gramIndexStreamCache.clear() // ditto
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
+    viewMaintCache.clear() // ditto
     nearDupCache.clear()  // ditto
     decontamCache.clear() // ditto
     qualityGateCache.clear() // ditto
@@ -773,6 +774,76 @@ object StreamOps {
     } finally JdbcRoundTrip.dropDatabaseQuietly(url)
   }
 
+  /** s20 — transactional incremental VIEW maintenance in-stream: q45's
+    * merge pattern (view' = re-agg of view ∪ delta-agg) executed per
+    * micro-batch through foreachBatch, guarded by g15's ledger idea as
+    * per-batch marker files, with the view swapped atomically each
+    * batch (write-to-temp + rename — a reader can never observe a
+    * half-written view). The maintained per-user aggregate equals a
+    * batch recompute because sum/count are mergeable; the graded output
+    * is the read-side top-10 — computed FROM the full keyed view, never
+    * from per-batch top-10s (top-k of sums is NOT mergeable from
+    * partial top-ks; maintaining the keyed view and cutting at read is
+    * the correct decomposition). ViewMaintenanceSpec replays a batch
+    * against the finished view and asserts the ledger refuses it.
+    *
+    * At 100 TB/day this is the materialized-view ingest loop: refresh
+    * cost |batch| + |view| per batch, snapshot never rescanned, a retry
+    * safely refused by the marker. */
+  def streamViewMaintenance(s: SparkSession, d: String): DataFrame = {
+    viewMaintCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    viewMaintCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_view_maint")
+      try {
+        val nBatches = EventStream.runForeachBatch(s, multiFileStreamSource(s, d),
+          (batch, id) => applyViewDelta(s, root, batch, id))
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        s.read.parquet(root.resolve("view").toString)
+          .orderBy(col("sum_value").desc, col("user_id").asc).limit(10)
+          .select(col("user_id"), col("n_events"),
+            Tables.asDbl(col("sum_value")).as("sum_value"))
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally rmrf(root)
+    })
+  }
+
+  private val viewMaintCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** One exactly-once view refresh: skip if this batch's marker exists
+    * (the g15 refusal), else merge the batch's partial aggregate into
+    * the view and swap atomically. Package-visible so the spec can
+    * replay a batch against the finished view. */
+  private[queries] def applyViewDelta(s: SparkSession, root: java.nio.file.Path,
+      batch: DataFrame, id: Long): Unit = {
+    val marker = root.resolve(s"_batch_$id")
+    if (!java.nio.file.Files.exists(marker)) {
+      val delta = batch.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(Tables.dec("value")).as("sum_value"))
+      val viewDir = root.resolve("view")
+      val merged =
+        if (java.nio.file.Files.exists(viewDir))
+          s.read.parquet(viewDir.toString)
+            .select(col("user_id"), col("n_events"), col("sum_value").cast(Tables.Dec))
+            .unionByName(delta)
+            .groupBy("user_id")
+            .agg(sum("n_events").cast("long").as("n_events"),
+              sum("sum_value").cast(Tables.Dec).as("sum_value"))
+        else delta
+      val tmp = root.resolve(s"view_tmp_$id")
+      merged.select(col("user_id"), col("n_events"),
+          col("sum_value").cast(Tables.Dec).as("sum_value"))
+        .write.mode("overwrite").parquet(tmp.toString)
+      val old = root.resolve(s"view_old_$id")
+      if (java.nio.file.Files.exists(viewDir))
+        java.nio.file.Files.move(viewDir, old)
+      java.nio.file.Files.move(tmp, viewDir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (java.nio.file.Files.exists(old)) rmrf(old)
+      java.nio.file.Files.createFile(marker); ()
+    }
+  }
+
   /** Restart-from-checkpoint sessionization: the s01 plan killed
     * mid-stream and recovered. The fixture is split in event time at its
     * midpoint; phase 1 streams the first half with a durable checkpoint
@@ -1012,6 +1083,16 @@ object StreamOps {
          |FROM events e JOIN dim d ON e.user_id = d.c_custkey
          |  AND e.ts >= d.vf AND e.ts < d.vt
          |GROUP BY d.segment ORDER BY d.segment""".stripMargin),
+
+    // oracle = the batch recompute of the maintained view's read-side
+    // top-10: per-batch merge ∘ drain ≡ one batch aggregation, because
+    // sum/count are mergeable and the ledger makes each merge
+    // exactly-once
+    "s20_stream_view_maintenance" -> QueryDef(streamViewMaintenance _,
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY user_id
+         |ORDER BY sum_value DESC, user_id ASC LIMIT 10""".stripMargin),
 
     // oracle = batch k06's statement verbatim: the DOUBLED stream must
     // converge to the exactly-once bitmap counts through OR idempotence
