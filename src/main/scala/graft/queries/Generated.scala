@@ -319,6 +319,40 @@ object Generated {
       .orderBy("n_name")
   }
 
+  /** g17 — federation with AGGREGATE pushdown: Spark's JDBC source
+    * pushes filters but not aggregates, so the engine ships the
+    * aggregation INTO the database explicitly as a query-as-table
+    * (`(SELECT ... GROUP BY) t`) — Derby computes its per-region
+    * nation counts and ships 5 rows instead of 25; Spark joins that
+    * database-side aggregate with the parquet-side revenue rollup.
+    * The classic federation optimization for a dimension too large to
+    * ship raw (a 10^9-row operational table aggregates to |groups|
+    * before crossing the wire). Shares g16's session-lifetime DB. */
+  def federatedAggPushdown(s: SparkSession, d: String): DataFrame = {
+    federatedJoin(s, d) // ensure the session DB exists (memoized build)
+    val url = fedDbCache((s, d))
+    val props = graft.load.JdbcSink.props(graft.load.JdbcSink.Target(url, "", ""))
+    // the aggregation executes IN Derby: the scan relation is the
+    // subquery, so only |regions| rows cross the JDBC boundary
+    val dimAgg = s.read.jdbc(url,
+      """(SELECT "n_regionkey", COUNT(*) AS "n_nations"
+        |   FROM "dim_nation" GROUP BY "n_regionkey") t""".stripMargin, props)
+    val factAgg = graft.tables.Tables.orders(s, d)
+      .join(graft.tables.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.tables.Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey").as("r"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("r"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.tables.Tables.asDbl(sum(graft.tables.Tables.dec("o_totalprice"))).as("revenue"))
+    factAgg.join(broadcast(dimAgg), col("r") === col("n_regionkey"))
+      .select(col("r").as("region_key"), col("n_nations").cast("long").as("n_nations"),
+        col("n_orders"), col("revenue"))
+      .orderBy("region_key")
+  }
+
   /** Live schema-evolution round-trip — the day-2 posture after the
     * reference's deploy-then-fill (apply_mssql.py deploys a frozen DDL;
     * real schemas then MOVE): widen a loaded table with ALTER TABLE ADD
@@ -554,6 +588,22 @@ object Generated {
          |JOIN nation ON c_nationkey = n_nationkey
          |WHERE n_regionkey = 1
          |GROUP BY n_name ORDER BY n_name""".stripMargin),
+
+    // oracle = pure-parquet restatement; only the PLAN differs (the
+    // aggregate executes in Derby behind a query-as-table relation)
+    "g17_federated_agg_pushdown" -> QueryDef(federatedAggPushdown _,
+      s"""WITH dim AS (SELECT n_regionkey, COUNT(*) AS n_nations
+         |  FROM nation GROUP BY n_regionkey),
+         |fact AS (SELECT n.n_regionkey AS r, COUNT(*) AS n_orders,
+         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n ON c_nationkey = n.n_nationkey
+         |  GROUP BY n.n_regionkey)
+         |SELECT f.r AS region_key, CAST(d.n_nations AS BIGINT) AS n_nations,
+         |  f.n_orders, f.revenue
+         |FROM fact f JOIN dim d ON d.n_regionkey = f.r
+         |ORDER BY f.r""".stripMargin),
 
     // frozen deterministic audit: 3 attempts, 2 committed, 1 refused by
     // the ledger PK; 20 rows = 2 batches × 10, zero duplicate

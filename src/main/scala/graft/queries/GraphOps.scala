@@ -198,6 +198,69 @@ object GraphOps {
       |                  (SELECT COUNT(*) FROM deg) AS n_nodes)
       |SELECT t.n_triangles, c.n_edges, c.n_nodes FROM tri t, census c""".stripMargin
 
+  private val BfsRounds = 4
+
+  /** p05 — BFS reachability layers from customer 0 on the trading
+    * graph: the frontier-expansion primitive under every shortest-path
+    * / influence query. Distances propagate as min(dist, neighbor+1)
+    * for 4 synchronous rounds — on this dense bipartite graph that
+    * covers everything reachable (diameter ≤ 4 from any active
+    * customer; unreached nodes grade as layer −1 rather than silently
+    * dropping). Output is the layer census.
+    *
+    * Scale: a round is one keyed join + one keyed min-agg (min is
+    * mergeable — map-side combine); the frontier never materializes
+    * separately, the whole dist frame re-derives per round and
+    * localCheckpoints (at 10^9 nodes one would delta-iterate on the
+    * frontier only — noted, not needed at 4 rounds). */
+  def bfsLayers(s: SparkSession, d: String): DataFrame =
+    bfsLayersOn(bipartiteEdges(s, d))
+
+  /** Core on an explicit directed edge frame — factored for
+    * GraphOpsSpec's planted chain + unreachable island. */
+  private[queries] def bfsLayersOn(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val inf = 1000000L
+    var dist = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), when(col("node") === 0L, 0L).otherwise(inf).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("cand"))
+        .groupBy("node").agg(min("cand").as("cand"))
+      dist = dist.join(relaxed, Seq("node"), "left")
+        .select(col("node"),
+          least(col("dist"), coalesce(col("cand"), lit(inf))).as("dist"))
+        .localCheckpoint()
+    }
+    dist.select(col("node"),
+        when(col("dist") >= inf, -1L).otherwise(col("dist")).as("layer"))
+      .groupBy("layer").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("layer")
+  }
+
+  private val BfsLayersDuck: String = {
+    val base =
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT cn AS src, sn AS dst FROM e0
+         |          UNION ALL SELECT sn, cn FROM e0),
+         |d0 AS (SELECT DISTINCT src AS node,
+         |    CASE WHEN src = 0 THEN 0 ELSE 1000000 END AS dist FROM edges)""".stripMargin
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""r$i AS (SELECT e.dst AS node, MIN(p.dist + 1) AS cand
+         |  FROM d${i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+         |d$i AS (SELECT p.node,
+         |    LEAST(p.dist, COALESCE(r.cand, 1000000)) AS dist
+         |  FROM d${i - 1} p LEFT JOIN r$i r ON r.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds
+       |SELECT CAST(CASE WHEN dist >= 1000000 THEN -1 ELSE dist END AS BIGINT) AS layer,
+       |  COUNT(*) AS n_nodes
+       |FROM d$BfsRounds GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val LpRounds = 3
 
   /** p04 — synchronous label propagation (the community-detection
@@ -288,6 +351,7 @@ object GraphOps {
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),
     "p02_triangle_count" -> QueryDef(triangleCount _, TriangleDuck),
     "p03_degree_histogram" -> QueryDef(degreeHistogram _, DegreeHistDuck),
-    "p04_label_propagation" -> QueryDef(labelPropagation _, LabelPropDuck)
+    "p04_label_propagation" -> QueryDef(labelPropagation _, LabelPropDuck),
+    "p05_bfs_layers" -> QueryDef(bfsLayers _, BfsLayersDuck)
   )
 }

@@ -64,6 +64,15 @@ class GraphOpsSpec extends AnyFunSuite {
       s"expected two 3-member communities (labels 0 and 2), got $out")
   }
 
+  test("p05: chain layers count out exactly; an unreachable island grades as -1") {
+    // path 0-1-2-3-4 (each layer 1 node) + disconnected pair 90-91
+    val und = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (90L, 91L))
+    val out = GraphOps.bfsLayersOn(und).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-1L -> 2L, 0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"expected one node per layer 0..4 and the island at -1, got $out")
+  }
+
   test("p02: orientation is a permutation of the edge set (no edge lost or duplicated)") {
     // a hub node with high degree: orientation must still preserve m
     val hub = (1L to 12L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))

@@ -652,6 +652,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the filtered 5-row dim must broadcast")
   }
 
+  test("g17: the aggregation executes inside the database relation") {
+    val p = plan("g17_federated_agg_pushdown")
+    assert(p.contains("JDBCRelation((SELECT"),
+      s"the scan relation must BE the aggregate subquery (Derby computes it):\n$p")
+    assert(p.contains("n_nations"),
+      s"the database-computed count must flow from the relation:\n$p")
+  }
+
   test("p02: adjacency closure rides hash equi-joins on oriented endpoints") {
     val df = graft.SparkEntry.all("p02_triangle_count").fn(spark, d)
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
