@@ -38,14 +38,23 @@ object GraphOps {
   /** Undirected customer↔supplier bipartite graph: an edge per distinct
     * (customer, supplier) trading pair observed in orders ⋈ lineitem.
     * Node encoding 2k / 2k+1 keeps the two key spaces disjoint. */
+  private val bipartiteCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
-    val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
-      .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
-      .distinct()
-    pairs.select(col("cn").as("src"), col("sn").as("dst"))
-      .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+    bipartiteCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    // p01 and p05 both iterate over this frame — one materialization
+    // (the partEdges memo convention)
+    bipartiteCache.getOrElseUpdate((s, d), {
+      val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+        .distinct()
+      pairs.select(col("cn").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst")))
+        .localCheckpoint()
+    })
   }
 
   /** p01 — 5 PageRank iterations in exact integer fixed-point; top-20
@@ -114,7 +123,7 @@ object GraphOps {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearCaches(): Unit = edgeCache.clear()
+  def clearCaches(): Unit = { edgeCache.clear(); bipartiteCache.clear() }
 
   private def partEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
@@ -225,12 +234,14 @@ object GraphOps {
       .select(col("node"), when(col("node") === 0L, 0L).otherwise(inf).as("dist"))
       .localCheckpoint()
     for (_ <- 1 to BfsRounds) {
-      val relaxed = dist.join(edges, col("node") === col("src"))
-        .select(col("dst").as("node"), (col("dist") + 1L).as("cand"))
-        .groupBy("node").agg(min("cand").as("cand"))
-      dist = dist.join(relaxed, Seq("node"), "left")
-        .select(col("node"),
-          least(col("dist"), coalesce(col("cand"), lit(inf))).as("dist"))
+      // ONE join + ONE mergeable min-agg per round: the current dist
+      // rides the union as its own candidate, so no second join is
+      // needed to re-attach unrelaxed nodes
+      dist = dist
+        .unionByName(
+          dist.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
         .localCheckpoint()
     }
     dist.select(col("node"),
