@@ -65,7 +65,78 @@ object MediaOps {
       |    md5(string_agg(hp, '' ORDER BY pos)) AS chunk_md5
       |  FROM c GROUP BY doc_id, kind, chunk_no)""".stripMargin
 
+  /** m11 — cross-modality TRAINING MANIFEST: the readiness join that
+    * gates a multimodal training job. Every sample is graded across its
+    * three modalities — text (documents), vector (embeddings), payload
+    * (the m01 synthetic media) — with per-(source, kind) counts of
+    * ready samples and of each failure mode (missing embedding,
+    * zero-norm embedding, text below the 8-token floor). Missing
+    * modalities are COUNTED, never silently inner-joined away — the
+    * manifest bug that silently shrinks a training set.
+    *
+    * Scale: modality frames join KEYED on the sample id (each grows
+    * with the corpus — never broadcast); flags are map-side
+    * expressions; the census is one partial agg over |sources × kinds|
+    * groups. Payload bytes contribute only their LENGTH — the binary
+    * column itself never shuffles (the m-series rule). */
+  def trainingManifest(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")), " "))
+        .cast("long").as("n_tokens"))
+    val emb = Tables.embeddings(s, d).select(col("vec_id"),
+      expr("aggregate(embedding, cast(0 as double), (a, x) -> a + cast(x as double) * cast(x as double))")
+        .as("sq_norm"))
+    val media = Multimodal.syntheticMedia(s, d)
+      .select(col("media_id"), col("kind"), length(col("content")).cast("long").as("n_bytes"))
+    docs
+      .join(emb, col("doc_id") === col("vec_id"), "left")
+      .join(media, col("doc_id") === col("media_id"), "left")
+      .withColumn("has_emb", col("vec_id").isNotNull && col("sq_norm") > 0.0)
+      .withColumn("text_ok", col("n_tokens") >= 8)
+      .withColumn("ready", col("has_emb") && col("text_ok") && col("n_bytes") > 0)
+      .groupBy("source", "kind")
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("ready"), 1L).otherwise(0L)).as("n_ready"),
+        sum(when(!col("has_emb"), 1L).otherwise(0L)).as("n_bad_embedding"),
+        sum(when(!col("text_ok"), 1L).otherwise(0L)).as("n_short_text"),
+        sum(when(col("ready"), col("n_tokens")).otherwise(0L)).as("ready_tokens"),
+        sum(when(col("ready"), col("n_bytes")).otherwise(0L)).as("ready_bytes"))
+      .orderBy("source", "kind")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // the oracle restates readiness over the raw fixtures; LEFT joins —
+    // a missing modality is a counted failure mode, not a dropped row
+    "m11_training_manifest" -> QueryDef(trainingManifest _,
+      """WITH docs AS (SELECT doc_id, source,
+        |    CAST(LEN(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |emb AS (SELECT vec_id,
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS sq_norm
+        |  FROM embeddings),
+        |media AS (SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  FROM documents),
+        |j AS (SELECT d.source, m.kind, d.n_tokens, m.n_bytes,
+        |    (e.vec_id IS NOT NULL AND e.sq_norm > 0.0) AS has_emb,
+        |    (d.n_tokens >= 8) AS text_ok,
+        |    (e.vec_id IS NOT NULL AND e.sq_norm > 0.0
+        |     AND d.n_tokens >= 8 AND COALESCE(m.n_bytes, 0) > 0) AS ready
+        |  FROM docs d
+        |  LEFT JOIN emb e ON e.vec_id = d.doc_id
+        |  LEFT JOIN media m ON m.media_id = d.doc_id)
+        |SELECT source, kind, COUNT(*) AS n_samples,
+        |  CAST(SUM(CASE WHEN ready THEN 1 ELSE 0 END) AS BIGINT) AS n_ready,
+        |  CAST(SUM(CASE WHEN NOT has_emb THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_embedding,
+        |  CAST(SUM(CASE WHEN NOT text_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_short_text,
+        |  CAST(SUM(CASE WHEN ready THEN n_tokens ELSE 0 END) AS BIGINT) AS ready_tokens,
+        |  CAST(SUM(CASE WHEN ready THEN n_bytes ELSE 0 END) AS BIGINT) AS ready_bytes
+        |FROM j GROUP BY source, kind ORDER BY source, kind""".stripMargin),
+
     "m01_media_stats" -> QueryDef(Multimodal.mediaStats _,
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
