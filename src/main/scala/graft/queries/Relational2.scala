@@ -344,6 +344,31 @@ object Relational2 {
         "n_li_del", "n_li_kept", "rev_deleted", "rev_kept")
   }
 
+  /** q48 — typed-Aggregator top-k ON the graded surface: per-nation
+    * top-3 customers by balance through `functions.ScoredTopK`
+    * (Aggregator[IN, BUF, OUT], SURVEY §2.7) — the bounded-buffer
+    * PARTIAL top-k whose per-executor state is ≤ k rows merged
+    * associatively, vs. the window formulation that shuffles and sorts
+    * every group row (q09's shape; the oracle states exactly that
+    * formulation, so the two must agree ranking for ranking). This is
+    * the 100 TB answer when groups are huge and k is small: map-side
+    * combine folds each partition to k rows before anything moves. */
+  def typedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = customer(s, d)
+      .select(col("c_nationkey").cast("long"), col("c_custkey").cast("long"),
+        col("c_acctbal").cast("double"))
+      .as[(Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(graft.functions.ScoredTopK(3).toColumn.name("top"))
+      .toDF("n_nationkey", "top")
+      .select(col("n_nationkey"), posexplode(col("top")))
+      .select(col("n_nationkey"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._1").as("c_custkey"), col("col._2").as("acctbal"))
+      .orderBy("n_nationkey", "rk")
+  }
+
   // --- q46: Z-order (Morton) clustering + cell-aligned box query --------
 
   /** Bits per dimension of the Morton code. Price cells 0–9 need 4; the
@@ -407,6 +432,16 @@ object Relational2 {
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    // the oracle states the WINDOW formulation the bounded-buffer
+    // aggregator replaces — both must rank identically, ties on id
+    "q48_typed_topk" -> QueryDef(typedTopK _,
+      """SELECT c_nationkey AS n_nationkey, rk, c_custkey, acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal AS acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS rk
+        |  FROM customer) r
+        |WHERE rk <= 3 ORDER BY n_nationkey, rk""".stripMargin),
+
     // the oracle states the cascade as IN/NOT-IN subqueries — the
     // semi/anti join strategy must be result-invisible
     "q47_forget_cascade" -> QueryDef(forgetCascade _,

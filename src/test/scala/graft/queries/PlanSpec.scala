@@ -652,6 +652,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "the filtered 5-row dim must broadcast")
   }
 
+  test("q48: typed top-k plans as a partial object aggregate, no window") {
+    val p = plan("q48_typed_topk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"the Aggregator must plan as a typed aggregate:\n$p")
+    assert(!p.contains("(\\d+) Window"),
+      "the bounded-buffer path must not fall back to a rank window")
+    assert(p.contains("partial"), "the ≤k buffer must combine map-side")
+  }
+
   test("g17: the aggregation executes inside the database relation") {
     val p = plan("g17_federated_agg_pushdown")
     assert(p.contains("JDBCRelation((SELECT"),
