@@ -28,6 +28,7 @@ object Harness {
       queries.VectorOps.clearCaches()
       queries.Generated.clearCaches()
       queries.GraphOps.clearCaches()
+      operators.CopyOnWrite.clearCaches()
       multimodal.Multimodal.clearCaches()
       queries.MediaOps.clearCaches()
       spark.stop()

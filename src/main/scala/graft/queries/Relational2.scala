@@ -432,6 +432,23 @@ object Relational2 {
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    // the oracle restates the MERGED semantics over raw parquet: the
+    // copy-on-write partition rewrite must be result-invisible (the
+    // physical untouched-files claim is CowUpsertSpec's half)
+    "q49_cow_upsert" -> QueryDef(graft.operators.CopyOnWrite.cowUpsert _,
+      s"""WITH merged AS (SELECT o_orderpriority,
+         |    CASE WHEN o_orderpriority = '1-URGENT'
+         |          AND ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':cow'), 1, 8))::BIGINT % 10 = 0
+         |         THEN CAST(o_totalprice AS $D) + 1000 ELSE CAST(o_totalprice AS $D) END AS price,
+         |    CASE WHEN o_orderpriority = '1-URGENT'
+         |          AND ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':cow'), 1, 8))::BIGINT % 10 = 0
+         |         THEN 1 ELSE 0 END AS upd
+         |  FROM orders)
+         |SELECT o_orderpriority AS grp, COUNT(*) AS n_orders,
+         |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+         |  CAST(SUM(upd) AS BIGINT) AS n_updated
+         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // the oracle states the WINDOW formulation the bounded-buffer
     // aggregator replaces — both must rank identically, ties on id
     "q48_typed_topk" -> QueryDef(typedTopK _,
