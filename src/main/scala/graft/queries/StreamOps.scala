@@ -166,6 +166,99 @@ object StreamOps {
     })
   }
 
+  /** A deliberately OUT-OF-ORDER replay: slice 0 carries everything
+    * except a deterministic ~5% of first-half events; slice 1 delivers
+    * those months-old events AFTER the watermark has advanced to the
+    * stream's end — the shape a recovered upstream or a backfill
+    * produces, which s21's watermark must drop and ACCOUNT for. */
+  private val lateSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[queries] def lateSel = {
+    // md5 gate on event_id + first-half-of-timeline restriction: the
+    // late set is rerunnable in both engines (k03's discipline)
+    (mid: org.apache.spark.sql.Column) =>
+      pmod(conv(substring(md5(concat(col("event_id").cast("string"), lit(":late"))), 1, 8), 16, 10)
+        .cast("long"), lit(20L)) === 0 && unix_micros(col("ts")) < mid
+  }
+
+  private def lateSlicedStreamSource(s: SparkSession, d: String): String = {
+    evictDead(lateSourceCache)
+    lateSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_late")
+      try {
+        val ev = Tables.events(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).collect()(0)
+        val mid = lit((mm.getLong(0) + mm.getLong(1)) / 2)
+        val tail = lit(mm.getLong(1) - 5L * 60 * 1000000) // last 5 min
+        val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
+        // THREE slices, because state eviction needs a batch boundary
+        // after the watermark advances: slice 0 (bulk) sets the
+        // watermark, slice 1 (recent tail) triggers the eviction pass
+        // that EMITS and removes the old windows, slice 2 (the late
+        // set) then arrives after its windows are gone — the only
+        // arrival order in which Spark's aggregation actually DROPS
+        // late rows (a late row whose window is still in state merges
+        // fine; measured round 7)
+        Seq(
+          ev.filter(!lateSel(mid) && unix_micros(col("ts")) < tail),
+          ev.filter(!lateSel(mid) && unix_micros(col("ts")) >= tail),
+          ev.filter(lateSel(mid))).zipWithIndex
+          .foreach { case (slice, i) =>
+            val sliceDir = dir.resolve(s"build$i")
+            slice.coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
+            val part = java.nio.file.Files.list(sliceDir).filter(p =>
+              p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+            val dst = dir.resolve(s"slice$i.parquet")
+            java.nio.file.Files.move(part, dst)
+            java.nio.file.Files.setLastModifiedTime(dst,
+              java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+            rmrf(sliceDir)
+          }
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      trackScratch(dir.toString)
+    })
+  }
+
+  private[queries] def debugLateSource(s: SparkSession, d: String): String =
+    lateSlicedStreamSource(s, d)
+
+  /** The (drained frame, rows dropped by watermark) of the last s21
+    * run — the metric half, exposed for LateDataSpec. */
+  @volatile private[queries] var lastLateDrop: Option[Long] = None
+
+  /** s21 — watermark LATE-DATA accounting: hourly Append-mode counts
+    * over the out-of-order replay. Batch 0 advances the watermark to
+    * the stream's end minus 10 minutes; batch 1 then delivers
+    * months-old events, and the watermark DROPS every one — the graded
+    * result is exactly the on-time counts over finalized windows, and
+    * the state-store metric records precisely how many rows were
+    * refused (LateDataSpec pins it to the planted late-set size).
+    * Append mode is the point: only windows the watermark has closed
+    * emit, so the drained sink IS the finalized-output contract a
+    * downstream consumer sees — no Complete-mode do-overs. At
+    * 100 TB/day the dropped-rows metric is the alarm wire: silently
+    * losing a backfill is the classic streaming correctness bug, and
+    * this query makes the loss an observable, graded number. */
+  def streamLateAccounting(s: SparkSession, d: String): DataFrame = {
+    lateResultCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    lateResultCache.getOrElseUpdate((s, d), {
+      val (t, dropped) = EventStream.runAppendWithProgress(s, ev =>
+        ev.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour").as("w"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("w.start")).as("w_start_us"), col("n")),
+        lateSlicedStreamSource(s, d), "graft_stream_late_acct")
+      lastLateDrop = Some(dropped)
+      t.orderBy("w_start_us").localCheckpoint()
+    })
+  }
+
+  private val lateResultCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** A deliberately at-least-once copy of the fixture: every event
     * delivered twice (two identical parquet files) — the input shape a
     * replayed/retried ingest produces, which s03's dedup must collapse. */
@@ -211,6 +304,10 @@ object StreamOps {
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     viewMaintCache.clear() // ditto
+    lateResultCache.clear() // ditto
+    lateSourceCache.values.foreach(dirPath =>
+      try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
+    lateSourceCache.clear()
     nearDupCache.clear()  // ditto
     decontamCache.clear() // ditto
     qualityGateCache.clear() // ditto
@@ -1088,6 +1185,24 @@ object StreamOps {
     // top-10: per-batch merge ∘ drain ≡ one batch aggregation, because
     // sum/count are mergeable and the ledger makes each merge
     // exactly-once
+    // oracle = on-time rows only, windows the final watermark closed:
+    // Spark's watermark runs in ms (us//1000), emission at
+    // window_end <= watermark — restated literally
+    "s21_stream_late_accounting" -> QueryDef(streamLateAccounting _,
+      """WITH b AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+        |mm AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM b),
+        |sel AS (SELECT b.us,
+        |    (('0x' || substr(md5(CAST(b.event_id AS VARCHAR) || ':late'), 1, 8))::BIGINT % 20 = 0
+        |     AND b.us < mm.mid) AS late
+        |  FROM b, mm),
+        |hi AS (SELECT MAX(us) AS hi FROM sel WHERE NOT late),
+        |w AS (SELECT (us // 3600000000) AS wb, COUNT(*) AS n
+        |      FROM sel WHERE NOT late GROUP BY 1)
+        |SELECT wb * 3600000000 AS w_start_us, n
+        |FROM w, hi
+        |WHERE (wb + 1) * 3600000000 <= ((hi.hi // 1000) - 600000) * 1000
+        |ORDER BY 1""".stripMargin),
+
     "s20_stream_view_maintenance" -> QueryDef(streamViewMaintenance _,
       s"""SELECT user_id, COUNT(*) AS n_events,
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
