@@ -2384,7 +2384,10 @@ object TextOps {
     * Scale: the apportionment runs on the |sources| aggregate frame
     * (≤ dozens of rows) — the global remainder-rank window never sees
     * corpus rows; both scalar frames (total mass, seat shortfall)
-    * broadcast (the e16 threshold pattern). */
+    * broadcast (the e16 threshold pattern). Contract: the corpus has
+    * nonzero effective mass (W > 0) — at W = 0 the `div` is null in
+    * Spark but an error in strict engines, so an empty corpus should
+    * be rejected upstream, not apportioned. */
   def budgetApportion(s: SparkSession, d: String): DataFrame = {
     val eff = effectiveTokens(s, d).select(col("source"), col("tok_effective"))
     val tot = eff.agg(sum("tok_effective").as("W"))
