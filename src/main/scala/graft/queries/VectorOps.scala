@@ -1089,6 +1089,78 @@ object VectorOps {
        |      FROM j)
        |SELECT q_id, rk, hit_id, hamming FROM r WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  /** v27 — the COMPOSED production ANN stack in one graded query:
+    * IVF 2-probe routing (v08's shared affinity artifact) → binary-
+    * hamming shortlist of 20 inside the probed cells (v26's sign
+    * words — the 16 B/vector scan) → exact cosine rerank of the
+    * shortlist to top-5. Each rung pays for the next: the router reads
+    * |probes/cells| of the corpus, the shortlist scans it at 16 B/row,
+    * and exact math touches 20 rows/query — the v26 scaladoc's
+    * "compose with IVF cells" promise as an oracle-checked query.
+    * Recall is the composition of the rungs' documented recalls; the
+    * result contract (like v08/v10) is determinism, not exactness. */
+  def ivfBinaryTopK(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"),
+      signPack("v", 0).as("lo"), signPack("v", 32).as("hi"))
+    val probes = centroidAffinity(s, d)
+      .filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val q = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"), col("nrm").as("qn"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val cand = probes
+      .join(ivfCells(s, d).select(col("vec_id").as("hit_id"), col("cell")),
+        col("pcell") === col("cell"))
+      .filter(col("hit_id") =!= col("q_id"))
+      .join(packed.withColumnRenamed("vec_id", "hit_id"), "hit_id")
+      .join(broadcast(q), col("q_id") === col("qid2"))
+    val short = cand
+      .withColumn("hamming",
+        (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi"))).cast("long"))
+      .withColumn("hrn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("hamming").asc, col("hit_id").asc)))
+      .filter(col("hrn") <= 20)
+    short
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("hit_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val IvfBinaryDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pk AS (SELECT vec_id, v, ${signPackDuck(0)} AS lo, ${signPackDuck(32)} AS hi FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |aff AS (SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_dot_product(e.v, c.cv) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+       |        c.cid ASC) AS crn
+       |  FROM e, c),
+       |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+       |cand AS (SELECT pr.q_id, cl.vec_id AS hit_id,
+       |    CAST(bit_count(xor(qp.lo, bp.lo)) + bit_count(xor(qp.hi, bp.hi)) AS BIGINT) AS hamming
+       |  FROM probes pr
+       |  JOIN cells cl ON cl.cell = pr.pcell AND cl.vec_id != pr.q_id
+       |  JOIN pk qp ON qp.vec_id = pr.q_id
+       |  JOIN pk bp ON bp.vec_id = cl.vec_id),
+       |sh AS (SELECT q_id, hit_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming ASC, hit_id ASC) AS hrn
+       |  FROM cand),
+       |rr AS (SELECT s.q_id, s.hit_id,
+       |    round(list_dot_product(q.v, b.v) /
+       |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+       |  FROM sh s JOIN e q ON q.vec_id = s.q_id
+       |  JOIN e b ON b.vec_id = s.hit_id
+       |  WHERE s.hrn <= 20),
+       |r AS (SELECT q_id, hit_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM rr)
+       |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -1104,6 +1176,7 @@ object VectorOps {
 
   val defs: Map[String, QueryDef] = Map(
     "v26_binary_hamming_topk" -> QueryDef(binaryHammingTopK _, BinaryHammingDuck),
+    "v27_ivf_binary_topk" -> QueryDef(ivfBinaryTopK _, IvfBinaryDuck),
 
     "v01_cosine_topk" -> QueryDef(cosineTopK _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

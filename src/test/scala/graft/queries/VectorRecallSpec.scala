@@ -125,6 +125,23 @@ class VectorRecallSpec extends AnyFunSuite {
       f"margin-ranked probing must not trail naive at the same scan: ${curve(5)}%.2f < $rNaive%.2f")
   }
 
+  test("v27 composed stack (IVF route → binary shortlist → exact rerank) recall@5, measured") {
+    import org.apache.spark.sql.functions.col
+    val exact5 = graft.SparkEntry.all("v01_cosine_topk").fn(spark, d)
+      .filter(col("rk") <= 5).select("q_id", "hit_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val composed = hits("v27_ivf_binary_topk")
+    val recall = exact5.keys.toSeq.map { q =>
+      (composed(q) & exact5(q)).size.toDouble / exact5(q).size
+    }.sum / exact5.size
+    info(f"v27 composed recall@5 vs exact: $recall%.2f " +
+      f"(2/16 cells routed, 16 B/vector shortlist scan, 20-row exact rerank)")
+    // the composition cannot beat its router: v19 measured IVF-2-probe
+    // at 0.94; the binary shortlist loses a little more. Floor well
+    // above the lone binary rung (0.21) — the rerank is what recovers it
+    assert(recall > 0.5, f"composed recall collapsed: $recall%.2f")
+  }
+
   test("v26 binary-hamming recall@10 vs exact cosine — the 16 B/vector rung, measured") {
     val exact = hits("v01_cosine_topk")
     val binary = hits("v26_binary_hamming_topk")
