@@ -520,6 +520,40 @@ object EventOps {
       .orderBy("gap_days")
   }
 
+  /** e21 — seasonality scan: autocorrelation of the daily event-count
+    * series at lags 1–7 (the weekly-rhythm detector a forecasting
+    * pipeline runs before choosing its seasonal period). q29's
+    * discipline at series level: every Σ is exact integer (counts ×
+    * counts), the Pearson formula runs ONCE on identical operands in
+    * both engines — built-in corr()'s float-moment accumulation is
+    * order-dependent and can never hash-match.
+    *
+    * Scale: the raw pass is one keyed daily count; everything after
+    * operates on the |days| series (metadata-scale self-join on day
+    * index with a 7-row lag fan-out), so a decade of 100 TB/day events
+    * reduces to 3650 rows before any correlation math. */
+  def dailyAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("di"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // the |days| series feeds 7 lag joins
+    val lags = daily.crossJoin(
+      org.apache.spark.sql.functions.broadcast(
+        s.range(1, 8).select(col("id").as("lag"))))
+    val pairs = lags
+      .join(daily.select(col("di").as("dj"), col("n").as("m")),
+        col("dj") === col("di") - col("lag"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n").as("sx"), sum("m").as("sy"), sum(col("n") * col("m")).as("sxy"),
+        sum(col("n") * col("n")).as("sxx"), sum(col("m") * col("m")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n_pairs") * col("syy") - col("sy") * col("sy"))), 6).as("autocorr"))
+      .orderBy("lag")
+  }
+
   private val D = "DECIMAL(18,2)"
 
   /** The e09 funnel's stage CTE chain (per-user frontiers s1..s4),
@@ -759,6 +793,21 @@ object EventOps {
         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN gap_sec END) AS p90_sec,
         |  MIN(CASE WHEN cum * 100 >= n * 99 THEN gap_sec END) AS p99_sec
         |FROM cum""".stripMargin),
+    // integer Σs; the one float expression runs on identical operands
+    // in both engines (q29's discipline at series level)
+    "e21_daily_autocorr" -> QueryDef(dailyAutocorr _,
+      """WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS di, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |lagged AS (SELECT l.lag, a.n, b.n AS m
+        |  FROM daily a
+        |  CROSS JOIN (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag) l
+        |  JOIN daily b ON b.di = a.di - l.lag)
+        |SELECT lag, COUNT(*) AS n_pairs,
+        |  round((COUNT(*) * SUM(n * m) - SUM(n) * SUM(m)) /
+        |    (sqrt(COUNT(*) * SUM(n * n) - SUM(n) * SUM(n)) *
+        |     sqrt(COUNT(*) * SUM(m * m) - SUM(m) * SUM(m))), 6) AS autocorr
+        |FROM lagged GROUP BY lag ORDER BY lag""".stripMargin),
+
     // the oracle keeps censored tails (coalesce to the horizon), the
     // survival-data contract the engine must reproduce
     "e20_survival_gaps" -> QueryDef(survivalGaps _,
