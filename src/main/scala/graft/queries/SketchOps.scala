@@ -383,6 +383,76 @@ object SketchOps {
       |SELECT wd, CAST(SUM(bit_count(bits)) AS BIGINT) AS n_distinct
       |FROM bm GROUP BY wd ORDER BY wd""".stripMargin
 
+  /** k09 — sliding-window distinct from DAILY SKETCHES alone: each day
+    * folds to its K-smallest user-hash sketch once; a trailing 7-day
+    * window then merges seven sketches (K smallest of ≤ 7K candidate
+    * rows) and estimates — the window NEVER rescans raw events. This is
+    * the time-windowed form of k01's mergeability and the sketch-path
+    * complement to k06: at 10^9 users even bitmap words are heavy, and
+    * the KMV window costs K rows per day forever. Exact distinct is
+    * graded beside it (err_permille), like every estimator here.
+    *
+    * Scale: the raw pass is one keyed (day, hash) dedup; daily
+    * K-smallest via the salted tournament; window merges rank ≤ 7K rows
+    * per window — bounded by construction, not by data. */
+  def kmvWindowDistinct(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("di"),
+      col("user_id"))
+    val hv = e.select(col("di"), h60(col("user_id"), "kmvw").as("hv")).distinct()
+      .localCheckpoint() // feeds the daily sketches AND the exact counts
+    val daily = kSmallest(hv.withColumnRenamed("di", "grp"), "grp", KmvK)
+      .select(col("grp").as("di"), col("hv"))
+    // window merge: K smallest of the union of the 7 daily sketches —
+    // the fan-out touches only sketch rows (≤ 7K per window)
+    val win = daily
+      .select(col("di"), col("hv"), explode(sequence(lit(0L), lit(6L))).as("o"))
+      .select((col("di") + col("o")).as("wd"), col("hv"))
+      .distinct() // a hash present in several days merges once
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("wd").orderBy(col("hv").asc)))
+      .filter(col("rk") <= KmvK)
+      .groupBy("wd").agg(max("hv").as("kth"), count(lit(1)).as("n_kept"))
+    val exact = hv
+      .select(col("di"), col("hv"), explode(sequence(lit(0L), lit(6L))).as("o"))
+      .select((col("di") + col("o")).as("wd"), col("hv"))
+      .groupBy("wd").agg(countDistinct("hv").as("n_exact"))
+    exact.join(win, "wd") // |windows| rows each side
+      .withColumn("kmv_est",
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) * lit(Pow60) / col("kth").cast("double")).cast("long")))
+      .withColumn("err_permille",
+        floor(abs(col("kmv_est") - col("n_exact")) * lit(1000) / col("n_exact")).cast("long"))
+      .select("wd", "n_exact", "kmv_est", "err_permille")
+      .orderBy("wd")
+  }
+
+  private val KmvWindowDuck: String =
+    s"""WITH hv AS (SELECT DISTINCT
+       |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
+       |    ${h60Duck("user_id", "kmvw")} AS hv FROM events),
+       |dr AS (SELECT di, hv,
+       |    row_number() OVER (PARTITION BY di ORDER BY hv) AS rk FROM hv),
+       |daily AS (SELECT di, hv FROM dr WHERE rk <= $KmvK),
+       |fan AS (SELECT DISTINCT
+       |    di + CAST(unnest(generate_series(0, 6)) AS BIGINT) AS wd, hv FROM daily),
+       |wr AS (SELECT wd, hv,
+       |    row_number() OVER (PARTITION BY wd ORDER BY hv) AS rk FROM fan),
+       |win AS (SELECT wd, MAX(hv) AS kth, COUNT(*) AS n_kept
+       |        FROM wr WHERE rk <= $KmvK GROUP BY wd),
+       |ex AS (SELECT wd, COUNT(DISTINCT hv) AS n_exact FROM (
+       |    SELECT di + CAST(unnest(generate_series(0, 6)) AS BIGINT) AS wd, hv
+       |    FROM hv) f GROUP BY wd)
+       |SELECT e.wd, e.n_exact,
+       |  CASE WHEN w.n_kept < $KmvK THEN w.n_kept
+       |       ELSE CAST(FLOOR(${(KmvK - 1).toDouble} * $Pow60 / CAST(w.kth AS DOUBLE)) AS BIGINT)
+       |  END AS kmv_est,
+       |  CAST(FLOOR(ABS(CASE WHEN w.n_kept < $KmvK THEN w.n_kept
+       |       ELSE CAST(FLOOR(${(KmvK - 1).toDouble} * $Pow60 / CAST(w.kth AS DOUBLE)) AS BIGINT)
+       |  END - e.n_exact) * 1000 / e.n_exact) AS BIGINT) AS err_permille
+       |FROM ex e JOIN win w ON w.wd = e.wd
+       |ORDER BY e.wd""".stripMargin
+
   // --- AMS second-moment sketch ------------------------------------------
 
   private[queries] val AmsD = 5
@@ -521,6 +591,7 @@ object SketchOps {
     "k06_bitmap_window_distinct" -> QueryDef(bitmapWindowDistinct _, BitmapWindowDuck),
     "k07_ams_f2" -> QueryDef(amsF2 _, AmsF2Duck),
     "k08_column_profile" -> QueryDef(columnProfile _, ColumnProfileDuck),
+    "k09_kmv_window_distinct" -> QueryDef(kmvWindowDistinct _, KmvWindowDuck),
     "k01_kmv_distinct" -> QueryDef(kmvDistinct _, KmvDistinctDuck),
     "k02_cms_heavy_hitters" -> QueryDef(cmsHeavyHitters _, CmsHeavyHittersDuck),
     "k03_hash_sample_estimate" -> QueryDef(hashSampleEstimate _, HashSampleDuck),

@@ -142,6 +142,31 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k09: the window sketch from daily sketches equals the window sketch from raw hashes") {
+    import spark.implicits._
+    // time-windowed mergeability, executed: K-smallest of (union of
+    // daily K-smallest) ≡ K-smallest of the window's full distinct set
+    val rows = (0 until 2000).map(i => ((i % 10).toLong, s"u$i"))
+    val hv = rows.toDF("di", "u")
+      .select(col("di"), conv(substring(md5(col("u")), 1, 15), 16, 10).cast("long").as("hv"))
+      .distinct()
+    def kS(df: org.apache.spark.sql.DataFrame, grp: String) =
+      df.withColumn("rk", row_number().over(
+        Window.partitionBy(grp).orderBy("hv"))).filter(col("rk") <= SketchOps.KmvK)
+        .select(col(grp), col("hv"))
+    val fromDaily = kS(
+      kS(hv, "di").select(col("di"), col("hv"),
+          explode(sequence(lit(0L), lit(6L))).as("o"))
+        .select((col("di") + col("o")).as("wd"), col("hv")).distinct(), "wd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fromRaw = kS(
+      hv.select(col("di"), col("hv"), explode(sequence(lit(0L), lit(6L))).as("o"))
+        .select((col("di") + col("o")).as("wd"), col("hv")).distinct(), "wd")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromDaily == fromRaw,
+      "merging daily sketches must lose nothing a full rescan would keep")
+  }
+
   test("k05: theta-sketch intersection estimate lands within band of the exact overlap") {
     val r = SketchOps.kmvSetOps(spark, sf).collect().head
     val exact = r.getLong(r.fieldIndex("n_exact_inter"))
