@@ -369,6 +369,42 @@ object Relational2 {
       .orderBy("n_nationkey", "rk")
   }
 
+  /** q50 — gaps-and-islands interval coalescing: each shipment opens a
+    * 7-day activity interval for its supplier; overlapping intervals
+    * merge into maximal islands (the canonical relational coalescing
+    * op behind uptime accounting, session stitching, validity merging).
+    * The islands derive from one running-max window per supplier: an
+    * interval starts a new island iff its start exceeds every earlier
+    * interval's end — no self-join, no recursion.
+    *
+    * Scale: the single window partitions by supplier (the e01 shape —
+    * one hash shuffle on the natural key serves everything); intervals
+    * dedup on (supplier, start) first so the window walks distinct
+    * starts; island aggregation is a keyed partial agg. */
+  def intervalIslands(s: SparkSession, d: String): DataFrame = {
+    val iv = lineitem(s, d)
+      .select(col("l_suppkey").as("supp"),
+        expr("unix_micros(l_shipdate) div 86400000000").as("d0"))
+      .distinct()
+      .withColumn("d1", col("d0") + 6)
+    val w = Window.partitionBy("supp").orderBy("d0")
+    val isl = iv
+      .withColumn("prev_max_end",
+        max("d1").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull || col("d0") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isl.groupBy("supp", "island")
+      .agg(min("d0").as("i0"), max("d1").as("i1"))
+      .groupBy("supp")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i1") - col("i0") + 1).as("covered_days"),
+        (max("i1") - min("i0") + 1).as("span_days"))
+      .orderBy("supp")
+  }
+
   // --- q46: Z-order (Morton) clustering + cell-aligned box query --------
 
   /** Bits per dimension of the Morton code. Price cells 0–9 need 4; the
@@ -432,6 +468,28 @@ object Relational2 {
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    // the oracle restates the same running-max island derivation
+    "q50_interval_islands" -> QueryDef(intervalIslands _,
+      """WITH iv AS (SELECT DISTINCT l_suppkey AS supp,
+        |    epoch_us(l_shipdate) // 86400000000 AS d0 FROM lineitem),
+        |ext AS (SELECT supp, d0, d0 + 6 AS d1 FROM iv),
+        |mk AS (SELECT supp, d0, d1,
+        |    MAX(d1) OVER (PARTITION BY supp ORDER BY d0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |  FROM ext),
+        |fl AS (SELECT supp, d0, d1,
+        |    CASE WHEN pme IS NULL OR d0 > pme THEN 1 ELSE 0 END AS ni FROM mk),
+        |isl AS (SELECT supp, d0, d1,
+        |    SUM(ni) OVER (PARTITION BY supp ORDER BY d0
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |agg AS (SELECT supp, island, MIN(d0) AS i0, MAX(d1) AS i1
+        |  FROM isl GROUP BY supp, island)
+        |SELECT supp, COUNT(*) AS n_islands,
+        |  CAST(SUM(i1 - i0 + 1) AS BIGINT) AS covered_days,
+        |  CAST(MAX(i1) - MIN(i0) + 1 AS BIGINT) AS span_days
+        |FROM agg GROUP BY supp ORDER BY supp""".stripMargin),
+
     // the oracle restates the MERGED semantics over raw parquet: the
     // copy-on-write partition rewrite must be result-invisible (the
     // physical untouched-files claim is CowUpsertSpec's half)
