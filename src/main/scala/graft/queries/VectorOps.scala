@@ -1161,6 +1161,99 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM rr)
        |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
 
+  /** v28 — the composed stack's TUNING CURVE: recall@5 at shortlist
+    * sizes 10/20/40 as oracle-checked numbers (v21's discipline for the
+    * binary rung): the deployment question is "how many candidates must
+    * the 16 B scan hand the exact rerank", answered with measured
+    * points, not folklore. The candidate frame and exact truth compute
+    * ONCE (localCheckpoint) and all three curve points filter them; the
+    * recall denominator derives from the exact-baseline count (never a
+    * hard-coded literal — the k-denominator lesson from round 6's
+    * advice). */
+  def binaryShortlistCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"),
+      signPack("v", 0).as("lo"), signPack("v", 32).as("hi"))
+    val probes = centroidAffinity(s, d)
+      .filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val q = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid2"), col("v").as("qv"), col("nrm").as("qn"),
+        col("lo").as("qlo"), col("hi").as("qhi"))
+    val cand = probes
+      .join(ivfCells(s, d).select(col("vec_id").as("hit_id"), col("cell")),
+        col("pcell") === col("cell"))
+      .filter(col("hit_id") =!= col("q_id"))
+      .join(packed.withColumnRenamed("vec_id", "hit_id"), "hit_id")
+      .join(broadcast(q), col("q_id") === col("qid2"))
+      .withColumn("hamming",
+        (bit_count(expr("qlo ^ lo")) + bit_count(expr("qhi ^ hi"))).cast("long"))
+      .withColumn("hrn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("hamming").asc, col("hit_id").asc)))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select("q_id", "hit_id", "hrn", "cos")
+      .localCheckpoint() // one shortlist frame serves all curve points
+    val truth = cosineTopK(s, d).filter(col("rk") <= 5)
+      .select(col("q_id").as("tq"), col("hit_id").as("th"))
+      .localCheckpoint()
+    val nTruth = truth.count() // derived denominator
+    Seq(10, 20, 40).map { t =>
+      val top5 = cand.filter(col("hrn") <= t)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("hit_id").asc)))
+        .filter(col("rk") <= 5)
+      top5.join(truth, col("q_id") === col("tq") && col("hit_id") === col("th"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(t.toLong).as("shortlist"), col("n_hits"),
+          lit(nTruth).as("n_truth"),
+          round(col("n_hits") / lit(nTruth.toDouble), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("shortlist")
+  }
+
+  private val BinaryCurveDuck: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |pk AS (SELECT vec_id, ${signPackDuck(0)} AS lo, ${signPackDuck(32)} AS hi FROM e),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |aff AS (SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(list_dot_product(e.v, c.cv) /
+       |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+       |        c.cid ASC) AS crn
+       |  FROM e, c),
+       |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+       |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+       |cand AS (SELECT pr.q_id, cl.vec_id AS hit_id,
+       |    ROW_NUMBER() OVER (PARTITION BY pr.q_id
+       |      ORDER BY bit_count(xor(qp.lo, bp.lo)) + bit_count(xor(qp.hi, bp.hi)) ASC,
+       |        cl.vec_id ASC) AS hrn,
+       |    round(list_dot_product(qv.v, bv.v) /
+       |          (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(bv.v, bv.v))), 6) AS cos
+       |  FROM probes pr
+       |  JOIN cells cl ON cl.cell = pr.pcell AND cl.vec_id != pr.q_id
+       |  JOIN pk qp ON qp.vec_id = pr.q_id
+       |  JOIN pk bp ON bp.vec_id = cl.vec_id
+       |  JOIN e qv ON qv.vec_id = pr.q_id
+       |  JOIN e bv ON bv.vec_id = cl.vec_id),
+       |truth AS (SELECT q_id AS tq, hit_id AS th FROM (
+       |    SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, b.v) /
+       |            (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+       |          b.vec_id ASC) AS rk
+       |    FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id) x WHERE rk <= 5),
+       |nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+       |sizes AS (SELECT CAST(unnest([10, 20, 40]) AS BIGINT) AS shortlist),
+       |top5 AS (SELECT s.shortlist, cd.q_id, cd.hit_id,
+       |    ROW_NUMBER() OVER (PARTITION BY s.shortlist, cd.q_id
+       |      ORDER BY cd.cos DESC, cd.hit_id ASC) AS rk
+       |  FROM sizes s JOIN cand cd ON cd.hrn <= s.shortlist),
+       |hits AS (SELECT t5.shortlist, COUNT(*) AS n_hits
+       |  FROM top5 t5 JOIN truth t ON t.tq = t5.q_id AND t.th = t5.hit_id
+       |  WHERE t5.rk <= 5 GROUP BY t5.shortlist)
+       |SELECT h.shortlist, h.n_hits, n.n_truth,
+       |  round(CAST(h.n_hits AS DOUBLE) / CAST(n.n_truth AS DOUBLE), 6) AS recall
+       |FROM hits h, nt n ORDER BY h.shortlist""".stripMargin
+
   // --- DuckDB oracle twins -------------------------------------------------
 
   private def planeSqlList(j: Int): String =
@@ -1177,6 +1270,7 @@ object VectorOps {
   val defs: Map[String, QueryDef] = Map(
     "v26_binary_hamming_topk" -> QueryDef(binaryHammingTopK _, BinaryHammingDuck),
     "v27_ivf_binary_topk" -> QueryDef(ivfBinaryTopK _, IvfBinaryDuck),
+    "v28_binary_shortlist_curve" -> QueryDef(binaryShortlistCurve _, BinaryCurveDuck),
 
     "v01_cosine_topk" -> QueryDef(cosineTopK _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
