@@ -353,6 +353,58 @@ object Generated {
       .orderBy("region_key")
   }
 
+  /** g18 — transactional ATOMICITY on the live sink: a batch that
+    * violates a constraint mid-flight must leave NOTHING behind. With
+    * autocommit off, five good rows insert and the sixth hits the PK —
+    * the transaction rolls back and the audit proves the five good rows
+    * vanished with it (the all-or-nothing contract g15's ledger
+    * presumes; together they are exactly-once = atomic ∧ idempotent).
+    * A clean batch then commits to show the connection state survived
+    * the rollback. The reference's per-table try/except
+    * (run_engine.py:181-186) skips a failed table but cannot undo its
+    * partial rows — this is the posture it stops short of. */
+  def transactionalRollback(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g18") {
+      import graft.load.{JdbcRoundTrip, JdbcSink}
+      import s.implicits._
+      val url = s"jdbc:derby:memory:graft_g18_${System.nanoTime()}"
+      val target = JdbcSink.Target(url, "", "")
+      JdbcRoundTrip.ensureDatabase(url)
+      try {
+        JdbcSink.execute(target, Seq(
+          """CREATE TABLE "tx_sink" ("id" BIGINT PRIMARY KEY, "val" BIGINT)"""))
+          .flatten.foreach(e => sys.error(s"g18 ddl failed: $e"))
+        def insertBatch(rows: Seq[(Long, Long)]): Boolean = {
+          val conn = java.sql.DriverManager.getConnection(url)
+          try {
+            conn.setAutoCommit(false)
+            val st = conn.prepareStatement("""INSERT INTO "tx_sink" VALUES (?, ?)""")
+            try {
+              rows.foreach { case (i, v) =>
+                st.setLong(1, i); st.setLong(2, v); st.executeUpdate()
+              }
+              conn.commit(); true
+            } catch {
+              case _: java.sql.SQLException => conn.rollback(); false
+            } finally st.close()
+          } finally conn.close()
+        }
+        // poisoned batch: five good rows then a PK duplicate of row 1
+        val poisoned = insertBatch((1L to 5L).map(i => (i, i * 10)) :+ (1L, 999L))
+        val afterPoison = s.read.jdbc(url, "\"tx_sink\"", JdbcSink.props(target)).count()
+        // clean batch on the same mechanism: the rollback must not have
+        // wedged anything
+        val clean = insertBatch((11L to 15L).map(i => (i, i * 10)))
+        s.read.jdbc(url, "\"tx_sink\"", JdbcSink.props(target))
+          .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"))
+          .select(lit(if (poisoned) 1L else 0L).as("poisoned_committed"),
+            lit(afterPoison).as("rows_after_poison"),
+            lit(if (clean) 1L else 0L).as("clean_committed"),
+            col("n_rows"), col("sum_val"))
+          .localCheckpoint() // materialize before the database is dropped
+      } finally JdbcRoundTrip.dropDatabaseQuietly(url)
+    }
+
   /** Live schema-evolution round-trip — the day-2 posture after the
     * reference's deploy-then-fill (apply_mssql.py deploys a frozen DDL;
     * real schemas then MOVE): widen a loaded table with ALTER TABLE ADD
@@ -604,6 +656,13 @@ object Generated {
          |  f.n_orders, f.revenue
          |FROM fact f JOIN dim d ON d.n_regionkey = f.r
          |ORDER BY f.r""".stripMargin),
+
+    // frozen deterministic audit: the poisoned batch leaves ZERO rows
+    // (atomicity), the clean batch lands 5 with Σval = 10·(11+..+15)
+    "g18_transactional_rollback" -> QueryDef(transactionalRollback _,
+      """SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(1 AS BIGINT), CAST(5 AS BIGINT), CAST(650 AS BIGINT)))
+        |  t(poisoned_committed, rows_after_poison, clean_committed, n_rows, sum_val)""".stripMargin),
 
     // frozen deterministic audit: 3 attempts, 2 committed, 1 refused by
     // the ledger PK; 20 rows = 2 batches × 10, zero duplicate
