@@ -405,6 +405,40 @@ object Relational2 {
       .orderBy("supp")
   }
 
+  /** q51 — market-basket association rules: the top-20 part pairs by
+    * co-purchase support, each graded with confidence (P(b|a)) and lift
+    * (support ratio over independence) — the classic
+    * frequent-itemset-mining readout at the pair level. All counting is
+    * exact integer; the three ratios are single float divisions rounded
+    * once (the engine's float discipline), so both engines reproduce
+    * the rule table bit for bit.
+    *
+    * Scale: baskets dedup keyed on (order, part); the pair explosion is
+    * the p02 shape — a keyed self-join whose fan-out is bounded by
+    * basket size, never corpus size; pair/item supports are partial
+    * counts; the top-20 cut is TakeOrderedAndProject. */
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .localCheckpoint() // feeds baskets, item supports, pair supports
+    val nBaskets = items.select("ok").distinct().count()
+    val itemCnt = items.groupBy(col("pk").as("item")).agg(count(lit(1)).as("cnt"))
+    val pairs = items.join(items.withColumnRenamed("pk", "pk2"), "ok")
+      .filter(col("pk") < col("pk2"))
+      .groupBy(col("pk").as("a"), col("pk2").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("a").asc, col("b").asc).limit(20)
+    pairs
+      .join(itemCnt.select(col("item").as("a"), col("cnt").as("n_a")), "a")
+      .join(itemCnt.select(col("item").as("b"), col("cnt").as("n_b")), "b")
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") / lit(nBaskets.toDouble), 6).as("support"),
+        round(col("n_ab") / col("n_a").cast("double"), 6).as("confidence"),
+        round((col("n_ab") * lit(nBaskets.toDouble)) /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("a").asc, col("b").asc)
+  }
+
   // --- q46: Z-order (Morton) clustering + cell-aligned box query --------
 
   /** Bits per dimension of the Morton code. Price cells 0–9 need 4; the
@@ -468,6 +502,25 @@ object Relational2 {
   private val D = "DECIMAL(18,2)"
 
   val defs: Map[String, QueryDef] = Map(
+    // exact-integer supports; ratios are single rounded divisions
+    "q51_basket_rules" -> QueryDef(basketRules _,
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM items),
+        |ic AS (SELECT pk AS item, COUNT(*) AS cnt FROM items GROUP BY pk),
+        |pr AS (SELECT x.pk AS a, y.pk AS b, COUNT(*) AS n_ab
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY x.pk, y.pk
+        |  ORDER BY n_ab DESC, a ASC, b ASC LIMIT 20)
+        |SELECT p.a, p.b, p.n_ab, ia.cnt AS n_a, ib.cnt AS n_b,
+        |  round(CAST(p.n_ab AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+        |  round(CAST(p.n_ab AS DOUBLE) / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+        |  round((p.n_ab * CAST(nb.n_baskets AS DOUBLE)) /
+        |        CAST(ia.cnt * ib.cnt AS DOUBLE), 6) AS lift
+        |FROM pr p
+        |JOIN ic ia ON ia.item = p.a
+        |JOIN ic ib ON ib.item = p.b, nb
+        |ORDER BY p.n_ab DESC, p.a ASC, p.b ASC""".stripMargin),
+
     // the oracle restates the same running-max island derivation
     "q50_interval_islands" -> QueryDef(intervalIslands _,
       """WITH iv AS (SELECT DISTINCT l_suppkey AS supp,
