@@ -601,7 +601,54 @@ object EventOps {
       .orderBy("hr_bucket", "event_type")
   }
 
+  /** e22 — EWMA smoothing of the densified hourly series: the trend
+    * line a monitoring pass draws next to e10's spike flags. α = 1/2
+    * over a 7-bucket trailing window, so the weights are 2^(6−k) for
+    * lag k = 0..6 — the weighted sum is EXACT int64 arithmetic
+    * (Σ 2^(6−k)·n ≤ 127·n), and the single normalization by 127.0 is
+    * one IEEE double division on identical operands in both engines
+    * (e10's integer-first discipline: a float recurrence
+    * y = αx + (1−α)y would accumulate order-dependent rounding and
+    * never hash-match — the closed-form integer window does). Only
+    * full 7-bucket frames emit, so the smoothing contract never
+    * depends on a partial-window convention.
+    *
+    * Scale: runs on e08's densified |buckets|×|types| frame (the fact
+    * table was already reduced to metadata scale), one window
+    * partitioned by event_type — |types| parallel sorted streams. */
+  def ewmaSmoothing(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hr_bucket")
+    def lg(k: Int) = coalesce(lag(col("n"), k).over(w), lit(0L))
+    gapFilledSeries(s, d)
+      .withColumn("wn", count(lit(1)).over(w.rowsBetween(-6, 0)))
+      .withColumn("wsum",
+        col("n") * 64 + lg(1) * 32 + lg(2) * 16 + lg(3) * 8 +
+          lg(4) * 4 + lg(5) * 2 + lg(6))
+      .filter(col("wn") === 7)
+      .select(col("hr_bucket"), col("event_type"), col("n"), col("wsum"),
+        round(col("wsum") / lit(127.0), 6).as("ewma"))
+      .orderBy("hr_bucket", "event_type")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "e22_ewma_smoothing" -> QueryDef(ewmaSmoothing _,
+      """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
+        |    event_type FROM events),
+        |b AS (SELECT unnest(generate_series(MIN(hr_bucket), MAX(hr_bucket))) AS hr_bucket FROM ev),
+        |t AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT hr_bucket, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |g AS (SELECT b.hr_bucket, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM b CROSS JOIN t
+        |  LEFT JOIN c ON c.hr_bucket = b.hr_bucket AND c.event_type = t.event_type),
+        |l AS (SELECT hr_bucket, event_type, n,
+        |    64*n + 32*LAG(n,1,0) OVER w + 16*LAG(n,2,0) OVER w + 8*LAG(n,3,0) OVER w
+        |      + 4*LAG(n,4,0) OVER w + 2*LAG(n,5,0) OVER w + LAG(n,6,0) OVER w AS wsum,
+        |    COUNT(*) OVER (PARTITION BY event_type ORDER BY hr_bucket
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS wn
+        |  FROM g WINDOW w AS (PARTITION BY event_type ORDER BY hr_bucket))
+        |SELECT hr_bucket, event_type, n, CAST(wsum AS BIGINT) AS wsum,
+        |  ROUND(wsum / 127.0, 6) AS ewma
+        |FROM l WHERE wn = 7 ORDER BY hr_bucket, event_type""".stripMargin),
     "e11_cumulative_reach" -> QueryDef(cumulativeReach _,
       """WITH ev AS (SELECT event_type, user_id,
         |    CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),

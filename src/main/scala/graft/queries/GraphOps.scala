@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 
@@ -358,7 +359,93 @@ object GraphOps {
       |  COUNT(*) AS n_nodes, MIN(dg) AS min_deg, MAX(dg) AS max_deg
       |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Candidate-generation cap for p06: wedges form only among each
+    * center's first CapA neighbors (by id), so candidate volume is
+    * Σ C(min(deg, CapA), 2) ≤ 45·|nodes| — LINEAR in the graph, the
+    * standard bound that keeps link-prediction runnable at 10^9 edges
+    * (the uncapped wedge join is Σ deg² — p02's scaladoc measured that
+    * shape at 41M rows on this very graph). */
+  private val CapA = 10
+
+  /** p06 — common-neighbor link prediction on the part co-occurrence
+    * graph: the top-20 NON-edges ranked by how many (capped) wedges
+    * close over them, scored three ways — common-neighbor count,
+    * preferential attachment deg(u)·deg(v), and integer-permille
+    * Jaccard cn/(du+dv−cn). The "which parts will co-occur next"
+    * recommender, and the same wedge primitive a feature pipeline
+    * materializes for GNN training pairs.
+    *
+    * Unlike p02's triangles, OPEN wedges cannot ride the (degree, id)
+    * orientation — a wedge's center may hold either edge in either
+    * direction (a path a−c−b with c oriented INTO never surfaces), so
+    * enumeration runs on the FULL per-center adjacency and the CapA cut
+    * is what bounds it.
+    *
+    * Determinism: candidate ranking is the total order (cn DESC, u, v);
+    * every score is integer arithmetic (the one division floors a
+    * long/long double on identical operands).
+    * Scale: wedge volume ≤ C(CapA, 2)·|nodes| — linear in nodes; the
+    * per-center rank window sorts one adjacency (Σ deg = 2m total work;
+    * a pathological hub goes through the salted two-level tournament,
+    * SketchOps.kSmallest's shape, before this rank). Existing edges
+    * leave via an anti-join keyed on the same (u, v) the count shuffled
+    * on; top-20 is TakeOrderedAndProject, never a global sort. */
+  def commonNeighbors(s: SparkSession, d: String): DataFrame =
+    commonNeighborsOn(partEdges(s, d))
+
+  /** Core on an explicit (a < b) undirected edge frame — factored for
+    * GraphOpsSpec's planted path/square graphs. */
+  private[queries] def commonNeighborsOn(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val nbrs = und.select(col("a").as("c"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("c"), col("a").as("nb")))
+    val capped = nbrs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c").orderBy("nb")))
+      .filter(col("rn") <= CapA)
+      .select("c", "nb")
+      .localCheckpoint() // feeds both sides of the wedge self-join
+    val cns = capped.join(
+        capped.select(col("c"), col("nb").as("nb2")), "c")
+      .filter(col("nb") < col("nb2"))
+      .groupBy(col("nb").as("u"), col("nb2").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    cns
+      .join(und, cns("u") === und("a") && cns("v") === und("b"), "left_anti")
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      .withColumn("pa", col("du") * col("dv"))
+      .withColumn("jac_permille",
+        floor(col("cn") * lit(1000) / (col("du") + col("dv") - col("cn"))).cast("long"))
+      .select("u", "v", "cn", "pa", "jac_permille")
+      .orderBy(col("cn").desc, col("u").asc, col("v").asc)
+      .limit(20)
+  }
+
+  private val CommonNeighborsDuck: String =
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+       |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+       |deg AS (SELECT n, COUNT(*) AS dg FROM
+       |  (SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY n),
+       |nb AS (SELECT a AS c, b AS nb FROM und UNION ALL SELECT b AS c, a AS nb FROM und),
+       |cap AS (SELECT c, nb FROM (
+       |    SELECT c, nb, ROW_NUMBER() OVER (PARTITION BY c ORDER BY nb) AS rn
+       |    FROM nb) WHERE rn <= $CapA),
+       |cns AS (SELECT c1.nb AS u, c2.nb AS v, COUNT(*) AS cn
+       |  FROM cap c1 JOIN cap c2 ON c1.c = c2.c AND c1.nb < c2.nb
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT cns.u, cns.v, cns.cn FROM cns
+       |  LEFT JOIN und ON und.a = cns.u AND und.b = cns.v
+       |  WHERE und.a IS NULL)
+       |SELECT c.u, c.v, c.cn, CAST(da.dg * db.dg AS BIGINT) AS pa,
+       |  CAST(FLOOR(c.cn * 1000 / (da.dg + db.dg - c.cn)) AS BIGINT) AS jac_permille
+       |FROM cand c JOIN deg da ON da.n = c.u JOIN deg db ON db.n = c.v
+       |ORDER BY c.cn DESC, c.u, c.v LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "p06_common_neighbors" -> QueryDef(commonNeighbors _, CommonNeighborsDuck),
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),
     "p02_triangle_count" -> QueryDef(triangleCount _, TriangleDuck),
     "p03_degree_histogram" -> QueryDef(degreeHistogram _, DegreeHistDuck),

@@ -587,7 +587,109 @@ object SketchOps {
        |JOIN kth k ON k.grp = p.c
        |ORDER BY p.c""".stripMargin
 
+  // --- k10: HyperLogLog register sketch --------------------------------
+
+  /** 0.709 · m² · 2^55 for m = 64 registers: the HLL estimator numerator
+    * (α_64 from Flajolet et al. 2007, Table 1), premultiplied in ONE
+    * Scala double so both engines divide the identical literal by the
+    * identical integer — the whole estimate is a single IEEE division. */
+  private val HllNum: Double = 0.709 * 4096.0 * 36028797018963968.0
+
+  /** Small-range (linear-counting) correction, BAKED as integers: when
+    * the raw estimate is ≤ 2.5·m and V registers are empty, HLL switches
+    * to E = m·ln(m/V) — but a live `ln` would be the one cross-engine
+    * float op whose last ulp differs between libm implementations. V has
+    * only 64 possible values, so the whole correction is this lookup
+    * table (index V), computed once here and INTERPOLATED into the
+    * DuckDB twin — both engines read identical literals, no runtime
+    * transcendentals anywhere in the sketch. */
+  private val HllLcTable: IndexedSeq[Long] =
+    (0 to 64).map(v => if (v == 0) 0L else math.floor(64.0 * math.log(64.0 / v)).toLong)
+
+  /** HLL distinct-user sketch per event type, graded against the exact
+    * distinct count — the 64-registers-per-group estimator that replaces
+    * KMV when the sketch must be FIXED-SIZE (64 small ints vs K hashes)
+    * and mergeable by plain element-wise MAX (k01's KMV needs a k-smallest
+    * tournament to merge; HLL registers union with one keyed max — the
+    * cheapest possible combine on a 1000-way tree).
+    *
+    * Portability: register index = h60 mod 64; rank ρ = leading zeros of
+    * the remaining 54 bits + 1, computed as 55 − length(bin(v)) — integer
+    * string-length arithmetic, no float log2 whose last ulp could flip a
+    * register between engines (p03's discipline). The harmonic sum
+    * Σ 2^−M_j is held as the EXACT integer Σ 2^(55−M_j) ≤ 2^61 (empty
+    * registers contribute 2^55 = 2^−0 scaled), so the only float ops are
+    * one int64→double conversion (identical round-to-nearest in both
+    * engines) and one division by the premultiplied constant. No
+    * small/large-range corrections: the fixture's per-type cardinality
+    * sits in HLL's plain-estimator band (occupied is emitted so the
+    * oracle would expose a regime change).
+    *
+    * Scale: groupBy (type, register) MAX is a map-side-combining partial
+    * agg to |types|·64 rows — metadata scale from there on. */
+  def hllRegisters(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val rho = ev
+      .select(col("event_type").as("grp"), h60(col("user_id"), "hll").as("hv"))
+      .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
+      .withColumn("v", expr("hv div 64"))
+      .withColumn("rho",
+        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v")))))
+    val regs = rho.groupBy("grp", "idx").agg(max("rho").as("reg"))
+    // densify to all 64 registers (empty register ⇒ ρ = 0): |types|×64 rows
+    val allIdx = regs.select("grp").distinct()
+      .crossJoin(broadcast(s.range(0, 64).select(col("id").cast("int").as("idx"))))
+    val full = allIdx.join(regs, Seq("grp", "idx"), "left")
+      .select(col("grp"), coalesce(col("reg"), lit(0)).as("reg"))
+    val sums = full.groupBy("grp").agg(
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))")).as("isum"),
+      sum(when(col("reg") > 0, 1L).otherwise(0L)).as("occupied"))
+    val exact = ev.groupBy(col("event_type").as("grp"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    exact.join(sums, "grp")
+      .withColumn("raw", lit(HllNum) / col("isum").cast("double"))
+      .withColumn("hll_est",
+        when(col("occupied") < 64 && col("raw") <= 160.0,
+          element_at(lit(HllLcTable.toArray),
+            (lit(64L) - col("occupied")).cast("int") + 1))
+          .otherwise(floor(col("raw")).cast("long")))
+      .withColumn("err_permille",
+        floor(abs(col("hll_est") - col("n_exact")) * lit(1000) / col("n_exact")).cast("long"))
+      .select("grp", "n_exact", "occupied", "isum", "hll_est", "err_permille")
+      .orderBy("grp")
+  }
+
+  private val HllRegistersDuck: String =
+    s"""WITH hv AS (SELECT event_type AS grp,
+       |    ${h60Duck("user_id", "hll")} AS hv FROM events),
+       |r AS (SELECT grp, hv % 64 AS idx, hv // 64 AS v FROM hv),
+       |mx AS (SELECT grp, idx,
+       |    MAX(CASE WHEN v = 0 THEN 55 ELSE 55 - length(bin(v)) END) AS reg
+       |  FROM r GROUP BY 1, 2),
+       |g AS (SELECT DISTINCT grp FROM mx),
+       |a AS (SELECT g.grp, i.idx FROM g
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS idx) i),
+       |f AS (SELECT a.grp, COALESCE(mx.reg, 0) AS reg FROM a
+       |  LEFT JOIN mx ON mx.grp = a.grp AND mx.idx = a.idx),
+       |sums AS (SELECT grp,
+       |    CAST(SUM(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS isum,
+       |    CAST(SUM(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS BIGINT) AS occupied
+       |  FROM f GROUP BY grp),
+       |exact AS (SELECT event_type AS grp, COUNT(DISTINCT user_id) AS n_exact
+       |  FROM events GROUP BY 1),
+       |est AS (SELECT grp, occupied, isum,
+       |    CASE WHEN occupied < 64 AND ($HllNum / CAST(isum AS DOUBLE)) <= 160.0
+       |         THEN (LIST_VALUE(${HllLcTable.mkString(", ")}))[CAST(64 - occupied AS INT) + 1]
+       |         ELSE CAST(FLOOR($HllNum / CAST(isum AS DOUBLE)) AS BIGINT)
+       |    END AS hll_est
+       |  FROM sums)
+       |SELECT e.grp, e.n_exact, s.occupied, s.isum, CAST(s.hll_est AS BIGINT) AS hll_est,
+       |  CAST(FLOOR(ABS(s.hll_est - e.n_exact) * 1000 / e.n_exact) AS BIGINT) AS err_permille
+       |FROM exact e JOIN est s ON e.grp = s.grp
+       |ORDER BY e.grp""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "k10_hll_registers" -> QueryDef(hllRegisters _, HllRegistersDuck),
     "k06_bitmap_window_distinct" -> QueryDef(bitmapWindowDistinct _, BitmapWindowDuck),
     "k07_ams_f2" -> QueryDef(amsF2 _, AmsF2Duck),
     "k08_column_profile" -> QueryDef(columnProfile _, ColumnProfileDuck),

@@ -1194,6 +1194,39 @@ object TextOps {
       .orderBy("lang", "pred_lang")
 
   /** Token counts: raw whitespace tokens and normalized tokens. */
+  /** Per-source document cap (the RefinedWeb/Dolma "domain cap"). */
+  private[queries] val SourceCap = 15
+
+  /** t56 — no single source may contribute more than SourceCap docs to
+    * the corpus; within a source the LONGEST docs win (n_chars DESC,
+    * doc_id ASC tiebreak — deterministic under ties). Emits the per-
+    * source admission ledger: doc/char mass kept vs dropped plus the
+    * realized cut-off length (min kept n_chars) — the number a curator
+    * reads to see HOW aggressive the cap was on each source.
+    *
+    * Scale: ranking partitions by source, so the window is per-source —
+    * and the cap itself bounds the useful work: a deployment first
+    * aggregates per-source counts (metadata scale) and ranks ONLY
+    * sources over the cap; a mega-source (the 100 TB skew case) goes
+    * through the salted two-level tournament (SketchOps.kSmallest's
+    * shape — top-Cap survives its salt cell) instead of one giant
+    * partition sort. Selection metadata only — no text column is ever
+    * materialized through the window. */
+  def sourceCaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ranked = documents(s, d).select("doc_id", "source", "n_chars")
+      .withColumn("rk", row_number().over(w))
+    ranked.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("rk") <= SourceCap, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("rk") > SourceCap, 1L).otherwise(0L)).as("n_dropped"),
+      sum("n_chars").as("chars_total"),
+      sum(when(col("rk") <= SourceCap, col("n_chars")).otherwise(lit(0L))).as("chars_kept"),
+      min(when(col("rk") <= SourceCap, col("n_chars"))).as("cutoff_chars"))
+      .orderBy("source")
+  }
+
   def tokenStats(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("nrm", norm(col("text")))
@@ -2414,6 +2447,19 @@ object TextOps {
     s"(length($h) - length(replace($h, '$w', ''))) / ${w.length}"
 
   val defs: Map[String, QueryDef] = Map(
+    "t56_source_caps" -> QueryDef(sourceCaps _,
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN rk > $SourceCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+         |  CAST(SUM(CASE WHEN rk <= $SourceCap THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
+         |  MIN(CASE WHEN rk <= $SourceCap THEN n_chars END) AS cutoff_chars
+         |FROM r GROUP BY source ORDER BY source""".stripMargin),
+
     "t01_dedup_exact" -> QueryDef(dedupExact _,
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(text) AS text_md5
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin),

@@ -238,6 +238,45 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** v29 — SemDeDup THRESHOLD tuning curve: what v15's fixed τ = 0.45
+    * actually buys. For τ ∈ {0.30, 0.40, 0.45, 0.50, 0.60} over the SAME
+    * within-cell pair frame v15 dedups on: surviving pair mass, victim
+    * mass (distinct higher-id members with a dup prior), and the corpus
+    * keep rate in integer permille. The whole curve costs ONE pair pass
+    * plus a broadcast threshold join — not five dedup runs — the v21/v23/
+    * v28 tuning-curve pattern applied to the dedup knob itself (pick τ
+    * from this table, then run v15 once at scale).
+    *
+    * Determinism: cosines are the same round(·, 6) doubles v15 grades,
+    * thresholds are literals parsed identically by both engines, and the
+    * keep rate is integer floor arithmetic — no new float surface. */
+  def semdedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cells = centroidAffinity(s, d).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val m = e.join(cells, "vec_id")
+    val a = m.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+      .select("b_id", "cos")
+    val taus = Seq(0.30, 0.40, 0.45, 0.50, 0.60).toDF("tau")
+    val total = e.agg(count(lit(1)).as("n_total"))
+    val hits = pairs.crossJoin(broadcast(taus)).filter(col("cos") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("b_id").as("n_victims"))
+    taus.crossJoin(broadcast(total))
+      .join(hits, Seq("tau"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_victims"))
+      .withColumn("keep_permille",
+        floor((col("n_total") - col("n_victims")) * lit(1000) / col("n_total")).cast("long"))
+      .select("tau", "n_pairs", "n_victims", "n_total", "keep_permille")
+      .orderBy("tau")
+  }
+
   /** Per-vector L2 norm (sequential fold), rounded. */
   def vectorNorms(s: SparkSession, d: String): DataFrame =
     vecs(s, d)
@@ -1315,6 +1354,35 @@ object VectorOps {
         |  CAST(CAST(SUM((a.qm - b.qm) * (a.qm - b.qm)) AS BIGINT) AS DOUBLE) / 1e12 AS dist2
         |FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
         |GROUP BY 1, 2 ORDER BY la, lb""".stripMargin),
+
+    // v15's pair frame swept across five thresholds in one pass; the
+    // oracle restates cells + pairs and joins the literal τ list
+    "v29_semdedup_threshold_curve" -> QueryDef(semdedupThresholdCurve _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cn
+        |      FROM e WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM n, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |m AS (SELECT cells.cell, n.vec_id, n.v, n.nrm FROM n JOIN cells USING (vec_id)),
+        |p AS (SELECT b.vec_id AS b_id,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+        |t AS (SELECT CAST(unnest([0.30, 0.40, 0.45, 0.50, 0.60]) AS DOUBLE) AS tau),
+        |tot AS (SELECT COUNT(*) AS n_total FROM n),
+        |h AS (SELECT t.tau, COUNT(*) AS n_pairs, COUNT(DISTINCT p.b_id) AS n_victims
+        |  FROM t JOIN p ON p.cos >= t.tau GROUP BY t.tau)
+        |SELECT t.tau, CAST(COALESCE(h.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(h.n_victims, 0) AS BIGINT) AS n_victims,
+        |  tot.n_total,
+        |  CAST(FLOOR((tot.n_total - COALESCE(h.n_victims, 0)) * 1000 / tot.n_total) AS BIGINT)
+        |    AS keep_permille
+        |FROM t CROSS JOIN tot LEFT JOIN h ON h.tau = t.tau
+        |ORDER BY t.tau""".stripMargin),
 
     // cluster-then-pair semantic dedup: pairs are sought only within a
     // cell; the oracle restates the same cell assignment + keep-lowest

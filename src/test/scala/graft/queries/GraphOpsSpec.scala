@@ -73,6 +73,36 @@ class GraphOpsSpec extends AnyFunSuite {
       s"expected one node per layer 0..4 and the island at -1, got $out")
   }
 
+  test("p06: path graph predicts both skip-links; square scores double wedges; edges excluded") {
+    import spark.implicits._
+    // path 1-2-3-4: candidates (1,3) and (2,4), one wedge each, jac 500
+    val path = GraphOps.commonNeighborsOn(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(path.toSeq == Seq((1L, 3L, 1L, 2L, 500L), (2L, 4L, 1L, 2L, 500L)), path.toSeq)
+    // 4-cycle 1-2-3-4-1: both diagonals close TWO wedges; jac = 1000
+    val square = GraphOps.commonNeighborsOn(
+      Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(square.toSeq == Seq((1L, 3L, 2L, 1000L), (2L, 4L, 2L, 1000L)), square.toSeq)
+    // triangle 1-2-3: every wedge closes over an EXISTING edge → no candidates
+    val tri = GraphOps.commonNeighborsOn(Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b"))
+    assert(tri.count() == 0L, "closed triangle must yield no link predictions")
+  }
+
+  test("p06: the CapA cut bounds a hub's wedge fan-out to its first 10 neighbors") {
+    import spark.implicits._
+    // star center 0 with 15 leaves: uncapped would give C(15,2)=105
+    // candidate pairs; the cap admits only leaves 1..10 → C(10,2)=45,
+    // and top-20 returns the first 20 in (cn DESC, u, v) order
+    val star = GraphOps.commonNeighborsOn((1L to 15L).map(i => (0L, i)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(star.length == 20)
+    assert(star.forall { case (u, v) => u >= 1L && v <= 10L && u < v },
+      s"only capped leaves may pair: ${star.toSeq}")
+    // (1,·) gives 9 pairs, (2,·) 8 more, then (3,4),(3,5),(3,6) fill to 20
+    assert(star.head == (1L, 2L) && star.last == (3L, 6L), star.toSeq)
+  }
+
   test("p02: orientation is a permutation of the edge set (no edge lost or duplicated)") {
     // a hub node with high degree: orientation must still preserve m
     val hub = (1L to 12L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))

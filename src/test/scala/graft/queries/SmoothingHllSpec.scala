@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property locks on e22 (EWMA smoothing) and k10 (HLL registers). The
+  * DuckDB twins grade the values; these pin the math the twins share:
+  *   - e22's weighted sum is the exact closed form Σ 2^(6−k)·n_{t−k}
+  *     recomputed independently in Scala for EVERY emitted row, and only
+  *     full 7-bucket frames emit.
+  *   - k10's string-length ρ trick equals the reference bit count
+  *     (Long.numberOfLeadingZeros) for a hash sample — the portable
+  *     bin()-length expression IS leading-zero counting.
+  *   - k10's estimate lands inside the HLL error band (σ ≈ 1.04/√64).
+  */
+class SmoothingHllSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.session
+  private val sf = "/root/testdata/sf0.001"
+
+  test("e22: every emitted wsum equals the Scala-recomputed closed form; only full frames emit") {
+    val series = EventOps.gapFilledSeries(spark, sf)
+      .collect()
+      .map(r => ((r.getString(1), r.getLong(0)), r.getLong(2)))
+      .toMap
+    val lo = series.keys.map(_._2).min
+    val out = EventOps.ewmaSmoothing(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (b, t, n, wsum) = (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(b >= lo + 6, s"partial frame emitted at bucket $b (series starts $lo)")
+      assert(n == series((t, b)))
+      val expect = (0 to 6).map(k => (1L << (6 - k)) * series((t, b - k))).sum
+      assert(wsum == expect, s"wsum mismatch at ($t, $b): $wsum vs $expect")
+      assert(math.abs(r.getDouble(4) - wsum / 127.0) < 1e-6)
+    }
+    // the first 6 buckets of each type are withheld, nothing else
+    val types = series.keys.map(_._1).toSet
+    assert(out.length == series.size - 6 * types.size)
+  }
+
+  test("k10: bin()-length rho equals Long.numberOfLeadingZeros over a hash sample") {
+    import spark.implicits._
+    val rows = (0 until 1000).map(_.toString).toDF("k")
+      .select(conv(substring(md5(col("k")), 1, 15), 16, 10).cast("long").as("hv"))
+      .withColumn("v", expr("hv div 64"))
+      .withColumn("rho",
+        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v")))))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getLong(1)
+      // v occupies 54 bits; ρ = leading zeros within those 54 bits + 1
+      val expect = if (v == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(v))
+      assert(r.getInt(2) == expect, s"rho mismatch for v=$v")
+    }
+  }
+
+  test("k10: estimate lands inside the HLL band for every event type") {
+    val rows = SketchOps.hllRegisters(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(r.fieldIndex("n_exact")), r.getLong(r.fieldIndex("hll_est")))
+      // σ = 1.04/√64 = 13%; 3σ ≈ 0.39 — a fixed deterministic draw sits
+      // anywhere inside the band, outside means estimator math (or the
+      // small-range switch to the baked linear-counting table) broke.
+      // sf0.001 holds ~15 users/type: the LC regime executes HERE, the
+      // plain regime in the sf0.01 oracle run.
+      assert(math.abs(est - exact).toDouble / exact < 0.39, s"estimate off-band: $r")
+    }
+  }
+}
