@@ -314,6 +314,7 @@ object StreamOps {
     sketchStreamCache.clear() // ditto
     chunkStreamCache.clear() // ditto
     retrievalStreamCache.clear() // ditto
+    sourceQuotaCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -731,6 +732,39 @@ object StreamOps {
   }
 
   private val gramIndexStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Streaming per-source quota — t56's domain cap maintained as
+    * bounded state over the arriving document stream: each source's
+    * K-best admitted set (n_chars DESC, doc_id ASC — t56's exact
+    * ranking) lives in flatMapGroupsWithState; a batch's arrivals merge
+    * in and the set re-emits tagged with a per-source sequence number
+    * ONLY when it changed. The graded frame keeps each source's LAST
+    * snapshot — which, because K-best-of-union is order-independent
+    * (the KMV mergeability argument, executed by QuotaSplitSpec over
+    * adversarial splits), must equal the batch cap's admitted set
+    * under any micro-batch split: the oracle IS t56's kept set.
+    * State: K (id, chars) pairs per source — bounded by construction;
+    * the last-snapshot pick is a max(seq) window over the
+    * |batches|×|sources|×K drained rows, metadata scale. */
+  def streamSourceQuota(s: SparkSession, d: String): DataFrame = {
+    sourceQuotaCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    sourceQuotaCache.getOrElseUpdate((s, d), {
+      val (rows, nBatches, scratch) = graft.streaming.DocStream.runSourceQuotaOnce(
+        s, docStreamSource(s, d), TextOps.SourceCap, "graft_stream_quota")
+      try {
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        rows.withColumn("mx", max(col("seq")).over(w))
+          .filter(col("seq") === col("mx"))
+          .select("source", "rk", "doc_id", "n_chars")
+          .orderBy("source", "rk")
+          .localCheckpoint() // pin BEFORE the sink scratch dir is deleted
+      } finally rmrf(java.nio.file.Paths.get(scratch))
+    })
+  }
+
+  private val sourceQuotaCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Streaming last-touch attribution — e19's stateful twin, and the
@@ -1228,6 +1262,17 @@ object StreamOps {
          |  CAST(SUM(CAST(value AS $D)) AS DOUBLE) AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // oracle = t56's kept set verbatim: the bounded K-best state's final
+    // snapshot must equal the batch domain cap's admitted set under any
+    // micro-batch split (K-best-of-union order-independence)
+    "s22_stream_source_quota" -> QueryDef(streamSourceQuota _,
+      s"""WITH r AS (SELECT source, doc_id, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+         |  FROM documents)
+         |SELECT source, CAST(rk AS INT) AS rk, doc_id, n_chars
+         |FROM r WHERE rk <= ${TextOps.SourceCap} ORDER BY source, rk""".stripMargin),
 
     // oracle = the batch gram chain's per-doc summary: the index the
     // stream maintains by appending each micro-batch's rows must equal

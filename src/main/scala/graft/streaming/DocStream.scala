@@ -142,6 +142,46 @@ object DocStream {
     out.result().iterator
   }
 
+  /** One arriving document for the per-source quota (s22). */
+  final case class QuotaIn(source: String, doc_id: Long, n_chars: Long)
+
+  /** A source's admitted set — ids/chars parallel vectors in cap order
+    * ((n_chars DESC, doc_id ASC), the t56 ranking) — plus a per-source
+    * update sequence number so the drained sink can keep each source's
+    * LAST snapshot. */
+  final case class QuotaState(seq: Long, ids: Seq[Long], chars: Seq[Long])
+
+  /** One admitted-set member row, tagged with the snapshot's seq. */
+  final case class QuotaRow(source: String, seq: Long, rk: Int,
+      doc_id: Long, n_chars: Long)
+
+  /** Per-source quota maintenance (t56's domain cap as streaming
+    * state): merge the batch's arrivals into the K-best set under
+    * (n_chars DESC, doc_id ASC) and re-emit the set, tagged, ONLY when
+    * it changed. The set-merge is ORDER-INDEPENDENT — K-best of a union
+    * is K-best of K-bests in any grouping/order (the KMV mergeability
+    * argument) — so the final snapshot equals the batch cap's admitted
+    * set under ANY micro-batch split; arrival order shifts WHICH
+    * intermediate snapshots exist, never the last one. State is K
+    * (id, chars) pairs per source — bounded by construction. */
+  def sourceQuotaFn(k: Int)(source: String, rows: Iterator[QuotaIn],
+      state: GroupState[QuotaState]): Iterator[QuotaRow] = {
+    val st = state.getOption.getOrElse(QuotaState(0L, Vector.empty, Vector.empty))
+    val prev = st.ids.zip(st.chars).toVector
+    val merged = (prev ++ rows.map(r => (r.doc_id, r.n_chars)))
+      .distinct
+      .sortBy { case (id, ch) => (-ch, id) }
+      .take(k)
+    if (merged == prev) Iterator.empty
+    else {
+      val seq = st.seq + 1
+      state.update(QuotaState(seq, merged.map(_._1), merged.map(_._2)))
+      merged.iterator.zipWithIndex.map { case ((id, ch), i) =>
+        QuotaRow(source, seq, i + 1, id, ch)
+      }
+    }
+  }
+
   /** Drain a multi-file document snapshot through a foreachBatch sink
     * (one micro-batch per file) — the runner for per-batch side effects
     * (s12's partial-sketch emission). Returns the micro-batch count
@@ -193,6 +233,21 @@ object DocStream {
       // throw where an empty frame is the correct answer (e.g. s09 on a
       // clean corpus — batch t19 returns empty there too)
       (spark.read.schema(planned.schema).parquet(s"$root/out"), nBatches, root)
+    }
+
+  /** Drain the document snapshot through the per-source quota state
+    * (one micro-batch per file) into an exactly-once parquet sink.
+    * Returns (snapshot rows, micro-batch count, scratch root) — the
+    * CALLER owns the scratch dir. */
+  def runSourceQuotaOnce(spark: SparkSession, sourceDir: String, k: Int,
+      name: String): (DataFrame, Long, String) =
+    runDocOnce(spark, sourceDir, name) { srcDf =>
+      import spark.implicits._
+      srcDf.select(col("source"), col("doc_id"), col("n_chars")).as[QuotaIn]
+        .groupByKey(_.source)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          sourceQuotaFn(k))
+        .toDF()
     }
 
   /** Drain a multi-file document snapshot through the stateful band
