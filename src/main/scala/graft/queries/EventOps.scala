@@ -630,7 +630,44 @@ object EventOps {
       .orderBy("hr_bucket", "event_type")
   }
 
+  /** e23 — user-journey path mining: the top-20 three-step event-type
+    * sequences users actually walk (consecutive by event time, event_id
+    * tie-break — q24's strict-order discipline), with the count of
+    * walks and of distinct walkers. The "what do users do before
+    * purchasing" readout, and the sequence-level complement of e04's
+    * pairwise transition matrix.
+    *
+    * Scale: ONE window partitioned by user_id builds both lead steps in
+    * a single pass (no self-joins — a 3-step path via joins would
+    * shuffle events three times); the path census aggregates to
+    * ≤ |types|³ rows — metadata scale — and top-20 is
+    * TakeOrderedAndProject. */
+  def userPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_walks"), countDistinct("user_id").as("n_users"))
+      .orderBy(col("n_walks").desc, col("path").asc)
+      .limit(20)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "e23_user_paths" -> QueryDef(userPaths _,
+      """WITH ev AS (SELECT user_id, event_type,
+        |    LEAD(event_type, 1) OVER w AS t2,
+        |    LEAD(event_type, 2) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |  COUNT(*) AS n_walks, COUNT(DISTINCT user_id) AS n_users
+        |FROM ev WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n_walks DESC, path ASC LIMIT 20""".stripMargin),
+
     "e22_ewma_smoothing" -> QueryDef(ewmaSmoothing _,
       """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
         |    event_type FROM events),
