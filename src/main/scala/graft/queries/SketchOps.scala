@@ -688,7 +688,88 @@ object SketchOps {
        |FROM exact e JOIN est s ON e.grp = s.grp
        |ORDER BY e.grp""".stripMargin
 
+  // --- k11: Bloom-filter FPR tuning curve ------------------------------
+
+  /** k11 — a deterministic Bloom filter with its false-positive rate
+    * MEASURED, at m ∈ {1024, 4096, 16384} bits (k = 3 hashes): insert
+    * the distinct ordering customers, probe 2000 keys from a disjoint
+    * domain, count how many probe all-3-bits set. The size/accuracy
+    * dial behind every runtime bloom pushdown (the automatic
+    * InjectRuntimeFilter, t26's cross-query bloom) as an oracle-checked
+    * table: fill factor and realized FPR per size, falling ~8× per 4×
+    * bits at this load.
+    *
+    * Portability: bit positions come from Kirsch–Mitzenmacher double
+    * hashing g_j = (h1 + j·h2) mod m over two salted md5 h60s — pure
+    * int64 (max h1 + 2·h2 < 2^62, no overflow), no engine-native hash.
+    * Everything graded is an integer count; the permille rates are
+    * floor arithmetic.
+    *
+    * Scale: the filter IS a keyed (m, pos) set built by one distinct
+    * partial agg — mergeable by union, the property runtime filters
+    * rely on; probes join it KEYED on (m, pos). The |bits| frame stays
+    * distributed — no driver-side bitmap. */
+  def bloomFprCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ms = broadcast(Seq(1024L, 4096L, 16384L).toDF("m"))
+    val js = broadcast(Seq(0L, 1L, 2L).toDF("j"))
+    def positions(keys: DataFrame) = keys
+      .withColumn("h1", h60(col("key"), "bloom1"))
+      .withColumn("h2", h60(col("key"), "bloom2"))
+      .crossJoin(ms).crossJoin(js)
+      .withColumn("pos", pmod(col("h1") + col("j") * col("h2"), col("m")))
+    val keys = orders(s, d).select(col("o_custkey").as("key")).distinct()
+    val bits = positions(keys).select("m", "pos").distinct().localCheckpoint()
+    val fill = bits.groupBy("m").agg(count(lit(1)).as("n_bits_set"))
+    val nKeys = keys.agg(count(lit(1)).as("n_keys"))
+    // probe domain disjoint from every fixture's custkey space
+    val probes = s.range(1000000, 1002000).select(col("id").as("key"))
+    val probed = positions(probes)
+      .join(bits.withColumn("hit", lit(1L)), Seq("m", "pos"), "left")
+      .groupBy("m", "key")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("nhit"))
+    val fps = probed.groupBy("m")
+      .agg(count(lit(1)).as("n_probes"),
+        sum(when(col("nhit") === 3, 1L).otherwise(0L)).as("n_fp"))
+    fill.join(fps, "m").crossJoin(broadcast(nKeys))
+      .select(col("m"), col("n_keys"), col("n_bits_set"),
+        floor(col("n_bits_set") * lit(1000) / col("m")).cast("long").as("fill_permille"),
+        col("n_probes"), col("n_fp"),
+        floor(col("n_fp") * lit(1000) / col("n_probes")).cast("long").as("fp_permille"))
+      .orderBy("m")
+  }
+
+  private val BloomFprDuck: String =
+    s"""WITH keys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+       |ms AS (SELECT CAST(unnest([1024, 4096, 16384]) AS BIGINT) AS m),
+       |js AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS j),
+       |kh AS (SELECT key, ${h60Duck("key", "bloom1")} AS h1,
+       |              ${h60Duck("key", "bloom2")} AS h2 FROM keys),
+       |bits AS (SELECT DISTINCT ms.m, (kh.h1 + js.j * kh.h2) % ms.m AS pos
+       |  FROM kh, ms, js),
+       |fill AS (SELECT m, COUNT(*) AS n_bits_set FROM bits GROUP BY m),
+       |nk AS (SELECT COUNT(*) AS n_keys FROM keys),
+       |pr AS (SELECT CAST(unnest(generate_series(1000000, 1001999)) AS BIGINT) AS key),
+       |ph AS (SELECT key, ${h60Duck("key", "bloom1")} AS h1,
+       |              ${h60Duck("key", "bloom2")} AS h2 FROM pr),
+       |pp AS (SELECT ms.m, ph.key, (ph.h1 + js.j * ph.h2) % ms.m AS pos
+       |  FROM ph, ms, js),
+       |probed AS (SELECT pp.m, pp.key,
+       |    SUM(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) AS nhit
+       |  FROM pp LEFT JOIN bits ON bits.m = pp.m AND bits.pos = pp.pos
+       |  GROUP BY pp.m, pp.key),
+       |fps AS (SELECT m, COUNT(*) AS n_probes,
+       |    CAST(SUM(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+       |  FROM probed GROUP BY m)
+       |SELECT f.m, nk.n_keys, CAST(f.n_bits_set AS BIGINT) AS n_bits_set,
+       |  CAST(FLOOR(f.n_bits_set * 1000 / f.m) AS BIGINT) AS fill_permille,
+       |  fps.n_probes, fps.n_fp,
+       |  CAST(FLOOR(fps.n_fp * 1000 / fps.n_probes) AS BIGINT) AS fp_permille
+       |FROM fill f JOIN fps ON fps.m = f.m, nk
+       |ORDER BY f.m""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "k11_bloom_fpr_curve" -> QueryDef(bloomFprCurve _, BloomFprDuck),
     "k10_hll_registers" -> QueryDef(hllRegisters _, HllRegistersDuck),
     "k06_bitmap_window_distinct" -> QueryDef(bitmapWindowDistinct _, BitmapWindowDuck),
     "k07_ams_f2" -> QueryDef(amsF2 _, AmsF2Duck),

@@ -907,6 +907,79 @@ object VectorOps {
     }.reduce(_ unionByName _).orderBy("nprobe")
   }
 
+  /** v30 — Matryoshka (truncated-dimension) recall curve: recall@5 of
+    * EXACT search over the first D ∈ {8, 16, 32, 48} dimensions against
+    * the full-dim cosine baseline — the curve behind v22's fixed
+    * 16-dim coarse stage, and the dial a deployment reads to pick how
+    * much of each embedding the first-pass index stores (a 16-dim
+    * prefix is 4× less scan bandwidth than 64). Truncated ranking uses
+    * the SQ-grid integer inner product (v22's coarse-stage convention —
+    * floor(x·200) per coordinate, exact int64 scores, bit-identical
+    * rank order in both engines); the baseline and denominator come
+    * from the v01 exact path (the v21 rule: never a hard-coded
+    * constant).
+    *
+    * Scale: each curve point is the brute-force shape ONLY because the
+    * corpus fixture is exact-rankable; the operator a deployment runs
+    * is v22 (truncated coarse → exact rerank) — this curve is its
+    * tuning table, |queries|×5 rows per point. */
+  def matryoshkaRecallCurve(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = vecs(s, d)
+    val exact = cosineTopK(s, d).filter(col("rk") <= 5)
+      .select(col("q_id"), col("hit_id"))
+    val exn = exact.agg(count(lit(1)).as("n_exact"))
+    Seq(8, 16, 32, 48).map { dim =>
+      val t = e.withColumn("tq",
+        expr(s"transform(slice(embedding, 1, $dim), x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+      val q = t.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("tq").as("qt"))
+      val hits = t.join(broadcast(q), col("q_id") =!= col("vec_id"))
+        .withColumn("score", dot("qt", "tq").cast("long"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+            .orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id").as("hit_id"))
+      exact.join(hits, Seq("q_id", "hit_id"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+        .crossJoin(broadcast(exn))
+        .select(lit(dim).as("dim"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("dim")
+  }
+
+  private val MatryoshkaCurveDuck: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |p0 AS (SELECT q.vec_id AS q_id, b.vec_id AS hit_id,
+      |        round(list_dot_product(q.v, b.v) /
+      |              (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |      FROM e q JOIN e b ON q.vec_id < 10 AND b.vec_id != q.vec_id),
+      |r0 AS (SELECT q_id, hit_id,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk
+      |      FROM p0),
+      |ex AS (SELECT q_id, hit_id FROM r0 WHERE rk <= 5),
+      |exn AS (SELECT COUNT(*) AS n_exact FROM ex),
+      |dims AS (SELECT CAST(unnest([8, 16, 32, 48]) AS INT) AS dim),
+      |t AS (SELECT dims.dim, e.vec_id,
+      |    list_transform(e.v[1:dims.dim], x -> floor(x * 200.0)) AS tq
+      |  FROM e, dims),
+      |p AS (SELECT q.dim, q.vec_id AS q_id, b.vec_id AS hit_id,
+      |    CAST(list_dot_product(q.tq, b.tq) AS BIGINT) AS score
+      |  FROM t q JOIN t b ON b.dim = q.dim AND q.vec_id < 10 AND b.vec_id != q.vec_id),
+      |r AS (SELECT dim, q_id, hit_id,
+      |    ROW_NUMBER() OVER (PARTITION BY dim, q_id ORDER BY score DESC, hit_id ASC) AS rk
+      |  FROM p),
+      |top AS (SELECT dim, q_id, hit_id FROM r WHERE rk <= 5),
+      |f AS (SELECT d.dim, CAST(COUNT(t2.hit_id) AS BIGINT) AS n_found
+      |  FROM dims d LEFT JOIN (
+      |    SELECT top.dim, top.q_id, top.hit_id FROM top
+      |    JOIN ex ON ex.q_id = top.q_id AND ex.hit_id = top.hit_id) t2
+      |  ON t2.dim = d.dim GROUP BY d.dim)
+      |SELECT f.dim, f.n_found,
+      |  round(CAST(f.n_found AS DOUBLE) / exn.n_exact, 6) AS recall
+      |FROM f, exn ORDER BY f.dim""".stripMargin
+
   /** Margin-ranked multi-probe LSH recall curve — the tuning curve for
     * the sign-LSH rung of the ANN ladder (v21's shape for LSH; raises
     * the round-6 weak point: v06's naive Hamming≤1 probing measured
@@ -1307,6 +1380,7 @@ object VectorOps {
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
   val defs: Map[String, QueryDef] = Map(
+    "v30_matryoshka_recall_curve" -> QueryDef(matryoshkaRecallCurve _, MatryoshkaCurveDuck),
     "v26_binary_hamming_topk" -> QueryDef(binaryHammingTopK _, BinaryHammingDuck),
     "v27_ivf_binary_topk" -> QueryDef(ivfBinaryTopK _, IvfBinaryDuck),
     "v28_binary_shortlist_curve" -> QueryDef(binaryShortlistCurve _, BinaryCurveDuck),

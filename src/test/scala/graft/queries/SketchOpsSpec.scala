@@ -177,4 +177,18 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(exact == 0 || math.abs(est - exact).toDouble / math.max(exact, 1L) < 0.40,
       s"intersection estimate off-band: est=$est exact=$exact")
   }
+
+  test("k11: FPR and fill factor fall strictly as the filter grows; bit census is sane") {
+    val rows = SketchOps.bloomFprCurve(spark, sf).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))
+    assert(rows.map(_._1).toSeq == Seq(1024L, 4096L, 16384L))
+    rows.foreach { case (m, nKeys, bits, fill, _) =>
+      assert(bits <= math.min(m, 3 * nKeys), s"more bits set than hashes inserted at m=$m")
+      assert(fill == bits * 1000 / m)
+    }
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._5 > hi._5, s"FPR must fall as m grows: $lo vs $hi")
+      assert(lo._4 > hi._4, s"fill factor must fall as m grows: $lo vs $hi")
+    }
+  }
 }

@@ -142,6 +142,22 @@ class VectorRecallSpec extends AnyFunSuite {
     assert(recall > 0.5, f"composed recall collapsed: $recall%.2f")
   }
 
+  test("v30 matryoshka curve: recall is monotone non-decreasing in prefix dim, measured") {
+    val rows = graft.SparkEntry.all("v30_matryoshka_recall_curve").fn(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 48))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._2 <= hi._2,
+        s"a longer prefix must not lose exact-baseline hits: $lo vs $hi")
+    }
+    info(rows.map { case (dim, _, r) => f"dim=$dim r=$r%.2f" }.mkString("v30 curve: ", " ", ""))
+    // the measured position: the quantized-prefix INNER-PRODUCT ranking
+    // recovers baseline hits slowly on this isotropic synthetic corpus —
+    // exactly why v22 reranks its truncated coarse stage with exact
+    // cosine instead of trusting the prefix order
+    assert(rows.last._3 > rows.head._3, "the curve must actually rise")
+  }
+
   test("v26 binary-hamming recall@10 vs exact cosine — the 16 B/vector rung, measured") {
     val exact = hits("v01_cosine_topk")
     val binary = hits("v26_binary_hamming_topk")
