@@ -657,7 +657,75 @@ object EventOps {
       .limit(20)
   }
 
+  /** e24 — robust anomaly census: per event type, the median and MAD
+    * (median absolute deviation) of the densified hourly series, and
+    * how many buckets sit beyond 3·MAD on each side. The ROBUST
+    * complement of e10's mean/σ z-test: one contaminated spike inflates
+    * σ and masks its neighbors, while the median/MAD breakdown point is
+    * 50% — the estimator a monitoring pass trusts precisely when the
+    * data is already anomalous. Lower-median convention (min value with
+    * 2·cum ≥ N), threshold floor MAD ≥ 1 — all integer, so the flag
+    * boundary is exact in both engines (e10's discipline).
+    *
+    * Scale: both medians come from cumulated VALUE HISTOGRAMS (t29's
+    * rule — the window runs over ≤|distinct counts| rows per type,
+    * never the series), built by keyed partial aggs off e08's already-
+    * reduced frame. */
+  def robustSpikes(s: SparkSession, d: String): DataFrame = {
+    val series = gapFilledSeries(s, d)
+    val tot = series.groupBy("event_type").agg(count(lit(1)).as("nb"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val wv = Window.partitionBy("event_type").orderBy(v)
+      df.groupBy("event_type", v).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wv))
+        .join(tot, "event_type")
+        .filter(col("cum") * 2 >= col("nb"))
+        .groupBy("event_type").agg(min(v).as(out))
+    }
+    val med = lowerMedian(series, "n", "median_n")
+    val dev = series.join(med, "event_type")
+      .withColumn("ad", abs(col("n") - col("median_n")))
+    val mad = lowerMedian(dev, "ad", "mad")
+    dev.join(mad, "event_type")
+      .withColumn("thr", greatest(col("mad"), lit(1L)) * 3)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("median_n")).as("median_n"), max(col("mad")).as("mad"),
+        sum(when(col("n") - col("median_n") > col("thr"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("median_n") - col("n") > col("thr"), 1L).otherwise(0L)).as("n_lo"))
+      .orderBy("event_type")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "e24_robust_spikes" -> QueryDef(robustSpikes _,
+      """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
+        |    event_type FROM events),
+        |b AS (SELECT unnest(generate_series(MIN(hr_bucket), MAX(hr_bucket))) AS hr_bucket FROM ev),
+        |t AS (SELECT DISTINCT event_type FROM ev),
+        |c AS (SELECT hr_bucket, event_type, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |g AS (SELECT b.hr_bucket, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM b CROSS JOIN t
+        |  LEFT JOIN c ON c.hr_bucket = b.hr_bucket AND c.event_type = t.event_type),
+        |tot AS (SELECT event_type, COUNT(*) AS nb FROM g GROUP BY 1),
+        |h1 AS (SELECT event_type, n, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |m1 AS (SELECT h1.event_type, MIN(h1.n) AS median_n FROM (
+        |    SELECT event_type, n, SUM(c) OVER (PARTITION BY event_type ORDER BY n) AS cum
+        |    FROM h1) h1 JOIN tot ON tot.event_type = h1.event_type
+        |  WHERE h1.cum * 2 >= tot.nb GROUP BY 1),
+        |dev AS (SELECT g.event_type, g.n, m1.median_n, ABS(g.n - m1.median_n) AS ad
+        |  FROM g JOIN m1 ON m1.event_type = g.event_type),
+        |h2 AS (SELECT event_type, ad, COUNT(*) AS c FROM dev GROUP BY 1, 2),
+        |m2 AS (SELECT h2.event_type, MIN(h2.ad) AS mad FROM (
+        |    SELECT event_type, ad, SUM(c) OVER (PARTITION BY event_type ORDER BY ad) AS cum
+        |    FROM h2) h2 JOIN tot ON tot.event_type = h2.event_type
+        |  WHERE h2.cum * 2 >= tot.nb GROUP BY 1)
+        |SELECT dev.event_type, COUNT(*) AS n_buckets,
+        |  MAX(dev.median_n) AS median_n, MAX(m2.mad) AS mad,
+        |  CAST(SUM(CASE WHEN dev.n - dev.median_n > 3 * GREATEST(m2.mad, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  CAST(SUM(CASE WHEN dev.median_n - dev.n > 3 * GREATEST(m2.mad, 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_lo
+        |FROM dev JOIN m2 ON m2.event_type = dev.event_type
+        |GROUP BY dev.event_type ORDER BY dev.event_type""".stripMargin),
+
     "e23_user_paths" -> QueryDef(userPaths _,
       """WITH ev AS (SELECT user_id, event_type,
         |    LEAD(event_type, 1) OVER w AS t2,

@@ -405,6 +405,86 @@ object Generated {
       } finally JdbcRoundTrip.dropDatabaseQuietly(url)
     }
 
+  /** Live optimistic-concurrency round-trip — the TWO-WRITER posture
+    * after g13's single-writer MERGE: each writer updates rows through a
+    * VERSION-CHECKED statement (`… SET version = version + 1 WHERE id =
+    * ? AND version = <read>`); the affected-row count — the database's
+    * own answer, no read-then-check race — is the conflict detector.
+    * The interleaving here is the classic lost-update setup: both
+    * writers snapshot at v1, writer B commits keys 1–6 first, writer
+    * A's stale pass over keys 4–10 then MUST conflict on exactly the
+    * 4–6 overlap and succeed on 7–10, and A's re-read-and-retry of the
+    * conflicted keys lands at v3. The graded audit proves no update was
+    * lost (every increment is in the final balances) and no conflict
+    * went undetected.
+    *
+    * Deployment note: this is how a Spark writer back-fills into a LIVE
+    * operational table other services mutate — per-row version checks
+    * compose with idempotent batch ledgers (g15); a serializable txn
+    * would serialize the whole batch instead. */
+  def optimisticConcurrency(s: SparkSession, d: String): DataFrame =
+    liveMemo(s, "g19") {
+      import graft.load.{JdbcRoundTrip, JdbcSink}
+      val url = s"jdbc:derby:memory:graft_g19_${System.nanoTime()}"
+      val target = JdbcSink.Target(url, "", "")
+      JdbcRoundTrip.ensureDatabase(url)
+      try {
+        JdbcSink.execute(target, Seq(
+          """CREATE TABLE "acct" ("id" BIGINT PRIMARY KEY, "balance" BIGINT, "version" BIGINT)"""))
+          .flatten.foreach(e => sys.error(s"g19 ddl failed: $e"))
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          val ins = conn.prepareStatement("""INSERT INTO "acct" VALUES (?, ?, 1)""")
+          try (1L to 10L).foreach { i =>
+            ins.setLong(1, i); ins.setLong(2, i * 100); ins.executeUpdate()
+          } finally ins.close()
+          def readVersions(ids: Seq[Long]): Map[Long, Long] = {
+            val st = conn.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"""SELECT "id", "version" FROM "acct" WHERE "id" IN (${ids.mkString(",")})""")
+              val b = Map.newBuilder[Long, Long]
+              while (rs.next()) b += rs.getLong(1) -> rs.getLong(2)
+              b.result()
+            } finally st.close()
+          }
+          // version-checked increment; the DB's affected-row count IS
+          // the conflict signal
+          def cas(id: Long, delta: Long, readV: Long): Boolean = {
+            val st = conn.prepareStatement(
+              """UPDATE "acct" SET "balance" = "balance" + ?, "version" = "version" + 1
+                |WHERE "id" = ? AND "version" = ?""".stripMargin)
+            try {
+              st.setLong(1, delta); st.setLong(2, id); st.setLong(3, readV)
+              st.executeUpdate() == 1
+            } finally st.close()
+          }
+          // both writers snapshot at version 1
+          val snapA = readVersions(4L to 10L)
+          val snapB = readVersions(1L to 6L)
+          // writer B commits first: keys 1–6 at +5
+          val bOk = (1L to 6L).count(i => cas(i, 5L, snapB(i)))
+          // writer A's stale pass: keys 4–10 at +7 — 4–6 must conflict
+          val aFirst = (4L to 10L).map(i => i -> cas(i, 7L, snapA(i))).toMap
+          val conflicted = aFirst.collect { case (i, false) => i }.toSeq.sorted
+          // A re-reads ONLY the conflicted keys and retries
+          val snapA2 = readVersions(conflicted)
+          val retried = conflicted.count(i => cas(i, 7L, snapA2(i)))
+          val audit = s.read.jdbc(url, "\"acct\"", JdbcSink.props(target))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(when(col("version") === 2, 1L).otherwise(0L)).as("n_v2"),
+              sum(when(col("version") === 3, 1L).otherwise(0L)).as("n_v3"),
+              sum(col("balance")).as("sum_balance"))
+          audit.select(lit(bOk.toLong).as("b_committed"),
+              lit(aFirst.values.count(identity).toLong).as("a_first_pass"),
+              lit(conflicted.size.toLong).as("n_conflicts"),
+              lit(retried.toLong).as("n_retried"),
+              col("n_rows"), col("n_v2"), col("n_v3"), col("sum_balance"))
+            .localCheckpoint() // materialize before the database is dropped
+        } finally conn.close()
+      } finally JdbcRoundTrip.dropDatabaseQuietly(url)
+    }
+
   /** Live schema-evolution round-trip — the day-2 posture after the
     * reference's deploy-then-fill (apply_mssql.py deploys a frozen DDL;
     * real schemas then MOVE): widen a loaded table with ALTER TABLE ADD
@@ -672,6 +752,17 @@ object Generated {
         |  CAST(1 AS BIGINT), CAST(20 AS BIGINT), CAST(2 AS BIGINT),
         |  CAST(0 AS BIGINT), CAST(110 AS BIGINT)))
         |  t(n_attempts, n_committed, n_refused, n_rows, n_batches, n_dups, sum_val)""".stripMargin),
+
+    // frozen deterministic audit: B commits 6; A's stale pass lands 4 of
+    // 7 with 3 conflicts (the 4–6 overlap), all 3 retries land. Final:
+    // keys 1–3 at v2 (+5), 4–6 at v3 (+12), 7–10 at v2 (+7) →
+    // n_v2 = 7, n_v3 = 3, Σbalance = 5500 + 15 + 36 + 28 = 5579
+    "g19_optimistic_concurrency" -> QueryDef(optimisticConcurrency _,
+      """SELECT * FROM (VALUES (CAST(6 AS BIGINT), CAST(4 AS BIGINT),
+        |  CAST(3 AS BIGINT), CAST(3 AS BIGINT), CAST(10 AS BIGINT),
+        |  CAST(7 AS BIGINT), CAST(3 AS BIGINT), CAST(5579 AS BIGINT)))
+        |  t(b_committed, a_first_pass, n_conflicts, n_retried, n_rows,
+        |    n_v2, n_v3, sum_balance)""".stripMargin),
 
     "g13_merge_upsert" -> QueryDef(mergeUpsert _,
       """SELECT * FROM (VALUES (CAST(25 AS BIGINT), CAST(10 AS BIGINT),
