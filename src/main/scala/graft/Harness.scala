@@ -29,6 +29,7 @@ object Harness {
       queries.Generated.clearCaches()
       queries.GraphOps.clearCaches()
       operators.CopyOnWrite.clearCaches()
+      operators.MergeOnRead.clearCaches()
       multimodal.Multimodal.clearCaches()
       queries.MediaOps.clearCaches()
       spark.stop()

@@ -698,6 +698,12 @@ object Relational2 {
 
   val defs: Map[String, QueryDef] = Map(
     "q52_fuzzy_blocked_match" -> QueryDef(fuzzyBlockedMatch _, FuzzyMatchDuck),
+    // merge-on-read time travel: the oracle restates the three logical
+    // snapshots over raw parquet — the tombstone/append log layout must
+    // be result-invisible (q42/q43's layout-invisibility rule)
+    "q55_mor_time_travel" -> QueryDef(
+      graft.operators.MergeOnRead.morTimeTravel _,
+      graft.operators.MergeOnRead.oracle),
     "q53_dq_expectations" -> QueryDef(dqExpectations _, DqExpectationsDuck),
     "q54_snapshot_diff" -> QueryDef(snapshotDiff _, SnapshotDiffDuck),
     // exact-integer supports; ratios are single rounded divisions
