@@ -1853,6 +1853,114 @@ object TextOps {
       .orderBy("rk")
   }
 
+  /** t57 — the BPE TRAINER LOOP t39 computes one statistic of: three
+    * full rounds of count-pairs → pick-best-merge → apply-merge over
+    * the word vocabulary, with multi-character symbols emerging after
+    * round 1 (t39's single round can only see character pairs). Emits
+    * per round the chosen merge, its weighted frequency, and the
+    * corpus-wide symbol count after application — the compression
+    * trajectory a tokenizer trainer monitors.
+    *
+    * Contract notes: ties break on the pair string (total order);
+    * merge application is ONE left-to-right non-overlapping
+    * space-delimited replace pass per round — identical semantics in
+    * Spark and DuckDB (both scan forward consuming the shared
+    * boundary space), so back-to-back occurrences of the best pair
+    * merge alternately within a word. That quirk is FROZEN by the
+    * oracle (the g02 truncation-collision discipline): what matters is
+    * that engine and oracle agree edit-for-edit, and real vocabularies
+    * hit it rarely.
+    *
+    * Scale: the ONLY corpus-scale operation is the word-count
+    * aggregate (t39's shape, map-side partial to |vocab| rows); the
+    * trainer loop then iterates on the vocab frame — pair explode is
+    * vocab×word-length, each round's best merge is a 1-row driver
+    * collect (TakeOrderedAndProject), and the re-split vocab
+    * localCheckpoints per round (a driver-action loop — the t16 rule
+    * applies, unlike the single-action graph loops). */
+  def bpeTrainRounds(s: SparkSession, d: String): DataFrame = {
+    val vocab = documents(s, d)
+      .select(explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .withColumn("sym", trim(regexp_replace(col("tok"), "(.)", "$1 ")))
+    bpeTrainCore(s, vocab)
+  }
+
+  /** Core on an explicit (f, sym) vocab frame — factored for
+    * BpeMergeSpec's hand-computable planted vocabulary. */
+  private[queries] def bpeTrainCore(s: SparkSession, vocabIn: DataFrame): DataFrame = {
+    import s.implicits._
+    var vocab = vocabIn.localCheckpoint()
+    val rows = Seq.newBuilder[(Int, String, String, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= 3 && !exhausted) {
+      val pairs = vocab
+        .select(col("f"), split(col("sym"), " ").as("a"))
+        // a fully-merged single-symbol word contributes no pairs (and
+        // Spark's sequence(1, 0) would throw where DuckDB's returns [])
+        .filter(size(col("a")) >= 2)
+        .select(col("f"), col("a"),
+          explode(expr("sequence(1, size(a) - 1)")).as("i"))
+        .select(concat(element_at(col("a"), col("i")), lit(" "),
+          element_at(col("a"), col("i") + 1)).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("n"))
+      val bestArr = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
+        .collect()
+      if (bestArr.isEmpty) { exhausted = true } // every word fully merged
+      else {
+      val best = bestArr.head
+      val (bp, bn) = (best.getString(0), best.getLong(1))
+      val merged = bp.replace(" ", "")
+      // symbols are [a-z0-9] post-norm: safe to inline in the expression
+      vocab = vocab.withColumn("sym",
+          expr(s"trim(replace(' ' || sym || ' ', ' $bp ', ' $merged '))"))
+        .localCheckpoint()
+      val symAfter = vocab
+        .agg(sum(col("f") * size(split(col("sym"), " ")).cast("long")))
+        .collect().head.getLong(0)
+      rows += ((r, bp, merged, bn, symAfter))
+      }
+      r += 1
+    }
+    rows.result()
+      .toDF("round", "pair", "merged", "n_pair", "corpus_symbols_after")
+      .orderBy("round")
+  }
+
+  private val BpeTrainDuck: String = {
+    def round(r: Int): String = {
+      val prev = s"v${r - 1}"
+      s"""p$r AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, f FROM (
+         |    SELECT f, string_split(sym, ' ') AS l,
+         |      unnest(generate_series(1, len(string_split(sym, ' ')) - 1)) AS i
+         |    FROM $prev)),
+         |g$r AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS n FROM p$r GROUP BY pair),
+         |b$r AS (SELECT pair, replace(pair, ' ', '') AS merged, n FROM g$r
+         |        ORDER BY n DESC, pair LIMIT 1),
+         |v$r AS (SELECT $prev.f, trim(replace(' ' || $prev.sym || ' ',
+         |    ' ' || b$r.pair || ' ', ' ' || b$r.merged || ' ')) AS sym
+         |  FROM $prev, b$r)""".stripMargin
+    }
+    s"""WITH toks AS (SELECT unnest(string_split($NormSqlDuck, ' ')) AS tok
+       |  FROM documents),
+       |v0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f,
+       |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym
+       |  FROM toks WHERE length(tok) >= 2 GROUP BY tok),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT 1 AS round, b1.pair, b1.merged, b1.n AS n_pair,
+       |  (SELECT CAST(SUM(f * len(string_split(sym, ' '))) AS BIGINT) FROM v1)
+       |    AS corpus_symbols_after FROM b1
+       |UNION ALL SELECT 2, b2.pair, b2.merged, b2.n,
+       |  (SELECT CAST(SUM(f * len(string_split(sym, ' '))) AS BIGINT) FROM v2) FROM b2
+       |UNION ALL SELECT 3, b3.pair, b3.merged, b3.n,
+       |  (SELECT CAST(SUM(f * len(string_split(sym, ' '))) AS BIGINT) FROM v3) FROM b3
+       |ORDER BY 1""".stripMargin
+  }
+
   /** Novelty against a previous corpus snapshot — the dedup-across-dumps
     * step (each new CommonCrawl-style dump scored against everything
     * already ingested): documents of the NEW half (doc_id ≥ 250) report
@@ -2447,6 +2555,7 @@ object TextOps {
     s"(length($h) - length(replace($h, '$w', ''))) / ${w.length}"
 
   val defs: Map[String, QueryDef] = Map(
+    "t57_bpe_train_rounds" -> QueryDef(bpeTrainRounds _, BpeTrainDuck),
     "t56_source_caps" -> QueryDef(sourceCaps _,
       s"""WITH r AS (SELECT doc_id, source, n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY source

@@ -33,4 +33,39 @@ class BpeMergeSpec extends AnyFunSuite {
       s"tie order: ${out.drop(4).mkString(", ")}")
     assert(out.forall(_._3 >= 1L))
   }
+
+  test("t57: three trainer rounds on a planted vocab — multi-char merge and the replace quirk, hand-traced") {
+    import spark.implicits._
+    // vocab: abab×3, ab×2.
+    // r1: 'a b' = 3·2+2 = 8 beats 'b a' = 3 → merge 'ab'. The one-pass
+    //     space-delimited replace merges ALTERNATE occurrences:
+    //     "a b a b" → "ab a b" (the frozen quirk), "a b" → "ab".
+    //     symbols after = 3·3 + 2·1 = 11.
+    // r2: 'ab a' = 3 ties 'a b' = 3 → pair-ASC tie-break picks 'a b'
+    //     ("a b" < "ab a": space sorts before 'b') → "ab a b" → "ab ab";
+    //     symbols after = 3·2 + 2·1 = 8.
+    // r3: the MULTI-CHAR merge t39's single round can never see:
+    //     'ab ab' = 3 → 'abab'; symbols after = 3·1 + 2·1 = 5.
+    val vocab = Seq(("abab", 3L, "a b a b"), ("ab", 2L, "a b"))
+      .toDF("tok", "f", "sym")
+    val out = TextOps.bpeTrainCore(spark, vocab).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1, "a b", "ab", 8L, 11L),
+      (2, "a b", "ab", 3L, 8L),
+      (3, "ab ab", "abab", 3L, 5L)), out.toSeq)
+  }
+
+  test("t57: a word fully merged to one symbol stops contributing pairs (no sequence(1,0) crash)") {
+    import spark.implicits._
+    // 'x y' merges first; the word "xy" then becomes the single symbol
+    // 'xy' and must simply drop out of subsequent pair counts
+    val vocab = Seq(("xy", 5L, "x y"), ("xyz", 1L, "x y z")).toDF("tok", "f", "sym")
+    val out = TextOps.bpeTrainCore(spark, vocab).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(4)))
+    assert(out.head == ((1, "x y", 5L + 2L)),
+      s"round 1 must merge 'x y' and count 7 remaining symbols: ${out.toSeq}")
+    // r2: only "xy z" (f=1) still has a pair
+    assert(out(1)._2 == "xy z" && out(1)._3 == 5L + 1L, out.toSeq)
+  }
 }
