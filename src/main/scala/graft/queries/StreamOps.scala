@@ -315,6 +315,7 @@ object StreamOps {
     chunkStreamCache.clear() // ditto
     retrievalStreamCache.clear() // ditto
     sourceQuotaCache.clear() // ditto
+    leftOuterCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -456,6 +457,65 @@ object StreamOps {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"), countDistinct(col("p_id")).as("n_purchases"))
       .orderBy("user_id")
+
+  /** s23 — stream-stream LEFT OUTER interval join: s05's click×purchase
+    * join in the posture that also has to DECIDE ABSENCE. A matched
+    * click emits its pair rows immediately; an UNMATCHED click can only
+    * emit its null-padded row once the watermark proves no purchase can
+    * still arrive inside its 30-minute window — the null row is a
+    * statement about the future, and the state-expiry machinery is what
+    * makes it sound. Replayed over the 4-slice time-ordered source
+    * (real watermark progression across micro-batches).
+    *
+    * Determinism: the drained set is cut at max(ts) − 2 h — clicks
+    * whose expiry the FINAL watermark (max − 30 min) has provably
+    * passed, with margin over the boundary-equality convention — so the
+    * graded census is split-independent and the oracle is the batch
+    * left join over the same cut (s01's closed-sessions discipline).
+    * Scale: join state is bounded by the interval bound × arrival rate
+    * per key; the watermark is what EVICTS it — an outer join without
+    * the time bound would hold every unmatched click forever. */
+  def streamLeftOuterJoin(s: SparkSession, d: String): DataFrame = {
+    leftOuterCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    leftOuterCache.getOrElseUpdate((s, d), {
+      val (raw, _) = EventStream.runAppendWithProgress(s, ev => {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+          .withWatermark("c_ts", "30 minutes")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+            col("event_id").as("p_id"))
+          .withWatermark("p_ts", "30 minutes")
+        clicks.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("interval 30 minutes"),
+          "left_outer")
+      }, timeSlicedStreamSource(s, d), "graft_stream_lo")
+      // the GLOBAL watermark is the MIN over both streams' watermarks
+      // (each side tracks its own max event time − 30 min), so the
+      // provably-final region derives from the EARLIER of the two side
+      // maxima — cutting on the global max alone left boundary clicks
+      // whose null row the min-watermark had not yet released (measured:
+      // one click short on the fixture)
+      val cutoff = Tables.events(s, d)
+        .agg((least(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+          - lit(7200000000L)).as("cut"))
+        .collect()(0).getLong(0)
+      raw.filter(unix_micros(col("c_ts")) <= cutoff)
+        .groupBy("user_id")
+        .agg(countDistinct(col("c_id")).as("n_clicks"),
+          countDistinct(when(col("p_id").isNull, col("c_id"))).as("n_unmatched"),
+          sum(when(col("p_id").isNull, 0L).otherwise(1L)).as("n_pairs"))
+        .orderBy("user_id")
+        .localCheckpoint() // pin before any scratch reuse
+    })
+  }
+
+  private val leftOuterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Sessionization through Spark's NATIVE session_window aggregation —
     * the built-in operator counterpart to s01's hand-rolled
@@ -1060,6 +1120,26 @@ object StreamOps {
     "s03_stream_dedup" -> QueryDef(streamDedup _,
       """SELECT event_type, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // the batch left join over the SAME watermark-provable cut: absence
+    // decisions must match — a click the stream null-pads is exactly a
+    // click the batch join finds no purchase for
+    "s23_stream_left_outer" -> QueryDef(streamLeftOuterJoin _,
+      """WITH mx AS (SELECT LEAST(
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+        |    MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)) AS mts
+        |  FROM events),
+        |c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events, mx
+        |      WHERE event_type = 'click' AND epoch_us(ts) <= mts - 7200000000),
+        |p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.c_id, p.p_id FROM c
+        |      LEFT JOIN p ON p.p_user = c.user_id AND p.p_ts >= c.c_ts
+        |        AND epoch_us(p.p_ts) - epoch_us(c.c_ts) <= 1800000000)
+        |SELECT user_id, COUNT(DISTINCT c_id) AS n_clicks,
+        |  COUNT(DISTINCT CASE WHEN p_id IS NULL THEN c_id END) AS n_unmatched,
+        |  CAST(SUM(CASE WHEN p_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_pairs
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin),
 
     "s05_stream_stream_join" -> QueryDef(streamStreamJoin _,
       """SELECT c.user_id, COUNT(*) AS n_pairs,
