@@ -378,6 +378,119 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:
+    * each query wants its top-5 among vectors of ITS OWN LABEL, served
+    * from the same 2-probe IVF candidate set as v08. PRE-filtering
+    * applies the label predicate to the candidates and ranks the
+    * survivors (always 5 when enough exist in the probed cells);
+    * POST-filtering ranks the unfiltered candidates first, takes the
+    * global top-20, and only then filters — the census grades how many
+    * of the 5 slots the post-filter path LOSES per query (the classic
+    * filtered-vector-search failure: selective predicates starve a
+    * fixed shortlist). Per query: label, eligible candidates in the
+    * probed cells, both hit counts, their overlap, and the post-filter
+    * deficit.
+    *
+    * Scale: the predicate joins BEFORE ranking in the pre path —
+    * exactly how a deployment pushes metadata filters into the cell
+    * scan (the IVF cell is a partition; label is a column in it); the
+    * post path exists to measure what NOT pushing down costs. All
+    * ranking on the shared rounded-cosine grid — deterministic. */
+  def filteredAnn(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val base = e.join(cells, "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .join(probes, "q_id")
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val cand = base.join(broadcast(q),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("eligible", (col("label") === col("q_label")).cast("int"))
+      .localCheckpoint() // one candidate frame feeds both paths
+    val preRows = cand.filter(col("eligible") === 1)
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select("q_id", "vec_id")
+      .localCheckpoint() // feeds its own count AND the overlap join
+    val postRows = cand
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 20 && col("eligible") === 1)
+      .withColumn("frk", row_number().over(byQ.orderBy(col("rk").asc)))
+      .filter(col("frk") <= 5)
+      .select("q_id", "vec_id")
+      .localCheckpoint() // ditto
+    val pre = preRows.groupBy("q_id").agg(count(lit(1)).as("n_pre"))
+    val post = postRows.groupBy("q_id").agg(count(lit(1)).as("n_post"))
+    val overlap = preRows.join(postRows, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    val elig = cand.groupBy("q_id", "q_label")
+      .agg(sum(col("eligible").cast("long")).as("n_eligible"))
+    elig
+      .join(pre, Seq("q_id"), "left")
+      .join(post, Seq("q_id"), "left")
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("q_label").as("label"), col("n_eligible"),
+        coalesce(col("n_pre"), lit(0L)).as("n_pre"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (lit(5L) - coalesce(col("n_post"), lit(0L))).as("post_deficit"))
+      .orderBy("q_id")
+  }
+
+  private val FilteredAnnDuck: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |aff AS (SELECT e.vec_id, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+      |        c.cid ASC) AS crn
+      |  FROM e, c),
+      |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+      |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+      |cand AS (SELECT pr.q_id, q.label AS q_label, b.vec_id, b.label,
+      |    round(list_dot_product(q.v, b.v) /
+      |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos,
+      |    CASE WHEN b.label = q.label THEN 1 ELSE 0 END AS eligible
+      |  FROM probes pr
+      |  JOIN e q ON q.vec_id = pr.q_id
+      |  JOIN cells cl ON cl.cell = pr.pcell
+      |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+      |prerows AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      |    FROM cand WHERE eligible = 1) WHERE rk <= 5),
+      |postrows AS (SELECT q_id, vec_id FROM (
+      |    SELECT q_id, vec_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rk) AS frk FROM (
+      |      SELECT q_id, vec_id, eligible,
+      |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      |      FROM cand) WHERE rk <= 20 AND eligible = 1) WHERE frk <= 5),
+      |pre AS (SELECT q_id, COUNT(*) AS n_pre FROM prerows GROUP BY q_id),
+      |post AS (SELECT q_id, COUNT(*) AS n_post FROM postrows GROUP BY q_id),
+      |ovl AS (SELECT a.q_id, COUNT(*) AS n_overlap FROM prerows a
+      |  JOIN postrows b ON b.q_id = a.q_id AND b.vec_id = a.vec_id GROUP BY a.q_id),
+      |elig AS (SELECT q_id, q_label, CAST(SUM(eligible) AS BIGINT) AS n_eligible
+      |  FROM cand GROUP BY 1, 2)
+      |SELECT e.q_id, e.q_label AS label, e.n_eligible,
+      |  CAST(COALESCE(p.n_pre, 0) AS BIGINT) AS n_pre,
+      |  CAST(COALESCE(o.n_post, 0) AS BIGINT) AS n_post,
+      |  CAST(COALESCE(v.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  CAST(5 - COALESCE(o.n_post, 0) AS BIGINT) AS post_deficit
+      |FROM elig e LEFT JOIN pre p ON p.q_id = e.q_id
+      |LEFT JOIN post o ON o.q_id = e.q_id
+      |LEFT JOIN ovl v ON v.q_id = e.q_id
+      |ORDER BY e.q_id""".stripMargin
+
   /** One Lloyd refinement round of the IVF codebook: every vector
     * assigns to its nearest of the 16 seed centroids (v08's cells, same
     * rounded-cosine + cid tie-break), and each centroid moves to the
@@ -1381,6 +1494,7 @@ object VectorOps {
 
   val defs: Map[String, QueryDef] = Map(
     "v30_matryoshka_recall_curve" -> QueryDef(matryoshkaRecallCurve _, MatryoshkaCurveDuck),
+    "v31_filtered_ann" -> QueryDef(filteredAnn _, FilteredAnnDuck),
     "v26_binary_hamming_topk" -> QueryDef(binaryHammingTopK _, BinaryHammingDuck),
     "v27_ivf_binary_topk" -> QueryDef(ivfBinaryTopK _, IvfBinaryDuck),
     "v28_binary_shortlist_curve" -> QueryDef(binaryShortlistCurve _, BinaryCurveDuck),

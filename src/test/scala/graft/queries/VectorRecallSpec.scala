@@ -158,6 +158,23 @@ class VectorRecallSpec extends AnyFunSuite {
     assert(rows.last._3 > rows.head._3, "the curve must actually rise")
   }
 
+  test("v31 filtered ANN: post-filter hits are a prefix of pre-filter's; deficits are real") {
+    val rows = graft.SparkEntry.all("v31_filtered_ann").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    assert(rows.length == 10)
+    rows.foreach { case (q, elig, pre, post, ovl, deficit) =>
+      assert(pre == math.min(5L, elig), s"pre-filter must fill every available slot: q=$q")
+      // the post path's survivors are by construction the best-cosine
+      // eligible candidates — exactly pre's top prefix
+      assert(ovl == post, s"post hits must be a prefix of pre hits: q=$q")
+      assert(post <= pre && deficit == 5L - post)
+    }
+    val lost = rows.map(_._6).sum
+    info(s"v31: post-filtering loses $lost of ${rows.length * 5} slots at shortlist 20")
+    assert(lost > 0, "the fixture must exhibit the post-filter starvation the operator measures")
+  }
+
   test("v26 binary-hamming recall@10 vs exact cosine — the 16 B/vector rung, measured") {
     val exact = hits("v01_cosine_topk")
     val binary = hits("v26_binary_hamming_topk")
