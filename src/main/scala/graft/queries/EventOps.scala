@@ -696,7 +696,55 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** e25 — the weekly retention TRIANGLE: every (signup-cohort week,
+    * week offset) cell of the classic retention matrix — users active
+    * again k weeks after their first-ever event — with the cohort size
+    * and an integer-permille rate. Generalizes e14's two fixed D+1/D+7
+    * probes into the full triangular readout an analytics deliverable
+    * ships.
+    *
+    * Scale: e14's discipline generalized — the (user, week) activity
+    * frame materializes ONCE (distinct = one keyed shuffle), the cohort
+    * week rides a min-aggregate, and every cell comes from ONE
+    * (cohort, offset) aggregation over that frame: no per-offset
+    * rescans, no window. |cells| = weeks²/2 — metadata at any scale. */
+  def retentionTriangle(s: SparkSession, d: String): DataFrame = {
+    val uw = events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+      .localCheckpoint() // feeds the cohort agg AND the offset join
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("c_wk"))
+    val sizes = cohort.groupBy("c_wk").agg(count(lit(1)).as("n_cohort"))
+    uw.join(cohort, "user_id")
+      .withColumn("offset", col("wk") - col("c_wk"))
+      .groupBy("c_wk", "offset")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(sizes, "c_wk")
+      .select(col("c_wk").as("cohort_week"), col("offset"),
+        col("n_cohort"), col("n_active"),
+        floor(col("n_active") * lit(1000) / col("n_cohort")).cast("long")
+          .as("retained_permille"))
+      .orderBy("cohort_week", "offset")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "e25_retention_triangle" -> QueryDef(retentionTriangle _,
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 604800000000 AS wk FROM events),
+        |cohort AS (SELECT user_id, MIN(wk) AS c_wk FROM uw GROUP BY user_id),
+        |sizes AS (SELECT c_wk, COUNT(*) AS n_cohort FROM cohort GROUP BY c_wk),
+        |cells AS (SELECT c.c_wk, uw.wk - c.c_wk AS "offset",
+        |    COUNT(DISTINCT uw.user_id) AS n_active
+        |  FROM uw JOIN cohort c ON c.user_id = uw.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cells.c_wk AS cohort_week, cells."offset",
+        |  sizes.n_cohort, cells.n_active,
+        |  CAST(FLOOR(cells.n_active * 1000 / sizes.n_cohort) AS BIGINT)
+        |    AS retained_permille
+        |FROM cells JOIN sizes ON sizes.c_wk = cells.c_wk
+        |ORDER BY cohort_week, cells."offset"""".stripMargin),
+
     "e24_robust_spikes" -> QueryDef(robustSpikes _,
       """WITH ev AS (SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hr_bucket,
         |    event_type FROM events),
