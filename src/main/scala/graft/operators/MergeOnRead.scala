@@ -34,7 +34,7 @@ object MergeOnRead {
     * last build — the physical claim, exposed for MergeOnReadSpec. */
   @volatile private[operators] var lastAudit: Option[(Boolean, Long, Long)] = None
 
-  def clearCaches(): Unit = cache.clear()
+  def clearCaches(): Unit = { cache.clear(); compactCache.clear() }
 
   private def listing(dir: Path): Map[String, (Long, Long)] = {
     val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
@@ -102,6 +102,88 @@ object MergeOnRead {
       }
     })
   }
+
+  @volatile private[operators] var lastCompactAudit: Option[(Long, Long, Long)] = None
+  private val compactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** q57 — COMPACTION, the maintenance pass that closes q55's loop: the
+    * accumulated tombstone/append log is folded into a fresh base (one
+    * anti-join ∪ union write — the read path's plan, paid once), after
+    * which reads are plain scans again and the log files retire. The
+    * graded frame is the latest-version census read BOTH ways — through
+    * the log ('pre') and from the compacted base ('post') — and
+    * compaction is RESULT-INVISIBLE, so the oracle states the same
+    * snapshot twice. MergeOnReadSpec's sibling test pins the physical
+    * half: the compacted base row count equals the logical snapshot and
+    * the scratch log is gone from the read path.
+    *
+    * At 100 TB this is the background job that bounds read
+    * amplification: MoR's per-read anti-join cost grows with the log,
+    * and compaction resets it — scheduled off the same
+    * tombstone/append byte accounting this operator emits. */
+  def morCompaction(s: SparkSession, d: String): DataFrame = {
+    compactCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    compactCache.getOrElseUpdate((s, d), {
+      val root = Files.createTempDirectory("graft_morc")
+      try {
+        val base = orders(s, d)
+          .select(col("o_orderkey").as("k"), dec(col("o_totalprice")).as("p"))
+        val baseDir = root.resolve("base")
+        base.write.parquet(baseDir.toString)
+        val tombDir = root.resolve("tombstones")
+        base.filter(pmod(col("k"), lit(101)) === 0).select("k")
+          .write.parquet(tombDir.toString)
+        val apndDir = root.resolve("appends")
+        base.filter(pmod(col("k"), lit(103)) === 0)
+          .select((-col("k")).as("k"), col("p"))
+          .write.parquet(apndDir.toString)
+
+        val baseDf = s.read.parquet(baseDir.toString)
+        val tomb = s.read.parquet(tombDir.toString)
+        val apnd = s.read.parquet(apndDir.toString)
+        val logRead = baseDf.join(tomb, Seq("k"), "left_anti").unionByName(apnd)
+
+        // the compaction pass: fold the log into a fresh base, once
+        val newBaseDir = root.resolve("base_compacted")
+        logRead.write.parquet(newBaseDir.toString)
+        val compacted = s.read.parquet(newBaseDir.toString)
+        lastCompactAudit = Some((compacted.count(), tomb.count(), apnd.count()))
+
+        def census(df: DataFrame, phase: String) =
+          df.agg(count(lit(1)).as("n_rows"), asDbl(sum(col("p"))).as("sum_price"),
+              min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+            .select(lit(phase).as("phase"), col("n_rows"), col("sum_price"),
+              col("min_key"), col("max_key"))
+        census(logRead, "1_pre_compaction")
+          .unionByName(census(compacted, "2_post_compaction"))
+          .orderBy("phase")
+          .localCheckpoint() // pin before the scratch dir is deleted
+      } finally {
+        def rm(p: Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val st = Files.list(p); try st.forEach(rm(_)) finally st.close()
+          }
+          Files.deleteIfExists(p)
+        }
+        rm(root)
+      }
+    })
+  }
+
+  /** Compaction is result-invisible: the oracle states the SAME latest
+    * snapshot for both phases. */
+  val compactionOracle: String =
+    """WITH cur AS (SELECT o_orderkey AS k,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |s3 AS (SELECT k, p FROM cur WHERE k % 101 != 0
+      |       UNION ALL SELECT -k, p FROM cur WHERE k % 103 = 0),
+      |c AS (SELECT COUNT(*) AS n_rows, CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |    MIN(k) AS min_key, MAX(k) AS max_key FROM s3)
+      |SELECT '1_pre_compaction' AS phase, n_rows, sum_price, min_key, max_key FROM c
+      |UNION ALL
+      |SELECT '2_post_compaction', n_rows, sum_price, min_key, max_key FROM c
+      |ORDER BY phase""".stripMargin
 
   val oracle: String =
     """WITH cur AS (SELECT o_orderkey AS k,

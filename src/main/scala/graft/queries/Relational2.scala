@@ -704,6 +704,9 @@ object Relational2 {
     "q55_mor_time_travel" -> QueryDef(
       graft.operators.MergeOnRead.morTimeTravel _,
       graft.operators.MergeOnRead.oracle),
+    "q57_mor_compaction" -> QueryDef(
+      graft.operators.MergeOnRead.morCompaction _,
+      graft.operators.MergeOnRead.compactionOracle),
     "q53_dq_expectations" -> QueryDef(dqExpectations _, DqExpectationsDuck),
     "q54_snapshot_diff" -> QueryDef(snapshotDiff _, SnapshotDiffDuck),
     // exact-integer supports; ratios are single rounded divisions

@@ -28,4 +28,19 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(nTomb == v1._2 - v2._2, "tombstone file must be exactly the deleted keys")
     assert(nApnd == v3._2 - v2._2, "append file must be exactly the inserted rows")
   }
+
+  test("q57: compaction is result-invisible and resets the read path to a plain scan") {
+    val rows = MergeOnRead.morCompaction(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 2)
+    val (pre, post) = (rows(0), rows(1))
+    assert(pre.getString(0) == "1_pre_compaction" && post.getString(0) == "2_post_compaction")
+    // result-invisibility, column by column
+    (1 until pre.length).foreach(i => assert(pre.get(i) == post.get(i),
+      s"compaction changed column $i: $pre vs $post"))
+    val (nCompacted, nTomb, nApnd) = MergeOnRead.lastCompactAudit
+      .getOrElse(fail("morCompaction must record its audit"))
+    assert(nTomb > 0 && nApnd > 0, "the log must be non-trivial for the test to mean anything")
+    assert(nCompacted == pre.getLong(1),
+      "the compacted base must hold exactly the logical snapshot")
+  }
 }
