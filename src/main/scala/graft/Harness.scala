@@ -25,6 +25,7 @@ object Harness {
       queries.TextOps.clearCaches()
       queries.StreamOps.clearCaches()
       queries.EventOps.clearCaches()
+      queries.Relational2.clearObservedCache()
       queries.VectorOps.clearCaches()
       queries.Generated.clearCaches()
       queries.GraphOps.clearCaches()

@@ -682,6 +682,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q58: observed metrics ride the result's own scan — CollectMetrics, ONE lineitem read") {
+    val p = Relational2.observedShape(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("CollectMetrics"),
+      s"the observation must plan as a CollectMetrics node:\n$p")
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      s"the audit must NOT re-scan the table (one scan total):\n$p")
+    assert(p.contains("PushedFilters"), "the filter still pushes below the metrics node")
+  }
+
   test("g16: the dimension filter pushes INTO the database scan") {
     val p = plan("g16_federated_join")
     assert(p.contains("JDBCRelation"),
