@@ -629,13 +629,23 @@ object SketchOps {
     * agg to |types|·64 rows — metadata scale from there on. */
   def hllRegisters(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    val rho = ev
-      .select(col("event_type").as("grp"), h60(col("user_id"), "hll").as("hv"))
+    hllEstimate(s, ev, hllRho(ev).groupBy("grp", "idx").agg(max("rho").as("reg")))
+  }
+
+  /** Per-row (grp, idx, ρ) columns — STATELESS, so the identical
+    * expressions run inside a stream (s24) and in batch (k10). */
+  private[queries] def hllRho(ev: DataFrame): DataFrame =
+    ev.select(col("event_type").as("grp"), h60(col("user_id"), "hll").as("hv"))
       .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
       .withColumn("v", expr("hv div 64"))
       .withColumn("rho",
         when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v")))))
-    val regs = rho.groupBy("grp", "idx").agg(max("rho").as("reg"))
+
+  /** Densify registers, fold the exact-integer harmonic sum, estimate —
+    * shared by k10 and the streaming twin s24 (whose registers arrive
+    * from the state store instead of a batch aggregate). */
+  private[queries] def hllEstimate(s: SparkSession, ev: DataFrame,
+      regs: DataFrame): DataFrame = {
     // densify to all 64 registers (empty register ⇒ ρ = 0): |types|×64 rows
     val allIdx = regs.select("grp").distinct()
       .crossJoin(broadcast(s.range(0, 64).select(col("id").cast("int").as("idx"))))
@@ -659,7 +669,7 @@ object SketchOps {
       .orderBy("grp")
   }
 
-  private val HllRegistersDuck: String =
+  private[queries] val HllRegistersDuck: String =
     s"""WITH hv AS (SELECT event_type AS grp,
        |    ${h60Duck("user_id", "hll")} AS hv FROM events),
        |r AS (SELECT grp, hv % 64 AS idx, hv // 64 AS v FROM hv),

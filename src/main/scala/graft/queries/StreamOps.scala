@@ -430,6 +430,26 @@ object StreamOps {
       EventStream.runOnce(s, ev => SketchOps.bitmapWords(ev),
         dupStreamSource(s, d), "graft_stream_bitmap"))
 
+  /** s24 — streaming HLL distinct maintenance fed the DOUBLED
+    * at-least-once replay: k10's register sketch maintained in-stream
+    * through the SAME factored ρ expressions and a per-(type, register)
+    * MAX aggregate in the state store. Like s19's bitmaps, the
+    * aggregate is IDEMPOTENT — max absorbs redelivery with no dedup
+    * operator, which extends the s19 rule to APPROXIMATE state: a
+    * fixed-size sketch whose merge is element-wise max is at-least-once
+    * safe for free, at 64 small ints per key instead of s19's
+    * |user-space|/32 words. The drained registers feed k10's shared
+    * estimator body, so the oracle IS k10's oracle — the streaming
+    * sketch must land on the exactly-once batch estimate bit for bit. */
+  def streamHllDistinct(s: SparkSession, d: String): DataFrame =
+    SketchOps.hllEstimate(s, Tables.events(s, d),
+      EventStream.runOnce(s, ev => SketchOps.hllRho(ev)
+          .groupBy("grp", "idx").agg(max("rho").as("reg")),
+        dupStreamSource(s, d), "graft_stream_hll")
+        // pin: the estimator references the register frame twice, and two
+        // readings of the same memory-sink view self-conflict at resolve
+        .localCheckpoint())
+
   /** Stream-stream self-join with an event-time interval: each click
     * joined to the same user's purchases within the following 30 minutes
     * (attribution). Both sides carry watermarks and the join condition
@@ -1326,6 +1346,12 @@ object StreamOps {
     // oracle = batch k06's statement verbatim: the DOUBLED stream must
     // converge to the exactly-once bitmap counts through OR idempotence
     // alone — no dedup operator in the plan
+    // the oracle IS k10's: the doubled at-least-once stream must land on
+    // the exactly-once batch sketch bit for bit (max idempotence — the
+    // s19 rule extended to approximate fixed-size state)
+    "s24_stream_hll_distinct" -> QueryDef(streamHllDistinct _,
+      SketchOps.HllRegistersDuck),
+
     "s19_stream_bitmap_distinct" -> QueryDef(streamBitmapDistinct _,
       """WITH d AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
         |    user_id FROM events),

@@ -178,6 +178,18 @@ class SketchOpsSpec extends AnyFunSuite {
       s"intersection estimate off-band: est=$est exact=$exact")
   }
 
+  test("k10/s24: HLL registers are idempotent — a doubled input changes nothing") {
+    // the s19 rule extended to approximate state: element-wise MAX
+    // absorbs at-least-once redelivery, so the doubled replay's sketch
+    // must equal the exactly-once sketch register for register
+    val ev = graft.tables.Tables.events(spark, sf)
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      SketchOps.hllRho(df).groupBy("grp", "idx")
+        .agg(max("rho").as("reg")).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    assert(regs(ev.unionAll(ev)) == regs(ev))
+  }
+
   test("k11: FPR and fill factor fall strictly as the filter grows; bit census is sane") {
     val rows = SketchOps.bloomFprCurve(spark, sf).collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6)))
