@@ -84,10 +84,80 @@ object GraphOps {
     * nodes by final rank. One keyed join + one keyed partial-agg per
     * iteration; degree and rank frames are data-scale so they join
     * keyed, never broadcast. */
-  def pagerank(s: SparkSession, d: String): DataFrame = {
+  def pagerank(s: SparkSession, d: String): DataFrame =
+    pagerankCore(pagerankEdgesCached(s, d))
+
+  private def pagerankEdgesCached(s: SparkSession, d: String): DataFrame = {
     pagerankEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    pagerankCore(pagerankEdgeCache.getOrElseUpdate((s, d),
-      mkEdgesD(bipartiteEdges(s, d)).repartition(col("src")).persist()))
+    pagerankEdgeCache.getOrElseUpdate((s, d),
+      mkEdgesD(bipartiteEdges(s, d)).repartition(col("src")).persist())
+  }
+
+  /** p07 — PERSONALIZED PageRank: p01's integer fixed-point walk with
+    * the teleport mass concentrated on a SEED set (customers 0–4)
+    * instead of spread uniformly — the "rank the graph from THIS
+    * user's perspective" primitive under every graph recommender.
+    * Teleport budget per round is the same total 15% mass p01 pays
+    * (15·(Q/100)·n), divided equally over the seeds — T is exact
+    * integer arithmetic with n and |seeds| both data-derived (the
+    * oracle derives them with subqueries, so the constant can never
+    * drift). Top-15 nodes with an is_seed flag: seeds dominate, and
+    * the non-seed entries ARE the recommendations.
+    *
+    * Scale: identical per-round shape to p01 (exchange-free join
+    * against the shared cached edge frame + one keyed partial agg);
+    * the seed predicate is a pure row expression — no seed-set join. */
+  def personalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    val edgesD = pagerankEdgesCached(s, d)
+    val nodes = edgesD.select(col("src").as("node")).distinct()
+    // metadata-scale driver constants; the oracle re-derives both
+    val n = nodes.count()
+    val nSeeds = nodes.filter(expr("node % 2 = 0 AND node div 2 < 5")).count()
+    require(nSeeds > 0, "seed customers must trade in the fixture")
+    val t = 15L * (Q / 100) * n / nSeeds
+    var rank = nodes.select(col("node"), lit(Q).as("r"))
+    for (_ <- 1 to Iters) {
+      rank = rank.join(edgesD, col("node") === col("src"))
+        .select(col("dst"), expr("r div d").as("contrib"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("(85 * sum(contrib)) div 100").as("msum"))
+        .select(col("node"),
+          (when(expr("node % 2 = 0 AND node div 2 < 5"), lit(t))
+            .otherwise(lit(0L)) + col("msum")).as("r"))
+    }
+    rank
+      .withColumn("node_type", when(pmod(col("node"), lit(2)) === 0, "cust").otherwise("supp"))
+      .withColumn("entity_id", expr("node div 2"))
+      .withColumn("is_seed",
+        when(expr("node % 2 = 0 AND node div 2 < 5"), 1L).otherwise(0L))
+      .orderBy(col("r").desc, col("node").asc).limit(15)
+      .select(col("node_type"), col("entity_id"), col("is_seed"), col("r").as("rank_fp"))
+  }
+
+  private val PprDuck: String = {
+    val base =
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT cn AS src, sn AS dst FROM e0
+         |          UNION ALL SELECT sn, cn FROM e0),
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src),
+         |tp AS (SELECT (15 * ${Q / 100} * (SELECT COUNT(*) FROM deg))
+         |         // (SELECT COUNT(*) FROM deg WHERE node % 2 = 0 AND node // 2 < 5) AS t),
+         |r0 AS (SELECT node, CAST($Q AS BIGINT) AS r FROM deg)""".stripMargin
+    val iters = (1 to Iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS node,
+         |  CAST(CASE WHEN e.dst % 2 = 0 AND e.dst // 2 < 5 THEN (SELECT t FROM tp) ELSE 0 END
+         |    + (85 * SUM(p.r // dg.d)) // 100 AS BIGINT) AS r
+         |  FROM r${i - 1} p JOIN deg dg ON dg.node = p.node
+         |  JOIN edges e ON e.src = p.node GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$iters
+       |SELECT CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS node_type,
+       |  node // 2 AS entity_id,
+       |  CAST(CASE WHEN node % 2 = 0 AND node // 2 < 5 THEN 1 ELSE 0 END AS BIGINT) AS is_seed,
+       |  r AS rank_fp
+       |FROM r$Iters ORDER BY r DESC, node ASC LIMIT 15""".stripMargin
   }
 
   /** Core on an explicit directed edge frame (both directions present
@@ -500,6 +570,7 @@ object GraphOps {
 
   val defs: Map[String, QueryDef] = Map(
     "p06_common_neighbors" -> QueryDef(commonNeighbors _, CommonNeighborsDuck),
+    "p07_personalized_pagerank" -> QueryDef(personalizedPagerank _, PprDuck),
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),
     "p02_triangle_count" -> QueryDef(triangleCount _, TriangleDuck),
     "p03_degree_histogram" -> QueryDef(degreeHistogram _, DegreeHistDuck),

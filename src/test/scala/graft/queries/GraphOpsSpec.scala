@@ -103,6 +103,37 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(star.head == (1L, 2L) && star.last == (3L, 6L), star.toSeq)
   }
 
+  test("p07: teleport concentrates rank on the seeds; top non-seeds trade with them") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = GraphOps.personalizedPagerank(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 15)
+    // the PPR property that holds at ANY scale: teleport mass makes
+    // every seed outrank every NON-seed customer (on the tiny sf0.001
+    // graph the handful of suppliers absorb all customers' 85% flow and
+    // can out-rank seeds — that part is size-dependent, so the lock is
+    // on the customer ordering, not the global one)
+    val seeds = rows.filter(_._3 == 1L)
+    assert(seeds.length == 5 && seeds.forall(t => t._1 == "cust" && t._2 < 5L),
+      s"all five seeds must make the top-15: ${rows.toSeq}")
+    val minSeedRank = seeds.map(_._4).min
+    val nonSeedCust = rows.filter(t => t._1 == "cust" && t._3 == 0L)
+    assert(nonSeedCust.forall(_._4 < minSeedRank),
+      s"every non-seed customer must rank below every seed: ${rows.toSeq}")
+    // every ranked supplier must actually trade with a seed customer
+    // (rank can only flow along edges from the teleport set)
+    val seedSupp = graft.tables.Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_custkey") < 5)
+      .join(graft.tables.Tables.lineitem(spark, sf),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("l_suppkey").distinct().collect().map(_.getLong(0)).toSet
+    val listedSupp = rows.filter(_._1 == "supp").map(_._2)
+    assert(listedSupp.nonEmpty)
+    assert(listedSupp.forall(seedSupp.contains),
+      s"top non-seeds must be seed trading partners: ${listedSupp.toSeq}")
+  }
+
   test("p02: orientation is a permutation of the edge set (no edge lost or duplicated)") {
     // a hub node with high degree: orientation must still preserve m
     val hub = (1L to 12L).map(i => (0L, i)) ++ Seq((1L, 2L), (3L, 4L))
