@@ -39,6 +39,33 @@ class SmoothingHllSpec extends AnyFunSuite {
     assert(out.length == series.size - 6 * types.size)
   }
 
+  test("e25: offset-0 is the whole cohort; later cells never exceed it") {
+    val rows = EventOps.retentionTriangle(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { r =>
+      assert(r._3 == r._4 && r._5 == 1000L,
+        s"every user is active in their own cohort week: $r")
+    }
+    rows.foreach(r => assert(r._4 <= r._3 && r._5 <= 1000L,
+      s"a cell cannot retain more users than its cohort holds: $r"))
+    // offsets are non-negative by construction (cohort week = MIN week)
+    assert(rows.forall(_._2 >= 0L))
+  }
+
+  test("e23: paths are strict three-step sequences; walk counts bound walker counts") {
+    val rows = EventOps.userPaths(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { case (path, walks, users) =>
+      assert(path.split(">").length == 3, s"malformed path: $path")
+      assert(users <= walks && users >= 1, s"walkers cannot exceed walks: $path")
+    }
+    // descending by walk count with path tie-break — the graded order
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1) }, rows.toSeq)
+  }
+
   test("k10: bin()-length rho equals Long.numberOfLeadingZeros over a hash sample") {
     import spark.implicits._
     val rows = (0 until 1000).map(_.toString).toDF("k")
