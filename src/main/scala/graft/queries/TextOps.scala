@@ -1292,6 +1292,50 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** t58 — the curation WATERFALL: t43's pipeline re-read as the funnel
+    * curators actually monitor — doc and token mass surviving each gate
+    * (raw → eval holdout removed → quality gate → near-dup dedup →
+    * decontamination scrub), one row per stage. t43 grades the final
+    * per-source census; this grades the PATH to it, so a gate whose
+    * cost quietly doubles is visible as its own row, not a diff of two
+    * totals. Every stage reuses the shared component frames (stop-word
+    * quality, dup clusters, canonical keepers, contamination extents) —
+    * the corpus is never rescanned per stage.
+    *
+    * Scale: stages are successive filters over the |docs|-row quality
+    * frame (metadata after the one corpus tokenize); the censuses are
+    * five scalar aggregates. */
+  def curationWaterfall(s: SparkSession, d: String): DataFrame = {
+    val swq = stopwordQuality(s, d).select("doc_id", "n_tokens", "n_gopher")
+      .localCheckpoint() // three stage filters + two censuses read it
+    val members = dupClusters(s, d).filter(col("cluster_sz") >= 2)
+      .select("doc_id").withColumn("m", lit(1))
+    val keepers = qualityCanonicalKeep(s, d)
+      .select(col("keep_id").as("doc_id")).withColumn("k", lit(1))
+    val scrub = contaminationExtents(s, d).groupBy("doc_id")
+      .agg(sum(col("span_len")).as("n_scrubbed"))
+    val s1 = swq.filter(col("doc_id") >= 50)
+    val s2 = s1.filter(col("n_gopher") >= 1)
+    val s3 = s2
+      .join(members, Seq("doc_id"), "left")
+      .join(keepers, Seq("doc_id"), "left")
+      .filter(col("m").isNull || col("k").isNotNull)
+      .select("doc_id", "n_tokens")
+      .localCheckpoint() // its own census AND stage 4 read it
+    val s4 = s3.join(scrub, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") - coalesce(col("n_scrubbed"), lit(0L))).as("n_tokens"))
+    def census(df: DataFrame, stage: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    census(swq, "0_raw")
+      .unionByName(census(s1, "1_holdout_removed"))
+      .unionByName(census(s2, "2_quality_gate"))
+      .unionByName(census(s3, "3_near_dup"))
+      .unionByName(census(s4, "4_decontam_scrub"))
+      .orderBy("stage")
+  }
+
   /** Document fingerprint: md5 over the normalized text. */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -3379,6 +3423,64 @@ object TextOps {
          |SELECT doc_id, MIN(i) AS span_start, MAX(i) - MIN(i) + 8 AS span_len,
          |  CAST(COUNT(*) AS BIGINT) AS n_grams
          |FROM e GROUP BY doc_id, ext ORDER BY doc_id, span_start""".stripMargin),
+
+    // t43's CTE graph re-read as per-stage censuses (the waterfall);
+    // swq restates t42's counts WITHOUT the gate so stage 0/1 see every
+    // tokenizable doc
+    "t58_curation_waterfall" -> QueryDef(curationWaterfall _,
+      s"""${DupesCtesDuck.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$ClusterLabCtesDuck,
+         |csz AS (SELECT cluster_id, COUNT(*) AS cluster_sz FROM lab GROUP BY cluster_id),
+         |alq AS (SELECT doc_id,
+         |    CAST(LENGTH(text) - (LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')))
+         |       - (LENGTH(text) - LENGTH(regexp_replace(text, '[.,;:!?]', '', 'g')))
+         |       - (LENGTH(text) - LENGTH(replace(text, ' ', ''))) AS DOUBLE) / LENGTH(text) AS alpha_ratio
+         |  FROM documents),
+         |cj AS (SELECT lab.id AS doc_id, lab.cluster_id, alq.alpha_ratio
+         |       FROM lab JOIN csz ON csz.cluster_id = lab.cluster_id
+         |       JOIN alq ON alq.doc_id = lab.id WHERE csz.cluster_sz >= 2),
+         |cr AS (SELECT doc_id, cluster_id,
+         |       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY alpha_ratio DESC, doc_id ASC) AS rk
+         |       FROM cj),
+         |keepers AS (SELECT doc_id FROM cr WHERE rk = 1),
+         |members AS (SELECT doc_id FROM cj),
+         |nr2 AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |tok2 AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok
+         |         FROM nr2 WHERE length(nrm) >= 1),
+         |swq AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       COUNT(DISTINCT CASE WHEN tok IN (${GopherWords.map("'" + _ + "'").mkString(", ")})
+         |         THEN tok END) AS n_gopher
+         |       FROM tok2 GROUP BY doc_id),
+         |tk2 AS (SELECT doc_id, string_split(nrm, ' ') AS ts FROM nr2),
+         |sp0 AS (SELECT doc_id, ts, CAST(unnest(generate_series(1, len(ts) - 7)) AS INT) AS i
+         |        FROM tk2 WHERE len(ts) >= 8),
+         |sp AS (SELECT doc_id, i,
+         |        ('0x' || substr(md5(list_aggregate(ts[i:i+7], 'string_agg', ' ')), 1, 15))::BIGINT AS gid
+         |       FROM sp0),
+         |sbench AS (SELECT DISTINCT gid FROM sp WHERE doc_id < 50),
+         |sdd AS (SELECT sp.doc_id, sp.i FROM sp JOIN sbench ON sbench.gid = sp.gid
+         |        WHERE sp.doc_id >= 50),
+         |sl AS (SELECT doc_id, i, LAG(i) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM sdd),
+         |sbr AS (SELECT doc_id, i, CASE WHEN prev IS NULL OR i - prev > 8 THEN 1 ELSE 0 END AS brk FROM sl),
+         |sex AS (SELECT doc_id, i, SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ext FROM sbr),
+         |sx AS (SELECT doc_id, ext, MAX(i) - MIN(i) + 8 AS span_len FROM sex GROUP BY 1, 2),
+         |scrub AS (SELECT doc_id, CAST(SUM(span_len) AS BIGINT) AS n_scrubbed FROM sx GROUP BY doc_id),
+         |st3 AS (SELECT doc_id, n_tokens FROM swq
+         |       WHERE doc_id >= 50 AND n_gopher >= 1
+         |         AND (doc_id NOT IN (SELECT doc_id FROM members)
+         |              OR doc_id IN (SELECT doc_id FROM keepers))),
+         |st4 AS (SELECT st3.doc_id, st3.n_tokens - COALESCE(scrub.n_scrubbed, 0) AS n_tokens
+         |       FROM st3 LEFT JOIN scrub ON scrub.doc_id = st3.doc_id)
+         |SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM swq
+         |UNION ALL SELECT '1_holdout_removed', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |  FROM swq WHERE doc_id >= 50
+         |UNION ALL SELECT '2_quality_gate', COUNT(*), CAST(SUM(n_tokens) AS BIGINT)
+         |  FROM swq WHERE doc_id >= 50 AND n_gopher >= 1
+         |UNION ALL SELECT '3_near_dup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st3
+         |UNION ALL SELECT '4_decontam_scrub', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM st4
+         |ORDER BY stage""".stripMargin),
 
     "t42_stopword_quality" -> QueryDef(stopwordQuality _,
       s"""WITH nr AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),

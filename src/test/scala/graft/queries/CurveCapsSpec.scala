@@ -38,6 +38,21 @@ class CurveCapsSpec extends AnyFunSuite {
     }
   }
 
+  test("t58: the waterfall only ever narrows; the scrub stage drops tokens, never docs") {
+    val rows = TextOps.curationWaterfall(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq("0_raw", "1_holdout_removed",
+      "2_quality_gate", "3_near_dup", "4_decontam_scrub"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"a gate cannot ADD documents: $a -> $b")
+      assert(b._3 <= a._3, s"a gate cannot ADD tokens: $a -> $b")
+    }
+    // decontamination scrubs SPANS, not documents (the scrub-don't-drop
+    // contract t41 establishes)
+    assert(rows(4)._2 == rows(3)._2, s"stage 4 must keep stage 3's docs: ${rows.toSeq}")
+    assert(rows.last._2 > 0, "the pipeline must leave a corpus")
+  }
+
   test("v29: pair and victim mass are monotone non-increasing in tau; the 0.45 point IS v15") {
     val curve = VectorOps.semdedupThresholdCurve(spark, sf).collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
