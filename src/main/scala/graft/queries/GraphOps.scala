@@ -223,10 +223,19 @@ object GraphOps {
   private val edgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def clearCaches(): Unit = {
-    edgeCache.clear(); bipartiteCache.clear()
-    pagerankEdgeCache.clear(); bfsEdgeCache.clear(); lpEdgeCache.clear()
-  }
+  /** Unpersist before dropping the map entries — clearing alone would
+    * leak the persisted edge frames' blocks in the block manager when a
+    * long-lived session (tests) clears and rebuilds. unpersist is a
+    * no-op on the localCheckpoint-backed frames and safe on a stopped
+    * context's leftovers (guarded). */
+  def clearCaches(): Unit =
+    Seq(edgeCache, bipartiteCache, pagerankEdgeCache, bfsEdgeCache, lpEdgeCache)
+      .foreach { c =>
+        c.values.foreach { df =>
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+        }
+        c.clear()
+      }
 
   private def partEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
@@ -489,7 +498,7 @@ object GraphOps {
     * standard bound that keeps link-prediction runnable at 10^9 edges
     * (the uncapped wedge join is Σ deg² — p02's scaladoc measured that
     * shape at 41M rows on this very graph). */
-  private val CapA = 10
+  private[queries] val CapA = 10
 
   /** p06 — common-neighbor link prediction on the part co-occurrence
     * graph: the top-20 NON-edges ranked by how many (capped) wedges
@@ -509,13 +518,33 @@ object GraphOps {
     * every score is integer arithmetic (the one division floors a
     * long/long double on identical operands).
     * Scale: wedge volume ≤ C(CapA, 2)·|nodes| — linear in nodes; the
-    * per-center rank window sorts one adjacency (Σ deg = 2m total work;
-    * a pathological hub goes through the salted two-level tournament,
-    * SketchOps.kSmallest's shape, before this rank). Existing edges
-    * leave via an anti-join keyed on the same (u, v) the count shuffled
-    * on; top-20 is TakeOrderedAndProject, never a global sort. */
+    * CapA cut itself runs as the salted two-level tournament
+    * (cappedAdjacencyOn), so a pathological hub's neighborhood never
+    * funnels one task. Existing edges leave via an anti-join keyed on
+    * the same (u, v) the count shuffled on; top-20 is
+    * TakeOrderedAndProject, never a global sort. */
   def commonNeighbors(s: SparkSession, d: String): DataFrame =
     commonNeighborsOn(partEdges(s, d))
+
+  /** The per-center first-CapA-by-id adjacency cut over a (c, nb)
+    * neighbor frame, as a salted two-level tournament: level 1 ranks
+    * inside (c, nb % 32) — a hub's neighborhood becomes 32 bounded
+    * slices — and only the ≤ 32·CapA level-1 survivors per center reach
+    * the level-2 per-center window, a constant-size frame at any graph
+    * scale. Exact (CellSampleSpec's containment proof: under the total
+    * order nb ASC, every global top-CapA row ranks ≤ CapA inside its
+    * own salt slice); HubCapSpec executes the equivalence on a planted
+    * hub whose every salt slice is over-full. */
+  private[queries] def cappedAdjacencyOn(nbrs: DataFrame): DataFrame =
+    nbrs
+      .withColumn("salt", pmod(col("nb"), lit(32)))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("c", "salt").orderBy("nb")))
+      .filter(col("srn") <= CapA)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c").orderBy("nb")))
+      .filter(col("rn") <= CapA)
+      .select("c", "nb")
 
   /** Core on an explicit (a < b) undirected edge frame — factored for
     * GraphOpsSpec's planted path/square graphs. */
@@ -524,11 +553,7 @@ object GraphOps {
       .groupBy("n").agg(count(lit(1)).as("dg"))
     val nbrs = und.select(col("a").as("c"), col("b").as("nb"))
       .unionByName(und.select(col("b").as("c"), col("a").as("nb")))
-    val capped = nbrs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("c").orderBy("nb")))
-      .filter(col("rn") <= CapA)
-      .select("c", "nb")
+    val capped = cappedAdjacencyOn(nbrs)
       .localCheckpoint() // feeds both sides of the wedge self-join
     val cns = capped.join(
         capped.select(col("c"), col("nb").as("nb2")), "c")

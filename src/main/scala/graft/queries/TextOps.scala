@@ -1204,27 +1204,64 @@ object TextOps {
     * realized cut-off length (min kept n_chars) — the number a curator
     * reads to see HOW aggressive the cap was on each source.
     *
-    * Scale: ranking partitions by source, so the window is per-source —
-    * and the cap itself bounds the useful work: a deployment first
-    * aggregates per-source counts (metadata scale) and ranks ONLY
-    * sources over the cap; a mega-source (the 100 TB skew case) goes
-    * through the salted two-level tournament (SketchOps.kSmallest's
-    * shape — top-Cap survives its salt cell) instead of one giant
-    * partition sort. Selection metadata only — no text column is ever
-    * materialized through the window. */
-  def sourceCaps(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id").asc)
-    val ranked = documents(s, d).select("doc_id", "source", "n_chars")
-      .withColumn("rk", row_number().over(w))
-    ranked.groupBy("source").agg(
+    * Scale: two-phase, so NO source's full document list ever funnels
+    * through one ranking task. Phase 1 aggregates per-source totals —
+    * one keyed mergeable agg, output is metadata-scale (one row per
+    * source); every source AT OR UNDER the cap is fully answered there
+    * (everything kept, cutoff = its shortest doc) with no ranking at
+    * all. Phase 2 semi-joins the doc frame down to OVER-cap sources
+    * only and ranks those through the salted two-level tournament
+    * (v17's shape): level 1 ranks inside (source, doc_id % 32) — a
+    * mega-source becomes 32 bounded slices — and only the ≤ 32·Cap
+    * level-1 survivors per source reach the level-2 per-source window,
+    * a constant-size frame at any corpus scale. Exact, not
+    * approximate: ranking is a total order (n_chars DESC, doc_id ASC)
+    * and every global top-Cap row ranks ≤ Cap inside its own salt
+    * slice (CellSampleSpec's containment proof; SourceCapSpec executes
+    * it on a planted mega-source). Selection metadata only — no text
+    * column is ever materialized through the tournament. */
+  def sourceCaps(s: SparkSession, d: String): DataFrame =
+    sourceCapsOn(documents(s, d).select("doc_id", "source", "n_chars"))
+
+  /** Core over an explicit (doc_id, source, n_chars) frame — factored so
+    * SourceCapSpec can drive it with a planted mega-source. */
+  private[queries] def sourceCapsOn(docs: DataFrame): DataFrame = {
+    // phase 1: per-source totals — feeds both branches and the semi-join
+    val totals = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      sum(when(col("rk") <= SourceCap, 1L).otherwise(0L)).as("n_kept"),
-      sum(when(col("rk") > SourceCap, 1L).otherwise(0L)).as("n_dropped"),
       sum("n_chars").as("chars_total"),
-      sum(when(col("rk") <= SourceCap, col("n_chars")).otherwise(lit(0L))).as("chars_kept"),
-      min(when(col("rk") <= SourceCap, col("n_chars"))).as("cutoff_chars"))
-      .orderBy("source")
+      min("n_chars").as("min_chars")).localCheckpoint()
+    val under = totals.filter(col("n_docs") <= SourceCap).select(
+      col("source"), col("n_docs"),
+      col("n_docs").as("n_kept"),
+      lit(0L).as("n_dropped"),
+      col("chars_total"),
+      col("chars_total").as("chars_kept"),
+      col("min_chars").as("cutoff_chars"))
+    // phase 2: only over-cap sources pay a ranking, and that ranking is
+    // the salted two-level tournament — never one giant partition sort
+    val overTotals = totals.filter(col("n_docs") > SourceCap)
+      .select("source", "n_docs", "chars_total")
+    val kept = docs
+      .join(broadcast(overTotals.select("source")), Seq("source"), "left_semi")
+      .withColumn("salt", pmod(col("doc_id"), lit(32)))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("source", "salt")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("srk") <= SourceCap)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rk") <= SourceCap)
+    val over = kept.groupBy("source").agg(
+        count(lit(1)).as("n_kept"),
+        sum("n_chars").as("chars_kept"),
+        min("n_chars").as("cutoff_chars"))
+      .join(broadcast(overTotals), "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        col("chars_total"), col("chars_kept"), col("cutoff_chars"))
+    under.unionByName(over).orderBy("source")
   }
 
   def tokenStats(s: SparkSession, d: String): DataFrame =
