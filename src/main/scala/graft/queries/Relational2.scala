@@ -443,28 +443,39 @@ object Relational2 {
 
   /** q52 — entity-resolution fuzzy matching with SymSpell-style
     * symmetric-delete blocking: every name emits its |name| delete-one-
-    * char signatures; candidate pairs are names SHARING a signature
-    * (each pair at edit distance 1 must share one — delete the
-    * substituted/inserted position), then the exact `levenshtein` check
+    * char signatures PLUS itself as the distance-0 signature (classic
+    * SymSpell). Candidate pairs are names SHARING a signature — a
+    * substitution pair shares a delete-1 (delete the substituted
+    * position); an insert/delete pair shares the shorter name itself
+    * (it IS a delete-1 signature of the longer) — so every pair at
+    * edit distance ≤ 1 shares one. The exact `levenshtein` check then
     * keeps distance ≤ 1. Emits the census (candidates generated vs
     * matches kept — the blocking's realized precision) plus the top-20
     * matched pairs; the per-pair distance column grades that both
     * engines' levenshtein agree edit for edit.
     *
     * Scale: the all-pairs O(n²) name comparison never happens —
-    * signatures are a linear 18× row explosion shuffled once on the
+    * signatures are a linear 19× row explosion shuffled once on the
     * signature key, and candidate volume is Σ|block|² over blocks whose
     * size the delete-1 keyspace bounds; the exact verify runs only on
     * candidates. This is t03's shingle-LSH discipline applied to EDIT
     * distance. */
-  def fuzzyBlockedMatch(s: SparkSession, d: String): DataFrame = {
-    val c = customer(s, d).select(col("c_custkey").as("id"), col("c_name").as("nm"))
+  def fuzzyBlockedMatch(s: SparkSession, d: String): DataFrame =
+    fuzzyBlockedMatchOn(
+      customer(s, d).select(col("c_custkey").as("id"), col("c_name").as("nm")))
+
+  /** Core over an explicit (id, nm) frame — factored so DqDiffSpec can
+    * plant unequal-length names and prove recall 1 against a true
+    * Levenshtein brute force (the fixture's c_name is fixed-length, so
+    * insert/delete pairs never occur there). */
+  private[queries] def fuzzyBlockedMatchOn(c: DataFrame): DataFrame = {
     val sigs = c
       .select(col("id"), col("nm"),
         explode(expr("sequence(1, length(nm))")).as("i"))
       .select(col("id"), col("nm"),
         concat(expr("substring(nm, 1, i - 1)"),
           expr("substring(nm, i + 1)")).as("sig"))
+      .unionByName(c.select(col("id"), col("nm"), col("nm").as("sig")))
       .distinct() // deleting duplicate chars yields the same signature
     val cand = sigs.join(
         sigs.select(col("sig"), col("id").as("id2"), col("nm").as("nm2")), "sig")
@@ -485,9 +496,11 @@ object Relational2 {
 
   private val FuzzyMatchDuck: String =
     """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
-      |sigs AS (SELECT DISTINCT id, nm,
+      |sigs AS (SELECT DISTINCT id, nm, sig FROM (
+      |  SELECT id, nm,
       |    substr(nm, 1, CAST(i AS INT) - 1) || substr(nm, CAST(i AS INT) + 1) AS sig
-      |  FROM (SELECT id, nm, unnest(generate_series(1, length(nm))) AS i FROM c)),
+      |  FROM (SELECT id, nm, unnest(generate_series(1, length(nm))) AS i FROM c)
+      |  UNION ALL SELECT id, nm, nm AS sig FROM c)),
       |cand AS (SELECT DISTINCT s1.id, s1.nm, s2.id AS id2, s2.nm AS nm2
       |  FROM sigs s1 JOIN sigs s2 ON s1.sig = s2.sig AND s1.id < s2.id),
       |m AS (SELECT id, id2, levenshtein(nm, nm2) AS dist FROM cand

@@ -732,8 +732,12 @@ object SketchOps {
     val bits = positions(keys).select("m", "pos").distinct().localCheckpoint()
     val fill = bits.groupBy("m").agg(count(lit(1)).as("n_bits_set"))
     val nKeys = keys.agg(count(lit(1)).as("n_keys"))
-    // probe domain disjoint from every fixture's custkey space
-    val probes = s.range(1000000, 1002000).select(col("id").as("key"))
+    // probe domain derived as max(key)+1 .. max(key)+2000 — provably
+    // disjoint from the inserted keys at ANY scale factor (a fixed base
+    // like 1e6 would collide with custkeys once sf ≥ 7 and silently
+    // count true members as "false positives")
+    val probes = keys.agg(max(col("key")).as("mx"))
+      .select(explode(expr("sequence(mx + 1, mx + 2000)")).as("key"))
     val probed = positions(probes)
       .join(bits.withColumn("hit", lit(1L)), Seq("m", "pos"), "left")
       .groupBy("m", "key")
@@ -759,7 +763,8 @@ object SketchOps {
        |  FROM kh, ms, js),
        |fill AS (SELECT m, COUNT(*) AS n_bits_set FROM bits GROUP BY m),
        |nk AS (SELECT COUNT(*) AS n_keys FROM keys),
-       |pr AS (SELECT CAST(unnest(generate_series(1000000, 1001999)) AS BIGINT) AS key),
+       |mx AS (SELECT MAX(key) AS mx FROM keys),
+       |pr AS (SELECT CAST(unnest(generate_series(mx + 1, mx + 2000)) AS BIGINT) AS key FROM mx),
        |ph AS (SELECT key, ${h60Duck("key", "bloom1")} AS h1,
        |              ${h60Duck("key", "bloom2")} AS h2 FROM pr),
        |pp AS (SELECT ms.m, ph.key, (ph.h1 + js.j * ph.h2) % ms.m AS pos

@@ -42,6 +42,33 @@ class DqDiffSpec extends AnyFunSuite {
     assert(out.forall(_.getInt(2) <= 1))
   }
 
+  test("q52: recall 1 at distance ≤ 1 including insert/delete pairs (planted unequal lengths)") {
+    import spark.implicits._
+    // names of MIXED lengths: substitution pairs, insert/delete pairs
+    // (abcde vs abde — only the distance-0 signature blocks these),
+    // and far-apart names that must not match
+    val names = Seq(
+      1L -> "abcde", 2L -> "abcdf", 3L -> "abde", 4L -> "abcdef",
+      5L -> "xbcde", 6L -> "zzzzz", 7L -> "ab", 8L -> "abc", 9L -> "qrs")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib)).toSet
+    assert(brute.contains((1L, 3L)) && brute.contains((1L, 4L)),
+      "fixture must contain insert/delete (unequal-length) pairs")
+    val out = Relational2.fuzzyBlockedMatchOn(names.toDF("id", "nm")).collect()
+    assert(out.head.getLong(4) == brute.size.toLong,
+      s"blocking must find ALL ${brute.size} distance-≤1 pairs, found ${out.head.getLong(4)}")
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == brute)
+  }
+
   test("q54: census equals the Scala rederivation of the synthetic snapshot") {
     val keys = graft.tables.Tables.orders(spark, sf)
       .select("o_orderkey").collect().map(_.getLong(0)).toSet
