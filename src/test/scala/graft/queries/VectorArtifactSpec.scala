@@ -18,7 +18,7 @@ class VectorArtifactSpec extends AnyFunSuite {
     val r1 = graft.SparkEntry.all("v24_ivfpq_topk").fn(spark, d)
       .collect().map(_.toSeq).toSet
     val key = ArtifactStore.key(d, "embeddings.parquet")
-    for (kind <- Seq("ivf_affinity", "pq_cand")) {
+    for (kind <- Seq("ivf_affinity", "pq_cand64")) {
       val dir = java.nio.file.Paths.get(ArtifactStore.root, kind, key)
       assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
         s"$kind artifact must exist after first use: $dir")
@@ -30,14 +30,14 @@ class VectorArtifactSpec extends AnyFunSuite {
     val builds0 = ArtifactStore.builds.get()
     val loads0 = ArtifactStore.loads.get()
     val aff2 = VectorOps.centroidAffinity(s2, d)
-    val cand2 = VectorOps.pqCand(s2, d)
+    val cand2 = VectorOps.pqCand64(s2, d)
     assert(ArtifactStore.builds.get() == builds0,
       "a second session must not rebuild the ANN index")
     assert(ArtifactStore.loads.get() >= loads0 + 2,
       "both index halves must load from disk")
     assert(aff2.inputFiles.forall(_.contains("ivf_affinity")),
       s"routing reads the artifact scan: ${aff2.inputFiles.take(3).mkString(",")}")
-    assert(cand2.inputFiles.forall(_.contains("pq_cand")),
+    assert(cand2.inputFiles.forall(_.contains("pq_cand64")),
       s"PQ candidates read the artifact scan: ${cand2.inputFiles.take(3).mkString(",")}")
 
     val r2 = graft.SparkEntry.all("v24_ivfpq_topk").fn(s2, d)

@@ -63,23 +63,44 @@ class VectorRecallSpec extends AnyFunSuite {
     val rTrunc = recall(hits("v13_truncated_rerank"))
     val rIvfPq = recall(hits("v24_ivfpq_topk"))
     val rIvfPqR = recall(hits("v25_ivfpq_residual_topk"))
+    val rOpq = recall(hits("v33_ivfpq_opq_topk"))
     info(f"recall@5: IVF(2/16 cells)=$rIvf%.2f, LSH(16 buckets)=$rLsh%.2f, " +
       f"SQ8=$rSq8%.2f, PQ-ADC(8×16)=$rPq%.2f, trunc16+rerank=$rTrunc%.2f, " +
-      f"IVFPQ(2/16 + 8×16)=$rIvfPq%.2f, IVFPQ-residual=$rIvfPqR%.2f")
+      f"IVFPQ(2/16 + 8×64)=$rIvfPq%.2f, IVFPQ-residual=$rIvfPqR%.2f, " +
+      f"IVFPQ-OPQ=$rOpq%.2f")
     // the composite can only lose candidates relative to its parts: its
     // recall is bounded above by BOTH the IVF routing (which prunes
-    // cells) and the PQ ranking (which blurs scores) — but it must stay
-    // far from random (random recall@5 over 500 candidates ≈ 0.01)
-    assert(rIvfPq >= 0.1, s"IVFPQ recall degenerate: $rIvfPq")
+    // cells) and the PQ ranking (which blurs scores) — but with the
+    // round-8 64-codeword rung it must hold its LIFTED operating point
+    // (deterministic pipeline: 16 codewords measured 0.32 at sf0.001,
+    // 64 codewords 0.46 — frozen, not flaky; v32 grades the curve)
+    assert(rIvfPq >= 0.4, s"IVFPQ recall below the 64-codeword rung: $rIvfPq")
     assert(rIvfPq <= rIvf + 1e-9,
       s"IVFPQ cannot beat its own coarse router: $rIvfPq > $rIvf")
     // v25 (residual codes + trained codebook) lands within fixture
     // noise of v24 here (±1–3 hits at 10 queries × 5 slots — verified
     // against an independent numpy model of the same pipeline); the
     // assertions pin determinism and the router bound, not a winner
-    assert(rIvfPqR >= 0.1, s"residual IVFPQ recall degenerate: $rIvfPqR")
+    assert(rIvfPqR >= 0.2, s"residual IVFPQ recall degenerate: $rIvfPqR")
     assert(rIvfPqR <= rIvf + 1e-9,
       s"residual IVFPQ cannot beat its own coarse router: $rIvfPqR > $rIvf")
+    // v33: the Hadamard OPQ rotation at the same 64-codeword budget —
+    // at sf0.01 it lifts v24 0.42 → 0.48 (measured, deterministic);
+    // at this 500-vector fixture assert it holds a lifted floor and
+    // the router ceiling
+    assert(rOpq >= 0.4, s"OPQ-rotated IVFPQ recall degenerate: $rOpq")
+    assert(rOpq <= rIvf + 1e-9,
+      s"OPQ IVFPQ cannot beat its own coarse router: $rOpq > $rIvf")
+    // v32's 64-codeword point is pinned EQUAL to v24's realized recall
+    // (same candidate frame, same router — curve and operator cannot
+    // drift; the v29/v15 discipline), and the curve's far end must not
+    // fall below its start (more codewords, same router)
+    val curve = graft.SparkEntry.all("v32_ivfpq_codebook_curve").fn(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(math.abs(curve(64) - rIvfPq) < 1e-6,
+      s"v32's 64-codeword rung (${curve(64)}) must equal v24's realized recall ($rIvfPq)")
+    assert(curve(64) >= curve(16) - 1e-9,
+      s"codebook curve regressed: K=64 ${curve(64)} < K=16 ${curve(16)}")
     assert(rIvf >= 0.3, s"IVF recall degenerate: $rIvf")
     assert(rLsh >= 0.3, s"LSH recall degenerate: $rLsh")
     // SQ8 scans everything (no pruning) — quantization noise only, so
