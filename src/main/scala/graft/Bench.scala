@@ -40,12 +40,14 @@ object Bench {
       // Locale.ROOT: the f interpolator honors the JVM default locale,
       // and a comma decimal separator would corrupt the JSON.
       def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-      // FIRST line: full-name cold/warm detail — no "value" field, so a
+      // Full-name cold/warm detail goes ONLY to bench_detail.json in the
+      // repo (which cannot clip however large the query surface grows) —
+      // round 7 proved that printing it to stdout pushed the head family
+      // records out of the driver's ~3 KB tail capture (BENCH_r07's tail
+      // opened mid-`k`, losing e/g/k01–k06). Stdout is the fallback only
+      // if the file write fails. No "value" field anywhere below, so a
       // consumer summing value across records can never double-count the
-      // headline. Failed passes report "fail" instead of a number. This
-      // line is allowed to be clipped by the driver's tail capture; the
-      // full record is also written to bench_detail.json in the repo,
-      // which cannot clip however large the query surface grows.
+      // headline. Failed passes report "fail" instead of a number.
       def cw(c: (Double, Boolean), w: (Double, Boolean)): String = {
         def one(t: (Double, Boolean)) = if (t._2) ms(t._1) else "\"fail\""
         "{\"cold\":" + one(c) + ",\"warm\":" + one(w) + "}"
@@ -55,28 +57,27 @@ object Bench {
         .mkString("{", ",", "}")
       val detailLine =
         s"""{"metric":"detail","unit":"sec","queries":$detail,"sf":"$sfDir"}"""
-      println(detailLine)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_detail.json"), detailLine + "\n")
-      catch { case _: Throwable => () } // stdout already carries it
-      // NEXT lines: per-query min-of-2 numbers as ONE COMPACT RECORD PER
-      // FAMILY (e/g/m/q/s/t/v). This replaces the single per_query
-      // record: at 170 queries that record was ~2.2 KB and the driver's
-      // ~2 KB tail window clipped its head (r6 lost e01–e18/g01–g03).
-      // Per-query values are integer DECIseconds ("ds") and the family
-      // subtotal is exact ms ("tot_ms") — measured 2.46 KB at ms
-      // precision for 173 queries, which still overflows; deciseconds
-      // bring all seven records + total to ~1.7 KB, safely inside the
-      // window at any near-term surface growth. bench_detail.json
-      // remains the durable full-precision copy. No "value" field —
-      // the no-double-count rule.
-      best.toSeq.sortBy(_._1).groupBy(_._1.take(1)).toSeq.sortBy(_._1)
+      catch { case _: Throwable => println(detailLine) }
+      // Per-query min-of-2 numbers as ONE COMPACT RECORD PER FAMILY
+      // (e/g/k/m/p/q/s/t/v), integer DECIseconds ("ds") — ~1.7 KB for
+      // all nine records, inside the tail window now that the detail
+      // line no longer precedes them. Families print in ASCENDING
+      // subtotal order: the tail capture keeps the END of stdout, so if
+      // the surface ever outgrows the window again, the head-clip loses
+      // the CHEAPEST families first and the expensive ones stay visible
+      // next to the headline. bench_detail.json remains the durable
+      // full-precision copy (it also carries each family's exact
+      // subtotal by summation, so no tot_ms field here — slimmer is
+      // safer).
+      best.toSeq.sortBy(_._1).groupBy(_._1.take(1)).toSeq
+        .sortBy { case (_, qs) => qs.map(_._2).sum }
         .foreach { case (fam, qs) =>
           val body = qs
             .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
             .mkString("{", ",", "}")
-          val totMs = math.round(qs.map(_._2).sum * 1000)
-          println(s"""{"f":"$fam","tot_ms":$totMs,"ds":$body}""")
+          println(s"""{"f":"$fam","ds":$body}""")
         }
       // LAST line: the driver-parsed headline, FIXED ~120 bytes so no
       // growth of the query surface can ever push it out of the tail
