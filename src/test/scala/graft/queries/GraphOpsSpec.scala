@@ -73,6 +73,25 @@ class GraphOpsSpec extends AnyFunSuite {
       s"expected one node per layer 0..4 and the island at -1, got $out")
   }
 
+  test("p08: delta BFS census ≡ p05 on the chain; each round touches only the frontier; drains early") {
+    // same planted graph as the p05 case: the censuses must be identical
+    val und = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (90L, 91L))
+    val (census, sizes) = GraphOps.bfsDeltaLayersOn(und)
+    val out = census.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(-1L -> 2L, 0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L),
+      s"delta census must equal p05's: $out")
+    // the chain discovers exactly ONE node per round — the frontier
+    // sizes ARE the proof that round k moved frontier rows, not |V|
+    assert(sizes == Seq(1L, 1L, 1L, 1L), s"frontier per round: $sizes")
+    // a short chain drains the frontier and the loop exits EARLY:
+    // round 3 discovers nothing and no round 4 executes
+    val short = undirected((0L, 1L), (1L, 2L))
+    val (census2, sizes2) = GraphOps.bfsDeltaLayersOn(short)
+    assert(sizes2 == Seq(1L, 1L, 0L), s"expected early drain, got $sizes2")
+    val out2 = census2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), out2)
+  }
+
   test("p06: path graph predicts both skip-links; square scores double wedges; edges excluded") {
     import spark.implicits._
     // path 1-2-3-4: candidates (1,3) and (2,4), one wedge each, jac 500
