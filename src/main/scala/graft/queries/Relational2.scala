@@ -789,6 +789,8 @@ object Relational2 {
     "q55_mor_time_travel" -> QueryDef(
       graft.operators.MergeOnRead.morTimeTravel _,
       graft.operators.MergeOnRead.oracle),
+    // (the query id space intentionally skips q56 — a round-7 draft id
+    // that was never shipped; nothing is missing)
     "q57_mor_compaction" -> QueryDef(
       graft.operators.MergeOnRead.morCompaction _,
       graft.operators.MergeOnRead.compactionOracle),

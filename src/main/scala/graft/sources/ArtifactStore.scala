@@ -39,8 +39,17 @@ object ArtifactStore {
   val loads = new AtomicInteger(0)
 
   /** Stale-proof key: md5 over the dir path and the source file's
-    * (recursive) byte length and max mtime. */
+    * (recursive) byte length and max mtime. Each digest's (dir, file)
+    * inputs are recorded in `<root>/_registry.tsv` so gc() can later
+    * recompute whether the digest is still CURRENT for its source —
+    * the digest alone is one-way. */
   def key(sourceDir: String, sourceFile: String): String = {
+    val digest = keyNoRecord(sourceDir, sourceFile)
+    recordKey(digest, sourceDir, sourceFile)
+    digest
+  }
+
+  private def keyNoRecord(sourceDir: String, sourceFile: String): String = {
     val p = Paths.get(sourceDir, sourceFile)
     var len = 0L; var mtime = 0L
     def walk(x: Path): Unit =
@@ -55,6 +64,75 @@ object ArtifactStore {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.update(s"$sourceDir|$len|$mtime|v$FormatVersion".getBytes("UTF-8"))
     md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  // digest → (sourceDir, sourceFile); mirrors <root>/_registry.tsv.
+  // Appended once per new digest per JVM (synchronized below).
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  @volatile private var registryLoaded = false
+
+  private def registryPath: Path = Paths.get(root, "_registry.tsv")
+
+  private def loadRegistry(): Unit = synchronized {
+    if (!registryLoaded) {
+      if (Files.exists(registryPath))
+        Files.readAllLines(registryPath).forEach { line =>
+          line.split("\t", -1) match {
+            case Array(dg, sd, sf) => registry.putIfAbsent(dg, (sd, sf)); ()
+            case _ => ()
+          }
+        }
+      registryLoaded = true
+    }
+  }
+
+  private def recordKey(digest: String, sourceDir: String, sourceFile: String): Unit =
+    synchronized {
+      loadRegistry()
+      if (registry.putIfAbsent(digest, (sourceDir, sourceFile)).isEmpty) {
+        try {
+          Files.createDirectories(registryPath.getParent)
+          Files.writeString(registryPath, s"$digest\t$sourceDir\t$sourceFile\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        } catch { case _: Throwable => () } // registry is advisory; gc just keeps more
+      }
+    }
+
+  /** Garbage-collect stale artifacts: a long-lived checkout accumulates
+    * one fixture-keyed dir per (kind, fixture state), and regenerated
+    * or deleted fixtures strand their old keys forever. For every
+    * artifact dir, split the (possibly `-`-concatenated) key into
+    * digests and recompute each against its REGISTERED source: a digest
+    * that no longer reproduces (fixture changed or gone) marks the dir
+    * stale and it is deleted. Unregistered digests are kept —
+    * conservative, never deletes what it can't prove stale. Also reaps
+    * orphaned `.tmp-*` dirs from crashed builders — run gc only when no
+    * builder is concurrently active. Returns the deleted paths. */
+  def gc(): Seq[String] = synchronized {
+    loadRegistry()
+    val deleted = scala.collection.mutable.Buffer.empty[String]
+    val rootP = Paths.get(root)
+    if (Files.isDirectory(rootP)) {
+      val kinds = Files.list(rootP)
+      try kinds.forEach { kindDir =>
+        if (Files.isDirectory(kindDir)) {
+          val keys = Files.list(kindDir)
+          try keys.forEach { keyDir =>
+            val name = keyDir.getFileName.toString
+            val stale =
+              if (name.contains(".tmp-")) true
+              else name.split("-").exists { dg =>
+                registry.get(dg)
+                  .exists { case (sd, sf) => keyNoRecord(sd, sf) != dg }
+              }
+            if (stale) { rmrf(keyDir); deleted += keyDir.toString }
+          } finally keys.close()
+        }
+      } finally kinds.close()
+    }
+    deleted.toSeq
   }
 
   /** Serve the artifact at `<root>/<kind>/<name>`, building it with

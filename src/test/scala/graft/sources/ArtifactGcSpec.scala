@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ArtifactStore.gc(): a long-lived checkout accumulates fixture-keyed
+  * artifact dirs across fixture regenerations; gc must delete exactly
+  * the keys whose source no longer reproduces its digest — and nothing
+  * it can't prove stale. */
+class ArtifactGcSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.session
+
+  test("gc drops keys of changed/deleted fixtures, keeps current + unknown keys") {
+    import spark.implicits._
+    val fix = Files.createTempDirectory("gcfix").toString
+    val data = Paths.get(fix, "t.parquet")
+    Seq(1L, 2L).toDF("x").write.parquet(data.toString)
+
+    // build an artifact keyed on the fixture's current state
+    val k1 = ArtifactStore.key(fix, "t.parquet")
+    ArtifactStore.loadOrBuild(spark, "gctest", k1)(Seq(7L).toDF("y")).collect()
+    val dir1 = Paths.get(ArtifactStore.root, "gctest", k1)
+    assert(Files.exists(dir1.resolve("_SUCCESS")))
+
+    // an unregistered key (simulates a pre-registry artifact) survives
+    val unknown = Paths.get(ArtifactStore.root, "gctest", "deadbeef0000")
+    Files.createDirectories(unknown)
+    Files.writeString(unknown.resolve("_SUCCESS"), "")
+    // an orphaned tmp dir from a crashed builder is reaped
+    val tmp = Paths.get(ArtifactStore.root, "gctest", s"$k1.tmp-99999")
+    Files.createDirectories(tmp)
+
+    // current fixture: gc keeps the live key
+    val del0 = ArtifactStore.gc()
+    assert(Files.exists(dir1), s"current-fixture artifact must survive gc: $del0")
+    assert(!Files.exists(tmp), "orphaned tmp dir must be reaped")
+    assert(Files.exists(unknown), "unregistered keys are kept (conservative)")
+
+    // regenerate the fixture → the old key no longer reproduces → stale
+    Thread.sleep(5) // ensure a distinct mtime
+    spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)))
+      .toDF("x").write.mode("overwrite").parquet(data.toString)
+    val del1 = ArtifactStore.gc()
+    assert(!Files.exists(dir1), s"stale key must be deleted, gc removed: $del1")
+    assert(Files.exists(unknown), "unknown keys still kept")
+
+    // a NEW key for the regenerated fixture is current and survives
+    val k2 = ArtifactStore.key(fix, "t.parquet")
+    assert(k2 != k1)
+    ArtifactStore.loadOrBuild(spark, "gctest", k2)(Seq(8L).toDF("y")).collect()
+    val dir2 = Paths.get(ArtifactStore.root, "gctest", k2)
+    ArtifactStore.gc()
+    assert(Files.exists(dir2), "regenerated fixture's artifact survives")
+
+    // deleted fixture → its key is stale too
+    def rm(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val st = Files.list(p); try st.forEach(rm(_)) finally st.close()
+      }
+      Files.deleteIfExists(p); ()
+    }
+    rm(Paths.get(fix))
+    ArtifactStore.gc()
+    assert(!Files.exists(dir2), "a deleted fixture's artifact is collected")
+    Files.deleteIfExists(unknown.resolve("_SUCCESS")); Files.deleteIfExists(unknown)
+  }
+}
