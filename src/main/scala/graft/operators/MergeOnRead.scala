@@ -171,6 +171,82 @@ object MergeOnRead {
     })
   }
 
+  /** Read-amplification threshold for q59, in permille: a table whose
+    * pending log (tombstones + appends) exceeds 5% of its base rows
+    * gets compacted. The standard knob (Iceberg's
+    * `min-deletes-to-compact` family, Delta's OPTIMIZE scheduling)
+    * made explicit and graded. */
+  val AmpThresholdPermille = 50L
+
+  /** q59 — the compaction SCHEDULING signal that closes q57's loop from
+    * the other side: q57 emits the tombstone/append accounting a
+    * scheduler would trigger on; this IS the trigger. Five MoR tables'
+    * pending-log accounting (each table's deterministic commit rules;
+    * orders reuses q55/q57's ≡0 mod 101/103 rules verbatim, so the
+    * three operators cross-check) is reduced to a read-amplification
+    * ratio — (tomb_rows + apnd_rows)·1000 div base_rows — and the
+    * compact/don't-compact decision falls out of the documented 50‰
+    * threshold. Everything is exact integer arithmetic; the decision
+    * bit can never float-drift.
+    *
+    * Scale: per-table accounting is ONE conditional mergeable aggregate
+    * (map-side combined); at 100 TB a deployment reads these counts
+    * from commit-log manifests — metadata scale, no data scan at all —
+    * and the decision logic is exactly this frame. The five aggs union
+    * to a 5-row frame; nothing shuffles more than partial-agg rows. */
+  def compactionTrigger(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    def acct(name: String, df: DataFrame, key: Column,
+        tombMod: Option[Int], apndMod: Option[Int]): DataFrame = {
+      def cnt(m: Option[Int]) = m match {
+        case Some(k) => sum(when(pmod(key, lit(k)) === 0, 1L).otherwise(0L))
+        case None    => lit(0L)
+      }
+      df.agg(count(lit(1)).as("base_rows"),
+          cnt(tombMod).as("tomb_rows"), cnt(apndMod).as("apnd_rows"))
+        .select(lit(name).as("tbl"), col("base_rows"), col("tomb_rows"),
+          col("apnd_rows"))
+    }
+    Seq(
+      acct("customer", customer(s, d), col("c_custkey"), Some(251), None),
+      acct("lineitem", lineitem(s, d), col("l_orderkey"), Some(7), Some(11)),
+      acct("orders", orders(s, d), col("o_orderkey"), Some(101), Some(103)),
+      acct("part", part(s, d), col("p_partkey"), Some(3), None),
+      acct("supplier", supplier(s, d), col("s_suppkey"), None, Some(2)))
+      .reduce(_ unionByName _)
+      .withColumn("amp_permille",
+        expr("(tomb_rows + apnd_rows) * 1000 div base_rows"))
+      .withColumn("compact",
+        (col("amp_permille") >= AmpThresholdPermille).cast("int"))
+      .orderBy("tbl")
+  }
+
+  val triggerOracle: String =
+    s"""WITH a AS (
+      |  SELECT 'customer' AS tbl, COUNT(*) AS base_rows,
+      |    CAST(SUM(CASE WHEN c_custkey % 251 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tomb_rows,
+      |    CAST(0 AS BIGINT) AS apnd_rows FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem', COUNT(*),
+      |    CAST(SUM(CASE WHEN l_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN l_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', COUNT(*),
+      |    CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'part', COUNT(*),
+      |    CAST(SUM(CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(0 AS BIGINT) FROM part
+      |  UNION ALL
+      |  SELECT 'supplier', COUNT(*), CAST(0 AS BIGINT),
+      |    CAST(SUM(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM supplier)
+      |SELECT tbl, base_rows, tomb_rows, apnd_rows,
+      |  (tomb_rows + apnd_rows) * 1000 // base_rows AS amp_permille,
+      |  CAST(CASE WHEN (tomb_rows + apnd_rows) * 1000 // base_rows
+      |    >= ${AmpThresholdPermille} THEN 1 ELSE 0 END AS INT) AS compact
+      |FROM a ORDER BY tbl""".stripMargin
+
   /** Compaction is result-invisible: the oracle states the SAME latest
     * snapshot for both phases. */
   val compactionOracle: String =

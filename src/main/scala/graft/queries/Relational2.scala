@@ -794,6 +794,9 @@ object Relational2 {
     "q57_mor_compaction" -> QueryDef(
       graft.operators.MergeOnRead.morCompaction _,
       graft.operators.MergeOnRead.compactionOracle),
+    "q59_compaction_trigger" -> QueryDef(
+      graft.operators.MergeOnRead.compactionTrigger _,
+      graft.operators.MergeOnRead.triggerOracle),
     "q58_observed_metrics" -> QueryDef(observedMetrics _, ObservedMetricsDuck),
     "q53_dq_expectations" -> QueryDef(dqExpectations _, DqExpectationsDuck),
     "q54_snapshot_diff" -> QueryDef(snapshotDiff _, SnapshotDiffDuck),
