@@ -24,9 +24,14 @@ import graft.functions.DotProductD
   *   - `marker_counts(string, array<string>) → array<int>` — fused
   *     multi-marker occurrence counter behind t05's language ID
   *     (see graft.functions.StringExpressions)
+  *   - the AS-OF JOIN planner strategy (graft.plans.AsOfJoinStrategy)
+  *     — the custom LogicalPlan + SparkStrategy rung of the §2.7
+  *     ladder; sessions without extensions get it lazily via
+  *     `AsOfJoin.register`
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import graft.functions.BloomExpressions

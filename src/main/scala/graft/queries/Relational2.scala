@@ -35,6 +35,36 @@ object Relational2 {
       .orderBy("event_id")
   }
 
+  /** q60 — q24's as-of semantics through the NATIVE AsOfJoin plan node
+    * (graft.plans: custom LogicalPlan + SparkStrategy + SparkPlan —
+    * the §2.7 ladder's rung (c), demonstrated where it genuinely buys a
+    * better plan). q24 rides the window-over-union composition: one
+    * sort of ALL events at union width. Here the two sides shuffle and
+    * sort separately on their own narrow schemas — the right side is
+    * ALREADY the deduped (user, ts) purchase frame, orders of magnitude
+    * smaller than the event stream — and one forward-merge pass with
+    * O(1) state pairs them. Strict (<) time comparison = "most recent
+    * purchase strictly before the view"; right dedup to unique
+    * (user, ts) by max(event_id) makes the tie rule explicit in both
+    * engines. The oracle is DuckDB's own native ASOF LEFT JOIN — the
+    * two engines' independent as-of implementations must agree row for
+    * row. AsOfSpec freezes the executed shape: AsOfJoinExec fed by one
+    * exchange + one sort per side, no window, no union. */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("p_id"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
+    graft.plans.AsOfJoin.join(views, purchases,
+        keys = Seq(("user_id", "p_user")), leftTime = "ts", rightTime = "p_ts",
+        strict = true)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("p_id"), lit(-1L)).as("last_purchase"))
+      .orderBy("event_id")
+  }
+
   /** Range join: lineitems shipped within 60 days of their order date —
     * equi key plus range predicate; the equi key carries the join, the
     * range is a post-filter (no interval blow-up). */
@@ -797,6 +827,18 @@ object Relational2 {
     "q59_compaction_trigger" -> QueryDef(
       graft.operators.MergeOnRead.compactionTrigger _,
       graft.operators.MergeOnRead.triggerOracle),
+    // two native as-of implementations, one per engine, must agree
+    "q60_asof_native" -> QueryDef(asofJoinNative _,
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts,
+        |    CAST(MAX(event_id) AS BIGINT) AS p_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT v.event_id, v.user_id,
+        |  CAST(COALESCE(p.p_id, -1) AS BIGINT) AS last_purchase
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.p_user AND v.ts > p.p_ts
+        |ORDER BY v.event_id""".stripMargin),
     "q58_observed_metrics" -> QueryDef(observedMetrics _, ObservedMetricsDuck),
     "q53_dq_expectations" -> QueryDef(dqExpectations _, DqExpectationsDuck),
     "q54_snapshot_diff" -> QueryDef(snapshotDiff _, SnapshotDiffDuck),

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one `private[sql]` doorway the engine needs: constructing a
+  * Dataset from a custom LogicalPlan (graft.plans.AsOfJoin). Spark
+  * deliberately keeps `Dataset.ofRows` internal; extension libraries
+  * that ship their own plan nodes conventionally host a small bridge in
+  * this package (the same technique Spark-native connector/lakehouse
+  * projects use). Nothing else of the internal surface is exposed. */
+object GraftSqlBridge {
+  def ofRows(s: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
+
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  def registerStrategy(s: SparkSession, strategy: execution.SparkStrategy): Unit = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
+}
