@@ -24,6 +24,9 @@ import graft.functions.DotProductD
   *   - `marker_counts(string, array<string>) → array<int>` — fused
   *     multi-marker occurrence counter behind t05's language ID
   *     (see graft.functions.StringExpressions)
+  *   - `fwht(array<double>) → array<double>` — codegen'd fast
+  *     Walsh–Hadamard butterfly behind v33's OPQ rotation
+  *     (see graft.functions.HadamardExpressions)
   *   - the AS-OF JOIN planner strategy (graft.plans.AsOfJoinStrategy)
   *     — the custom LogicalPlan + SparkStrategy rung of the §2.7
   *     ladder; sessions without extensions get it lazily via
@@ -61,5 +64,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("marker_counts"),
       new ExpressionInfo(classOf[graft.functions.MarkerCounts].getName, "marker_counts"),
       graft.functions.StringExpressions.buildMarkerCounts _))
+    ext.injectFunction((
+      FunctionIdentifier("fwht"),
+      new ExpressionInfo(classOf[graft.functions.Fwht].getName, "fwht"),
+      graft.functions.HadamardExpressions.buildFwht _))
   }
 }

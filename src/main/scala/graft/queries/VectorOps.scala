@@ -155,22 +155,23 @@ object VectorOps {
     * mixes all 64 original dims, spreading energy so the codeword
     * budget quantizes evenly (measured on this corpus: recall@5 0.42 →
     * 0.48 over v24 at the same 64-codeword budget). All arithmetic
-    * stays exact integers — the rotation is ±1 sums of grid ints. The
-    * O(64²)-per-row transform runs in the higher-order-function
-    * evaluator here; a 100 TB deployment would drop it into a codegen'd
-    * Expression (or the FWHT's 64·log64 butterfly), but the frame is
-    * built once per corpus and persists as a cross-run artifact either
-    * way. */
+    * stays exact integers — the rotation is ±1 sums of grid ints,
+    * computed by the codegen'd FWHT butterfly Expression
+    * (graft.functions.Fwht, 64·log 64 ops/row — the §2.7 rung (b)
+    * answer to the n² SQL formulation, which also blew the 64 KB
+    * codegen method limit); the frame is built once per corpus and
+    * persists as a cross-run artifact. */
   private[queries] def pqCandOpqUncached(s: SparkSession, d: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
+    graft.functions.HadamardExpressions.register(s)
+    // the rotation runs as the codegen'd FWHT butterfly (n·log n; see
+    // graft.functions.Fwht) — bit-identical to the naive n² H·x the
+    // DuckDB oracle states, which as a SQL expression tree also blew
+    // whole-stage codegen past the 64 KB method limit
     val eq = embeddings(s, d)
       .withColumn("qv0",
         expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
-      .withColumn("qv", expr(
-        """transform(sequence(0, 63), i -> aggregate(sequence(0, 63),
-          |  cast(0.0 AS double),
-          |  (acc, j) -> acc + IF(bit_count(i & j) % 2 = 0,
-          |    element_at(qv0, j + 1), -element_at(qv0, j + 1))))""".stripMargin))
+      .withColumn("qv", graft.functions.HadamardExpressions.fwht(col("qv0")))
     val sub = eq.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
       .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
     val cb = sub.filter(col("vec_id") < 64)
