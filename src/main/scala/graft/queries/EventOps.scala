@@ -630,6 +630,75 @@ object EventOps {
       .orderBy("hr_bucket", "event_type")
   }
 
+  /** e26 — CUPED variance-reduced experiment readout: the A/B lift
+    * analysis a modern experimentation platform runs. Users split into
+    * two variants (user_id parity — the deterministic stand-in for an
+    * assignment service); the observation window splits at its midpoint
+    * into a PRE period (the covariate) and a POST period (the metric);
+    * CUPED adjusts each variant's post-period mean by
+    * θ·(pre-mean − overall pre-mean), with θ = cov(pre, post)/var(pre)
+    * POOLED across variants — removing the between-user variance the
+    * pre-period predicts. Emits per variant: n, raw mean, adjusted
+    * mean, plus the pooled θ and ρ² (the classic CUPED variance-
+    * reduction fraction).
+    *
+    * Determinism: per-user pre/post sums are exact integer CENTS; every
+    * moment (Σx, Σy, Σx², Σxy, Σy²) is an exact int64 sum, and θ/ρ²/
+    * means are SINGLE double expressions over those integers, rounded —
+    * never an order-dependent float fold. Users with activity in only
+    * one period carry an exact 0 in the other (standard CUPED cohort).
+    *
+    * Scale: one events scan → one keyed per-user aggregate; moments are
+    * ONE mergeable 6-column aggregate over the user frame; variant
+    * means are a 2-group keyed agg; the 1-row moment frame broadcasts.
+    * At 100 TB one would center the covariate before squaring to keep
+    * Σx² in range — at cents scale int64 has headroom through ~10^9
+    * users. */
+  def cupedLift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+    val mid = broadcast(ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("mid")))
+    val per = ev.crossJoin(mid)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("us") < col("mid"), col("cents"))), lit(0L)).as("pre"),
+        coalesce(sum(when(col("us") >= col("mid"), col("cents"))), lit(0L)).as("post"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+      .localCheckpoint() // feeds the pooled moments AND the variant means
+    cupedOn(per)
+  }
+
+  /** CUPED moment math over an explicit (user_id, pre, post, variant)
+    * cents frame — factored so CupedSpec can plant perfectly-correlated
+    * and uncorrelated cohorts (post ≡ pre ⇒ ρ² = 1 and the adjustment
+    * removes ALL between-user variance). */
+  private[queries] def cupedOn(per: DataFrame): DataFrame = {
+    val pooled = broadcast(per.agg(
+      count(lit(1)).as("n"),
+      sum("pre").as("sx"), sum("post").as("sy"),
+      sum(col("pre") * col("pre")).as("sxx"),
+      sum(col("pre") * col("post")).as("sxy"),
+      sum(col("post") * col("post")).as("syy")))
+    val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val varY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val theta = covN / varX
+    per.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("pre").as("vx"), sum("post").as("vy"))
+      .crossJoin(pooled)
+      .select(
+        col("variant"), col("n_users"),
+        round(col("vy").cast("double") / col("n_users") / 100.0, 6).as("mean_post"),
+        round((col("vy").cast("double") / col("n_users") -
+          theta * (col("vx").cast("double") / col("n_users") -
+            col("sx").cast("double") / col("n"))) / 100.0, 6).as("mean_adj"),
+        round(theta, 6).as("theta"),
+        round(covN * covN / (varX * varY), 6).as("rho2"))
+      .orderBy("variant")
+  }
+
   /** e23 — user-journey path mining: the top-20 three-step event-type
     * sequences users actually walk (consecutive by event time, event_id
     * tie-break — q24's strict-order discipline), with the count of
@@ -729,6 +798,38 @@ object EventOps {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    // every moment an exact int64 cents sum; θ/ρ²/means are single
+    // double expressions over those integers — no float folds anywhere
+    "e26_cuped_lift" -> QueryDef(cupedLift _,
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us,
+         |    CAST(CAST(value AS $D) * 100 AS BIGINT) AS cents FROM events),
+         |m AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e),
+         |per AS (SELECT user_id,
+         |    CAST(COALESCE(SUM(CASE WHEN us < m.mid THEN cents END), 0) AS BIGINT) AS pre,
+         |    CAST(COALESCE(SUM(CASE WHEN us >= m.mid THEN cents END), 0) AS BIGINT) AS post
+         |  FROM e, m GROUP BY user_id),
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(pre) AS BIGINT) AS sx, CAST(SUM(post) AS BIGINT) AS sy,
+         |    CAST(SUM(pre * pre) AS BIGINT) AS sxx,
+         |    CAST(SUM(pre * post) AS BIGINT) AS sxy,
+         |    CAST(SUM(post * post) AS BIGINT) AS syy FROM per),
+         |v AS (SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |    CAST(SUM(pre) AS BIGINT) AS vx, CAST(SUM(post) AS BIGINT) AS vy
+         |  FROM per GROUP BY 1)
+         |SELECT v.variant, v.n_users,
+         |  round(CAST(v.vy AS DOUBLE) / v.n_users / CAST(100 AS DOUBLE), 6) AS mean_post,
+         |  round((CAST(v.vy AS DOUBLE) / v.n_users
+         |    - (CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+         |       / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE))
+         |      * (CAST(v.vx AS DOUBLE) / v.n_users - CAST(p.sx AS DOUBLE) / p.n))
+         |    / CAST(100 AS DOUBLE), 6) AS mean_adj,
+         |  round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+         |    / CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE), 6) AS theta,
+         |  round(CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+         |      * CAST(p.n * p.sxy - p.sx * p.sy AS DOUBLE)
+         |    / (CAST(p.n * p.sxx - p.sx * p.sx AS DOUBLE)
+         |      * CAST(p.n * p.syy - p.sy * p.sy AS DOUBLE)), 6) AS rho2
+         |FROM v, p ORDER BY v.variant""".stripMargin),
     "e25_retention_triangle" -> QueryDef(retentionTriangle _,
       """WITH uw AS (SELECT DISTINCT user_id,
         |    epoch_us(ts) // 604800000000 AS wk FROM events),
