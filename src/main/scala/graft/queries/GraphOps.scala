@@ -663,7 +663,123 @@ object GraphOps {
        |FROM cand c JOIN deg da ON da.n = c.u JOIN deg db ON db.n = c.v
        |ORDER BY c.cn DESC, c.u, c.v LIMIT 20""".stripMargin
 
+  /** p09 — HyperBall: the neighborhood function N(r) of the trading
+    * graph by HLL-register propagation, the literature's answer to
+    * "what's this 10^11-node graph's distance distribution" (HyperANF /
+    * HyperBall): every node carries a 64-register HLL of its radius-r
+    * ball, seeded with its own hash, and each round every node's
+    * registers become the element-wise MAX of its neighbors' — max is
+    * idempotent, associative, and mergeable, so a round is ONE keyed
+    * join + ONE keyed max-agg over (node, idx) rows, exactly p01's
+    * per-round shape at 64× the row width and NONE of the exact-BFS
+    * |ball|² state (p05 materializes distances, which is fine for one
+    * source; all-sources exact balls would be |V|² — the sketch is the
+    * only 100 TB posture). Emits per radius: Σ over nodes of the ball
+    * estimate — the neighborhood function whose growth curve IS the
+    * effective-diameter readout.
+    *
+    * Portability: registers/estimator are k10's md5-based scheme
+    * (h60 → idx/ρ, exact-integer harmonic sum, linear-counting table
+    * below occupancy 64) — bit-deterministic in both engines; the
+    * graded sums are exact integer sums of per-node floor'd estimates.
+    * The w=0 self-loops in the shared p05/p08 edge frame carry each
+    * node's own registers through the round (the single-reference loop
+    * discipline). */
+  def hyperball(s: SparkSession, d: String): DataFrame = {
+    bfsEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    hyperballCore(bfsEdgeCache.getOrElseUpdate((s, d),
+      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))
+  }
+
+  private[queries] def hyperballCore(edgesW: DataFrame): DataFrame = {
+    val s = edgesW.sparkSession
+    val edges = edgesW.select("src", "dst") // self-loops carry own regs
+    var regs = edgesW.filter(col("w") === 0).select(col("src").as("node"))
+      .withColumn("hv", SketchOps.h60(col("node"), "hll"))
+      .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
+      .withColumn("v", expr("hv div 64"))
+      .select(col("node"), col("idx"),
+        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v"))))
+          .cast("int").as("reg"))
+      .localCheckpoint()
+    val sums = scala.collection.mutable.Buffer(ballSum(s, regs, 0))
+    for (r <- 1 to 3) {
+      regs = edges.join(regs, col("src") === col("node"))
+        .groupBy(col("dst"), col("idx")).agg(max("reg").as("reg"))
+        .select(col("dst").as("node"), col("idx"), col("reg"))
+        .localCheckpoint() // referenced by this round's estimate AND the next join
+      sums += ballSum(s, regs, r)
+    }
+    sums.reduce(_ unionByName _).orderBy("radius")
+  }
+
+  /** Core on an explicit undirected edge frame — factored for
+    * GraphOpsSpec's planted saturation case. */
+  private[queries] def hyperballOn(edgesIn: DataFrame): DataFrame =
+    hyperballCore(mkBfsEdges(edgesIn))
+
+  /** Per-node k10 estimator over a (node, idx, reg) frame, reduced to
+    * the radius row (n_nodes, Σ ball estimates). */
+  private def ballSum(s: SparkSession, regs: DataFrame, radius: Int): DataFrame = {
+    val allIdx = regs.select("node").distinct()
+      .crossJoin(broadcast(s.range(0, 64).select(col("id").cast("int").as("idx"))))
+    allIdx.join(regs, Seq("node", "idx"), "left")
+      .select(col("node"), coalesce(col("reg"), lit(0)).as("reg"))
+      .groupBy("node").agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))")).as("isum"),
+        sum(when(col("reg") > 0, 1L).otherwise(0L)).as("occupied"))
+      .withColumn("raw", lit(SketchOps.HllNum) / col("isum").cast("double"))
+      .withColumn("est",
+        when(col("occupied") < 64 && col("raw") <= 160.0,
+          element_at(lit(SketchOps.HllLcTable.toArray),
+            (lit(64L) - col("occupied")).cast("int") + 1))
+          .otherwise(floor(col("raw")).cast("long")))
+      .agg(count(lit(1)).as("n_nodes"), sum("est").as("sum_ball_est"))
+      .select(lit(radius).as("radius"), col("n_nodes"), col("sum_ball_est"))
+  }
+
+  private val HyperballDuck: String = {
+    def estCte(rn: String): String =
+      s"""(SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(est) AS BIGINT) AS sum_ball_est FROM (
+         |  SELECT f.node,
+         |    CASE WHEN s.occupied < 64
+         |           AND (${SketchOps.HllNum} / CAST(s.isum AS DOUBLE)) <= 160.0
+         |         THEN (LIST_VALUE(${SketchOps.HllLcTable.mkString(", ")}))[CAST(64 - s.occupied AS INT) + 1]
+         |         ELSE CAST(FLOOR(${SketchOps.HllNum} / CAST(s.isum AS DOUBLE)) AS BIGINT)
+         |    END AS est
+         |  FROM (SELECT DISTINCT node FROM $rn) f JOIN (
+         |    SELECT a.node,
+         |      CAST(SUM(CAST(1 AS BIGINT) << (55 - COALESCE(r.reg, 0))) AS BIGINT) AS isum,
+         |      CAST(SUM(CASE WHEN COALESCE(r.reg, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS occupied
+         |    FROM (SELECT n.node, i.idx FROM (SELECT DISTINCT node FROM $rn) n
+         |          CROSS JOIN (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS idx) i) a
+         |    LEFT JOIN $rn r ON r.node = a.node AND r.idx = a.idx
+         |    GROUP BY a.node) s ON s.node = f.node))""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |ed0 AS (SELECT cn AS src, sn AS dst FROM e0 UNION ALL SELECT sn, cn FROM e0),
+       |nodes AS (SELECT DISTINCT src AS node FROM ed0),
+       |ed AS (SELECT src, dst FROM ed0 UNION ALL SELECT node, node FROM nodes),
+       |h AS (SELECT node, ${SketchOps.h60Duck("node", "hll")} AS hv FROM nodes),
+       |r0 AS (SELECT node, CAST(hv % 64 AS INT) AS idx,
+       |    CAST(CASE WHEN hv // 64 = 0 THEN 55
+       |         ELSE 55 - length(bin(hv // 64)) END AS INT) AS reg FROM h),
+       |r1 AS (SELECT ed.dst AS node, r.idx, MAX(r.reg) AS reg
+       |       FROM r0 r JOIN ed ON ed.src = r.node GROUP BY 1, 2),
+       |r2 AS (SELECT ed.dst AS node, r.idx, MAX(r.reg) AS reg
+       |       FROM r1 r JOIN ed ON ed.src = r.node GROUP BY 1, 2),
+       |r3 AS (SELECT ed.dst AS node, r.idx, MAX(r.reg) AS reg
+       |       FROM r2 r JOIN ed ON ed.src = r.node GROUP BY 1, 2)
+       |SELECT 0 AS radius, * FROM ${estCte("r0")}
+       |UNION ALL SELECT 1, * FROM ${estCte("r1")}
+       |UNION ALL SELECT 2, * FROM ${estCte("r2")}
+       |UNION ALL SELECT 3, * FROM ${estCte("r3")}
+       |ORDER BY radius""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "p09_hyperball" -> QueryDef(hyperball _, HyperballDuck),
     "p06_common_neighbors" -> QueryDef(commonNeighbors _, CommonNeighborsDuck),
     "p07_personalized_pagerank" -> QueryDef(personalizedPagerank _, PprDuck),
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),

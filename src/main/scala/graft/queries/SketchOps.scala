@@ -37,10 +37,10 @@ object SketchOps {
 
   /** Portable 60-bit value hash, keyed by a per-operator salt so sketch
     * hash-space and bucket assignments are independent across operators. */
-  private def h60(c: Column, salt: String): Column =
+  private[queries] def h60(c: Column, salt: String): Column =
     conv(substring(md5(concat(c.cast("string"), lit(":" + salt))), 1, 15), 16, 10).cast("long")
 
-  private def h60Duck(e: String, salt: String): String =
+  private[queries] def h60Duck(e: String, salt: String): String =
     s"('0x' || substr(md5(CAST($e AS VARCHAR) || ':$salt'), 1, 15))::BIGINT"
 
   private def h32(c: Column, salt: String): Column =
@@ -593,7 +593,7 @@ object SketchOps {
     * (α_64 from Flajolet et al. 2007, Table 1), premultiplied in ONE
     * Scala double so both engines divide the identical literal by the
     * identical integer — the whole estimate is a single IEEE division. */
-  private val HllNum: Double = 0.709 * 4096.0 * 36028797018963968.0
+  private[queries] val HllNum: Double = 0.709 * 4096.0 * 36028797018963968.0
 
   /** Small-range (linear-counting) correction, BAKED as integers: when
     * the raw estimate is ≤ 2.5·m and V registers are empty, HLL switches
@@ -603,7 +603,7 @@ object SketchOps {
     * table (index V), computed once here and INTERPOLATED into the
     * DuckDB twin — both engines read identical literals, no runtime
     * transcendentals anywhere in the sketch. */
-  private val HllLcTable: IndexedSeq[Long] =
+  private[queries] val HllLcTable: IndexedSeq[Long] =
     (0 to 64).map(v => if (v == 0) 0L else math.floor(64.0 * math.log(64.0 / v)).toLong)
 
   /** HLL distinct-user sketch per event type, graded against the exact

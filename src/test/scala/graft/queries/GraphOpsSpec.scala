@@ -92,6 +92,20 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), out2)
   }
 
+  test("p09: neighborhood function is monotone and saturates once balls cover components") {
+    // triangle 1-2-3 with tail 3-4 (diameter 2) + island pair (diameter
+    // 1): every ball stops growing by r=2, so N(3) must EQUAL N(2) —
+    // the register fixpoint — while N(0) < N(1) < N(2) strictly
+    val und = undirected((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (90L, 91L))
+    val out = GraphOps.hyperballOn(und).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0, 1, 2, 3))
+    assert(out.values.map(_._1).toSet == Set(6L), s"constant node census: $out")
+    val n = (0 to 3).map(out(_)._2)
+    assert(n(0) < n(1) && n(1) < n(2), s"N(r) must grow while balls grow: $n")
+    assert(n(2) == n(3), s"saturated graph: N(3) must equal N(2): $n")
+  }
+
   test("p06: path graph predicts both skip-links; square scores double wedges; edges excluded") {
     import spark.implicits._
     // path 1-2-3-4: candidates (1,3) and (2,4), one wedge each, jac 500
