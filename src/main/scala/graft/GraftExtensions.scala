@@ -35,6 +35,7 @@ import graft.functions.DotProductD
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfPushDown)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import graft.functions.BloomExpressions

@@ -85,8 +85,10 @@ object AsOfJoin {
         attr(lp, leftTime), attr(rp, rightTime), strict))
   }
 
-  def register(s: SparkSession): Unit =
+  def register(s: SparkSession): Unit = {
     GraftSqlBridge.registerStrategy(s, AsOfJoinStrategy)
+    GraftSqlBridge.registerOptimization(s, AsOfPushDown)
+  }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
@@ -94,6 +96,38 @@ object AsOfJoinStrategy extends SparkStrategy {
     case AsOfJoin(l, r, lk, rk, lt, rt, strict) =>
       AsOfJoinExec(lk, rk, lt, rt, strict, planLater(l), planLater(r)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Predicate pushdown THROUGH the as-of join — the custom
+  * Rule[LogicalPlan] half of the §2.7 rung-(c) triad. Catalyst's own
+  * PushDownPredicates cannot see through a foreign node, so without
+  * this rule a `Filter` above an AsOfJoin sticks there: the join (and
+  * its per-side exchange + sort) processes every left row and the
+  * filter runs last — at 100 TB that is a full-corpus shuffle for a
+  * 1% slice. Left-only conjuncts push onto the LEFT child (each left
+  * row appears exactly once in the LEFT OUTER output, so pre- vs
+  * post-filtering left rows is semantics-preserving — and once below
+  * the join, Catalyst's own rules carry the predicate all the way into
+  * the scan). Right-referencing conjuncts must stay above: the right
+  * side is the outer (nullable) side, and a predicate on it also
+  * encodes "unmatched" semantics post-join. Deterministic conjuncts
+  * only — the standard pushdown guard. */
+object AsOfPushDown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  private object Splitter extends PredicateHelper {
+    def split(cond: Expression): Seq[Expression] = splitConjunctivePredicates(cond)
+  }
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsOfJoin) =>
+      val (pushable, kept) = Splitter.split(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = a.copy(left = Filter(pushable.reduce(And), a.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
   }
 }
 

@@ -20,4 +20,11 @@ object GraftSqlBridge {
     if (!cs.experimental.extraStrategies.contains(strategy))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
+
+  def registerOptimization(s: SparkSession,
+      rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = s.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(rule))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
+  }
 }

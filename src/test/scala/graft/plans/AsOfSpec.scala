@@ -97,6 +97,41 @@ class AsOfSpec extends AnyFunSuite {
     assert(p.contains("Sort"), "EnsureRequirements supplies the (key, time) sorts")
   }
 
+  test("multi-key as-of: keys pair independently") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L, 100L), (2L, 1L, 20L, 100L), (3L, 2L, 10L, 100L))
+      .toDF("lid", "k1", "k2", "t")
+    val right = Seq((101L, 1L, 10L, 50L), (102L, 1L, 20L, 60L), (103L, 2L, 99L, 1L))
+      .toDF("rid", "rk1", "rk2", "rt")
+    val out = AsOfJoin.join(left, right,
+        Seq(("k1", "rk1"), ("k2", "rk2")), "t", "rt", strict = false)
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1L -> 101L, 2L -> 102L, 3L -> -1L),
+      s"both key columns must participate: $out")
+  }
+
+  test("AsOfPushDown: left-only filters reach the left scan; right filters stay above") {
+    val (left, right) = frames()
+    val df = AsOfJoin.join(left, right, Seq(("k", "rk")), "t", "rt", strict = false)
+      .filter(col("lid") > 2 && col("rid").isNull)
+    df.collect()
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the left-only conjunct pushed INSIDE the AsOfJoin node; the
+    // right-referencing conjunct (null-checking the outer side) stayed
+    // above it
+    val joinIdx = optimized.indexOf("AsOfJoin")
+    val lidIdx = optimized.indexOf("lid#")
+    assert(joinIdx >= 0, optimized)
+    assert(optimized.substring(joinIdx).contains("(lid#"),
+      s"left filter must sit below the join:\n$optimized")
+    assert(optimized.substring(0, joinIdx).contains("isnull"),
+      s"right-side filter must stay above the join:\n$optimized")
+    // semantics unchanged by the pushdown
+    val got = df.select("lid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(6L, 7L, 8L), s"rows after pushdown: $got")
+  }
+
   test("the strategy injects via GraftExtensions (no explicit register)") {
     val s2 = SparkSession.builder()
       .master("local[2]")
