@@ -28,3 +28,28 @@ case class ScoredTopK(k: Int)
   override def bufferEncoder: Encoder[List[(Long, Double)]] = ExpressionEncoder()
   override def outputEncoder: Encoder[List[(Long, Double)]] = ExpressionEncoder()
 }
+
+/** Element-wise max of fixed-width int arrays — the HLL-register merge
+  * (p09): a node's radius-r registers are the max over its neighbors'.
+  * A true partial aggregate: the buffer is ONE n-int array per group
+  * per map task, merged associatively, so a round of register
+  * propagation shuffles |groups|·n ints instead of |edges|·occupancy
+  * exploded rows (the long-format join fan-out measured 76M
+  * intermediate rows per round at sf0.1 — this deleted it). */
+case class RegMax(n: Int)
+    extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
+  override def zero: Array[Int] = new Array[Int](n)
+  override def reduce(b: Array[Int], a: Seq[Int]): Array[Int] = {
+    var i = 0
+    while (i < n) { val v = a(i); if (v > b(i)) b(i) = v; i += 1 }
+    b
+  }
+  override def merge(x: Array[Int], y: Array[Int]): Array[Int] = {
+    var i = 0
+    while (i < n) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+  override def finish(b: Array[Int]): Seq[Int] = b.toSeq
+  override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+}

@@ -691,24 +691,34 @@ object GraphOps {
       mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))
   }
 
+  /** Registers ride as ONE dense 64-int array row per node, and the
+    * per-round merge is the RegMax typed Aggregator (element-wise max —
+    * a true partial aggregate, so a round shuffles |V| array rows, not
+    * the |E|·occupancy exploded long format that measured 76M
+    * intermediate rows per round at sf0.1). */
   private[queries] def hyperballCore(edgesW: DataFrame): DataFrame = {
     val s = edgesW.sparkSession
+    import s.implicits._
     val edges = edgesW.select("src", "dst") // self-loops carry own regs
     var regs = edgesW.filter(col("w") === 0).select(col("src").as("node"))
       .withColumn("hv", SketchOps.h60(col("node"), "hll"))
       .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
       .withColumn("v", expr("hv div 64"))
-      .select(col("node"), col("idx"),
+      .withColumn("reg",
         when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v"))))
-          .cast("int").as("reg"))
+          .cast("int"))
+      .select(col("node"),
+        expr("transform(sequence(0, 63), i -> IF(i = idx, reg, 0))").as("regs"))
       .localCheckpoint()
-    val sums = scala.collection.mutable.Buffer(ballSum(s, regs, 0))
+    val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
     for (r <- 1 to 3) {
       regs = edges.join(regs, col("src") === col("node"))
-        .groupBy(col("dst"), col("idx")).agg(max("reg").as("reg"))
-        .select(col("dst").as("node"), col("idx"), col("reg"))
+        .select(col("dst"), col("regs")).as[(Long, Seq[Int])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.RegMax(64).toColumn.name("regs"))
+        .toDF("node", "regs")
         .localCheckpoint() // referenced by this round's estimate AND the next join
-      sums += ballSum(s, regs, r)
+      sums += ballSum(regs, r)
     }
     sums.reduce(_ unionByName _).orderBy("radius")
   }
@@ -718,16 +728,16 @@ object GraphOps {
   private[queries] def hyperballOn(edgesIn: DataFrame): DataFrame =
     hyperballCore(mkBfsEdges(edgesIn))
 
-  /** Per-node k10 estimator over a (node, idx, reg) frame, reduced to
-    * the radius row (n_nodes, Σ ball estimates). */
-  private def ballSum(s: SparkSession, regs: DataFrame, radius: Int): DataFrame = {
-    val allIdx = regs.select("node").distinct()
-      .crossJoin(broadcast(s.range(0, 64).select(col("id").cast("int").as("idx"))))
-    allIdx.join(regs, Seq("node", "idx"), "left")
-      .select(col("node"), coalesce(col("reg"), lit(0)).as("reg"))
-      .groupBy("node").agg(
-        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - reg AS INT))")).as("isum"),
-        sum(when(col("reg") > 0, 1L).otherwise(0L)).as("occupied"))
+  /** Per-node k10 estimator over a dense (node, regs[64]) frame — the
+    * array is already densified, so the harmonic sum and occupancy are
+    * single map-side array folds — reduced to the radius row
+    * (n_nodes, Σ ball estimates). */
+  private def ballSum(regs: DataFrame, radius: Int): DataFrame =
+    regs
+      .withColumn("isum", expr(
+        "aggregate(regs, CAST(0 AS BIGINT), (acc, x) -> acc + shiftleft(CAST(1 AS BIGINT), 55 - x))"))
+      .withColumn("occupied", expr(
+        "aggregate(regs, CAST(0 AS BIGINT), (acc, x) -> acc + IF(x > 0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"))
       .withColumn("raw", lit(SketchOps.HllNum) / col("isum").cast("double"))
       .withColumn("est",
         when(col("occupied") < 64 && col("raw") <= 160.0,
@@ -736,7 +746,6 @@ object GraphOps {
           .otherwise(floor(col("raw")).cast("long")))
       .agg(count(lit(1)).as("n_nodes"), sum("est").as("sum_ball_est"))
       .select(lit(radius).as("radius"), col("n_nodes"), col("sum_ball_est"))
-  }
 
   private val HyperballDuck: String = {
     def estCte(rn: String): String =
