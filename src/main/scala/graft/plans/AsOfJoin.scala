@@ -34,6 +34,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * determinism dedup the right side to unique (key, time) first (q60
   * does, with max(event_id) — the same tie rule its oracle states).
   *
+  * Skew honesty: AQE's skew-join splitting only rewrites SMJ/SHJ, so a
+  * hot key lands in one task here. The merge itself is benign — O(|L_k|
+  * + |R_k|) streaming with O(1) state — so the skew cost is the child
+  * Sort, which spills externally; for a pathological key the standard
+  * mitigation is range-bucketing the TIME dimension per key upstream
+  * (as-of state cannot salt across buckets without a boundary
+  * hand-off, the same constraint streaming joins have).
+  *
   * Wiring: `AsOfJoin.register(session)` adds the strategy to the
   * session's experimental strategies (idempotent); sessions built with
   * `.withExtensions(new GraftExtensions)` get it injected via

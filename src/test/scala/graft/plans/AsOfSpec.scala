@@ -133,9 +133,14 @@ class AsOfSpec extends AnyFunSuite {
   }
 
   test("the strategy injects via GraftExtensions (no explicit register)") {
+    // a dedicated session: extensions bind at session construction, and
+    // getOrCreate would silently return the ACTIVE session (where
+    // earlier tests' register() already added the strategy — vacuous)
+    SparkSession.getActiveSession.foreach(_.stop())
     val s2 = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     try {
