@@ -281,6 +281,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("dot_d"), "all distances go through the codegen expression")
   }
 
+  test("v32: three codebook rungs fan out from ONE candidate scan via a tiny broadcast") {
+    val p = plan("v32_ivfpq_codebook_curve")
+    // the K dimension joins in as a broadcast (3-row ks frame), never a
+    // per-K rescan; encode argmins and hit counts stay partial
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 3-row ks frame must broadcast:\n$p")
+    assert(p.contains("partial_min"), "per-rung encode is a map-side min(struct) agg")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("v33: the OPQ rotation is the codegen'd fwht, not an n² expression tree") {
+    val pb = VectorOps.pqCandOpqUncached(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(pb.contains("fwht"), s"the rotation must go through the Fwht expression:\n$pb")
+    assert(!pb.contains("aggregate(sequence"),
+      "no higher-order-function matrix product (the 64 KB codegen blowout)")
+    assert(pb.contains("dot_d"), "distances stay on the codegen expression")
+  }
+
+  test("e26: CUPED moments are ONE partial aggregate; the 1-row frames broadcast") {
+    val p = plan("e26_cuped_lift")
+    assert(p.contains("partial_sum"), "per-user and moment sums stay map-side partial")
+    assert(p.split("BroadcastNestedLoopJoin").length >= 3,
+      s"the midpoint and pooled-moment 1-row frames must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("Window"), "no window anywhere — pure keyed aggregation")
+  }
+
+  test("q59: the compaction trigger is one conditional aggregate per table, no joins") {
+    val p = plan("q59_compaction_trigger")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-table accounting partial-aggs map-side")
+    assert(!p.contains("Join"), s"accounting unions, never joins:\n$p")
+    assert(p.contains("Union"))
+  }
+
   test("q39: unpivot plans as a map-side Expand over the aggregate — no join, no extra shuffle") {
     val p = plan("q39_unpivot_metrics")
     assert(p.contains("Expand"), s"native unpivot must plan as Expand:\n$p")
