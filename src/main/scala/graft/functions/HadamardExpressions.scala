@@ -34,8 +34,9 @@ case class Fwht(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData].toDoubleArray()
-    var h = 1
     val n = a.length
+    Fwht.checkPow2(n)
+    var h = 1
     while (h < n) {
       var i = 0
       while (i < n) {
@@ -65,6 +66,7 @@ case class Fwht(child: Expression) extends UnaryExpression {
       s"""
          |double[] $a = $in.toDoubleArray();
          |int $n = $a.length;
+         |graft.functions.Fwht.checkPow2($n);
          |for (int $h = 1; $h < $n; $h <<= 1)
          |  for (int $i = 0; $i < $n; $i += $h << 1)
          |    for (int $j = $i; $j < $i + $h; $j++) {
@@ -79,11 +81,21 @@ case class Fwht(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+object Fwht {
+  /** Shared by the interpreted and codegen paths (called from generated
+    * Java, hence the plain static-style method): a non-power-of-two
+    * array would silently read past the butterfly's a(j+h) bound. */
+  def checkPow2(n: Int): Unit =
+    if (n <= 0 || (n & (n - 1)) != 0)
+      throw new IllegalArgumentException(
+        s"fwht requires a power-of-two array length, got $n")
+}
+
 object HadamardExpressions {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fwht", exprs => Fwht(exprs(0)), "built-in")
+      "fwht", buildFwht, "built-in")
 
   /** Column API for Fwht (requires register(spark) once). */
   def fwht(a: Column): Column =

@@ -83,14 +83,27 @@ object AsOfJoin {
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
       "as-of join sides must not share attributes — alias the right side")
     def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+      p.output.filter(_.name == name) match {
+        case Seq(a) => a
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous (${many.size} matches) — alias the inputs")
+      }
+    val (lk, rk) = (keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)))
+    val (lt, rt) = (attr(lp, leftTime), attr(rp, rightTime))
+    // the merge compares RIGHT rows through orderings built from the
+    // LEFT types — mismatched types would read garbage bytes, not error
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"key type mismatch: ${a.name}: ${a.dataType.simpleString} vs " +
+          s"${b.name}: ${b.dataType.simpleString} — cast before joining") }
+    require(lt.dataType == rt.dataType,
+      s"time type mismatch: ${lt.dataType.simpleString} vs " +
+        s"${rt.dataType.simpleString} — cast before joining")
     register(left.sparkSession)
     GraftSqlBridge.ofRows(left.sparkSession,
-      AsOfJoin(lp, rp,
-        keys.map(k => attr(lp, k._1)), keys.map(k => attr(rp, k._2)),
-        attr(lp, leftTime), attr(rp, rightTime), strict))
+      AsOfJoin(lp, rp, lk, rk, lt, rt, strict))
   }
 
   def register(s: SparkSession): Unit = {

@@ -597,23 +597,13 @@ object GraphOps {
     commonNeighborsOn(partEdges(s, d))
 
   /** The per-center first-CapA-by-id adjacency cut over a (c, nb)
-    * neighbor frame, as a salted two-level tournament: level 1 ranks
-    * inside (c, nb % 32) — a hub's neighborhood becomes 32 bounded
-    * slices — and only the ≤ 32·CapA level-1 survivors per center reach
-    * the level-2 per-center window, a constant-size frame at any graph
-    * scale. Exact (CellSampleSpec's containment proof: under the total
-    * order nb ASC, every global top-CapA row ranks ≤ CapA inside its
-    * own salt slice); HubCapSpec executes the equivalence on a planted
-    * hub whose every salt slice is over-full. */
+    * neighbor frame, through the ONE shared salted two-level tournament
+    * (SketchOps.saltedCap — t56 rides the same body, so the cap
+    * discipline cannot drift between the two skew sites). HubCapSpec
+    * executes the equivalence against a naive per-center window on a
+    * planted hub whose every salt slice is over-full. */
   private[queries] def cappedAdjacencyOn(nbrs: DataFrame): DataFrame =
-    nbrs
-      .withColumn("salt", pmod(col("nb"), lit(32)))
-      .withColumn("srn", row_number().over(
-        Window.partitionBy("c", "salt").orderBy("nb")))
-      .filter(col("srn") <= CapA)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("c").orderBy("nb")))
-      .filter(col("rn") <= CapA)
+    SketchOps.saltedCap(nbrs, Seq(col("c")), col("nb"), Seq(col("nb").asc), CapA)
       .select("c", "nb")
 
   /** Core on an explicit (a < b) undirected edge frame — factored for

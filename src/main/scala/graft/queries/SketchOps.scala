@@ -66,6 +66,25 @@ object SketchOps {
     * the group — level 2 ranks the ≤ 32·K survivors. A K-smallest value
     * is K-smallest in its salt cell, so no survivor is lost; no window
     * ever sees a whole 100 TB group. */
+  /** THE salted two-level cap — the one tournament body t56's source
+    * caps and p06's hub-adjacency caps share (a second copy could
+    * silently drift from the containment proof both cite): level 1
+    * ranks inside (keys, saltOn % 32) so a hot key becomes 32 bounded
+    * slices; only the ≤ 32·cap level-1 survivors reach the level-2
+    * per-key window. Exact under any TOTAL `order` (CellSampleSpec's
+    * containment argument: a global top-cap row ranks ≤ cap inside its
+    * own salt slice). Returns the input columns of the ≤ cap rows per
+    * key. */
+  private[queries] def saltedCap(df: DataFrame, keys: Seq[Column],
+      saltOn: Column, order: Seq[Column], cap: Int): DataFrame = {
+    val l1 = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(order: _*)
+    val l2 = Window.partitionBy(keys: _*).orderBy(order: _*)
+    df.withColumn("__salt", pmod(saltOn, lit(32)))
+      .withColumn("__srk", row_number().over(l1)).filter(col("__srk") <= cap)
+      .withColumn("__rk", row_number().over(l2)).filter(col("__rk") <= cap)
+      .drop("__salt", "__srk", "__rk")
+  }
+
   private def kSmallest(hashes: DataFrame, group: String, k: Int): DataFrame = {
     val l1 = Window.partitionBy(col(group), col("salt")).orderBy(col("hv").asc)
     val l2 = Window.partitionBy(col(group)).orderBy(col("hv").asc)

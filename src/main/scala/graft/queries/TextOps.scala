@@ -1242,17 +1242,10 @@ object TextOps {
     // the salted two-level tournament — never one giant partition sort
     val overTotals = totals.filter(col("n_docs") > SourceCap)
       .select("source", "n_docs", "chars_total")
-    val kept = docs
-      .join(broadcast(overTotals.select("source")), Seq("source"), "left_semi")
-      .withColumn("salt", pmod(col("doc_id"), lit(32)))
-      .withColumn("srk", row_number().over(
-        Window.partitionBy("source", "salt")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)))
-      .filter(col("srk") <= SourceCap)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("source")
-          .orderBy(col("n_chars").desc, col("doc_id").asc)))
-      .filter(col("rk") <= SourceCap)
+    val kept = SketchOps.saltedCap(
+      docs.join(broadcast(overTotals.select("source")), Seq("source"), "left_semi"),
+      Seq(col("source")), col("doc_id"),
+      Seq(col("n_chars").desc, col("doc_id").asc), SourceCap)
     val over = kept.groupBy("source").agg(
         count(lit(1)).as("n_kept"),
         sum("n_chars").as("chars_kept"),

@@ -213,14 +213,20 @@ object VectorOps {
   private val pqCandOpqCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Teardown hook (Harness calls this before spark.stop()). */
-  def clearCaches(): Unit = {
-    cosinePairsCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
-    affinityCache.clear()
-    pqCandCache.clear()
-    pqCand64Cache.clear()
-    pqCandOpqCache.clear()
-  }
+  /** Teardown hook (Harness calls this before spark.stop()). Unpersist
+    * before dropping the map entries (the GraphOps.clearCaches rule) —
+    * the affinity and pqCand* frames are .persist()ed, and clearing
+    * alone would leak their blocks in a long-lived session that clears
+    * and rebuilds; unpersist is a no-op on the checkpoint-backed pair
+    * frame and guarded against stopped contexts. */
+  def clearCaches(): Unit =
+    Seq(cosinePairsCache, affinityCache, pqCandCache, pqCand64Cache, pqCandOpqCache)
+      .foreach { c =>
+        c.values.foreach { df =>
+          if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+        }
+        c.clear()
+      }
 
   /** Per-label quantized centroids.
     * Floats are quantized to 1e-6 grid BIGINTs before summation so the

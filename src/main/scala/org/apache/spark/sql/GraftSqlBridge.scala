@@ -21,6 +21,12 @@ object GraftSqlBridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
   }
 
+  /** Spec hook: a freshly-built session's experimental strategies are
+    * empty (extension-injected strategies live in the session state,
+    * not here) — non-emptiness proves a recycled session. */
+  def experimentalStrategies(s: SparkSession): Seq[execution.SparkStrategy] =
+    s.asInstanceOf[classic.SparkSession].experimental.extraStrategies
+
   def registerOptimization(s: SparkSession,
       rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
     val cs = s.asInstanceOf[classic.SparkSession]

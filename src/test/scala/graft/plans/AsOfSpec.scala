@@ -134,9 +134,11 @@ class AsOfSpec extends AnyFunSuite {
 
   test("the strategy injects via GraftExtensions (no explicit register)") {
     // a dedicated session: extensions bind at session construction, and
-    // getOrCreate would silently return the ACTIVE session (where
-    // earlier tests' register() already added the strategy — vacuous)
+    // getOrCreate would silently return the ACTIVE or DEFAULT session
+    // (where earlier tests' register() already added the strategy —
+    // vacuous). getActiveSession is thread-local, so stop BOTH.
     SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.getDefaultSession.foreach(_.stop())
     val s2 = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -144,6 +146,10 @@ class AsOfSpec extends AnyFunSuite {
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     try {
+      // non-vacuity: a fresh session has NO experimental strategies —
+      // if register() had leaked in (recycled session), this catches it
+      assert(org.apache.spark.sql.GraftSqlBridge.experimentalStrategies(s2).isEmpty,
+        "test session must be fresh — extension injection would be untested")
       import s2.implicits._
       val l = Seq((1L, 1L, 10L)).toDF("lid", "k", "t")
       val r = Seq((9L, 1L, 5L)).toDF("rid", "rk", "rt")
