@@ -1211,7 +1211,8 @@ object TextOps {
     * (everything kept, cutoff = its shortest doc) with no ranking at
     * all. Phase 2 semi-joins the doc frame down to OVER-cap sources
     * only and ranks those through the salted two-level tournament
-    * (v17's shape): level 1 ranks inside (source, doc_id % 32) — a
+    * (SketchOps.saltedCap — the ONE body p06 shares): level 1 ranks
+    * inside (source, doc_id % 32) — a
     * mega-source becomes 32 bounded slices — and only the ≤ 32·Cap
     * level-1 survivors per source reach the level-2 per-source window,
     * a constant-size frame at any corpus scale. Exact, not
