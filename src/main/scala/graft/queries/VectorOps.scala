@@ -445,6 +445,48 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** v34 — IVF with a DELETION OVERLAY: v08's 2-probe search over an
+    * index that has tombstoned vectors (vec_id ≡ 0 mod 7 — the same
+    * mod-list discipline as the MoR commit rules, q55/q57/q59) WITHOUT
+    * rebuilding anything: the routing table stays the deployed
+    * cross-run artifact, and deletes apply as one KEYED anti-join on
+    * the candidate set before scoring. This is the missing maintenance
+    * rung of the ANN ladder — at 100 TB an index rebuild is a
+    * multi-hour job, so production serving (FAISS remove_ids, Vespa/
+    * Milvus tombstones) overlays deletes exactly like this and
+    * compacts on q59's schedule. Results are identical to rebuilding
+    * (the oracle restates the search over the filtered corpus —
+    * overlay vs rebuild must be result-invisible, q42/q55's
+    * layout-invisibility rule), and a deleted vector can never be
+    * returned (VectorDeleteSpec).
+    *
+    * Scale: v08's shapes plus one anti-join keyed on vec_id (the
+    * tombstone list is data-scale metadata, never broadcast-forced);
+    * query vectors whose own ids are tombstoned still query — the
+    * query side is external to the index. */
+  def ivfTopKWithDeletes(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
+    val tomb = e.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id")
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(tomb, Seq("vec_id"), "left_anti") // the overlay — index untouched
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val base = e.join(cells, "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(probes, "q_id")
+    base.join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:
     * each query wants its top-5 among vectors of ITS OWN LABEL, served
     * from the same 2-probe IVF candidate set as v08. PRE-filtering
@@ -1778,6 +1820,31 @@ object VectorOps {
         |        c.cid ASC) AS crn
         |  FROM e, c),
         |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e q ON q.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |r AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p)
+        |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // overlay vs rebuild must be result-invisible: the oracle searches
+    // the FILTERED corpus directly
+    "v34_ivf_with_deletes" -> QueryDef(ivfTopKWithDeletes _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff
+        |          WHERE crn = 1 AND vec_id % 7 != 0),
         |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
         |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
         |    round(list_dot_product(q.v, b.v) /
