@@ -699,6 +699,54 @@ object EventOps {
       .orderBy("variant")
   }
 
+  /** e27 — CUSUM drift detection over the daily value series: the
+    * SEQUENTIAL change detector beside t37's distributional PSI drift
+    * and e10/e24's pointwise spike tests — a pointwise test misses a
+    * sustained small shift; CUSUM accumulates it. Per event type:
+    * S_d = max(0, S_{d−1} + x_d − μ − κ) with slack κ = μ/20 and
+    * alarm threshold h = μ/2 (both data-derived integers, so the
+    * oracle rederives them with subqueries and the knobs cannot
+    * drift); emits first alarm day (−1 = none) and the max excursion.
+    *
+    * Determinism/shape: daily totals are exact cent sums; the
+    * recursion is order-dependent BY DEFINITION, so it runs as ONE
+    * in-order fold over each type's sorted |days| array (sort_array ∘
+    * collect_list — bounded at |days| per type, never corpus-scale;
+    * the same bounded-array discipline as e21/e24), with a struct
+    * accumulator carrying (S, max, alarm). All integer arithmetic.
+    * At 100 TB the daily frame is already metadata-scale — the corpus
+    * pays exactly one aggregation. */
+  def cusumDrift(s: SparkSession, d: String): DataFrame =
+    cusumOn(events(s, d)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      .groupBy("event_type", "day").agg(sum("cents").as("x")))
+
+  /** CUSUM core over an explicit (event_type, day, x) daily frame —
+    * factored so CusumSpec can plant shifted/flat/resetting series. */
+  private[queries] def cusumOn(daily: DataFrame): DataFrame = {
+    val params = daily.groupBy("event_type")
+      .agg(expr("CAST(sum(x) AS BIGINT) div count(1)").as("mu"),
+        count(lit(1)).as("n_days"))
+    daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("xs"))
+      .join(params, "event_type")
+      .withColumn("res", expr(
+        """aggregate(xs,
+          |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS mx,
+          |         CAST(-1 AS BIGINT) AS alarm),
+          |  (acc, e) -> struct(
+          |    greatest(CAST(0 AS BIGINT), acc.s + e.x - mu - mu div 20) AS s,
+          |    greatest(acc.mx,
+          |      greatest(CAST(0 AS BIGINT), acc.s + e.x - mu - mu div 20)) AS mx,
+          |    IF(acc.alarm >= 0, acc.alarm,
+          |      IF(greatest(CAST(0 AS BIGINT), acc.s + e.x - mu - mu div 20)
+          |           > mu div 2, e.day, CAST(-1 AS BIGINT))) AS alarm))""".stripMargin))
+      .select(col("event_type"), col("n_days"), col("mu"),
+        col("res.alarm").as("alarm_day"), col("res.mx").as("max_cusum"))
+      .orderBy("event_type")
+  }
+
   /** e23 — user-journey path mining: the top-20 three-step event-type
     * sequences users actually walk (consecutive by event time, event_id
     * tie-break — q24's strict-order discipline), with the count of
@@ -798,6 +846,34 @@ object EventOps {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    // the CUSUM recursion restated as a RECURSIVE CTE over the day
+    // index — exact integers throughout, same data-derived μ/κ/h
+    "e27_cusum_drift" -> QueryDef(cusumDrift _,
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(SUM(CAST(CAST(value AS $D) * 100 AS BIGINT)) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |p AS (SELECT event_type, CAST(SUM(x) AS BIGINT) // COUNT(*) AS mu,
+         |    CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+         |seq AS (SELECT d.event_type, d.day, d.x, p.mu,
+         |    ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+         |  FROM daily d JOIN p ON p.event_type = d.event_type),
+         |c AS (
+         |  SELECT event_type, i, day,
+         |    GREATEST(CAST(0 AS BIGINT), x - mu - mu // 20) AS s
+         |  FROM seq WHERE i = 1
+         |  UNION ALL
+         |  SELECT s2.event_type, s2.i, s2.day,
+         |    GREATEST(CAST(0 AS BIGINT), c.s + s2.x - s2.mu - s2.mu // 20)
+         |  FROM c JOIN seq s2 ON s2.event_type = c.event_type AND s2.i = c.i + 1),
+         |agg AS (SELECT c.event_type,
+         |    CAST(MAX(c.s) AS BIGINT) AS max_cusum,
+         |    CAST(COALESCE(MIN(CASE WHEN c.s > p.mu // 2 THEN c.day END), -1) AS BIGINT) AS alarm_day
+         |  FROM c JOIN p ON p.event_type = c.event_type
+         |  GROUP BY c.event_type)
+         |SELECT p.event_type, p.n_days, p.mu, a.alarm_day, a.max_cusum
+         |FROM p JOIN agg a ON a.event_type = p.event_type
+         |ORDER BY p.event_type""".stripMargin),
     // every moment an exact int64 cents sum; θ/ρ²/means are single
     // double expressions over those integers — no float folds anywhere
     "e26_cuped_lift" -> QueryDef(cupedLift _,
