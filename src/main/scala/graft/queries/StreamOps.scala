@@ -317,6 +317,7 @@ object StreamOps {
     sourceQuotaCache.clear() // ditto
     leftOuterCache.clear() // ditto
     hllStreamCache.clear() // ditto
+    cusumStreamCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -457,6 +458,34 @@ object StreamOps {
   }
 
   private val hllStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** s25 — streaming CUSUM maintenance: e27's daily cent totals kept by
+    * a KEYED streaming aggregation (Complete mode; state = |days|×|types|
+    * rows — calendar-bounded, the quintessential safely-unbounded
+    * streaming state), drained into the IDENTICAL batch CUSUM core
+    * (EventOps.cusumOn), so the sequential drift monitor lands on the
+    * exactly-once batch answer bit for bit — the s24 discipline (drain
+    * into the shared estimator body, oracle shared verbatim) applied to
+    * change detection. The CUSUM fold itself runs post-drain: the
+    * recursion needs the FINAL μ, which only exists once the window
+    * closes — in production this is the end-of-day monitoring job
+    * reading the continuously-maintained daily frame. */
+  def streamCusumDrift(s: SparkSession, d: String): DataFrame = {
+    cusumStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cusumStreamCache.getOrElseUpdate((s, d),
+      EventOps.cusumOn(
+        EventStream.runOnce(s, ev => ev
+            .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+            .withColumn("cents", (Tables.dec(col("value")) * 100).cast("long"))
+            .groupBy("event_type", "day").agg(sum("cents").as("x")),
+          streamSource(s, d), "graft_stream_cusum")
+          .localCheckpoint()) // pin the drained sink before the fold re-reads it
+        .orderBy("event_type")
+        .localCheckpoint())
+  }
+
+  private val cusumStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Stream-stream self-join with an event-time interval: each click
@@ -1360,6 +1389,11 @@ object StreamOps {
     // s19 rule extended to approximate fixed-size state)
     "s24_stream_hll_distinct" -> QueryDef(streamHllDistinct _,
       SketchOps.HllRegistersDuck),
+
+    // the streaming daily frame must land on e27's batch answer bit for
+    // bit — the oracle is e27's recursive CTE verbatim
+    "s25_stream_cusum_drift" -> QueryDef(streamCusumDrift _,
+      EventOps.defs("e27_cusum_drift").oracle),
 
     "s19_stream_bitmap_distinct" -> QueryDef(streamBitmapDistinct _,
       """WITH d AS (SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS di,
