@@ -487,6 +487,61 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** v35 — IVF with an INSERT overlay, v34's complement: the newest 10%
+    * of the corpus (vec_id above a data-derived cutoff — the "arrived
+    * since the last index build" slice) is NOT served from the deployed
+    * routing artifact; their cell assignments compute ON THE FLY against
+    * the same 16 broadcast centroids and UNION with the artifact's rows
+    * before the 2-probe search. This is FAISS `add` without retraining /
+    * the lakehouse base+delta read applied to ANN: inserts never force
+    * an index rebuild because the assignment RULE, not the materialized
+    * table, defines the index. Graded against v08's oracle VERBATIM —
+    * overlay vs full-index must be result-invisible (the q42/q55/v34
+    * rule) — while the plan carries both branches: the artifact scan
+    * AND a live dot_d assignment (VectorInsertSpec pins both).
+    *
+    * Scale: the delta branch scans ONLY the new slice (at 100 TB, the
+    * day's arrivals) against the broadcast centroids; the base branch
+    * stays the artifact read. Compaction (fold the delta into the
+    * artifact) is q59's scheduling decision. */
+  def ivfTopKWithInserts(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cut = broadcast(e.agg((max(col("vec_id")) * 9 / 10).cast("long").as("cut")))
+    val withCut = e.crossJoin(cut)
+    // base: the deployed artifact, minus the not-yet-indexed slice
+    val baseCells = centroidAffinity(s, d).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+      .join(withCut.select("vec_id", "cut"), "vec_id")
+      .filter(col("vec_id") <= col("cut")).select("vec_id", "cell")
+    // delta: fresh assignments for the new slice — same centroids, same
+    // rule, computed live against the broadcast 16-row centroid frame
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val deltaCells = withCut.filter(col("vec_id") > col("cut"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val cells = baseCells.unionByName(deltaCells)
+    val probes = centroidAffinity(s, d)
+      .filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(probes, "q_id")
+    e.join(cells, "vec_id")
+      .join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
+      .orderBy("q_id", "rk")
+  }
+
   /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:
     * each query wants its top-5 among vectors of ITS OWN LABEL, served
     * from the same 2-probe IVF candidate set as v08. PRE-filtering
@@ -1814,6 +1869,31 @@ object VectorOps {
         |aff AS (SELECT e.vec_id, c.cid,
         |    round(list_dot_product(e.v, c.cv) /
         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS ccos,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e q ON q.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |r AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p)
+        |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // insert overlay vs full index must be result-invisible: graded
+    // against v08's oracle VERBATIM (the assignment RULE defines the
+    // index, not the materialized table)
+    "v35_ivf_insert_overlay" -> QueryDef(ivfTopKWithInserts _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
         |      ORDER BY round(list_dot_product(e.v, c.cv) /
         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
