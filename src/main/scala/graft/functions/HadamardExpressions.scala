@@ -84,9 +84,11 @@ case class Fwht(child: Expression) extends UnaryExpression {
 object Fwht {
   /** Shared by the interpreted and codegen paths (called from generated
     * Java, hence the plain static-style method): a non-power-of-two
-    * array would silently read past the butterfly's a(j+h) bound. */
+    * length would die mid-butterfly with a raw AIOOBE at a(j+h) instead
+    * of a diagnosable error. n = 0 is legal — the loop never runs and
+    * the empty array passes through unchanged. */
   def checkPow2(n: Int): Unit =
-    if (n <= 0 || (n & (n - 1)) != 0)
+    if ((n & (n - 1)) != 0)
       throw new IllegalArgumentException(
         s"fwht requires a power-of-two array length, got $n")
 }

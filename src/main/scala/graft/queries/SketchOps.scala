@@ -60,40 +60,37 @@ object SketchOps {
     * same expression shape, so results are bit-identical. */
   private val Pow60 = 1152921504606846976.0
 
-  /** (group, hv) → the K smallest distinct hashes per group, tagged with
-    * rank. Salted two-level tournament (v17's pattern): level 1 ranks
-    * within (group, salt) — 32 window partitions per group, each 1/32 of
-    * the group — level 2 ranks the ≤ 32·K survivors. A K-smallest value
-    * is K-smallest in its salt cell, so no survivor is lost; no window
-    * ever sees a whole 100 TB group. */
-  /** THE salted two-level cap — the one tournament body t56's source
-    * caps and p06's hub-adjacency caps share (a second copy could
-    * silently drift from the containment proof both cite): level 1
-    * ranks inside (keys, saltOn % 32) so a hot key becomes 32 bounded
-    * slices; only the ≤ 32·cap level-1 survivors reach the level-2
-    * per-key window. Exact under any TOTAL `order` (CellSampleSpec's
-    * containment argument: a global top-cap row ranks ≤ cap inside its
-    * own salt slice). Returns the input columns of the ≤ cap rows per
-    * key. */
-  private[queries] def saltedCap(df: DataFrame, keys: Seq[Column],
+  /** THE salted two-level tournament — the ONE body behind every
+    * per-key top/bottom-cap in the engine (t56's source caps, p06's
+    * hub-adjacency caps, the KMV kSmallest below; a second copy could
+    * silently drift from the containment proof all of them cite):
+    * level 1 ranks inside (keys, saltOn % 32) so a hot key becomes 32
+    * bounded slices; only the ≤ 32·cap level-1 survivors reach the
+    * level-2 per-key window. Exact under any TOTAL `order`
+    * (CellSampleSpec's containment argument: a global top-cap row
+    * ranks ≤ cap inside its own salt slice). Returns the ≤ cap rows
+    * per key with their final rank in `__rk`. */
+  private[queries] def saltedRank(df: DataFrame, keys: Seq[Column],
       saltOn: Column, order: Seq[Column], cap: Int): DataFrame = {
     val l1 = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(order: _*)
     val l2 = Window.partitionBy(keys: _*).orderBy(order: _*)
     df.withColumn("__salt", pmod(saltOn, lit(32)))
       .withColumn("__srk", row_number().over(l1)).filter(col("__srk") <= cap)
       .withColumn("__rk", row_number().over(l2)).filter(col("__rk") <= cap)
-      .drop("__salt", "__srk", "__rk")
+      .drop("__salt", "__srk")
   }
 
-  private def kSmallest(hashes: DataFrame, group: String, k: Int): DataFrame = {
-    val l1 = Window.partitionBy(col(group), col("salt")).orderBy(col("hv").asc)
-    val l2 = Window.partitionBy(col(group)).orderBy(col("hv").asc)
-    hashes
-      .withColumn("salt", pmod(col("hv"), lit(32)))
-      .withColumn("srk", row_number().over(l1)).filter(col("srk") <= k)
-      .withColumn("rk", row_number().over(l2)).filter(col("rk") <= k)
-      .select(col(group), col("hv"), col("rk"))
-  }
+  /** Rank-free view of [[saltedRank]] — the t56/p06 cap shape. */
+  private[queries] def saltedCap(df: DataFrame, keys: Seq[Column],
+      saltOn: Column, order: Seq[Column], cap: Int): DataFrame =
+    saltedRank(df, keys, saltOn, order, cap).drop("__rk")
+
+  /** (group, hv) → the K smallest distinct hashes per group, tagged with
+    * rank — [[saltedRank]] under the KMV ordering (hv ascending, hv as
+    * its own salt). No window ever sees a whole 100 TB group. */
+  private def kSmallest(hashes: DataFrame, group: String, k: Int): DataFrame =
+    saltedRank(hashes, Seq(col(group)), col("hv"), Seq(col("hv").asc), k)
+      .select(col(group), col("hv"), col("__rk").as("rk"))
 
   /** KMV distinct-count estimate of customers per order priority, graded
     * against the exact distinct count. If a group holds fewer than K

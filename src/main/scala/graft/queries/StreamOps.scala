@@ -481,8 +481,7 @@ object StreamOps {
             .groupBy("event_type", "day").agg(sum("cents").as("x")),
           streamSource(s, d), "graft_stream_cusum")
           .localCheckpoint()) // pin the drained sink before the fold re-reads it
-        .orderBy("event_type")
-        .localCheckpoint())
+        .localCheckpoint())  // cusumOn already orders by event_type
   }
 
   private val cusumStreamCache =

@@ -429,13 +429,23 @@ object VectorOps {
     val aff = centroidAffinity(s, d)
     val cells = aff.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
+    ivfSearchOn(e, aff, cells)
+  }
+
+  /** THE 2-probe search tail v08/v34/v35 share (probes + query build,
+    * cell equi-join, exact cosine rerank, top-5) — only the `cells`
+    * frame differs between the full index and its delete/insert
+    * overlays, so a tie-break or rounding change here reaches all
+    * three and the overlays' result-invisibility contracts
+    * (VectorDeleteSpec/VectorInsertSpec) cannot silently drift. */
+  private def ivfSearchOn(e: DataFrame, aff: DataFrame, cells: DataFrame): DataFrame = {
     val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
       .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-    val base = e.join(cells, "vec_id")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
       .join(probes, "q_id")
-    base.join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+    e.join(cells, "vec_id")
+      .join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
       .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("q_id")
@@ -471,20 +481,7 @@ object VectorOps {
     val cells = aff.filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
       .join(tomb, Seq("vec_id"), "left_anti") // the overlay — index untouched
-    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
-      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-    val base = e.join(cells, "vec_id")
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(probes, "q_id")
-    base.join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
-      .orderBy("q_id", "rk")
+    ivfSearchOn(e, aff, cells)
   }
 
   /** v35 — IVF with an INSERT overlay, v34's complement: the newest 10%
@@ -507,39 +504,28 @@ object VectorOps {
   def ivfTopKWithInserts(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
     val cut = broadcast(e.agg((max(col("vec_id")) * 9 / 10).cast("long").as("cut")))
-    val withCut = e.crossJoin(cut)
-    // base: the deployed artifact, minus the not-yet-indexed slice
-    val baseCells = centroidAffinity(s, d).filter(col("crn") === 1)
+    // base: the deployed artifact, minus the not-yet-indexed slice —
+    // the 1-row cut frame cross-joins straight onto the artifact rows
+    // (an equi-join back through the embedding table would shuffle two
+    // corpus-scale frames just to attach one broadcast scalar)
+    val baseCells = aff.filter(col("crn") === 1)
+      .crossJoin(cut)
+      .filter(col("vec_id") <= col("cut"))
       .select(col("vec_id"), col("cid").as("cell"))
-      .join(withCut.select("vec_id", "cut"), "vec_id")
-      .filter(col("vec_id") <= col("cut")).select("vec_id", "cell")
     // delta: fresh assignments for the new slice — same centroids, same
     // rule, computed live against the broadcast 16-row centroid frame
     val cents = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val deltaCells = withCut.filter(col("vec_id") > col("cut"))
+    val deltaCells = e.crossJoin(cut).filter(col("vec_id") > col("cut"))
       .crossJoin(broadcast(cents))
       .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
       .withColumn("crn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
-    val cells = baseCells.unionByName(deltaCells)
-    val probes = centroidAffinity(s, d)
-      .filter(col("vec_id") < 10 && col("crn") <= 2)
-      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(probes, "q_id")
-    e.join(cells, "vec_id")
-      .join(broadcast(q), col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("cos"))
-      .orderBy("q_id", "rk")
+    ivfSearchOn(e, aff, baseCells.unionByName(deltaCells))
   }
 
   /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:

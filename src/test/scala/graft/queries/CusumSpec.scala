@@ -26,8 +26,9 @@ class CusumSpec extends AnyFunSuite {
     // reset: spike at day 3 (not enough alone), deep dip at day 4 wipes
     // the accumulator, then a real shift from day 8 alarms at day 9,
     // NOT earlier off the stale spike. Series: 1000×2, 1500, 0, 1000×3,
-    // 1600, 1600, 1600 → μ = 1090, κ = 54, h = 545.
-    // S₃ = 356; S₄ = max(0, 356 + 0 − 1144) = 0; S₈ = 456, S₉ = 912 > 545.
+    // 1600, 1600, 1600 → Σ = 11300, μ = 1130, κ = 56, h = 565.
+    // S₃ = max(0, 1500 − 1186) = 314 < 565; S₄ = max(0, 314 + 0 − 1186)
+    // = 0 (the reset); S₈ = 414 < 565; S₉ = 414 + 414 = 828 > 565.
     val reset = Seq(("reset", 1L, 1000L), ("reset", 2L, 1000L),
       ("reset", 3L, 1500L), ("reset", 4L, 0L), ("reset", 5L, 1000L),
       ("reset", 6L, 1000L), ("reset", 7L, 1000L), ("reset", 8L, 1600L),
