@@ -315,7 +315,7 @@ object Multimodal {
   private val HexUpper = Array.tabulate(256)(i => f"$i%02X")
   private val HexLower = Array.tabulate(256)(i => f"$i%02x")
 
-  def chunkMedia(media: Dataset[MediaRow]): Dataset[Chunk] = {
+  def chunkMedia(media: Dataset[MediaRow], mask: Int = 16): Dataset[Chunk] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
       val c = m.content
@@ -336,12 +336,42 @@ object Multimodal {
       }
       var i = 0
       while (i < c.length) {
-        if ((c(i) & 0xff) % 16 == 0) close(i + 1)
+        if ((c(i) & 0xff) % mask == 0) close(i + 1)
         i += 1
       }
       close(c.length)
       out
     }
+  }
+
+  /** m12 — the CDC MASK TUNING CURVE: m06's chunk census re-run at
+    * boundary masks {8, 16, 32} (expected chunk length ≈ the mask, the
+    * cut-probability arithmetic of gear/FastCDC), emitting chunk count,
+    * distinct count, byte totals and the realized dedup ratio per mask
+    * — the size/dedup dial a storage layer reads before fixing its
+    * chunking constant (small chunks dedup more but cost more metadata;
+    * the restic/borg tuning table as an oracle-checked query). k11's
+    * curve discipline applied to the multimodal layer: the OPERATOR
+    * (m06) and the curve share one chunker body, so the curve's mask-16
+    * point can never drift from the deployed census.
+    *
+    * Scale: three typed per-partition passes over the payloads (the
+    * dial re-chunks by definition); payloads never shuffle — each pass
+    * reduces to one 5-column aggregate plus a distinct-digest agg. */
+  def cdcMaskCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Seq(8, 16, 32).map { mask =>
+      val ch = chunkMedia(syntheticMedia(spark, dir).as[MediaRow], mask).toDF()
+        .localCheckpoint() // feeds the total AND the distinct agg
+      val uq = ch.select("chunk_md5", "chunk_len").distinct()
+        .agg(count(lit(1)).as("n_unique"), sum("chunk_len").as("unique_bytes"))
+      ch.agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("sum_bytes"))
+        .crossJoin(uq)
+        .select(lit(mask).as("mask"), col("n_chunks"), col("n_unique"),
+          col("sum_bytes"), col("unique_bytes"),
+          round(col("unique_bytes").cast("double") / col("sum_bytes").cast("double"), 6)
+            .as("dedup_ratio"))
+    }.reduce(_ unionByName _).orderBy("mask")
   }
 
   /** Chunk-overlap near-duplicate pairs — the storage-level NEAR-dedup

@@ -236,6 +236,46 @@ object MediaOps {
     // = prefix count of boundaries BEFORE the byte (so a boundary byte
     // stays in the chunk it terminates), chunk key = md5 of the ordered
     // uppercase-hex concatenation — byte-for-byte the engine's key
+    // the chunk CTE chain instantiated once per mask (suffix-named CTEs,
+    // mod constant substituted) — the curve's mask-16 point restates m06
+    "m12_cdc_mask_curve" -> QueryDef(Multimodal.cdcMaskCurve _, {
+      def chain(k: Int): String =
+        s"""mm$k AS (SELECT doc_id, to_hex(encode(text)) AS hx,
+           |    octet_length(encode(text)) AS n
+           |  FROM documents WHERE octet_length(encode(text)) > 0),
+           |bb$k AS (SELECT doc_id, n,
+           |    CAST(unnest(generate_series(1, n)) AS BIGINT) AS pos FROM mm$k),
+           |vv$k AS (SELECT b.doc_id, b.pos,
+           |    substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2) AS hp,
+           |    ('0x' || substr(m.hx, CAST(2 * b.pos - 1 AS INT), 2))::BIGINT AS bv
+           |  FROM bb$k b JOIN mm$k m ON m.doc_id = b.doc_id),
+           |cc$k AS (SELECT doc_id, pos, hp,
+           |    COALESCE(CAST(SUM(CASE WHEN bv % $k = 0 THEN 1 ELSE 0 END) OVER
+           |      (PARTITION BY doc_id ORDER BY pos
+           |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_no
+           |  FROM vv$k),
+           |hh$k AS (SELECT doc_id, chunk_no, CAST(COUNT(*) AS BIGINT) AS chunk_len,
+           |    md5(string_agg(hp, '' ORDER BY pos)) AS chunk_md5
+           |  FROM cc$k GROUP BY 1, 2),
+           |rr$k AS (SELECT $k AS mask, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           |    CAST(SUM(chunk_len) AS BIGINT) AS sum_bytes FROM hh$k),
+           |uu$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+           |    CAST(SUM(chunk_len) AS BIGINT) AS unique_bytes
+           |  FROM (SELECT DISTINCT chunk_md5, chunk_len FROM hh$k) d)""".stripMargin
+      def row(k: Int): String =
+        s"""SELECT rr$k.mask, rr$k.n_chunks, uu$k.n_unique, rr$k.sum_bytes,
+           |  uu$k.unique_bytes,
+           |  round(CAST(uu$k.unique_bytes AS DOUBLE) / CAST(rr$k.sum_bytes AS DOUBLE), 6) AS dedup_ratio
+           |FROM rr$k, uu$k""".stripMargin
+      s"""WITH ${chain(8)},
+         |${chain(16)},
+         |${chain(32)}
+         |${row(8)}
+         |UNION ALL ${row(16)}
+         |UNION ALL ${row(32)}
+         |ORDER BY mask""".stripMargin
+    }),
+
     "m06_cdc_dedup" -> QueryDef(Multimodal.cdcDedup _,
       s"""$CdcChunksCtesDuck,
          |tot AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_chunks,
