@@ -82,4 +82,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(901L) == ((4L, 2, 0.693148)),
       s"uniform 2-nibble payload must score quantized ln 2: ${out(901L)}")
   }
+
+  test("m12 curve invariants: bytes conserved per mask; chunk count falls as the mask widens") {
+    val rows = graft.multimodal.Multimodal
+      .cdcMaskCurve(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rows.keySet == Set(8, 16, 32))
+    // every byte lands in exactly one chunk at ANY mask
+    assert(rows.values.map(_._2).toSet.size == 1,
+      s"sum_bytes must be mask-invariant: $rows")
+    // wider mask ⇒ fewer boundaries ⇒ strictly fewer chunks on real data
+    assert(rows(8)._1 > rows(16)._1 && rows(16)._1 > rows(32)._1,
+      s"chunk count must fall as the mask widens: $rows")
+  }
 }
