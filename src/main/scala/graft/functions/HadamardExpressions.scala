@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * stay exactly representable in doubles (≪ 2^53), so the butterfly's
   * result is bit-identical to the naive matrix product, and the DuckDB
   * oracle keeps the naive formulation — the spec pins the equivalence.
-  * Null elements are not supported (inputs are floor()-quantized,
-  * never null). */
+  * Null ELEMENTS are rejected at runtime with a diagnosable error:
+  * `toDoubleArray()` on UnsafeArrayData ignores the null bits, so
+  * without the check a null element would silently read as 0.0 and
+  * produce a wrong transform (the type can't carry the guarantee —
+  * Spark types most array columns containsNull = true even when no
+  * null ever occurs, so rejecting nullable element TYPES would break
+  * legitimate callers). */
 case class Fwht(child: Expression) extends UnaryExpression {
 
   override def nullIntolerant: Boolean = true
@@ -33,7 +38,9 @@ case class Fwht(child: Expression) extends UnaryExpression {
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData].toDoubleArray()
+    val in = input.asInstanceOf[ArrayData]
+    Fwht.checkNoNullElements(in)
+    val a = in.toDoubleArray()
     val n = a.length
     Fwht.checkPow2(n)
     var h = 1
@@ -64,6 +71,7 @@ case class Fwht(child: Expression) extends UnaryExpression {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
+         |graft.functions.Fwht.checkNoNullElements($in);
          |double[] $a = $in.toDoubleArray();
          |int $n = $a.length;
          |graft.functions.Fwht.checkPow2($n);
@@ -91,6 +99,22 @@ object Fwht {
     if ((n & (n - 1)) != 0)
       throw new IllegalArgumentException(
         s"fwht requires a power-of-two array length, got $n")
+
+  /** Shared by both eval paths (called from generated Java too):
+    * UnsafeArrayData.toDoubleArray ignores null bits, so a null element
+    * would otherwise silently read as 0.0 and corrupt the transform
+    * (and the interpreted GenericArrayData path would NPE unhelpfully).
+    * Fail with a diagnosable error instead. */
+  def checkNoNullElements(a: ArrayData): Unit = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"fwht does not support null array elements (null at index $i)")
+      i += 1
+    }
+  }
 }
 
 object HadamardExpressions {

@@ -82,8 +82,12 @@ object AsOfJoin {
     require(keys.nonEmpty, "as-of join needs at least one equi-key pair")
     require(lp.outputSet.intersect(rp.outputSet).isEmpty,
       "as-of join sides must not share attributes — alias the right side")
+    // conf-aware resolution (honors spark.sql.caseSensitive) — plain
+    // string equality would reject a differently-cased name that normal
+    // DataFrame resolution accepts
+    val resolve = GraftSqlBridge.resolver(left.sparkSession)
     def attr(p: LogicalPlan, name: String): Attribute =
-      p.output.filter(_.name == name) match {
+      p.output.filter(a => resolve(a.name, name)) match {
         case Seq(a) => a
         case Seq() => throw new IllegalArgumentException(
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}")
@@ -128,9 +132,16 @@ object AsOfJoinStrategy extends SparkStrategy {
   * filter runs last — at 100 TB that is a full-corpus shuffle for a
   * 1% slice. Left-only conjuncts push onto the LEFT child (each left
   * row appears exactly once in the LEFT OUTER output, so pre- vs
-  * post-filtering left rows is semantics-preserving — and once below
-  * the join, Catalyst's own rules carry the predicate all the way into
-  * the scan). Right-referencing conjuncts must stay above: the right
+  * post-filtering left rows is semantics-preserving). How far the
+  * predicate then travels depends on the wiring: sessions built with
+  * GraftExtensions run this rule inside the operator-optimization
+  * batch, so Catalyst's own rules carry it all the way into the scan
+  * (data-source pushdown); the `AsOfJoin.register` path runs it in
+  * experimental.extraOptimizations, AFTER the main pushdown batches,
+  * so there the filter lands just above the left child — still before
+  * the join's exchange+sort (the part that matters for shuffle volume)
+  * but not into the scan itself. Right-referencing conjuncts must stay
+  * above in either wiring: the right
   * side is the outer (nullable) side, and a predicate on it also
   * encodes "unmatched" semantics post-join. Deterministic conjuncts
   * only — the standard pushdown guard. */

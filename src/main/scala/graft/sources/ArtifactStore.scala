@@ -33,6 +33,14 @@ object ArtifactStore {
     * engine and either fail the oracle confusingly or mask the fix. */
   val FormatVersion = 1
 
+  /** Kind directories that no code path reads any more. The stale-key
+    * check alone can't catch a kind RENAME (e.g. pq_cand → pq_cand64):
+    * the old dir's registered digests still reproduce against the
+    * unchanged fixture, so gc would keep it forever — a slow disk leak.
+    * When retiring or renaming a kind, add the OLD name here; gc()
+    * deletes the whole kind dir. */
+  val RetiredKinds: Set[String] = Set()
+
   /** Observability for specs: how many artifacts were built vs served
     * from disk in this JVM. */
   val builds = new AtomicInteger(0)
@@ -110,14 +118,17 @@ object ArtifactStore {
     * conservative, never deletes what it can't prove stale. Also reaps
     * orphaned `.tmp-*` dirs from crashed builders — run gc only when no
     * builder is concurrently active. Returns the deleted paths. */
-  def gc(): Seq[String] = synchronized {
+  def gc(retired: Set[String] = RetiredKinds): Seq[String] = synchronized {
     loadRegistry()
     val deleted = scala.collection.mutable.Buffer.empty[String]
     val rootP = Paths.get(root)
     if (Files.isDirectory(rootP)) {
       val kinds = Files.list(rootP)
       try kinds.forEach { kindDir =>
-        if (Files.isDirectory(kindDir)) {
+        if (Files.isDirectory(kindDir) &&
+            retired.contains(kindDir.getFileName.toString)) {
+          rmrf(kindDir); deleted += kindDir.toString
+        } else if (Files.isDirectory(kindDir)) {
           val keys = Files.list(kindDir)
           try keys.forEach { keyDir =>
             val name = keyDir.getFileName.toString

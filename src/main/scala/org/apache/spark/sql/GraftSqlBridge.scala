@@ -15,11 +15,22 @@ object GraftSqlBridge {
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
 
-  def registerStrategy(s: SparkSession, strategy: execution.SparkStrategy): Unit = {
-    val cs = s.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(strategy))
-      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
-  }
+  /** Case-sensitivity-aware name resolver for the session (honors
+    * spark.sql.caseSensitive), for custom operators that resolve
+    * columns by name outside the analyzer. */
+  def resolver(s: SparkSession): (String, String) => Boolean =
+    s.asInstanceOf[classic.SparkSession].sessionState.analyzer.resolver
+
+  // check-then-append on the experimental mutable Seqs is not atomic;
+  // parallel suites sharing one session (every AsOfJoin.join calls
+  // register) would race and append duplicates — synchronize to make
+  // registration idempotent under concurrency
+  def registerStrategy(s: SparkSession, strategy: execution.SparkStrategy): Unit =
+    synchronized {
+      val cs = s.asInstanceOf[classic.SparkSession]
+      if (!cs.experimental.extraStrategies.contains(strategy))
+        cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+    }
 
   /** Spec hook: a freshly-built session's experimental strategies are
     * empty (extension-injected strategies live in the session state,
@@ -28,9 +39,10 @@ object GraftSqlBridge {
     s.asInstanceOf[classic.SparkSession].experimental.extraStrategies
 
   def registerOptimization(s: SparkSession,
-      rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
-    val cs = s.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraOptimizations.contains(rule))
-      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
-  }
+      rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit =
+    synchronized {
+      val cs = s.asInstanceOf[classic.SparkSession]
+      if (!cs.experimental.extraOptimizations.contains(rule))
+        cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ rule
+    }
 }

@@ -48,4 +48,26 @@ class FwhtSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("fwht") ||
       err.getMessage.toLowerCase.contains("array"), err.getMessage)
   }
+
+  test("fwht rejects null elements with a diagnosable error, not a silent 0.0") {
+    import spark.implicits._
+    HadamardExpressions.register(spark)
+    // Spark types this array containsNull=true; the null element must
+    // raise — toDoubleArray on UnsafeArrayData would otherwise read it
+    // as 0.0 and return a wrong transform
+    val err = intercept[Exception] {
+      Seq(Tuple1(Array[java.lang.Double](1.0, null, 3.0, 4.0))).toDF("v")
+        .select(HadamardExpressions.fwht(col("v"))).collect()
+    }
+    val root = {
+      var t: Throwable = err
+      while (t.getCause != null) t = t.getCause
+      t.getMessage
+    }
+    assert(root != null && root.contains("null array elements"), s"got: $root")
+    // a nullable-TYPED array with no actual nulls still works
+    val ok = Seq(Tuple1(Array[java.lang.Double](1.0, 2.0, 3.0, 4.0))).toDF("v")
+      .select(HadamardExpressions.fwht(col("v"))).head().getSeq[Double](0)
+    assert(ok == Seq(10.0, -2.0, -4.0, 0.0))
+  }
 }

@@ -132,6 +132,26 @@ class AsOfSpec extends AnyFunSuite {
     assert(got == Set(6L, 7L, 8L), s"rows after pushdown: $got")
   }
 
+  test("column resolution honors spark.sql.caseSensitive (conf-aware resolver)") {
+    import spark.implicits._
+    val left = Seq((1L, 1L, 10L)).toDF("lid", "K", "T")
+    val right = Seq((9L, 1L, 5L)).toDF("rid", "rk", "rt")
+    // default case-INsensitive: differently-cased caller names resolve,
+    // exactly as normal DataFrame resolution would
+    val out = AsOfJoin.join(left, right, Seq(("k", "RK")), "t", "RT",
+        strict = false)
+      .select("lid", "rid").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 9L)))
+    // case-SENSITIVE: the same lookup must now fail like the analyzer's
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        AsOfJoin.join(left, right, Seq(("k", "rk")), "t", "rt", strict = false)
+      }
+      assert(err.getMessage.contains("not found"), err.getMessage)
+    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+  }
+
   test("the strategy injects via GraftExtensions (no explicit register)") {
     // a dedicated session: extensions bind at session construction, and
     // getOrCreate would silently return the ACTIVE or DEFAULT session

@@ -64,4 +64,22 @@ class ArtifactGcSpec extends AnyFunSuite {
     assert(!Files.exists(dir2), "a deleted fixture's artifact is collected")
     Files.deleteIfExists(unknown.resolve("_SUCCESS")); Files.deleteIfExists(unknown)
   }
+
+  test("gc deletes retired kind dirs even when their digests still reproduce") {
+    import spark.implicits._
+    val fix = Files.createTempDirectory("gcretired").toString
+    val data = Paths.get(fix, "t.parquet")
+    Seq(1L).toDF("x").write.parquet(data.toString)
+    // a renamed-away kind: its digest still reproduces (fixture
+    // unchanged), so the stale-key check alone would keep it forever
+    val k = ArtifactStore.key(fix, "t.parquet")
+    ArtifactStore.loadOrBuild(spark, "gcoldkind", k)(Seq(7L).toDF("y")).collect()
+    val oldDir = Paths.get(ArtifactStore.root, "gcoldkind")
+    assert(Files.exists(oldDir.resolve(k).resolve("_SUCCESS")))
+    val kept = ArtifactStore.gc()
+    assert(Files.exists(oldDir), s"live kind must survive default gc: $kept")
+    val deleted = ArtifactStore.gc(retired = Set("gcoldkind"))
+    assert(!Files.exists(oldDir), "retired kind dir must be deleted whole")
+    assert(deleted.exists(_.endsWith("gcoldkind")), deleted.mkString(", "))
+  }
 }
