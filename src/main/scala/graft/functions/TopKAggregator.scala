@@ -37,9 +37,12 @@ case class ScoredTopK(k: Int)
   * exploded rows (the long-format join fan-out measured 76M
   * intermediate rows per round at sf0.1 — this deleted it). */
 case class RegMax(n: Int)
-    extends Aggregator[Seq[Int], Array[Int], Seq[Int]] {
+    extends Aggregator[Array[Int], Array[Int], Array[Int]] {
   override def zero: Array[Int] = new Array[Int](n)
-  override def reduce(b: Array[Int], a: Seq[Int]): Array[Int] = {
+  // Array[Int] end-to-end: the primitive-array encoder decodes an
+  // UnsafeArrayData in one copy, where the earlier Seq[Int] signature
+  // boxed every element of every edge message per round
+  override def reduce(b: Array[Int], a: Array[Int]): Array[Int] = {
     var i = 0
     while (i < n) { val v = a(i); if (v > b(i)) b(i) = v; i += 1 }
     b
@@ -49,7 +52,7 @@ case class RegMax(n: Int)
     while (i < n) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
     x
   }
-  override def finish(b: Array[Int]): Seq[Int] = b.toSeq
+  override def finish(b: Array[Int]): Array[Int] = b
   override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
-  override def outputEncoder: Encoder[Seq[Int]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Int]] = ExpressionEncoder()
 }
