@@ -99,11 +99,21 @@ object Bench {
       val totalLine =
         s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
       println(totalLine)
-      val numOf = (k: String) => k.drop(1).takeWhile(_.isDigit).toInt
+      // numOf is total: a name with no digits after the family char maps
+      // to None and is skipped from the positional record (it still
+      // appears in total and bench_detail.json) — '"".toInt' here used to
+      // abort the whole emission mid-stream. Collisions on (family,
+      // number) are resolved deterministically (sorted, last wins) so a
+      // naming drift degrades one slot, never the record.
+      val numOf = (k: String) => {
+        val d = k.drop(1).takeWhile(_.isDigit)
+        if (d.isEmpty) None else Some(d.toInt)
+      }
       cold.keys.toSeq.groupBy(_.take(1)).toSeq
         .sortBy { case (_, ks) => -ks.flatMap(best.get).sum }
         .foreach { case (fam, ks) =>
-          val byNum = ks.map(k => numOf(k) -> k).toMap
+          val byNum = ks.flatMap(k => numOf(k).map(_ -> k)).sorted.toMap
+          if (byNum.nonEmpty) {
           val body = (1 to byNum.keys.max).map { n =>
             byNum.get(n) match {
               case None => "null"                       // id gap
@@ -114,6 +124,7 @@ object Bench {
             }
           }.mkString("[", ",", "]")
           println(s"""{"f":"$fam","ds":$body}""")
+          }
         }
       println(totalLine)
     }

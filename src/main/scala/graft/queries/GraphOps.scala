@@ -703,7 +703,7 @@ object GraphOps {
     val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
     for (r <- 1 to 3) {
       regs = edges.join(regs, col("src") === col("node"))
-        .select(col("dst"), col("regs")).as[(Long, Seq[Int])]
+        .select(col("dst"), col("regs")).as[(Long, Array[Int])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.RegMax(64).toColumn.name("regs"))
         .toDF("node", "regs")
@@ -717,6 +717,104 @@ object GraphOps {
     * GraphOpsSpec's planted saturation case. */
   private[queries] def hyperballOn(edgesIn: DataFrame): DataFrame =
     hyperballCore(mkBfsEdges(edgesIn))
+
+  /** p10 — DELTA-ITERATED HyperBall with the effective-diameter readout:
+    * p09's register propagation under p08's frontier discipline. Max is
+    * monotone and idempotent, so a node whose registers did NOT change
+    * last round contributes exactly what its neighbors already absorbed —
+    * only the CHANGED set needs to send messages, and the per-round
+    * shuffle shrinks with the frontier (on a small-world graph the HLL
+    * fixpoint lands in a few rounds; p09 re-shuffles |V| register rows
+    * every round regardless). An empty frontier short-circuits the
+    * remaining rounds outright — the curve is provably flat from there.
+    *
+    * Readout: the N(r) curve plus npermille = (1000·N(r)) div N(r_max)
+    * and the at_eff_diameter flag on the FIRST radius reaching 90% —
+    * the standard effective-diameter definition, in exact integer
+    * arithmetic so the oracle can never drift on a float ulp.
+    *
+    * Scale: round r's message volume is |edges out of the frontier|,
+    * not |E|; the merge back into the register table is one keyed outer
+    * join. At 100 TB this is the whole difference between "4 full
+    * |E|-shuffles" and "|E| + three shrinking fringes". */
+  def hyperballDelta(s: SparkSession, d: String): DataFrame = {
+    bfsEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    hyperballDeltaCore(bfsEdgeCache.getOrElseUpdate((s, d),
+      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))
+  }
+
+  /** Factored for GraphOpsSpec: `onRound` observes (round, frontierSize)
+    * — the count is computed anyway to drive early termination, so the
+    * instrumentation is free. */
+  private[queries] def hyperballDeltaCore(edgesW: DataFrame,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame = {
+    val s = edgesW.sparkSession
+    import s.implicits._
+    // REAL edges only: p09 rides w=0 self-loops to carry a node's own
+    // registers through the round; here the carry is the explicit outer
+    // join below, so an unchanged node costs zero message rows
+    val edges = edgesW.filter(col("w") === 1).select("src", "dst")
+    var regs = edgesW.filter(col("w") === 0).select(col("src").as("node"))
+      .withColumn("hv", SketchOps.h60(col("node"), "hll"))
+      .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
+      .withColumn("v", expr("hv div 64"))
+      .withColumn("reg",
+        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v"))))
+          .cast("int"))
+      .select(col("node"),
+        expr("transform(sequence(0, 63), i -> IF(i = idx, reg, 0))").as("regs"))
+      .localCheckpoint()
+    var delta = regs // round 0: every node is freshly initialized
+    val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
+    var r = 1
+    var live = true
+    while (r <= 3 && live) {
+      val inc = edges.join(delta, col("src") === col("node"))
+        .select(col("dst"), col("regs")).as[(Long, Array[Int])]
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(graft.functions.RegMax(64).toColumn.name("inc"))
+        .toDF("node", "inc")
+      val merged = regs.join(inc, Seq("node"), "left")
+        .select(col("node"),
+          when(col("inc").isNull, col("regs"))
+            .otherwise(expr("zip_with(regs, inc, (a, b) -> greatest(a, b))"))
+            .as("mregs"),
+          when(col("inc").isNull, lit(false))
+            .otherwise(expr("exists(zip_with(inc, regs, (b, a) -> b > a), x -> x)"))
+            .as("chg"))
+        .withColumnRenamed("mregs", "regs")
+        .localCheckpoint() // feeds this round's estimate, next delta AND next merge
+      regs = merged.select("node", "regs")
+      delta = merged.filter(col("chg")).select("node", "regs")
+      val frontier = delta.count() // cheap: counts the checkpointed blocks
+      onRound(r, frontier)
+      sums += ballSum(regs, r)
+      if (frontier == 0) {
+        // fixpoint: N is flat from here — emit the remaining radii
+        // without touching the edge frame at all
+        for (r2 <- r + 1 to 3) { onRound(r2, 0L); sums += ballSum(regs, r2) }
+        live = false
+      }
+      r += 1
+    }
+    val curve = sums.reduce(_ unionByName _)
+    val wAll = Window.partitionBy() // 4-row frame: single partition is the point
+    val wOrd = Window.orderBy("radius")
+    curve
+      .withColumn("mx", max("sum_ball_est").over(wAll))
+      .withColumn("npermille", expr("(sum_ball_est * 1000) div mx"))
+      .withColumn("at_eff_diameter",
+        col("npermille") >= 900 &&
+          coalesce(lag("npermille", 1).over(wOrd), lit(0L)) < 900)
+      .select("radius", "n_nodes", "sum_ball_est", "npermille", "at_eff_diameter")
+      .orderBy("radius")
+  }
+
+  /** Core on an explicit undirected edge frame — for the spec's planted
+    * frontier-shrinkage case. */
+  private[queries] def hyperballDeltaOn(edgesIn: DataFrame,
+      onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame =
+    hyperballDeltaCore(mkBfsEdges(edgesIn), onRound)
 
   /** Per-node k10 estimator over a dense (node, regs[64]) frame — the
     * array is already densified, so the harmonic sum and occupancy are
@@ -737,7 +835,9 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), sum("est").as("sum_ball_est"))
       .select(lit(radius).as("radius"), col("n_nodes"), col("sum_ball_est"))
 
-  private val HyperballDuck: String = {
+  /** Shared CTE chain for p09/p10: edge build, register init, three
+    * max-propagation rounds, and the per-radius estimate curve. */
+  private val HyperballCtes: String = {
     def estCte(rn: String): String =
       s"""(SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |  CAST(SUM(est) AS BIGINT) AS sum_ball_est FROM (
@@ -755,7 +855,7 @@ object GraphOps {
          |          CROSS JOIN (SELECT CAST(unnest(generate_series(0, 63)) AS INT) AS idx) i) a
          |    LEFT JOIN $rn r ON r.node = a.node AND r.idx = a.idx
          |    GROUP BY a.node) s ON s.node = f.node))""".stripMargin
-    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+    s"""e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |ed0 AS (SELECT cn AS src, sn AS dst FROM e0 UNION ALL SELECT sn, cn FROM e0),
        |nodes AS (SELECT DISTINCT src AS node FROM ed0),
@@ -769,16 +869,37 @@ object GraphOps {
        |r2 AS (SELECT ed.dst AS node, r.idx, MAX(r.reg) AS reg
        |       FROM r1 r JOIN ed ON ed.src = r.node GROUP BY 1, 2),
        |r3 AS (SELECT ed.dst AS node, r.idx, MAX(r.reg) AS reg
-       |       FROM r2 r JOIN ed ON ed.src = r.node GROUP BY 1, 2)
-       |SELECT 0 AS radius, * FROM ${estCte("r0")}
-       |UNION ALL SELECT 1, * FROM ${estCte("r1")}
-       |UNION ALL SELECT 2, * FROM ${estCte("r2")}
-       |UNION ALL SELECT 3, * FROM ${estCte("r3")}
-       |ORDER BY radius""".stripMargin
+       |       FROM r2 r JOIN ed ON ed.src = r.node GROUP BY 1, 2),
+       |curve AS (
+       |  SELECT 0 AS radius, * FROM ${estCte("r0")}
+       |  UNION ALL SELECT 1, * FROM ${estCte("r1")}
+       |  UNION ALL SELECT 2, * FROM ${estCte("r2")}
+       |  UNION ALL SELECT 3, * FROM ${estCte("r3")})""".stripMargin
   }
+
+  private val HyperballDuck: String =
+    s"""WITH $HyperballCtes
+       |SELECT radius, n_nodes, sum_ball_est FROM curve ORDER BY radius""".stripMargin
+
+  /** p10 oracle: p09's curve CTE + the integer-permille 90% readout —
+    * the delta execution must land on the identical curve. */
+  private val EffDiamDuck: String =
+    s"""WITH $HyperballCtes,
+       |scored AS (SELECT radius, n_nodes, sum_ball_est,
+       |    CAST((sum_ball_est * 1000) // (SELECT MAX(sum_ball_est) FROM curve) AS BIGINT)
+       |      AS npermille
+       |  FROM curve)
+       |SELECT radius, n_nodes, sum_ball_est, npermille,
+       |  (npermille >= 900 AND
+       |   COALESCE(LAG(npermille) OVER (ORDER BY radius), 0) < 900) AS at_eff_diameter
+       |FROM scored ORDER BY radius""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "p09_hyperball" -> QueryDef(hyperball _, HyperballDuck),
+    // delta-iterated: frontier-only messages, early fixpoint exit; the
+    // oracle re-derives the identical curve with FULL rounds — equality
+    // IS the delta-correctness proof
+    "p10_effective_diameter" -> QueryDef(hyperballDelta _, EffDiamDuck),
     "p06_common_neighbors" -> QueryDef(commonNeighbors _, CommonNeighborsDuck),
     "p07_personalized_pagerank" -> QueryDef(personalizedPagerank _, PprDuck),
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),

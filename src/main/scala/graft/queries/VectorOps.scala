@@ -501,11 +501,19 @@ object VectorOps {
     * day's arrivals) against the broadcast centroids; the base branch
     * stays the artifact read. Compaction (fold the delta into the
     * artifact) is q59's scheduling decision. */
+  /** The v35/v36 index-build cutoff: ids above 90% of max are "arrived
+    * since the last build". ONE definition — the insert overlay (v35)
+    * and the compaction trigger that accounts for it (v36) must agree
+    * on the slice or the trigger grades a different overlay than the
+    * one being served. */
+  private def insertCut(e: DataFrame): DataFrame =
+    broadcast(e.agg((max(col("vec_id")) * 9 / 10).cast("long").as("cut")))
+
   def ivfTopKWithInserts(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val aff = centroidAffinity(s, d)
-    val cut = broadcast(e.agg((max(col("vec_id")) * 9 / 10).cast("long").as("cut")))
+    val cut = insertCut(e)
     // base: the deployed artifact, minus the not-yet-indexed slice —
     // the 1-row cut frame cross-joins straight onto the artifact rows
     // (an equi-join back through the embedding table would shuffle two
@@ -526,6 +534,65 @@ object VectorOps {
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     ivfSearchOn(e, aff, baseCells.unionByName(deltaCells))
+  }
+
+  /** Read-amplification threshold for v36, in permille: a cell whose
+    * overlay (tombstones + unindexed arrivals) exceeds 20% of its
+    * indexed base rows rebuilds — q59's MoR knob
+    * (`AmpThresholdPermille`) transplanted to the ANN index, sized so
+    * the decision actually splits on this corpus (every cell carries
+    * ~143‰ of mod-7 tombstones; the insert skew decides the rest). */
+  val CellAmpThresholdPermille = 200L
+
+  /** v36 — the ANN index compaction TRIGGER, closing v34/v35's loop the
+    * way q59 closes q57's: v34 serves deletes as tombstone overlays and
+    * v35 serves arrivals as live-assigned delta cells — both
+    * result-invisible but both paid at READ time (an anti-join probe, a
+    * second scan branch). This grades the rebuild/don't-rebuild decision
+    * PER CELL from the overlays' own accounting: indexed base rows per
+    * cell (the deployed routing artifact at or below v35's build
+    * cutoff), tombstoned rows among them (v34's mod-7 rule), and
+    * arrivals routed to the cell by v35's live-assignment rule — reduced
+    * to amp_permille = (tomb+ins)·1000 div base against the documented
+    * 200‰ threshold. Exact integer arithmetic; the decision bit cannot
+    * float-drift. Cells absent from the artifact have nothing to
+    * compact — their arrivals wait for the next full build (LEFT join).
+    *
+    * Scale: both accountings are keyed partial aggregates over frames
+    * the serving path already maintains (the routing artifact, the
+    * delta-assignment branch); at 100 TB the trigger reads |cells| rows
+    * of metadata, never the vectors — FAISS/Milvus segment-compaction
+    * policies are exactly this decision on exactly this accounting. */
+  def ivfCompactionTrigger(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
+    val cut = insertCut(e)
+    val art = aff.filter(col("crn") === 1).crossJoin(cut)
+      .filter(col("vec_id") <= col("cut"))
+      .groupBy(col("cid").as("cell"))
+      .agg(count(lit(1)).as("base_rows"),
+        sum(when(pmod(col("vec_id"), lit(7)) === 0, 1L).otherwise(0L))
+          .as("tomb_rows"))
+    // arrivals routed by v35's delta branch — same centroids, same rule
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val ins = e.crossJoin(cut).filter(col("vec_id") > col("cut"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .groupBy(col("cid").as("cell")).agg(count(lit(1)).as("ins_rows"))
+    art.join(ins, Seq("cell"), "left")
+      .na.fill(0L, Seq("ins_rows"))
+      .withColumn("amp_permille",
+        expr("(tomb_rows + ins_rows) * 1000 div base_rows"))
+      .withColumn("compact",
+        (col("amp_permille") >= CellAmpThresholdPermille).cast("int"))
+      .select("cell", "base_rows", "tomb_rows", "ins_rows",
+        "amp_permille", "compact")
+      .orderBy("cell")
   }
 
   /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:
@@ -1922,6 +1989,33 @@ object VectorOps {
         |r AS (SELECT q_id, hit_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p)
         |SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+
+    // the rebuild/don't-rebuild decision per cell from v34/v35's own
+    // overlay accounting — oracle re-derives cells, cut, tombstones,
+    // and arrivals from the rules, all integer arithmetic
+    "v36_ivf_compaction_trigger" -> QueryDef(ivfCompactionTrigger _,
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |aff AS (SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(list_dot_product(e.v, c.cv) /
+         |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+         |        c.cid ASC) AS crn
+         |  FROM e, c),
+         |cut AS (SELECT (MAX(vec_id) * 9) // 10 AS cut FROM e),
+         |art AS (SELECT cid AS cell, COUNT(*) AS base_rows,
+         |    CAST(SUM(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tomb_rows
+         |  FROM aff, cut WHERE crn = 1 AND vec_id <= cut GROUP BY cid),
+         |ins AS (SELECT cid AS cell, COUNT(*) AS ins_rows
+         |  FROM aff, cut WHERE crn = 1 AND vec_id > cut GROUP BY cid)
+         |SELECT a.cell, a.base_rows, a.tomb_rows,
+         |  COALESCE(i.ins_rows, 0) AS ins_rows,
+         |  CAST(((a.tomb_rows + COALESCE(i.ins_rows, 0)) * 1000) // a.base_rows AS BIGINT)
+         |    AS amp_permille,
+         |  CAST(CASE WHEN ((a.tomb_rows + COALESCE(i.ins_rows, 0)) * 1000) // a.base_rows
+         |         >= $CellAmpThresholdPermille THEN 1 ELSE 0 END AS INT) AS compact
+         |FROM art a LEFT JOIN ins i ON i.cell = a.cell
+         |ORDER BY a.cell""".stripMargin),
 
     "v11_kmeans_round" -> QueryDef(kmeansRound _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

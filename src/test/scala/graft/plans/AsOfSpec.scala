@@ -133,7 +133,13 @@ class AsOfSpec extends AnyFunSuite {
   }
 
   test("column resolution honors spark.sql.caseSensitive (conf-aware resolver)") {
-    import spark.implicits._
+    // an ISOLATED child session: the resolver reads the conf of the
+    // session owning the left frame, and suites run in parallel — a
+    // caseSensitive toggle on the shared TestSpark session could be
+    // observed by another suite resolving columns during the window.
+    // newSession() shares the SparkContext but owns its SQLConf.
+    val s2 = spark.newSession()
+    import s2.implicits._
     val left = Seq((1L, 1L, 10L)).toDF("lid", "K", "T")
     val right = Seq((9L, 1L, 5L)).toDF("rid", "rk", "rt")
     // default case-INsensitive: differently-cased caller names resolve,
@@ -142,14 +148,19 @@ class AsOfSpec extends AnyFunSuite {
         strict = false)
       .select("lid", "rid").collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 9L)))
-    // case-SENSITIVE: the same lookup must now fail like the analyzer's
-    spark.conf.set("spark.sql.caseSensitive", "true")
+    // case-SENSITIVE: the same lookup must now fail like the analyzer's.
+    // The resolver reads the thread-local SQLConf.get, so s2 must be the
+    // ACTIVE session on THIS thread — setActiveSession is thread-local,
+    // so concurrent suites (their threads resolve via the default
+    // session) never observe the toggle.
+    s2.conf.set("spark.sql.caseSensitive", "true")
+    SparkSession.setActiveSession(s2)
     try {
       val err = intercept[IllegalArgumentException] {
         AsOfJoin.join(left, right, Seq(("k", "rk")), "t", "rt", strict = false)
       }
       assert(err.getMessage.contains("not found"), err.getMessage)
-    } finally spark.conf.set("spark.sql.caseSensitive", "false")
+    } finally SparkSession.setActiveSession(spark)
   }
 
   test("the strategy injects via GraftExtensions (no explicit register)") {

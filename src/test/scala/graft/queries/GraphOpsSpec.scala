@@ -106,6 +106,34 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(n(2) == n(3), s"saturated graph: N(3) must equal N(2): $n")
   }
 
+  test("p10: delta iteration lands on p09's exact curve with a shrinking frontier") {
+    // same saturating fixture: registers hit their fixpoint by r=2, so
+    // the round-2 frontier must be EMPTY and round 3 must be skipped —
+    // yet the emitted curve must equal full (p09) propagation EXACTLY
+    val und = undirected((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (90L, 91L))
+    val full = GraphOps.hyperballOn(und).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val fronts = scala.collection.mutable.Map.empty[Int, Long]
+    val out = GraphOps.hyperballDeltaOn(und, (r, f) => fronts(r) = f).collect()
+    val curve = out.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(curve == full, s"delta must equal full propagation:\n$curve\n$full")
+    // frontier discipline: round 1 moves nodes, round 2 saturates (the
+    // triangle+tail has diameter 2, the island diameter 1), round 3 is
+    // the short-circuit fill
+    assert(fronts(1) > 0, s"round-1 frontier must be non-empty: $fronts")
+    assert(fronts(2) == 0 || fronts(2) < fronts(1),
+      s"frontier must shrink: $fronts")
+    assert(fronts.contains(3) && fronts(3) == 0, s"round 3 must be skipped: $fronts")
+    // the readout columns: npermille is monotone to 1000; exactly one
+    // at_eff_diameter row, at the first radius reaching 90%
+    val permille = out.sortBy(_.getInt(0)).map(_.getLong(3))
+    assert(permille.last == 1000L, s"last radius is the max: ${permille.toSeq}")
+    assert(permille.sameElements(permille.sorted), s"monotone: ${permille.toSeq}")
+    val eff = out.filter(_.getBoolean(4)).map(_.getInt(0)).toSeq
+    val expected = out.sortBy(_.getInt(0)).find(_.getLong(3) >= 900).map(_.getInt(0)).toSeq
+    assert(eff == expected, s"eff-diameter flag must mark the first ≥90% radius: $eff vs $expected")
+  }
+
   test("p06: path graph predicts both skip-links; square scores double wedges; edges excluded") {
     import spark.implicits._
     // path 1-2-3-4: candidates (1,3) and (2,4), one wedge each, jac 500

@@ -1,0 +1,37 @@
+#!/usr/bin/env bash
+# Round-end gate: compile -> test -> Verify -> Bench. Refuse the snapshot
+# commit on any red. Born from the round-10 postmortem: the final commit
+# landed an uncompiled source edit (GraphOps.scala:706 vs the new RegMax
+# signature) and zeroed the round's correctness/bench artifacts. Run this
+# BEFORE every end-of-round commit; it exits non-zero on the first red.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_VERIFY="${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.001}"
+SF_BENCH="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
+OUT="${GATE_OUT:-/tmp/graft_gate}"
+mkdir -p "$OUT"
+
+echo "== gate: sbt compile+test =="
+sbt -batch "set Test/testOptions += Tests.Argument(\"-oI\")" test \
+  > "$OUT/test.log" 2>&1 || { tail -40 "$OUT/test.log"; echo "GATE RED: tests"; exit 1; }
+tail -4 "$OUT/test.log"
+
+echo "== gate: Verify (sf=$SF_VERIFY) =="
+rm -rf "$OUT/verify"
+sbt -batch "runMain graft.Verify $SF_VERIFY $OUT/verify" \
+  > "$OUT/verify.log" 2>&1 || { tail -40 "$OUT/verify.log"; echo "GATE RED: verify"; exit 1; }
+n_results=$(find "$OUT/verify" -mindepth 1 -maxdepth 1 -type d | wc -l)
+n_fail=$(grep -c '\[verify\].*failed' "$OUT/verify.log" || true)
+echo "verify wrote $n_results result dirs, $n_fail failures"
+[ "$n_results" -gt 0 ] || { echo "GATE RED: verify wrote nothing"; exit 1; }
+[ "$n_fail" = "0" ] || { grep '\[verify\].*failed' "$OUT/verify.log"; echo "GATE RED: verify failures"; exit 1; }
+
+echo "== gate: Bench (sf=$SF_BENCH) =="
+SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
+  > "$OUT/bench.log" 2>&1 || { tail -40 "$OUT/bench.log"; echo "GATE RED: bench"; exit 1; }
+grep '"metric":"total"' "$OUT/bench.log" | tail -1
+n_failed=$(grep '"metric":"total"' "$OUT/bench.log" | tail -1 | sed 's/.*"n_failed":\([0-9]*\).*/\1/')
+[ "${n_failed:-1}" = "0" ] || { echo "GATE RED: bench n_failed=$n_failed"; exit 1; }
+
+echo "GATE GREEN"
