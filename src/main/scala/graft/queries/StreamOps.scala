@@ -1092,6 +1092,88 @@ object StreamOps {
     }
   }
 
+  /** s26 — streaming CDC INGESTION: q54's change feed applied to q55's
+    * merge-on-read log one micro-batch at a time, with g15's ledger
+    * (per-batch marker files) guarding replay. The change feed (deletes
+    * for keys ≡ 0 mod 101, repriced updates for surviving keys ≡ 0 mod
+    * 97, negative-key inserts for keys ≡ 0 mod 103 — q54's derivation
+    * verbatim, so the three operators cross-check) lands as multiple
+    * source files; each micro-batch commits O(|batch|) tombstone and
+    * append files — an update is tombstone(k) + append(new row), the
+    * standard MoR upsert — and NEVER touches the base. The graded
+    * output is q55's read-side census (version, rows, exact-decimal
+    * price sum, key range) for the base and the fully-ingested
+    * snapshot; the oracle restates both snapshots over raw parquet, so
+    * the log-structured CDC path must be result-invisible.
+    *
+    * Batch-order freedom is the correctness core: tombstone and append
+    * sets are unions and the read formula (base ∖ tombs ∪ appends)
+    * applies them wholesale, so ANY partition of the feed into
+    * micro-batches — and any replay ORDER — reconstructs the identical
+    * snapshot; the marker ledger reduces redelivery to a no-op
+    * (CdcIngestSpec replays a committed batch and asserts refusal).
+    * At 100 TB this is the lakehouse CDC ingest loop: commit cost
+    * O(|delta|), replay-safe under driver restart, compaction deferred
+    * to q57/q59's schedule. */
+  def streamCdcIngest(s: SparkSession, d: String): DataFrame = {
+    cdcIngestCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cdcIngestCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_cdc")
+      try {
+        val cur = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), Tables.dec(col("o_totalprice")).as("p"))
+        val baseDir = root.resolve("base")
+        cur.write.parquet(baseDir.toString)
+        // q54's rules as an op-typed change feed
+        val feed = cur.filter(pmod(col("k"), lit(101)) === 0)
+            .select(lit("D").as("op"), col("k"), lit(null).cast(Tables.Dec).as("p"))
+          .unionByName(cur
+            .filter(pmod(col("k"), lit(97)) === 0 && pmod(col("k"), lit(101)) =!= 0)
+            .select(lit("U").as("op"), col("k"),
+              (col("p") + Tables.dec(lit(10.00))).cast(Tables.Dec).as("p")))
+          .unionByName(cur.filter(pmod(col("k"), lit(103)) === 0)
+            .select(lit("I").as("op"), (-col("k")).as("k"), col("p")))
+        val srcDir = root.resolve("src").toString
+        feed.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 micro-batches
+        val nBatches = EventStream.runForeachBatch(s, srcDir, feed.schema,
+          (batch, id) => applyCdcBatch(s, root, batch, id))
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        val base = s.read.parquet(baseDir.toString)
+        val ingested = base
+          .join(s.read.parquet(root.resolve("tombstones").toString), Seq("k"), "left_anti")
+          .unionByName(s.read.parquet(root.resolve("appends").toString))
+        def census(v: Int, df: DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+              Tables.asDbl(sum(col("p"))).as("sum_price"),
+              min(col("k")).as("min_key"), max(col("k")).as("max_key"))
+            .select(lit(v).as("version"), col("n_rows"), col("sum_price"),
+              col("min_key"), col("max_key"))
+        census(1, base).unionByName(census(2, ingested))
+          .orderBy("version")
+          .localCheckpoint() // materialize before the scratch dir dies
+      } finally rmrf(root)
+    })
+  }
+
+  private val cdcIngestCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** One exactly-once CDC commit: skip if this batch's marker exists
+    * (the g15 refusal), else land the batch's tombstones (D + U old
+    * keys) and appends (U new rows + I rows) as O(|batch|) files.
+    * Package-visible so CdcIngestSpec can replay a committed batch. */
+  private[queries] def applyCdcBatch(s: SparkSession, root: java.nio.file.Path,
+      batch: DataFrame, id: Long): Unit = {
+    val marker = root.resolve(s"_cdc_batch_$id")
+    if (!java.nio.file.Files.exists(marker)) {
+      batch.filter(col("op").isin("D", "U")).select("k")
+        .write.mode("append").parquet(root.resolve("tombstones").toString)
+      batch.filter(col("op").isin("U", "I")).select(col("k"), col("p"))
+        .write.mode("append").parquet(root.resolve("appends").toString)
+      java.nio.file.Files.createFile(marker); ()
+    }
+  }
+
   /** Restart-from-checkpoint sessionization: the s01 plan killed
     * mid-stream and recovered. The fixture is split in event time at its
     * midpoint; phase 1 streams the first half with a durable checkpoint
@@ -1386,6 +1468,22 @@ object StreamOps {
     // the oracle IS k10's: the doubled at-least-once stream must land on
     // the exactly-once batch sketch bit for bit (max idempotence — the
     // s19 rule extended to approximate fixed-size state)
+    // streaming CDC ingest: q54's change feed → q55's MoR log under
+    // foreachBatch + the g15 marker ledger; the oracle restates base
+    // and fully-ingested snapshots over raw parquet (q55's read side)
+    "s26_stream_cdc_ingest" -> QueryDef(streamCdcIngest _,
+      """WITH cur AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+        |nxt AS (
+        |  SELECT k, CASE WHEN k % 97 = 0
+        |      THEN p + CAST(10.00 AS DECIMAL(18,2)) ELSE p END AS p
+        |  FROM cur WHERE k % 101 != 0
+        |  UNION ALL SELECT -k, p FROM cur WHERE k % 103 = 0)
+        |SELECT 1 AS version, COUNT(*) AS n_rows, CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |  MIN(k) AS min_key, MAX(k) AS max_key FROM cur
+        |UNION ALL SELECT 2, COUNT(*), CAST(SUM(p) AS DOUBLE), MIN(k), MAX(k) FROM nxt
+        |ORDER BY version""".stripMargin),
+
     "s24_stream_hll_distinct" -> QueryDef(streamHllDistinct _,
       SketchOps.HllRegistersDuck),
 

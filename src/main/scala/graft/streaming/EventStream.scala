@@ -153,8 +153,15 @@ object EventStream {
     * callers can ASSERT the multi-batch claim instead of trusting it. */
   def runForeachBatch(spark: SparkSession, sourceDir: String,
       sink: (DataFrame, Long) => Unit): Long =
+    runForeachBatch(spark, sourceDir, schema, sink)
+
+  /** Schema-generic twin: drives a non-events source (s26's CDC change
+    * feed) through the same one-file-per-micro-batch foreachBatch loop. */
+  def runForeachBatch(spark: SparkSession, sourceDir: String,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      sink: (DataFrame, Long) => Unit): Long =
     withStatePartitions(spark) {
-      val src = spark.readStream.schema(schema).format("parquet")
+      val src = spark.readStream.schema(srcSchema).format("parquet")
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
       val q = src.writeStream.foreachBatch(sink).start()
       try { q.processAllAvailable() } finally q.stop()
