@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfPushDown)
+    // rung (d): ASOF [LEFT] JOIN in SQL text — delegating parser rewrite
+    // + marker table function + lowering rule (graft.plans.AsOfSql)
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectTableFunction(graft.plans.AsOfSql.markerFunction)
+    ext.injectResolutionRule(_ => graft.plans.AsOfSqlRule)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import graft.functions.BloomExpressions

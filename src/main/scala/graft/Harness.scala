@@ -10,6 +10,9 @@ object Harness {
   def withSession[T](cpus: String, logLevel: String = "WARN")(body: SparkSession => T): T = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the engine's extensions: custom SQL functions, the as-of planner
+      // strategy, and the ASOF JOIN SQL syntax (q61 parses through it)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // events fixture carries TIMESTAMP(NANOS) parquet timestamps; read

@@ -65,6 +65,33 @@ object Relational2 {
       .orderBy("event_id")
   }
 
+  /** q61 — q60's semantics driven from SQL TEXT: the ASOF LEFT JOIN
+    * syntax (rung (d) of the §2.7 ladder — graft.plans.AsOfSql's
+    * delegating parser + marker table function + lowering rule) parses
+    * in a GraftExtensions session and lowers to the SAME native plan
+    * node q60 builds through the DataFrame API, so the two entrances
+    * are graded against the identical oracle (DuckDB's own native ASOF
+    * LEFT JOIN — three independent as-of implementations must agree
+    * row for row). Requires a session built with GraftExtensions
+    * (Harness sessions are). */
+  def asofJoinSql(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    ev.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .createOrReplaceTempView("graft_q61_views")
+    ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max(col("event_id")).as("p_id"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("p_id"))
+      .createOrReplaceTempView("graft_q61_purchases")
+    s.sql(
+      """SELECT v.event_id, v.user_id,
+        |  coalesce(p.p_id, -1L) AS last_purchase
+        |FROM graft_q61_views v
+        |ASOF LEFT JOIN graft_q61_purchases p
+        |  ON v.user_id = p.p_user AND v.ts > p.p_ts
+        |ORDER BY v.event_id""".stripMargin)
+  }
+
   /** Range join: lineitems shipped within 60 days of their order date —
     * equi key plus range predicate; the equi key carries the join, the
     * range is a post-filter (no interval blow-up). */
@@ -827,6 +854,19 @@ object Relational2 {
     "q59_compaction_trigger" -> QueryDef(
       graft.operators.MergeOnRead.compactionTrigger _,
       graft.operators.MergeOnRead.triggerOracle),
+    // the SQL-syntax entrance to the same native operator shares q60's
+    // oracle verbatim — parse path and builder path must agree
+    "q61_asof_sql" -> QueryDef(asofJoinSql _,
+      """WITH v AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts,
+        |    CAST(MAX(event_id) AS BIGINT) AS p_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT v.event_id, v.user_id,
+        |  CAST(COALESCE(p.p_id, -1) AS BIGINT) AS last_purchase
+        |FROM v ASOF LEFT JOIN p
+        |  ON v.user_id = p.p_user AND v.ts > p.p_ts
+        |ORDER BY v.event_id""".stripMargin),
     // two native as-of implementations, one per engine, must agree
     "q60_asof_native" -> QueryDef(asofJoinNative _,
       """WITH v AS (SELECT event_id, user_id, ts FROM events

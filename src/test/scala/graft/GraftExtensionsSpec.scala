@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Extensions wiring: a session built with GraftExtensions can call the
@@ -96,6 +97,66 @@ class GraftExtensionsSpec extends AnyFunSuite {
       intercept[Exception] {
         spark.sql("SELECT marker_counts('x', 7)").collect()
       }
+    } finally spark.stop()
+  }
+
+  test("ASOF JOIN SQL syntax lowers to the native as-of operator (q60's semantics)") {
+    SparkSession.getActiveSession.foreach(_.stop())
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import spark.implicits._
+      val left = Seq((1L, 1L, 10L), (2L, 1L, 5L), (3L, 2L, 7L))
+        .toDF("lid", "k", "t")
+      val right = Seq((100L, 1L, 5L), (101L, 1L, 8L), (102L, 3L, 1L))
+        .toDF("rid", "rk", "rt")
+      left.createOrReplaceTempView("asof_l")
+      right.createOrReplaceTempView("asof_r")
+      def run(sql: String) = spark.sql(sql)
+      // inclusive LEFT form: each left row takes the latest right row at
+      // or before its time; unmatched left rows survive with nulls
+      val incl = run(
+        """SELECT l.lid, r.rid FROM asof_l l
+          |ASOF LEFT JOIN asof_r r ON l.k = r.rk AND l.t >= r.rt
+          |ORDER BY l.lid""".stripMargin)
+      // the SQL path must produce the NATIVE plan, not a window rewrite
+      assert(incl.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        incl.queryExecution.executedPlan.toString)
+      val got = incl.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got == Seq((1L, 101L), (2L, 100L), (3L, -1L)), got.toString)
+      // strict form (q60's spelling): > excludes the equal timestamp
+      val strict = run(
+        """SELECT l.lid, r.rid FROM asof_l l
+          |ASOF LEFT JOIN asof_r r ON l.k = r.rk AND l.t > r.rt
+          |ORDER BY l.lid""".stripMargin)
+        .collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(strict == Seq((1L, 101L), (2L, -1L), (3L, -1L)), strict.toString)
+      // inner form drops unmatched left rows
+      val inner = run(
+        """SELECT l.lid, r.rid FROM asof_l l
+          |ASOF JOIN asof_r r ON l.k = r.rk AND l.t >= r.rt
+          |ORDER BY l.lid""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(inner == Seq((1L, 101L), (2L, 100L)), inner.toString)
+      // SQL text and the DataFrame builder must agree row for row —
+      // the two entrances to rung (c) share one operator
+      val api = graft.plans.AsOfJoin.join(left, right,
+          Seq(("k", "rk")), "t", "rt", strict = true)
+        .select(col("lid"), coalesce(col("rid"), lit(-1L)).as("rid"))
+        .orderBy("lid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(api == strict, s"SQL vs API drift: $api vs $strict")
+      // a malformed ON clause fails with the operator's own message
+      val err = intercept[Exception] {
+        run("""SELECT l.lid FROM asof_l l
+              |ASOF LEFT JOIN asof_r r ON l.k = r.rk""".stripMargin).collect()
+      }
+      assert(err.getMessage.contains("time inequality"), err.getMessage)
     } finally spark.stop()
   }
 }
