@@ -595,6 +595,69 @@ object VectorOps {
       .orderBy("cell")
   }
 
+  /** v37 — the IVF PROBE-COUNT recall curve, the tuning knob v08 fixes
+    * at 2 made MEASURED (the v28/v32/k11/m12 curve discipline): for
+    * nProbes ∈ 1..4, the exact-top-5 recall and the candidate volume of
+    * probing the query's nProbes nearest cells. This is THE operating
+    * curve an ANN deployment reads before setting its probe count —
+    * recall climbs with probes while scanned fraction grows linearly
+    * (p/16ths of the corpus), and the knee is where serving should sit.
+    *
+    * One plan, not four: the crn≤4 candidate set computes ONCE (a
+    * vector's probe rank pr is the crn of its cell in the query's
+    * probe list — unique, since a vector lives in one cell), then a
+    * 4-row broadcast range-join expands each candidate to every
+    * p ≥ pr and ONE window ranks per (query, p). Ground truth is the
+    * v01 brute-force top-5, a broadcast map-only pass. recall_permille
+    * = hits·1000 div (5·queries) — exact integer; ranking on the
+    * shared rounded-cosine grid.
+    *
+    * Scale: candidates meet in cells (never all-pairs); the expansion
+    * multiplies the CANDIDATE set (≤4×), not the corpus; the exact pass
+    * is |queries|·|corpus| map-only with a broadcast query side — the
+    * calibration cost every recall audit pays by definition. */
+  def ivfProbeRecallCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("hit_id"))
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 4)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"), col("crn").as("pr"))
+    val cand = e.join(cells, "vec_id")
+      .join(broadcast(probes.join(q, "q_id")),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("q_id"), col("pr"), col("vec_id").as("hit_id"), col("cos"))
+      .localCheckpoint() // feeds the expansion AND its own stats twice
+    val byP = cand.join(
+      broadcast(s.range(1, 5).select(col("id").cast("int").as("n_probes"))),
+      col("pr") <= col("n_probes"))
+    val hits = byP.withColumn("rk", row_number().over(
+        Window.partitionBy("q_id", "n_probes")
+          .orderBy(col("cos").desc, col("hit_id").asc)))
+      .filter(col("rk") <= 5)
+      .join(exact, Seq("q_id", "hit_id"))
+      .groupBy("n_probes").agg(count(lit(1)).as("n_hits"))
+    byP.groupBy("n_probes")
+      .agg(countDistinct("q_id").as("n_queries"),
+        count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("n_probes"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_permille",
+        expr("n_hits * 1000 div (5 * n_queries)"))
+      .select("n_probes", "n_queries", "n_candidates", "n_hits", "recall_permille")
+      .orderBy("n_probes")
+  }
+
   /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:
     * each query wants its top-5 among vectors of ITS OWN LABEL, served
     * from the same 2-probe IVF candidate set as v08. PRE-filtering
@@ -2016,6 +2079,51 @@ object VectorOps {
          |         >= $CellAmpThresholdPermille THEN 1 ELSE 0 END AS INT) AS compact
          |FROM art a LEFT JOIN ins i ON i.cell = a.cell
          |ORDER BY a.cell""".stripMargin),
+
+    // the probe-count operating curve: recall vs candidate volume for
+    // nProbes 1..4, ground truth = brute-force top-5; all counts and
+    // the permille recall are exact integers on the rounded-cosine grid
+    "v37_ivf_probe_recall_curve" -> QueryDef(ivfProbeRecallCurve _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |exact AS (SELECT q_id, hit_id FROM (
+        |    SELECT q.q_id, b.vec_id AS hit_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |        ORDER BY round(list_dot_product(q.qv, b.v) /
+        |            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+        |          b.vec_id ASC) AS rk
+        |    FROM q JOIN e b ON b.vec_id != q.q_id) WHERE rk <= 5),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell, crn AS pr
+        |  FROM aff WHERE vec_id < 10 AND crn <= 4),
+        |cand AS (SELECT pr.q_id, pr.pr, b.vec_id AS hit_id,
+        |    round(list_dot_product(qe.v, b.v) /
+        |          (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e qe ON qe.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |byp AS (SELECT n.p AS n_probes, cd.q_id, cd.hit_id, cd.cos FROM cand cd
+        |  JOIN (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS p) n ON cd.pr <= n.p),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id, n_probes
+        |    ORDER BY cos DESC, hit_id ASC) AS rk FROM byp),
+        |hits AS (SELECT r.n_probes, COUNT(*) AS n_hits FROM ranked r
+        |  JOIN exact x ON x.q_id = r.q_id AND x.hit_id = r.hit_id
+        |  WHERE r.rk <= 5 GROUP BY r.n_probes),
+        |stats AS (SELECT n_probes, COUNT(DISTINCT q_id) AS n_queries,
+        |    COUNT(*) AS n_candidates FROM byp GROUP BY n_probes)
+        |SELECT s.n_probes, s.n_queries, s.n_candidates,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  CAST((COALESCE(h.n_hits, 0) * 1000) // (5 * s.n_queries) AS BIGINT) AS recall_permille
+        |FROM stats s LEFT JOIN hits h ON h.n_probes = s.n_probes
+        |ORDER BY s.n_probes""".stripMargin),
 
     "v11_kmeans_round" -> QueryDef(kmeansRound _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -207,4 +207,23 @@ class VectorRecallSpec extends AnyFunSuite {
     // well below the float rungs — the documented position on the ladder
     assert(recall > 0.15, f"binary recall collapsed: $recall%.2f")
   }
+
+  test("v37 probe curve: recall and candidate volume are monotone in probes") {
+    val rows = graft.SparkEntry.all("v37_ivf_probe_recall_curve").fn(spark, d)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4), rows.mkString(", "))
+    // every query probes at every p (p cells per query always exist)
+    assert(rows.forall(_._2 == rows.head._2), "constant query census")
+    // probing more cells can only ADD candidates and never lose a hit:
+    // the p-probe candidate set contains the (p−1)-probe set by
+    // construction, so both series must be non-decreasing — a dip means
+    // the expansion or the per-p ranking broke
+    assert(rows.map(_._3).sliding(2).forall(w => w(0) < w(1)),
+      s"candidate volume must grow with probes: ${rows.toSeq}")
+    assert(rows.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      s"recall must be non-decreasing in probes: ${rows.toSeq}")
+    info(s"v37 curve (probes → recall‰ @ candidates): " +
+      rows.map(r => s"${r._1} → ${r._5}‰ @ ${r._3}").mkString(", "))
+  }
 }
