@@ -2629,7 +2629,113 @@ object TextOps {
   private val OccDuck = (h: String, w: String) =>
     s"(length($h) - length(replace($h, '$w', ''))) / ${w.length}"
 
+  /** t59 chunking geometry: 120-char windows, 20-char overlap → stride
+    * 100. One definition feeding both the window generator and the
+    * chunk-count closed form, so the census can never drift from the
+    * emitted windows. */
+  private[queries] val ChunkChars = 120
+  private[queries] val ChunkOverlap = 20
+  private[queries] val ChunkStride = ChunkChars - ChunkOverlap
+
+  /** t59 — RAG CHUNKING with overlap + corpus-wide chunk dedup: the
+    * retrieval-ingestion primitive every RAG/embedding pipeline runs
+    * before v-family indexing — fixed 120-char windows at stride 100
+    * over the normalized text (20-char overlap so a sentence straddling
+    * a boundary survives in one piece), the LAST window starting only
+    * if the previous one didn't already reach the end (n_chunks =
+    * 1 + ceil((len − 120)/100), exact integer closed form). Graded
+    * per doc: char count, chunk count, distinct chunk digests, and the
+    * number of digests SHARED with at least one other document — the
+    * boilerplate signal chunk-level dedup acts on (duplicate docs from
+    * t01's fixture share every window, so the column is non-trivially
+    * exercised).
+    *
+    * Scale: the explode multiplies docs by len/stride slim rows; chunks
+    * meet by 128-bit digest (groupBy — never all-pairs); the per-doc
+    * census is two keyed aggregates + one digest-keyed join back.
+    * Window starts are arithmetic on ONE length — no per-row state, so
+    * the whole plan is codegen map work + two shuffles at 100 TB. */
+  def ragChunking(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .withColumn("n_chars", length(col("nrm")).cast("long"))
+      .filter(col("n_chars") >= 1)
+      .withColumn("n_chunks",
+        when(col("n_chars") <= ChunkChars, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n_chars - $ChunkChars + ${ChunkStride - 1}) div $ChunkStride")))
+    val chunks = base
+      .select(col("doc_id"), col("n_chars"), col("n_chunks"), col("nrm"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+      .select(col("doc_id"), col("n_chars"), col("n_chunks"),
+        md5(expr(s"substring(nrm, cast(1 + i * $ChunkStride as int), $ChunkChars)"))
+          .as("dg"))
+      .localCheckpoint() // feeds the census AND the digest-share join
+    val docdg = chunks.select("doc_id", "dg").distinct()
+    val shared = docdg.groupBy("dg").agg(countDistinct("doc_id").as("nd"))
+    chunks.groupBy("doc_id")
+      .agg(max("n_chars").as("n_chars"), max("n_chunks").as("n_chunks"),
+        countDistinct("dg").as("n_distinct_chunks"))
+      .join(
+        docdg.join(shared, "dg").filter(col("nd") >= 2)
+          .groupBy("doc_id").agg(countDistinct("dg").as("n_shared_chunks")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared_chunks"))
+      .select("doc_id", "n_chars", "n_chunks", "n_distinct_chunks",
+        "n_shared_chunks")
+      .orderBy("doc_id")
+  }
+
+  /** The window generator on an explicit (doc_id, text) frame, emitting
+    * the chunk TEXTS — for ChunkingSpec's planted geometry cases (the
+    * graded query only ships digests). Same expressions as ragChunking;
+    * the constants are shared so the two cannot drift. */
+  private[queries] def ragChunkingOn(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), norm(col("text")).as("nrm"))
+      .withColumn("n_chars", length(col("nrm")).cast("long"))
+      .filter(col("n_chars") >= 1)
+      .withColumn("n_chunks",
+        when(col("n_chars") <= ChunkChars, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(n_chars - $ChunkChars + ${ChunkStride - 1}) div $ChunkStride")))
+    val chunks = base
+      .select(col("doc_id"), col("n_chars"), col("n_chunks"), col("nrm"),
+        explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+      .select(col("doc_id"), col("n_chars"), col("n_chunks"),
+        expr(s"substring(nrm, cast(1 + i * $ChunkStride as int), $ChunkChars)")
+          .as("chunk"))
+    chunks
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "t59_rag_chunking" -> QueryDef(ragChunking _,
+      s"""WITH d AS (SELECT doc_id, $NormSqlDuck AS nrm FROM documents),
+         |base AS (SELECT doc_id, CAST(length(nrm) AS BIGINT) AS n_chars, nrm
+         |  FROM d WHERE length(nrm) >= 1),
+         |nch AS (SELECT doc_id, n_chars, nrm,
+         |    CASE WHEN n_chars <= $ChunkChars THEN 1
+         |         ELSE 1 + (n_chars - $ChunkChars + ${ChunkStride - 1}) // $ChunkStride
+         |    END AS n_chunks
+         |  FROM base),
+         |chunks AS (SELECT doc_id, n_chars, n_chunks,
+         |    md5(substr(nrm,
+         |      CAST(1 + CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT)
+         |        * $ChunkStride AS INT), $ChunkChars)) AS dg
+         |  FROM nch),
+         |docdg AS (SELECT DISTINCT doc_id, dg FROM chunks),
+         |shared AS (SELECT dg, COUNT(DISTINCT doc_id) AS nd FROM docdg GROUP BY dg),
+         |census AS (SELECT doc_id, MAX(n_chars) AS n_chars, MAX(n_chunks) AS n_chunks,
+         |    CAST(COUNT(DISTINCT dg) AS BIGINT) AS n_distinct_chunks
+         |  FROM chunks GROUP BY doc_id),
+         |shr AS (SELECT g.doc_id, CAST(COUNT(DISTINCT g.dg) AS BIGINT) AS n_shared_chunks
+         |  FROM docdg g JOIN shared s ON s.dg = g.dg AND s.nd >= 2
+         |  GROUP BY g.doc_id)
+         |SELECT c.doc_id, c.n_chars, CAST(c.n_chunks AS BIGINT) AS n_chunks,
+         |  c.n_distinct_chunks, COALESCE(s.n_shared_chunks, 0) AS n_shared_chunks
+         |FROM census c LEFT JOIN shr s ON s.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin),
     "t57_bpe_train_rounds" -> QueryDef(bpeTrainRounds _, BpeTrainDuck),
     "t56_source_caps" -> QueryDef(sourceCaps _,
       s"""WITH r AS (SELECT doc_id, source, n_chars,
