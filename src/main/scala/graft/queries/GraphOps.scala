@@ -125,7 +125,7 @@ object GraphOps {
     val t = 15L * (Q / 100) * n / nSeeds
     var rank = nodes.select(col("node"), lit(Q).as("r"))
     for (_ <- 1 to Iters) {
-      rank = rank.join(edgesD, col("node") === col("src"))
+      rank = rank.hint("shuffle_hash").join(edgesD, col("node") === col("src"))
         .select(col("dst"), expr("r div d").as("contrib"))
         .groupBy(col("dst").as("node"))
         .agg(expr("(85 * sum(contrib)) div 100").as("msum"))
@@ -186,7 +186,10 @@ object GraphOps {
     var rank = edgesD.select(col("src").as("node")).distinct()
       .select(col("node"), lit(Q).as("r"))
     for (_ <- 1 to Iters) {
-      rank = rank.join(edgesD, col("node") === col("src"))
+      // shuffle_hash (the p04 lesson): both sides are pre-partitioned
+      // on the key, and SMJ's only extra work was re-sorting the full
+      // edge frame every round — build the |V|-row rank map instead
+      rank = rank.hint("shuffle_hash").join(edgesD, col("node") === col("src"))
         // div, not /: Spark's `/` on longs is DOUBLE division — the one
         // float op that would break the integer-exactness contract
         .select(col("dst"), expr("r div d").as("contrib"))
@@ -402,7 +405,7 @@ object GraphOps {
     var k = 1
     var drained = false
     while (k <= BfsRounds && !drained) {
-      frontier = frontier.join(edges, col("node") === col("src"))
+      frontier = frontier.hint("shuffle_hash").join(edges, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
         .join(settled, Seq("node"), "left_anti")
         .select(col("node"), lit(k.toLong).as("dist"))
@@ -434,7 +437,7 @@ object GraphOps {
       // self-loop carries each node's own distance as a candidate, so
       // no union and no second join re-attach unrelaxed nodes. No
       // per-round checkpoint — see the partitioning note above pagerank.
-      dist = dist.join(edgesW, col("node") === col("src"))
+      dist = dist.hint("shuffle_hash").join(edgesW, col("node") === col("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy("node").agg(min("dist").as("dist"))
     }
@@ -504,7 +507,13 @@ object GraphOps {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to LpRounds) {
-      labels = labels.join(edges, col("node") === col("src"))
+      // shuffle_hash, not SMJ: both sides are already hash-partitioned
+      // on the key (edges persisted pre-partitioned, labels leave the
+      // previous round's keyed agg), so the SMJ's only extra work was
+      // re-SORTING the full edge frame EVERY round — the hash join
+      // builds the |V|-row labels map per partition and streams edges
+      // unsorted (measured: p04 8.1 s → 4.8 s count at sf0.1)
+      labels = labels.hint("shuffle_hash").join(edges, col("node") === col("src"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         // mode with min-label tie-break as ONE aggregate: max of
         // (cnt, −label) picks the largest count, then the smallest label
@@ -702,7 +711,7 @@ object GraphOps {
       .localCheckpoint()
     val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
     for (r <- 1 to 3) {
-      regs = edges.join(regs, col("src") === col("node"))
+      regs = edges.join(regs.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), col("regs")).as[(Long, Array[Int])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.RegMax(64).toColumn.name("regs"))
@@ -769,7 +778,7 @@ object GraphOps {
     var r = 1
     var live = true
     while (r <= 3 && live) {
-      val inc = edges.join(delta, col("src") === col("node"))
+      val inc = edges.join(delta.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"), col("regs")).as[(Long, Array[Int])]
         .groupByKey(_._1).mapValues(_._2)
         .agg(graft.functions.RegMax(64).toColumn.name("inc"))
