@@ -1158,6 +1158,47 @@ object StreamOps {
   private val cdcIngestCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** s27 — the compaction TRIGGER's accounting maintained IN-STREAM:
+    * q59's read-amplification decision (orders row) with its three
+    * counts (base rows, q55's mod-101 tombstones, mod-103 appends)
+    * carried as a streaming Complete-mode aggregate across micro-batches
+    * — the ingest side of the scheduler loop, where a 100 TB deployment
+    * never re-scans the table to decide compaction: the commit stream
+    * maintains the counts and the threshold reads metadata. Counts are
+    * mergeable sums, so the state store holds ONE row of partials and
+    * the final emission equals the batch scan exactly — graded against
+    * q59's orders accounting restated over raw parquet, threshold and
+    * decision bit included (exact integer arithmetic throughout). */
+  def streamCompactionTrigger(s: SparkSession, d: String): DataFrame = {
+    compactTrigCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    compactTrigCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_ct")
+      try {
+        val keys = Tables.orders(s, d).select(col("o_orderkey").as("k"))
+        val srcDir = root.resolve("src").toString
+        keys.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 batches
+        val (acct, nBatches) = EventStream.runCompleteAgg(s, srcDir, keys.schema,
+          df => df.agg(count(lit(1)).as("base_rows"),
+            sum(when(pmod(col("k"), lit(101)) === 0, 1L).otherwise(0L)).as("tomb_rows"),
+            sum(when(pmod(col("k"), lit(103)) === 0, 1L).otherwise(0L)).as("apnd_rows")),
+          "graft_s27_acct")
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        acct
+          .withColumn("amp_permille",
+            expr("(tomb_rows + apnd_rows) * 1000 div base_rows"))
+          .withColumn("compact",
+            (col("amp_permille") >=
+              graft.operators.MergeOnRead.AmpThresholdPermille).cast("int"))
+          .select(lit("orders").as("tbl"), col("base_rows"), col("tomb_rows"),
+            col("apnd_rows"), col("amp_permille"), col("compact"))
+          .localCheckpoint() // pin before the scratch dir dies
+      } finally rmrf(root)
+    })
+  }
+
+  private val compactTrigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** One exactly-once CDC commit: skip if this batch's marker exists
     * (the g15 refusal), else land the batch's tombstones (D + U old
     * keys) and appends (U new rows + I rows) as O(|batch|) files.
@@ -1483,6 +1524,21 @@ object StreamOps {
         |  MIN(k) AS min_key, MAX(k) AS max_key FROM cur
         |UNION ALL SELECT 2, COUNT(*), CAST(SUM(p) AS DOUBLE), MIN(k), MAX(k) FROM nxt
         |ORDER BY version""".stripMargin),
+
+    // q59's orders accounting maintained as a streaming Complete-mode
+    // aggregate; the oracle restates it over raw parquet — incremental
+    // maintenance must land on the batch scan exactly
+    "s27_stream_compaction_trigger" -> QueryDef(streamCompactionTrigger _,
+      s"""WITH a AS (SELECT COUNT(*) AS base_rows,
+         |    CAST(SUM(CASE WHEN o_orderkey % 101 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tomb_rows,
+         |    CAST(SUM(CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS apnd_rows
+         |  FROM orders)
+         |SELECT 'orders' AS tbl, base_rows, tomb_rows, apnd_rows,
+         |  CAST(((tomb_rows + apnd_rows) * 1000) // base_rows AS BIGINT) AS amp_permille,
+         |  CAST(CASE WHEN ((tomb_rows + apnd_rows) * 1000) // base_rows
+         |       >= ${graft.operators.MergeOnRead.AmpThresholdPermille}
+         |       THEN 1 ELSE 0 END AS INT) AS compact
+         |FROM a""".stripMargin),
 
     "s24_stream_hll_distinct" -> QueryDef(streamHllDistinct _,
       SketchOps.HllRegistersDuck),

@@ -155,6 +155,24 @@ object EventStream {
       sink: (DataFrame, Long) => Unit): Long =
     runForeachBatch(spark, sourceDir, schema, sink)
 
+  /** Schema-generic Complete-mode drain with one micro-batch per source
+    * file: the streaming AGGREGATION posture (state carries the partial
+    * aggregate across batches; each emission overwrites the memory
+    * sink, so the drained table is the final accounting). Returns the
+    * table and the micro-batch count so callers can assert the
+    * multi-batch claim. */
+  def runCompleteAgg(spark: SparkSession, sourceDir: String,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      plan: DataFrame => DataFrame, name: String): (DataFrame, Long) =
+    withStatePartitions(spark) {
+      val src = spark.readStream.schema(srcSchema).format("parquet")
+        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
+      val q = plan(src).writeStream.outputMode(OutputMode.Complete)
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      (spark.table(name), q.recentProgress.map(_.batchId).distinct.length.toLong)
+    }
+
   /** Schema-generic twin: drives a non-events source (s26's CDC change
     * feed) through the same one-file-per-micro-batch foreachBatch loop. */
   def runForeachBatch(spark: SparkSession, sourceDir: String,
