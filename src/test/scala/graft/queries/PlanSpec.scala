@@ -706,8 +706,13 @@ class PlanSpec extends AnyFunSuite {
       val p = if (cut < 0) full else full.substring(0, cut)
       assert(p.contains("InMemoryTableScan"),
         s"p04 must read the persisted edge frame:\n$p")
-      assert(p.contains("SortMergeJoin"),
-        s"broadcast disabled: the keyed join path must engage:\n$p")
+      // shuffle_hash hint (round 11): the keyed join must engage as a
+      // SHUFFLED HASH join — SMJ here would re-sort the full edge frame
+      // every round for nothing (both sides arrive pre-partitioned)
+      assert(p.contains("ShuffledHashJoin"),
+        s"broadcast disabled: the keyed hash-join path must engage:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"the loop must not pay per-round edge sorts:\n$p")
       assert(p.matches("(?s).*hashpartitioning\\(src[^\\n]*REPARTITION_BY_COL.*"),
         s"p04 must carry the one intentional edge repartition:\n$p")
       assert(!p.matches("(?s).*hashpartitioning\\(src[^\\n]*ENSURE_REQUIREMENTS.*"),
@@ -761,5 +766,38 @@ class PlanSpec extends AnyFunSuite {
       s"triangle closure must be equi-join, never all-pairs:\n$p")
     assert(p.contains("array_intersect"),
       s"closure must be the in-partition adjacency intersection:\n$p")
+  }
+
+  test("t59: one documents scan; chunks meet by digest, never all-pairs") {
+    val p = plan("t59_rag_chunking")
+    // the chunk frame is localCheckpoint'ed once and feeds both the
+    // census and the digest-share join — a second raw-text scan would
+    // mean the explode re-runs per consumer
+    assert(p.split("Scan parquet").length - 1 <= 1,
+      s"documents must scan at most once (checkpoint reuse):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"chunk dedup must be digest-keyed, never all-pairs:\n$p")
+  }
+
+  test("v37: the probe expansion broadcasts the 4-row range; no corpus cartesian") {
+    val p = plan("v37_ivf_probe_recall_curve")
+    // the only nested-loop join allowed is against the 4-row n_probes
+    // frame and the broadcast query sides — the corpus must never meet
+    // itself outside cells
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the probe/query sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast corpus pairing:\n$p")
+    assert(p.contains("dot_d"), s"scoring must ride the codegen expression:\n$p")
+  }
+
+  test("v36: the trigger reads the routing artifact — no vector pair scan") {
+    val df = graft.SparkEntry.all("v36_ivf_compaction_trigger").fn(spark, d)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"v36 must read the memoized affinity frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"accounting is keyed aggregates, never pairs:\n$p")
   }
 }
