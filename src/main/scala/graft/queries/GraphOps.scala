@@ -624,15 +624,20 @@ object GraphOps {
       .unionByName(und.select(col("b").as("c"), col("a").as("nb")))
     val capped = cappedAdjacencyOn(nbrs)
       .localCheckpoint() // feeds both sides of the wedge self-join
+    // shuffle_hash throughout (the p04 loop lesson, applied to the
+    // wedge pipeline): the capped-adjacency self-join and the two
+    // degree attachments all sort-merged, paying three row-scale sorts
+    // for joins whose build sides are ≤10·|nodes| (capped) or |nodes|
+    // (deg) maps per partition
     val cns = capped.join(
-        capped.select(col("c"), col("nb").as("nb2")), "c")
+        capped.select(col("c"), col("nb").as("nb2")).hint("shuffle_hash"), "c")
       .filter(col("nb") < col("nb2"))
       .groupBy(col("nb").as("u"), col("nb2").as("v"))
       .agg(count(lit(1)).as("cn"))
     cns
       .join(und, cns("u") === und("a") && cns("v") === und("b"), "left_anti")
-      .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+      .join(deg.select(col("n").as("u"), col("dg").as("du")).hint("shuffle_hash"), "u")
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")).hint("shuffle_hash"), "v")
       .withColumn("pa", col("du") * col("dv"))
       .withColumn("jac_permille",
         floor(col("cn") * lit(1000) / (col("du") + col("dv") - col("cn"))).cast("long"))
