@@ -37,9 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsOfPushDown)
     // rung (d): ASOF [LEFT] JOIN in SQL text — delegating parser rewrite
-    // + marker table function + lowering rule (graft.plans.AsOfSql)
+    // + ON-clause flag function + lowering rule (graft.plans.AsOfSql)
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
-    ext.injectTableFunction(graft.plans.AsOfSql.markerFunction)
+    ext.injectFunction(graft.plans.AsOfSql.flagFunction)
     ext.injectResolutionRule(_ => graft.plans.AsOfSqlRule)
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate

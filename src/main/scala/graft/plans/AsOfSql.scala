@@ -1,13 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
 
 /** SQL syntax for the native as-of join — the §2.7 extension ladder's
   * rung (d), on top of rung (c)'s LogicalPlan/Strategy/Exec: a session
@@ -29,67 +28,133 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * grammar wholesale):
   *  1. [[GraftSqlParser]] (via `injectParser`) delegates every method to
   *     the session's parser and only TEXT-rewrites the `ASOF ... JOIN
-  *     <name> [alias] ON` clause into a join against the registered
-  *     table function `graft_asof_marker('<name>') AS alias` — a shape
-  *     the stock grammar already parses. The right side must be a named
-  *     relation (table, view, or CTE); subqueries stay on the
+  *     <name> [alias] ON` clause into the stock `JOIN <name> alias ON
+  *     graft_asof_flag() AND ...` — the right side stays an ordinary
+  *     named relation through parse and analysis, so tables, views AND
+  *     CTE names all resolve through the stock path (an earlier marker
+  *     table function materialized its `UnresolvedRelation` after
+  *     `CTESubstitution` had already run, so CTE right sides could not
+  *     resolve). The rewrite is literal- and comment-aware: `ASOF JOIN
+  *     ... ON` inside a string literal, quoted identifier, line comment
+  *     or bracketed comment is left untouched. The right side must be a
+  *     named relation (table, view, or CTE); subqueries stay on the
   *     DataFrame API (`AsOfJoin.join`).
-  *  2. `graft_asof_marker` (via `injectTableFunction`) resolves to
-  *     [[AsOfMark]], a transparent unary node over the named relation —
-  *     surviving analysis where a bare annotation could not.
+  *  2. `graft_asof_flag()` (via `injectFunction`) resolves to
+  *     [[AsOfFlag]], an unevaluable boolean leaf that tags the join
+  *     condition — surviving analysis where bare text could not, and
+  *     never reaching execution (the lowering rule strips it; a join it
+  *     cannot lower fails analysis with the operator's own message).
   *  3. [[AsOfSqlRule]] (via `injectResolutionRule`) fires once the join
   *     children and condition are resolved: it splits the ON
   *     conjunction into equi-keys and the single time inequality,
   *     validates types (the merge compares right rows through orderings
-  *     built from left types), strips the mark, and emits [[AsOfJoin]].
+  *     built from left types), drops the flag, and emits [[AsOfJoin]].
   *
   * GraftExtensionsSpec drives q60's exact semantics from this SQL text
   * against the composed window-over-union plan. */
 object AsOfSql {
 
   /** `ASOF [LEFT [OUTER]] JOIN <multipart-name> [[AS] alias] ON` —
-    * rewritten to a stock join against the marker table function. The
-    * lookahead keeps `ON` unconsumed so nested rewrites stay local. */
+    * rewritten to a stock join whose ON clause leads with the
+    * [[AsOfFlag]] conjunct. The `ON` keyword is consumed so the flag
+    * lands inside the right join's condition. */
   private val AsOfRe =
     ("""(?i)\bASOF\s+(LEFT\s+(?:OUTER\s+)?)?JOIN\s+""" +
       """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""" +
-      """(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?(?=\s+ON\b)""").r
+      """(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\b""").r
+
+  /** Spans of the text the rewrite must not touch: string literals
+    * (single- or double-quoted, with backslash escapes and quote
+    * doubling), backtick-quoted identifiers (with backtick doubling),
+    * `--` line comments, and nested bracketed comments — Spark's own
+    * lexical shapes. */
+  private[plans] def protectedSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val n = sql.length
+    var i = 0
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val start = i; i += 1
+        var open = true
+        while (i < n && open) {
+          val ch = sql.charAt(i)
+          if (ch == '\\' && i + 1 < n) i += 2
+          else if (ch == c && i + 1 < n && sql.charAt(i + 1) == c) i += 2
+          else if (ch == c) { open = false; i += 1 }
+          else i += 1
+        }
+        spans += ((start, i))
+      } else if (c == '`') {
+        val start = i; i += 1
+        var open = true
+        while (i < n && open) {
+          if (sql.charAt(i) == '`' && i + 1 < n && sql.charAt(i + 1) == '`') i += 2
+          else if (sql.charAt(i) == '`') { open = false; i += 1 }
+          else i += 1
+        }
+        spans += ((start, i))
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val start = i
+        while (i < n && sql.charAt(i) != '\n') i += 1
+        spans += ((start, i))
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val start = i; i += 2
+        var depth = 1
+        while (i < n && depth > 0) {
+          if (i + 1 < n && sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (i + 1 < n && sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.toSeq
+  }
 
   private[plans] def rewrite(sqlText: String): String =
     if (!sqlText.toLowerCase(java.util.Locale.ROOT).contains("asof")) sqlText
-    else AsOfRe.replaceAllIn(sqlText, m => {
-      val jt = Option(m.group(1)).getOrElse("")
-      val rel = m.group(2)
-      val alias = Option(m.group(3)).getOrElse(rel.split('.').last)
-      scala.util.matching.Regex.quoteReplacement(
-        s"${jt}JOIN graft_asof_marker('$rel') AS $alias")
-    })
+    else {
+      val spans = protectedSpans(sqlText)
+      // the regex never matches a quote character, so a match starting
+      // outside every protected span lies entirely outside them
+      AsOfRe.replaceAllIn(sqlText, m =>
+        if (spans.exists(s => m.start >= s._1 && m.start < s._2))
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+        else {
+          val jt = Option(m.group(1)).getOrElse("")
+          val rel = m.group(2)
+          val alias = Option(m.group(3)).getOrElse(rel.split('.').last)
+          scala.util.matching.Regex.quoteReplacement(
+            s"${jt}JOIN $rel AS $alias ON graft_asof_flag() AND")
+        })
+    }
 
-  /** The marker table function: parks the named relation under an
-    * [[AsOfMark]] so [[AsOfSqlRule]] can recognize the join later. */
-  val markerFunction: (FunctionIdentifier, ExpressionInfo,
-      Seq[Expression] => LogicalPlan) = (
-    FunctionIdentifier("graft_asof_marker"),
-    new ExpressionInfo(classOf[AsOfMark].getName, "graft_asof_marker"),
-    (args: Seq[Expression]) => args match {
-      case Seq(Literal(s, StringType)) if s != null =>
-        AsOfMark(UnresolvedRelation(s.toString.split('.').toIndexedSeq))
-      case other => throw new IllegalArgumentException(
-        "graft_asof_marker expects one string literal naming a relation " +
-          s"(internal ASOF JOIN rewrite), got $other")
+  /** The flag function: a zero-arg boolean that tags the rewritten ON
+    * clause so [[AsOfSqlRule]] can recognize the join later. */
+  val flagFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_asof_flag"),
+    new ExpressionInfo(classOf[AsOfFlag].getName, "graft_asof_flag"),
+    (args: Seq[Expression]) => {
+      require(args.isEmpty,
+        s"graft_asof_flag takes no arguments (internal ASOF JOIN rewrite), got $args")
+      AsOfFlag()
     })
 }
 
-/** Transparent annotation over the right side of an `ASOF JOIN` between
-  * parse and lowering. Never reaches the planner: [[AsOfSqlRule]]
-  * removes it when it builds the [[AsOfJoin]] node. */
-case class AsOfMark(child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
-  override protected def withNewChildInternal(newChild: LogicalPlan): AsOfMark =
-    copy(child = newChild)
+/** Unevaluable boolean leaf marking a join condition as `ASOF` between
+  * parse and lowering. Never reaches execution: [[AsOfSqlRule]] strips
+  * it when it builds the [[AsOfJoin]] node, and a join it cannot lower
+  * fails analysis inside the rule first. */
+case class AsOfFlag() extends LeafExpression with Unevaluable {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
 }
 
-/** Lowers a marked, fully-resolved Join into the native [[AsOfJoin]].
+/** Lowers a flagged, fully-resolved Join into the native [[AsOfJoin]].
   * Runs in the analyzer's resolution batch, so it iterates with relation
   * and column resolution until the children and condition are ready. */
 object AsOfSqlRule extends Rule[LogicalPlan] {
@@ -105,10 +170,9 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case Join(l, r, jt, Some(cond), _)
         if l.resolved && r.resolved && cond.resolved &&
-          r.exists { case _: AsOfMark => true; case _ => false } =>
-      val clean = r.transformUp { case AsOfMark(c) => c }
+          conjuncts(cond).exists(_.isInstanceOf[AsOfFlag]) =>
       val lset = l.outputSet
-      val rset = clean.outputSet
+      val rset = r.outputSet
       val lk = scala.collection.mutable.ArrayBuffer.empty[Attribute]
       val rk = scala.collection.mutable.ArrayBuffer.empty[Attribute]
       var time: Option[(Attribute, Attribute, Boolean)] = None
@@ -126,6 +190,7 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
         time = Some((hi, lo, strict))
       }
       conjuncts(cond).foreach {
+        case AsOfFlag() => ()
         case EqualTo(a: Attribute, b: Attribute) => addKey(a, b)
         case GreaterThan(a: Attribute, b: Attribute) => setTime(a, b, strict = true)
         case GreaterThanOrEqual(a: Attribute, b: Attribute) => setTime(a, b, strict = false)
@@ -143,7 +208,7 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
       if (lt.dataType != rt.dataType)
         fail(s"time type mismatch: ${lt.dataType.simpleString} vs " +
           s"${rt.dataType.simpleString} — cast before joining")
-      val asof = AsOfJoin(l, clean, lk.toSeq, rk.toSeq, lt, rt, strict)
+      val asof = AsOfJoin(l, r, lk.toSeq, rk.toSeq, lt, rt, strict)
       jt match {
         case LeftOuter => asof
         case Inner =>

@@ -704,16 +704,7 @@ object GraphOps {
     val s = edgesW.sparkSession
     import s.implicits._
     val edges = edgesW.select("src", "dst") // self-loops carry own regs
-    var regs = edgesW.filter(col("w") === 0).select(col("src").as("node"))
-      .withColumn("hv", SketchOps.h60(col("node"), "hll"))
-      .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
-      .withColumn("v", expr("hv div 64"))
-      .withColumn("reg",
-        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v"))))
-          .cast("int"))
-      .select(col("node"),
-        expr("transform(sequence(0, 63), i -> IF(i = idx, reg, 0))").as("regs"))
-      .localCheckpoint()
+    var regs = initRegisters(edgesW)
     val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
     for (r <- 1 to 3) {
       regs = edges.join(regs.hint("shuffle_hash"), col("src") === col("node"))
@@ -726,6 +717,24 @@ object GraphOps {
     }
     sums.reduce(_ unionByName _).orderBy("radius")
   }
+
+  /** Round-0 HLL registers, one dense 64-int array row per node (the
+    * w=0 self-loop rows enumerate the nodes): h60's 60-bit hash split
+    * into a register index (mod 64) and a leading-zero rank on the
+    * remaining 54 bits. ONE definition — p09 and p10 prove equality of
+    * their CURVES, which only holds if they start from identical
+    * registers. */
+  private def initRegisters(edgesW: DataFrame): DataFrame =
+    edgesW.filter(col("w") === 0).select(col("src").as("node"))
+      .withColumn("hv", SketchOps.h60(col("node"), "hll"))
+      .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
+      .withColumn("v", expr("hv div 64"))
+      .withColumn("reg",
+        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v"))))
+          .cast("int"))
+      .select(col("node"),
+        expr("transform(sequence(0, 63), i -> IF(i = idx, reg, 0))").as("regs"))
+      .localCheckpoint()
 
   /** Core on an explicit undirected edge frame — factored for
     * GraphOpsSpec's planted saturation case. */
@@ -768,16 +777,7 @@ object GraphOps {
     // registers through the round; here the carry is the explicit outer
     // join below, so an unchanged node costs zero message rows
     val edges = edgesW.filter(col("w") === 1).select("src", "dst")
-    var regs = edgesW.filter(col("w") === 0).select(col("src").as("node"))
-      .withColumn("hv", SketchOps.h60(col("node"), "hll"))
-      .withColumn("idx", pmod(col("hv"), lit(64)).cast("int"))
-      .withColumn("v", expr("hv div 64"))
-      .withColumn("reg",
-        when(col("v") === 0, lit(55)).otherwise(lit(55) - length(bin(col("v"))))
-          .cast("int"))
-      .select(col("node"),
-        expr("transform(sequence(0, 63), i -> IF(i = idx, reg, 0))").as("regs"))
-      .localCheckpoint()
+    var regs = initRegisters(edgesW)
     var delta = regs // round 0: every node is freshly initialized
     val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
     var r = 1

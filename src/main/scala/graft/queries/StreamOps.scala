@@ -1044,7 +1044,8 @@ object StreamOps {
       val root = java.nio.file.Files.createTempDirectory("graft_view_maint")
       try {
         val nBatches = EventStream.runForeachBatch(s, multiFileStreamSource(s, d),
-          (batch, id) => applyViewDelta(s, root, batch, id))
+          EventStream.schema, (batch, id) => applyViewDelta(s, root, batch, id),
+          checkpointDir = Some(root.resolve("cp").toString))
         require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
         s.read.parquet(root.resolve("view").toString)
           .orderBy(col("sum_value").desc, col("user_id").asc).limit(10)
@@ -1094,7 +1095,8 @@ object StreamOps {
 
   /** s26 — streaming CDC INGESTION: q54's change feed applied to q55's
     * merge-on-read log one micro-batch at a time, with g15's ledger
-    * (per-batch marker files) guarding replay. The change feed (deletes
+    * (per-batch committed dirs, landed by ONE atomic rename each —
+    * [[applyCdcBatch]]) guarding replay. The change feed (deletes
     * for keys ≡ 0 mod 101, repriced updates for surviving keys ≡ 0 mod
     * 97, negative-key inserts for keys ≡ 0 mod 103 — q54's derivation
     * verbatim, so the three operators cross-check) lands as multiple
@@ -1136,12 +1138,13 @@ object StreamOps {
         val srcDir = root.resolve("src").toString
         feed.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 micro-batches
         val nBatches = EventStream.runForeachBatch(s, srcDir, feed.schema,
-          (batch, id) => applyCdcBatch(s, root, batch, id))
+          (batch, id) => applyCdcBatch(s, root, batch, id),
+          checkpointDir = Some(root.resolve("cp").toString))
         require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
         val base = s.read.parquet(baseDir.toString)
         val ingested = base
-          .join(s.read.parquet(root.resolve("tombstones").toString), Seq("k"), "left_anti")
-          .unionByName(s.read.parquet(root.resolve("appends").toString))
+          .join(cdcTombstones(s, root), Seq("k"), "left_anti")
+          .unionByName(cdcAppends(s, root))
         def census(v: Int, df: DataFrame) =
           df.agg(count(lit(1)).as("n_rows"),
               Tables.asDbl(sum(col("p"))).as("sum_price"),
@@ -1199,21 +1202,47 @@ object StreamOps {
   private val compactTrigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** One exactly-once CDC commit: skip if this batch's marker exists
-    * (the g15 refusal), else land the batch's tombstones (D + U old
-    * keys) and appends (U new rows + I rows) as O(|batch|) files.
+  /** One exactly-once CDC commit: skip if this batch's committed dir
+    * exists (the g15 refusal), else land the batch's tombstones (D + U
+    * old keys) and appends (U new rows + I rows) under ONE staging dir
+    * and ATOMIC_MOVE it into place — the move is the single commit
+    * point, so a crash between the two parquet writes leaves nothing
+    * visible and a redelivery re-stages from scratch (the earlier shape
+    * appended both sides to shared dirs and marked afterwards; a crash
+    * between the appends-write and the marker duplicated every U/I row
+    * on redelivery). O(|batch|) files per commit; readers glob the
+    * committed dirs ([[cdcTombstones]]/[[cdcAppends]]).
     * Package-visible so CdcIngestSpec can replay a committed batch. */
   private[queries] def applyCdcBatch(s: SparkSession, root: java.nio.file.Path,
       batch: DataFrame, id: Long): Unit = {
-    val marker = root.resolve(s"_cdc_batch_$id")
-    if (!java.nio.file.Files.exists(marker)) {
+    val committed = root.resolve(s"cdc_batch_$id")
+    if (!java.nio.file.Files.exists(committed)) {
+      val stage = root.resolve(s"cdc_stage_$id")
       batch.filter(col("op").isin("D", "U")).select("k")
-        .write.mode("append").parquet(root.resolve("tombstones").toString)
+        .write.mode("overwrite").parquet(stage.resolve("tombs").toString)
       batch.filter(col("op").isin("U", "I")).select(col("k"), col("p"))
-        .write.mode("append").parquet(root.resolve("appends").toString)
-      java.nio.file.Files.createFile(marker); ()
+        .write.mode("overwrite").parquet(stage.resolve("apnds").toString)
+      java.nio.file.Files.move(stage, committed,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE); ()
     }
   }
+
+  /** Union of every committed batch's tombstone keys. The explicit
+    * schema keeps an all-empty side readable (a 0-row batch write may
+    * land no parquet footers to infer from). */
+  private[queries] def cdcTombstones(s: SparkSession,
+      root: java.nio.file.Path): DataFrame =
+    s.read.schema(new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType))
+      .parquet(s"$root/cdc_batch_*/tombs")
+
+  /** Union of every committed batch's append rows. */
+  private[queries] def cdcAppends(s: SparkSession,
+      root: java.nio.file.Path): DataFrame =
+    s.read.schema(new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.LongType)
+        .add("p", Tables.Dec))
+      .parquet(s"$root/cdc_batch_*/apnds")
 
   /** Restart-from-checkpoint sessionization: the s01 plan killed
     * mid-stream and recovered. The fixture is split in event time at its

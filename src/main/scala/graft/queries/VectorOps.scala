@@ -509,8 +509,27 @@ object VectorOps {
   private def insertCut(e: DataFrame): DataFrame =
     broadcast(e.agg((max(col("vec_id")) * 9 / 10).cast("long").as("cut")))
 
-  def ivfTopKWithInserts(s: SparkSession, d: String): DataFrame = {
+  /** v35's live-assignment rule for the not-yet-indexed slice (vec_id >
+    * cut): nearest centroid by rounded cosine against the broadcast
+    * 16-row centroid frame, ties to the lower cid. ONE definition, same
+    * reason as [[insertCut]]: the insert overlay (v35) and the
+    * compaction trigger accounting for it (v36) must route an arrival
+    * identically or the trigger grades a different overlay than the one
+    * being served. Emits (vec_id, cell). */
+  private def deltaAssignments(e: DataFrame, cut: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    e.crossJoin(cut).filter(col("vec_id") > col("cut"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  def ivfTopKWithInserts(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val aff = centroidAffinity(s, d)
     val cut = insertCut(e)
@@ -523,17 +542,8 @@ object VectorOps {
       .filter(col("vec_id") <= col("cut"))
       .select(col("vec_id"), col("cid").as("cell"))
     // delta: fresh assignments for the new slice — same centroids, same
-    // rule, computed live against the broadcast 16-row centroid frame
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val deltaCells = e.crossJoin(cut).filter(col("vec_id") > col("cut"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    ivfSearchOn(e, aff, baseCells.unionByName(deltaCells))
+    // rule, computed live
+    ivfSearchOn(e, aff, baseCells.unionByName(deltaAssignments(e, cut)))
   }
 
   /** Read-amplification threshold for v36, in permille: a cell whose
@@ -564,7 +574,6 @@ object VectorOps {
     * of metadata, never the vectors — FAISS/Milvus segment-compaction
     * policies are exactly this decision on exactly this accounting. */
   def ivfCompactionTrigger(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
     val aff = centroidAffinity(s, d)
     val cut = insertCut(e)
@@ -574,16 +583,9 @@ object VectorOps {
       .agg(count(lit(1)).as("base_rows"),
         sum(when(pmod(col("vec_id"), lit(7)) === 0, 1L).otherwise(0L))
           .as("tomb_rows"))
-    // arrivals routed by v35's delta branch — same centroids, same rule
-    val cents = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val ins = e.crossJoin(cut).filter(col("vec_id") > col("cut"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
-      .filter(col("crn") === 1)
-      .groupBy(col("cid").as("cell")).agg(count(lit(1)).as("ins_rows"))
+    // arrivals routed by v35's delta branch — shared definition
+    val ins = deltaAssignments(e, cut)
+      .groupBy("cell").agg(count(lit(1)).as("ins_rows"))
     art.join(ins, Seq("cell"), "left")
       .na.fill(0L, Seq("ins_rows"))
       .withColumn("amp_permille",

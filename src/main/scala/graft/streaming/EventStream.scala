@@ -174,14 +174,21 @@ object EventStream {
     }
 
   /** Schema-generic twin: drives a non-events source (s26's CDC change
-    * feed) through the same one-file-per-micro-batch foreachBatch loop. */
+    * feed) through the same one-file-per-micro-batch foreachBatch loop.
+    * `checkpointDir` pins the batch-id ↔ source-file mapping: an
+    * id-keyed sink ledger (s20/s26) is only sound when a restarted
+    * query reuses the ids it already committed, so those callers pass a
+    * checkpoint co-located with the sink — the production posture. */
   def runForeachBatch(spark: SparkSession, sourceDir: String,
       srcSchema: org.apache.spark.sql.types.StructType,
-      sink: (DataFrame, Long) => Unit): Long =
+      sink: (DataFrame, Long) => Unit,
+      checkpointDir: Option[String] = None): Long =
     withStatePartitions(spark) {
       val src = spark.readStream.schema(srcSchema).format("parquet")
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
-      val q = src.writeStream.foreachBatch(sink).start()
+      val writer = src.writeStream.foreachBatch(sink)
+      checkpointDir.foreach(writer.option("checkpointLocation", _))
+      val q = writer.start()
       try { q.processAllAvailable() } finally q.stop()
       q.recentProgress.map(_.batchId).distinct.length.toLong
     }

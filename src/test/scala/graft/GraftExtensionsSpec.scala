@@ -157,6 +157,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
               |ASOF LEFT JOIN asof_r r ON l.k = r.rk""".stripMargin).collect()
       }
       assert(err.getMessage.contains("time inequality"), err.getMessage)
+      // a CTE right side resolves through the stock path (the rewrite
+      // leaves the relation name in place, so CTESubstitution sees it)
+      val cte = run(
+        """WITH recent AS (SELECT rid, rk, rt FROM asof_r WHERE rt >= 5)
+          |SELECT l.lid, r.rid FROM asof_l l
+          |ASOF LEFT JOIN recent r ON l.k = r.rk AND l.t >= r.rt
+          |ORDER BY l.lid""".stripMargin)
+      assert(cte.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        cte.queryExecution.executedPlan.toString)
+      val cteGot = cte.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(cteGot == Seq((1L, 101L), (2L, 100L), (3L, -1L)), cteGot.toString)
+      // the rewrite must not touch ASOF-join-shaped text inside string
+      // literals or comments
+      val literal = run(
+        """SELECT 'x ASOF JOIN t ON y' AS label -- ASOF JOIN c ON d
+          |FROM asof_l /* ASOF LEFT JOIN b ON c */ LIMIT 1""".stripMargin)
+        .collect().head.getString(0)
+      assert(literal == "x ASOF JOIN t ON y", literal)
     } finally spark.stop()
   }
 }

@@ -35,9 +35,8 @@ class CdcIngestSpec extends AnyFunSuite {
       StreamOps.applyCdcBatch(spark, root, b0, 0L)
       StreamOps.applyCdcBatch(spark, root, b1, 1L)
       def snap() = spark.read.parquet(root.resolve("base").toString)
-        .join(spark.read.parquet(root.resolve("tombstones").toString),
-          Seq("k"), "left_anti")
-        .unionByName(spark.read.parquet(root.resolve("appends").toString))
+        .join(StreamOps.cdcTombstones(spark, root), Seq("k"), "left_anti")
+        .unionByName(StreamOps.cdcAppends(spark, root))
         .collect().map(r => (r.getLong(0), r.getDecimal(1).doubleValue()))
         .sortBy(_._1).toSeq
       val expected = Seq((-7L, 1.50), (1L, 10.0), (3L, 99.99),
@@ -47,8 +46,8 @@ class CdcIngestSpec extends AnyFunSuite {
       // the retry: a restarted driver redelivers batch 0 — the ledger
       // must reduce it to a no-op (no duplicate tombstones/appends)
       def logRows() = (
-        spark.read.parquet(root.resolve("tombstones").toString).count(),
-        spark.read.parquet(root.resolve("appends").toString).count())
+        StreamOps.cdcTombstones(spark, root).count(),
+        StreamOps.cdcAppends(spark, root).count())
       val rowsBefore = logRows()
       StreamOps.applyCdcBatch(spark, root, b0, 0L)
       assert(logRows() == rowsBefore, "the ledger must refuse a committed batch")
@@ -56,15 +55,23 @@ class CdcIngestSpec extends AnyFunSuite {
       // a NEW batch still lands after the refusal
       StreamOps.applyCdcBatch(spark, root, mkBatch(Seq(("D", 6L, null))), 2L)
       assert(snap() == expected.filterNot(_._1 == 6L))
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm(_)) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      rm(root)
-    }
+      // the mid-commit crash: a dead attempt staged a partial write but
+      // never renamed — nothing is visible, and the redelivery restages
+      // wholesale (stale rows must NOT leak into the commit)
+      val staleStage = root.resolve("cdc_stage_3")
+      mkBatch(Seq(("D", 999L, null))).select("k")
+        .write.parquet(staleStage.resolve("tombs").toString)
+      assert(snap() == expected.filterNot(_._1 == 6L),
+        "a staged-but-unrenamed batch must be invisible to readers")
+      StreamOps.applyCdcBatch(spark, root, mkBatch(Seq(("U", 5L, dec(5.55)))), 3L)
+      val afterCrash = snap()
+      assert(afterCrash ==
+        expected.filterNot(_._1 == 6L).map(x => if (x._1 == 5L) (5L, 5.55) else x),
+        s"crashed-then-redelivered batch must land exactly once: $afterCrash")
+      assert(!java.nio.file.Files.exists(staleStage),
+        "the stage dir is consumed by the commit rename")
+      assert(logRows() == (4L, 3L),
+        s"stale staged rows leaked into the log: ${logRows()}")
+    } finally StreamOps.rmrf(root)
   }
 }

@@ -71,15 +71,6 @@ class ChunkingSpec extends AnyFunSuite {
       assert(out(1L) == (250L, 3L, 3L, 3L), out.toString)
       assert(out(2L) == (250L, 3L, 3L, 3L), "duplicate doc shares all 3 chunks")
       assert(out(3L)._4 == 0L, "unique content shares nothing")
-    } finally {
-      def rm(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val st = java.nio.file.Files.list(p)
-          try st.forEach(rm(_)) finally st.close()
-        }
-        java.nio.file.Files.deleteIfExists(p); ()
-      }
-      rm(root)
-    }
+    } finally StreamOps.rmrf(root)
   }
 }
