@@ -514,6 +514,13 @@ object GraphOps {
       // builds the |V|-row labels map per partition and streams edges
       // unsorted (measured: p04 8.1 s → 4.8 s count at sf0.1)
       labels = labels.hint("shuffle_hash").join(edges, col("node") === col("src"))
+        .select(col("dst"), col("lbl"))
+        // ONE exchange per round: hash on dst alone, which satisfies
+        // BOTH downstream aggs (HashPartitioning on a subset of the
+        // group keys clusters every (dst, lbl) group), where the
+        // groupBy(dst, lbl) → groupBy(dst) pair re-shuffled the count
+        // frame a second time
+        .repartition(col("dst"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
         // mode with min-label tie-break as ONE aggregate: max of
         // (cnt, −label) picks the largest count, then the smallest label
@@ -830,6 +837,140 @@ object GraphOps {
       onRound: (Int, Long) => Unit = (_, _) => ()): DataFrame =
     hyperballDeltaCore(mkBfsEdges(edgesIn), onRound)
 
+  // --- p11: delta-iterated weighted SSSP --------------------------------
+
+  /** Weighted trading graph: the p01/p05 bipartite customer↔supplier
+    * pairs carrying w = min(l_quantity) observed on the pair — whole
+    * 1..50 values, exact in integer space — duplicated both directions.
+    * Cross-run artifact like the unweighted frame; the loop caller
+    * re-partitions on src and persists (the iterative-loop discipline
+    * above pagerank). */
+  private val ssspEdgeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def weightedEdgesCached(s: SparkSession, d: String): DataFrame = {
+    ssspEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    ssspEdgeCache.getOrElseUpdate((s, d), {
+      graft.sources.ArtifactStore.loadOrBuild(s, "bipartite_w",
+        graft.sources.ArtifactStore.key(d, "orders.parquet") + "-" +
+          graft.sources.ArtifactStore.key(d, "lineitem.parquet")) {
+        val pairs = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+          .join(lineitem(s, d)
+              .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+          .agg(min(col("l_quantity")).cast("long").as("w"))
+        pairs.select(col("cn").as("src"), col("sn").as("dst"), col("w"))
+          .unionByName(pairs.select(col("sn").as("src"), col("cn").as("dst"), col("w")))
+      }.repartition(col("src")).persist()
+    })
+  }
+
+  private val SsspRounds = 4
+
+  /** p11 — delta-iterated WEIGHTED single-source shortest paths:
+    * Bellman-Ford relaxation from node 0 under p08's frontier
+    * discipline, on the trading graph weighted by min trade quantity.
+    * The weighted problem is where delta iteration EARNS its keep over
+    * BFS: a node can be reached cheaply-by-hops early and then improve
+    * by weight later (the spec plants exactly that), so per round the
+    * IMPROVED set — not the whole reached set — joins the edge frame,
+    * candidates reduce through one mergeable min-agg, and one full-outer
+    * merge folds them into the sparse distance frame (absent = not yet
+    * reached; min is monotone, so a non-improved node's messages are
+    * already absorbed — the semi-naive argument). An empty improved set
+    * ends the loop; the tail rounds are provably flat.
+    *
+    * Graded readout is the per-round accounting (round, n_improved,
+    * n_reached, sum_dist) — exact BIGINT arithmetic, and n_improved is
+    * precisely the semi-naive frontier, so the oracle (FULL Bellman-Ford
+    * rounds diffed pairwise) re-derives the frontier sizes the delta
+    * execution must reproduce: the delta-correctness proof IS the
+    * grade.
+    *
+    * Scale: round cost is |edges out of the frontier| + one keyed
+    * min-agg; the edge frame shuffles once at deployment (persisted
+    * pre-partitioned on src, shuffled-hash join per round); the
+    * distance frame stays sparse (reached nodes only). At 100 TB this
+    * is the standard big-graph SSSP posture: message volume tracks the
+    * shrinking frontier, never |V|·rounds. */
+  def ssspDelta(s: SparkSession, d: String): DataFrame =
+    ssspDeltaCore(weightedEdgesCached(s, d))._1
+
+  /** Core on an explicit directed weighted (src, dst, w) frame —
+    * factored for GraphOpsSpec's planted reweighting case. Returns the
+    * accounting plus each round's frontier size. */
+  private[queries] def ssspDeltaCore(edges: DataFrame): (DataFrame, Seq[Long]) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var dist = Seq((0L, 0L)).toDF("node", "dist").localCheckpoint()
+    var delta = dist
+    val recs = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    val fronts = scala.collection.mutable.Buffer.empty[Long]
+    var live = true
+    for (k <- 1 to SsspRounds) {
+      if (live) {
+        val cand = delta.hint("shuffle_hash").join(edges, col("node") === col("src"))
+          .select(col("dst"), (col("dist") + col("w")).as("cd"))
+          .groupBy("dst").agg(min("cd").as("cd"))
+        val merged = dist.join(cand, col("node") === col("dst"), "full_outer")
+          .select(coalesce(col("node"), col("dst")).as("node"),
+            // least() skips nulls: absent-from-dist takes the candidate,
+            // absent-from-cand keeps the old distance
+            least(col("dist"), col("cd")).as("nd"),
+            (col("dist").isNull ||
+              (col("cd").isNotNull && col("cd") < col("dist"))).as("imp"))
+          .withColumnRenamed("nd", "dist")
+          .localCheckpoint() // feeds the counts, next delta AND next merge
+        dist = merged.select("node", "dist")
+        delta = merged.filter(col("imp")).select("node", "dist")
+        val nImp = delta.count()
+        fronts += nImp
+        val acc = dist.agg(count(lit(1)).as("n"), sum("dist").as("sd")).collect()(0)
+        recs += ((k.toLong, nImp, acc.getLong(0), acc.getLong(1)))
+        if (nImp == 0) live = false
+      } else {
+        // fixpoint: the curve is flat — emit without touching the edges
+        fronts += 0L
+        val last = recs.last
+        recs += ((k.toLong, 0L, last._3, last._4))
+      }
+    }
+    (recs.toSeq.toDF("round", "n_improved", "n_reached", "sum_dist")
+      .orderBy("round"), fronts.toSeq)
+  }
+
+  /** p11 oracle: FULL Bellman-Ford rounds (relax from the whole
+    * distance table) diffed pairwise for the improved counts — the
+    * naive execution the delta loop must agree with round by round. */
+  private val SsspDuck: String = {
+    val base =
+      """WITH e0 AS (SELECT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn,
+        |    CAST(MIN(l_quantity) AS BIGINT) AS w
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |edges AS (SELECT cn AS src, sn AS dst, w FROM e0
+        |          UNION ALL SELECT sn, cn, w FROM e0),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""r$i AS (SELECT e.dst AS node, MIN(p.dist + e.w) AS cand
+         |  FROM d${i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst),
+         |d$i AS (SELECT COALESCE(p.node, r.node) AS node,
+         |    CASE WHEN p.dist IS NULL THEN r.cand
+         |         WHEN r.cand IS NULL OR p.dist <= r.cand THEN p.dist
+         |         ELSE r.cand END AS dist
+         |  FROM d${i - 1} p FULL JOIN r$i r ON r.node = p.node),
+         |i$i AS (SELECT COUNT(*) AS c
+         |  FROM d$i a LEFT JOIN d${i - 1} b ON a.node = b.node
+         |  WHERE b.node IS NULL OR a.dist < b.dist)""".stripMargin
+    }.mkString(",\n")
+    val readout = (1 to SsspRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, (SELECT c FROM i$i) AS n_improved,
+         |  (SELECT COUNT(*) FROM d$i) AS n_reached,
+         |  (SELECT CAST(SUM(dist) AS BIGINT) FROM d$i) AS sum_dist""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$rounds\n$readout\nORDER BY round"
+  }
+
   /** Per-node k10 estimator over a dense (node, regs[64]) frame — the
     * array is already densified, so the harmonic sum and occupancy are
     * single map-side array folds — reduced to the radius row
@@ -923,6 +1064,10 @@ object GraphOps {
     "p05_bfs_layers" -> QueryDef(bfsLayers _, BfsLayersDuck),
     // the delta-iterated twin grades against p05's oracle VERBATIM —
     // identical census, frontier-only execution
-    "p08_bfs_delta" -> QueryDef(bfsDeltaLayers _, BfsLayersDuck)
+    "p08_bfs_delta" -> QueryDef(bfsDeltaLayers _, BfsLayersDuck),
+    // weighted SSSP: the graded accounting includes the per-round
+    // improved counts, so the oracle's full-round diffs pin the
+    // semi-naive frontier exactly
+    "p11_sssp_delta" -> QueryDef(ssspDelta _, SsspDuck)
   )
 }

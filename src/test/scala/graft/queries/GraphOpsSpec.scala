@@ -92,6 +92,27 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(out2 == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), out2)
   }
 
+  test("p11: weight relaxation corrects an early hop-cheap path; frontier shrinks; drains early") {
+    import spark.implicits._
+    // 0→1→2 costs 10+10 = 20, but the direct 0→2 edge costs 100: round 1
+    // reaches 2 at 100 (hop-cheap, weight-expensive), round 2 IMPROVES
+    // it to 20 through the frontier — the exact case BFS layers cannot
+    // express and the delta discipline must re-open a settled node for.
+    // 5→6 is an unreachable island (never enters the distance frame).
+    val edges = Seq((0L, 1L, 10L), (1L, 2L, 10L), (0L, 2L, 100L), (5L, 6L, 1L))
+      .toDF("src", "dst", "w")
+    val (acct, fronts) = GraphOps.ssspDeltaCore(edges)
+    val rows = acct.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // round 1: nodes 1 (10) and 2 (100) appear → reached {0,1,2} sum 110
+    // round 2: node 2 improves 100 → 20 → sum 30
+    // round 3: node 2 has no improving out-edges → fixpoint, flat tail
+    assert(rows == Seq((1L, 2L, 3L, 110L), (2L, 1L, 3L, 30L),
+      (3L, 0L, 3L, 30L), (4L, 0L, 3L, 30L)), rows.toString)
+    assert(fronts == Seq(2L, 1L, 0L, 0L),
+      s"the improved set must shrink to the one reweighted node: $fronts")
+  }
+
   test("p09: neighborhood function is monotone and saturates once balls cover components") {
     // triangle 1-2-3 with tail 3-4 (diameter 2) + island pair (diameter
     // 1): every ball stops growing by r=2, so N(3) must EQUAL N(2) —

@@ -717,6 +717,13 @@ class PlanSpec extends AnyFunSuite {
         s"p04 must carry the one intentional edge repartition:\n$p")
       assert(!p.matches("(?s).*hashpartitioning\\(src[^\\n]*ENSURE_REQUIREMENTS.*"),
         s"p04 re-shuffles the edge frame inside the loop:\n$p")
+      // ONE exchange per round: the explicit dst repartition feeds BOTH
+      // the (dst, lbl) count and the per-dst mode pick (hash on a
+      // subset of the group keys clusters every group) — an
+      // ENSURE_REQUIREMENTS exchange on dst would mean the agg pair
+      // went back to shuffling twice per round
+      assert(!p.matches("(?s).*hashpartitioning\\(dst[^\\n]*ENSURE_REQUIREMENTS.*"),
+        s"p04's agg pair must ride the one explicit dst repartition:\n$p")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
