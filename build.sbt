@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the bench run holds every family's persisted edge
+  // frames/artifacts at once — at 8g the storage pool evicted warm
+  // caches mid-run (warm > cold on the graph loops; A/B at sf0.1:
+  // 162.3 s @8g → 150.5 s @24g, same 263 queries)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
