@@ -315,12 +315,24 @@ object SketchOps {
     * e16's "no global NTILE" rule. Approximate answers are bin upper
     * edges: error ≤ bin width by construction, graded against the
     * per-group exact spread (min/max) for context. */
-  def histogramQuantiles(s: SparkSession, d: String): DataFrame = {
-    val hist = orders(s, d)
-      .groupBy(col("o_orderpriority").as("grp"),
+  def histogramQuantiles(s: SparkSession, d: String): DataFrame =
+    histQuantileRead(ordersHist(orders(s, d)))
+
+  /** The k04 histogram-build as a reusable body: orders rows →
+    * per-(priority, bin) (n, bmin, bmax). Every column is MERGEABLE
+    * (count/min/max), which is the whole point: the streaming twin
+    * (s28) maintains exactly this aggregate as Complete-mode state and
+    * must land on the batch histogram — one body, no drift. */
+  private[queries] def ordersHist(o: DataFrame): DataFrame =
+    o.groupBy(col("o_orderpriority").as("grp"),
         floor(col("o_totalprice") / QBinWidth).cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
         min("o_totalprice").as("bmin"), max("o_totalprice").as("bmax"))
+
+  /** The k04 read-side quantile derivation over a (grp, bin, n, bmin,
+    * bmax) histogram — |bins| rows, never the raw data. Shared by the
+    * streaming twin so the serve path is literally the same code. */
+  private[queries] def histQuantileRead(hist: DataFrame): DataFrame = {
     val byBin = Window.partitionBy("grp").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
@@ -336,7 +348,7 @@ object SketchOps {
       .orderBy("grp")
   }
 
-  private val HistogramQuantilesDuck: String =
+  private[queries] val HistogramQuantilesDuck: String =
     s"""WITH hist AS (SELECT o_orderpriority AS grp,
        |    CAST(FLOOR(o_totalprice / $QBinWidth) AS BIGINT) AS bin,
        |    COUNT(*) AS n, MIN(o_totalprice) AS bmin, MAX(o_totalprice) AS bmax

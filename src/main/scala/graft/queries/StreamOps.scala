@@ -1202,6 +1202,41 @@ object StreamOps {
   private val compactTrigCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** s28 — streaming HISTOGRAM-QUANTILE maintenance: k04's
+    * per-(priority, bin) price histogram carried as a Complete-mode
+    * aggregate across micro-batches, quantiles derived at READ from the
+    * drained state through k04's own readout body. The decomposition is
+    * the point: quantiles are NOT mergeable, histograms ARE
+    * (count/min/max per bin) — so the stream maintains the |grp×bins|
+    * histogram rows and the serve path cuts p50/p90/p99 from state,
+    * never rescanning the data. This is the latency-dashboard posture
+    * at 100 TB/day: state is bins, not events, and any percentile is
+    * one |bins|-row window pass away. Shares k04's oracle verbatim —
+    * incremental maintenance must land on the batch histogram bit for
+    * bit. */
+  def streamHistQuantiles(s: SparkSession, d: String): DataFrame = {
+    histQuantCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    histQuantCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_hq")
+      try {
+        val src = Tables.orders(s, d).select("o_orderpriority", "o_totalprice")
+        val srcDir = root.resolve("src").toString
+        src.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 batches
+        val (hist, nBatches) = EventStream.runCompleteAgg(s, srcDir, src.schema,
+          df => SketchOps.ordersHist(df), "graft_s28_hist")
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        // localCheckpoint before the readout multi-references the
+        // memory-sink table (the self-conflict resolve trap) AND before
+        // the scratch dir dies
+        SketchOps.histQuantileRead(hist.localCheckpoint())
+          .localCheckpoint()
+      } finally rmrf(root)
+    })
+  }
+
+  private val histQuantCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** One exactly-once CDC commit: skip if this batch's committed dir
     * exists (the g15 refusal), else land the batch's tombstones (D + U
     * old keys) and appends (U new rows + I rows) under ONE staging dir
@@ -1571,6 +1606,11 @@ object StreamOps {
 
     "s24_stream_hll_distinct" -> QueryDef(streamHllDistinct _,
       SketchOps.HllRegistersDuck),
+
+    // k04's histogram maintained in-stream (mergeable bins), quantiles
+    // cut from state at read — shares k04's oracle verbatim
+    "s28_stream_hist_quantiles" -> QueryDef(streamHistQuantiles _,
+      SketchOps.HistogramQuantilesDuck),
 
     // the streaming daily frame must land on e27's batch answer bit for
     // bit — the oracle is e27's recursive CTE verbatim
