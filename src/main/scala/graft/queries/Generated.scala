@@ -353,6 +353,54 @@ object Generated {
       .orderBy("region_key")
   }
 
+  /** g20 — PARTITIONED parallel JDBC scan: the fact slice lives in the
+    * session-lifetime federated DB and Spark reads it back through the
+    * ranged-partition JDBC source (partitionColumn + bounds +
+    * numPartitions = 8), so the scan plans EIGHT concurrent connections,
+    * each shipping its own `WHERE o_orderkey >= lo AND < hi` stride into
+    * the database — the posture that moves a 10^9-row operational table
+    * into the lake without a single-connection bottleneck (g16/g17 push
+    * filters/aggregates; this parallelizes the wire itself). Spark
+    * leaves the first and last strides UNBOUNDED, so keys outside the
+    * sampled [lo, hi] still land in a partition — the graded aggregate
+    * (rows, exact-decimal sum, key range) over the partitioned read
+    * against the raw-parquet restatement proves stride coverage is
+    * gap- and overlap-free, and n_partitions pins the fan-out. Bounds
+    * derive from the data (one metadata-scale min/max collect — the
+    * same statistics query any production ranged ingest issues). */
+  private val partScanCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Long, Long)]
+
+  def partitionedFedScan(s: SparkSession, d: String): DataFrame = {
+    import graft.load.JdbcSink
+    federatedJoin(s, d) // ensure the session-lifetime federated DB
+    partScanCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    val (url, lo, hi) = partScanCache.getOrElseUpdate((s, d), {
+      val u = fedDbCache((s, d))
+      val target = JdbcSink.Target(u, "", "")
+      JdbcSink.execute(target, Seq(
+        """CREATE TABLE "fact_orders" ("o_orderkey" BIGINT, "o_totalprice" DOUBLE)"""))
+        .flatten.foreach(e => sys.error(s"g20 ddl failed: $e"))
+      val slice = graft.tables.Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      slice.write.mode("append").jdbc(u, "\"fact_orders\"", JdbcSink.props(target))
+      val b = slice.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+      (u, b.getLong(0), b.getLong(1))
+    })
+    val props = graft.load.JdbcSink.props(graft.load.JdbcSink.Target(url, "", ""))
+    // quoted column name: Spark splices it verbatim into each stride's
+    // WHERE text, and the Derby DDL above created it case-sensitive
+    val scan = s.read.jdbc(url, "\"fact_orders\"", "\"o_orderkey\"",
+      lo, hi, 8, props)
+    scan.agg(count(lit(1)).as("n_rows"),
+        graft.tables.Tables.asDbl(sum(graft.tables.Tables.dec("o_totalprice")))
+          .as("sum_price"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+      .select(lit(scan.rdd.getNumPartitions.toLong).as("n_partitions"),
+        col("n_rows"), col("sum_price"), col("min_key"), col("max_key"))
+  }
+
   /** g18 — transactional ATOMICITY on the live sink: a batch that
     * violates a constraint mid-flight must leave NOTHING behind. With
     * autocommit off, five good rows insert and the sixth hits the PK —
@@ -736,6 +784,14 @@ object Generated {
          |  f.n_orders, f.revenue
          |FROM fact f JOIN dim d ON d.n_regionkey = f.r
          |ORDER BY f.r""".stripMargin),
+
+    // oracle = pure-parquet restatement of the slice the 8 ranged JDBC
+    // strides must reassemble gap- and overlap-free
+    "g20_partitioned_fed_scan" -> QueryDef(partitionedFedScan _,
+      """SELECT CAST(8 AS BIGINT) AS n_partitions, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 20 = 0""".stripMargin),
 
     // frozen deterministic audit: the poisoned batch leaves ZERO rows
     // (atomicity), the clean batch lands 5 with Σval = 10·(11+..+15)

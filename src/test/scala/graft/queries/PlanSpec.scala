@@ -758,6 +758,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial"), "the ≤k buffer must combine map-side")
   }
 
+  test("g20: the fact scan fans out as 8 ranged JDBC partitions") {
+    val p = plan("g20_partitioned_fed_scan")
+    assert(p.contains("JDBCRelation"),
+      s"the fact side must be a real federated JDBC scan:\n$p")
+    assert(p.contains("numPartitions=8"),
+      s"the scan must carry the ranged 8-way fan-out (one stride query " +
+        s"per task), not a single-connection read:\n$p")
+  }
+
   test("g17: the aggregation executes inside the database relation") {
     val p = plan("g17_federated_agg_pushdown")
     assert(p.contains("JDBCRelation((SELECT"),
