@@ -1237,6 +1237,62 @@ object StreamOps {
   private val histQuantCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** s29 — the GRAPH ARTIFACT maintained at INGEST: the p-family's
+    * bipartite trading-pair index (ArtifactStore's `bipartite`, the
+    * frame p01/p05/p07's loops iterate) built incrementally as lineitem
+    * rows ARRIVE instead of rebuilt from a snapshot. Each micro-batch
+    * stream-static joins against the orders side (stateless — the
+    * static side holds no join state), and stateful first-seen
+    * dropDuplicates on the (cn, sn) pair emits every edge EXACTLY ONCE
+    * at first observation — the drained sink IS the distinct edge set,
+    * maintained with |E|-bounded state (the index's own size; a derived
+    * index's maintenance state can never exceed the index). Graded as
+    * the log2-binned degree histogram of the maintained graph against
+    * the raw-parquet restatement: the incrementally-built artifact must
+    * equal the batch rebuild edge for edge.
+    *
+    * At 100 TB this closes the artifact loop: the deployed graph index
+    * ingests the day's trades as they land — new edges append, repeat
+    * observations deduplicate against index state, and the analytical
+    * loops (p01/p05/p07/p11) read the same artifact they would have
+    * gotten from a full rebuild, without the rebuild. */
+  def streamEdgeMaintenance(s: SparkSession, d: String): DataFrame = {
+    edgeMaintCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    edgeMaintCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_em")
+      try {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val srcDir = root.resolve("src").toString
+        li.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 batches
+        val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val (edges, nBatches) = EventStream.runAppend(s, srcDir, li.schema,
+          edgeMaintPlan(ordersStatic), "graft_s29_edges")
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        val e = edges.localCheckpoint() // multi-referenced below
+        val deg = e.select(col("cn").as("n")).unionByName(e.select(col("sn").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        deg.groupBy((length(bin(col("dg"))) - 1).cast("long").as("log2_bin"))
+          .agg(count(lit(1)).as("n_nodes"),
+            min("dg").as("min_deg"), max("dg").as("max_deg"))
+          .orderBy("log2_bin")
+          .localCheckpoint() // pin before the scratch dir dies
+      } finally rmrf(root)
+    })
+  }
+
+  /** s29's in-stream body, factored so EdgeMaintStreamSpec can drive it
+    * over an at-least-once (redelivered) source: stream-static join to
+    * attach the customer side, then stateful first-seen dedup on the
+    * encoded pair — the index state absorbs BOTH duplicate deliveries
+    * and genuine repeat trades. */
+  private[queries] def edgeMaintPlan(ordersStatic: DataFrame)(st: DataFrame): DataFrame =
+    st.join(ordersStatic, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("cn"), (col("l_suppkey") * 2 + 1).as("sn"))
+      .dropDuplicates("cn", "sn")
+
+  private val edgeMaintCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** One exactly-once CDC commit: skip if this batch's committed dir
     * exists (the g15 refusal), else land the batch's tombstones (D + U
     * old keys) and appends (U new rows + I rows) under ONE staging dir
@@ -1611,6 +1667,18 @@ object StreamOps {
     // cut from state at read — shares k04's oracle verbatim
     "s28_stream_hist_quantiles" -> QueryDef(streamHistQuantiles _,
       SketchOps.HistogramQuantilesDuck),
+
+    // the p-family's bipartite artifact maintained at ingest; the
+    // oracle restates the batch rebuild — incremental == rebuild,
+    // edge for edge
+    "s29_stream_edge_maintenance" -> QueryDef(streamEdgeMaintenance _,
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |deg AS (SELECT n, COUNT(*) AS dg FROM
+        |  (SELECT cn AS n FROM e0 UNION ALL SELECT sn FROM e0) GROUP BY n)
+        |SELECT CAST(length(bin(dg)) - 1 AS BIGINT) AS log2_bin,
+        |  COUNT(*) AS n_nodes, MIN(dg) AS min_deg, MAX(dg) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // the streaming daily frame must land on e27's batch answer bit for
     // bit — the oracle is e27's recursive CTE verbatim

@@ -173,6 +173,23 @@ object EventStream {
       (spark.table(name), q.recentProgress.map(_.batchId).distinct.length.toLong)
     }
 
+  /** Schema-generic Append-mode drain with one micro-batch per source
+    * file: the stateful-operator posture whose sink receives each row
+    * at its FIRST emission exactly once (s29's first-seen edge dedup).
+    * Returns the drained table and the micro-batch count so callers can
+    * assert the multi-batch claim. */
+  def runAppend(spark: SparkSession, sourceDir: String,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      plan: DataFrame => DataFrame, name: String): (DataFrame, Long) =
+    withStatePartitions(spark) {
+      val src = spark.readStream.schema(srcSchema).format("parquet")
+        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
+      val q = plan(src).writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable() } finally q.stop()
+      (spark.table(name), q.recentProgress.map(_.batchId).distinct.length.toLong)
+    }
+
   /** Schema-generic twin: drives a non-events source (s26's CDC change
     * feed) through the same one-file-per-micro-batch foreachBatch loop.
     * `checkpointDir` pins the batch-id ↔ source-file mapping: an
