@@ -126,9 +126,13 @@ object AsOfSql {
         else {
           val jt = Option(m.group(1)).getOrElse("")
           val rel = m.group(2)
-          val alias = Option(m.group(3)).getOrElse(rel.split('.').last)
+          // keep the user's alias if one was written; never invent one —
+          // a forced `AS t` on a multipart name replaces the [db, t]
+          // qualifier with [t] and breaks `db.t.col` references that the
+          // stock join would resolve
+          val alias = Option(m.group(3)).map(a => s" AS $a").getOrElse("")
           scala.util.matching.Regex.quoteReplacement(
-            s"${jt}JOIN $rel AS $alias ON graft_asof_flag() AND")
+            s"${jt}JOIN $rel$alias ON graft_asof_flag() AND")
         })
     }
 

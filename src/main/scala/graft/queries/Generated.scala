@@ -370,12 +370,16 @@ object Generated {
     * same statistics query any production ranged ingest issues). */
   private val partScanCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, Long, Long)]
+  // the build thunk MUTATES the federated DB (CREATE TABLE + append);
+  // TrieMap.getOrElseUpdate may run a racing thunk twice, and a second
+  // run dies on "table already exists" — serialize the build
+  private val partScanLock = new Object
 
   def partitionedFedScan(s: SparkSession, d: String): DataFrame = {
     import graft.load.JdbcSink
     federatedJoin(s, d) // ensure the session-lifetime federated DB
     partScanCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    val (url, lo, hi) = partScanCache.getOrElseUpdate((s, d), {
+    val (url, lo, hi) = partScanLock.synchronized { partScanCache.getOrElseUpdate((s, d), {
       val u = fedDbCache((s, d))
       val target = JdbcSink.Target(u, "", "")
       JdbcSink.execute(target, Seq(
@@ -387,7 +391,7 @@ object Generated {
       slice.write.mode("append").jdbc(u, "\"fact_orders\"", JdbcSink.props(target))
       val b = slice.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
       (u, b.getLong(0), b.getLong(1))
-    })
+    }) }
     val props = graft.load.JdbcSink.props(graft.load.JdbcSink.Target(url, "", ""))
     // quoted column name: Spark splices it verbatim into each stride's
     // WHERE text, and the Derby DDL above created it case-sensitive
@@ -628,6 +632,9 @@ object Generated {
   /** Teardown hook (Harness) — drop memoized audits with the session. */
   def clearCaches(): Unit = {
     armedFullCache.clear(); liveCache.clear()
+    // g20's bounds point into the federated DB dropped below — clear
+    // BEFORE the drop so no caller can read a URL to a dead database
+    partScanLock.synchronized(partScanCache.clear())
     // drop the session-lifetime federated DBs eagerly (in-memory Derby
     // would otherwise hold its pages until JVM exit)
     fedDbCache.values.foreach(graft.load.JdbcRoundTrip.dropDatabaseQuietly)

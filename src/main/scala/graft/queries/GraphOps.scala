@@ -240,7 +240,8 @@ object GraphOps {
     * no-op on the localCheckpoint-backed frames and safe on a stopped
     * context's leftovers (guarded). */
   def clearCaches(): Unit =
-    Seq(edgeCache, bipartiteCache, pagerankEdgeCache, bfsEdgeCache, lpEdgeCache)
+    Seq(edgeCache, bipartiteCache, pagerankEdgeCache, bfsEdgeCache, lpEdgeCache,
+        ssspEdgeCache)
       .foreach { c =>
         c.values.foreach { df =>
           if (!df.sparkSession.sparkContext.isStopped) df.unpersist()

@@ -67,7 +67,10 @@ object Relational2 {
 
   /** q61 — q60's semantics driven from SQL TEXT: the ASOF LEFT JOIN
     * syntax (rung (d) of the §2.7 ladder — graft.plans.AsOfSql's
-    * delegating parser + marker table function + lowering rule) parses
+    * delegating parser + scalar `graft_asof_flag()` marker function +
+    * lowering rule; NOT a table function — that shape was rejected
+    * because its UnresolvedRelation surfaced after CTESubstitution,
+    * breaking CTE right sides) parses
     * in a GraftExtensions session and lowers to the SAME native plan
     * node q60 builds through the DataFrame API, so the two entrances
     * are graded against the identical oracle (DuckDB's own native ASOF

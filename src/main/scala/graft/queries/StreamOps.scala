@@ -318,6 +318,10 @@ object StreamOps {
     leftOuterCache.clear() // ditto
     hllStreamCache.clear() // ditto
     cusumStreamCache.clear() // ditto
+    cdcIngestCache.clear() // ditto — scratch dirs deleted in the builder's finally
+    compactTrigCache.clear() // ditto
+    histQuantCache.clear() // ditto
+    edgeMaintCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the

@@ -2656,21 +2656,10 @@ object TextOps {
     * Window starts are arithmetic on ONE length — no per-row state, so
     * the whole plan is codegen map work + two shuffles at 100 TB. */
   def ragChunking(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), norm(col("text")).as("nrm"))
-      .withColumn("n_chars", length(col("nrm")).cast("long"))
-      .filter(col("n_chars") >= 1)
-      .withColumn("n_chunks",
-        when(col("n_chars") <= ChunkChars, lit(1L))
-          .otherwise(lit(1L) +
-            expr(s"(n_chars - $ChunkChars + ${ChunkStride - 1}) div $ChunkStride")))
-    val chunks = base
-      .select(col("doc_id"), col("n_chars"), col("n_chunks"), col("nrm"),
-        explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+    val chunks = chunkWindows(documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id")))
       .select(col("doc_id"), col("n_chars"), col("n_chunks"),
-        md5(expr(s"substring(nrm, cast(1 + i * $ChunkStride as int), $ChunkChars)"))
-          .as("dg"))
+        md5(col("chunk")).as("dg"))
       .localCheckpoint() // feeds the census AND the digest-share join
     val docdg = chunks.select("doc_id", "dg").distinct()
     val shared = docdg.groupBy("dg").agg(countDistinct("doc_id").as("nd"))
@@ -2689,10 +2678,16 @@ object TextOps {
 
   /** The window generator on an explicit (doc_id, text) frame, emitting
     * the chunk TEXTS — for ChunkingSpec's planted geometry cases (the
-    * graded query only ships digests). Same expressions as ragChunking;
-    * the constants are shared so the two cannot drift. */
-  private[queries] def ragChunkingOn(docs: DataFrame): DataFrame = {
-    val base = docs
+    * graded query only ships digests). The graded query wraps the SAME
+    * body (one expression tree, not shared constants), so the spec can
+    * never silently test different geometry than t59. */
+  private[queries] def ragChunkingOn(docs: DataFrame): DataFrame = chunkWindows(docs)
+
+  /** ONE definition of the chunk geometry: normalize, census the
+    * closed-form chunk count, explode the window starts, cut the
+    * windows. Emits (doc_id, n_chars, n_chunks, chunk). */
+  private def chunkWindows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), norm(col("text")).as("nrm"))
       .withColumn("n_chars", length(col("nrm")).cast("long"))
       .filter(col("n_chars") >= 1)
@@ -2700,14 +2695,11 @@ object TextOps {
         when(col("n_chars") <= ChunkChars, lit(1L))
           .otherwise(lit(1L) +
             expr(s"(n_chars - $ChunkChars + ${ChunkStride - 1}) div $ChunkStride")))
-    val chunks = base
       .select(col("doc_id"), col("n_chars"), col("n_chunks"), col("nrm"),
         explode(expr("sequence(0, n_chunks - 1)")).as("i"))
       .select(col("doc_id"), col("n_chars"), col("n_chunks"),
         expr(s"substring(nrm, cast(1 + i * $ChunkStride as int), $ChunkChars)")
           .as("chunk"))
-    chunks
-  }
 
   val defs: Map[String, QueryDef] = Map(
     "t59_rag_chunking" -> QueryDef(ragChunking _,

@@ -164,14 +164,7 @@ object EventStream {
   def runCompleteAgg(spark: SparkSession, sourceDir: String,
       srcSchema: org.apache.spark.sql.types.StructType,
       plan: DataFrame => DataFrame, name: String): (DataFrame, Long) =
-    withStatePartitions(spark) {
-      val src = spark.readStream.schema(srcSchema).format("parquet")
-        .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
-      val q = plan(src).writeStream.outputMode(OutputMode.Complete)
-        .format("memory").queryName(name).start()
-      try { q.processAllAvailable() } finally q.stop()
-      (spark.table(name), q.recentProgress.map(_.batchId).distinct.length.toLong)
-    }
+    drainToMemory(spark, sourceDir, srcSchema, plan, name, OutputMode.Complete)
 
   /** Schema-generic Append-mode drain with one micro-batch per source
     * file: the stateful-operator posture whose sink receives each row
@@ -181,10 +174,18 @@ object EventStream {
   def runAppend(spark: SparkSession, sourceDir: String,
       srcSchema: org.apache.spark.sql.types.StructType,
       plan: DataFrame => DataFrame, name: String): (DataFrame, Long) =
+    drainToMemory(spark, sourceDir, srcSchema, plan, name, OutputMode.Append)
+
+  /** One drain body for both output modes — the source/start/drain/stop
+    * plumbing must not drift between the Complete and Append postures. */
+  private def drainToMemory(spark: SparkSession, sourceDir: String,
+      srcSchema: org.apache.spark.sql.types.StructType,
+      plan: DataFrame => DataFrame, name: String,
+      mode: OutputMode): (DataFrame, Long) =
     withStatePartitions(spark) {
       val src = spark.readStream.schema(srcSchema).format("parquet")
         .option("path", sourceDir).option("maxFilesPerTrigger", "1").load()
-      val q = plan(src).writeStream.outputMode(OutputMode.Append)
+      val q = plan(src).writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
       try { q.processAllAvailable() } finally q.stop()
       (spark.table(name), q.recentProgress.map(_.batchId).distinct.length.toLong)

@@ -169,6 +169,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val cteGot = cte.collect().map(r =>
         (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
       assert(cteGot == Seq((1L, 101L), (2L, 100L), (3L, -1L)), cteGot.toString)
+      // an UNALIASED multipart right side keeps its qualifier: the
+      // rewrite must not invent an alias (a forced `AS asof_r` would
+      // replace the [global_temp, asof_r] qualifier and break the
+      // fully-qualified column spelling below)
+      right.createOrReplaceGlobalTempView("asof_r")
+      val qual = run(
+        """SELECT l.lid, global_temp.asof_r.rid AS rid FROM asof_l l
+          |ASOF LEFT JOIN global_temp.asof_r
+          |  ON l.k = global_temp.asof_r.rk AND l.t >= global_temp.asof_r.rt
+          |ORDER BY l.lid""".stripMargin)
+      assert(qual.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        qual.queryExecution.executedPlan.toString)
+      val qualGot = qual.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(qualGot == Seq((1L, 101L), (2L, 100L), (3L, -1L)), qualGot.toString)
       // the rewrite must not touch ASOF-join-shaped text inside string
       // literals or comments
       val literal = run(
