@@ -76,8 +76,7 @@ object BinaryExpressions {
 
   /** Register `nibble_counts` in the session registry (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "nibble_counts", buildNibbleCounts, "built-in")
+    FunctionRegistrar.registerIfAbsent(spark, "nibble_counts", buildNibbleCounts)
 
   /** Column API (requires register(spark) once). */
   def nibble_counts(c: Column): Column =

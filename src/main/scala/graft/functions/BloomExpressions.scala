@@ -41,9 +41,8 @@ object BloomExpressions {
   }
 
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("bloom_agg", buildAgg, "built-in")
-    reg.createOrReplaceTempFunction("bloom_contains", buildContains, "built-in")
+    FunctionRegistrar.registerIfAbsent(spark, "bloom_agg", buildAgg)
+    FunctionRegistrar.registerIfAbsent(spark, "bloom_contains", buildContains)
   }
 
   /** Aggregate a LONG column into a bloom sketch (BINARY). */

@@ -120,8 +120,7 @@ object Fwht {
 object HadamardExpressions {
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fwht", buildFwht, "built-in")
+    FunctionRegistrar.registerIfAbsent(spark, "fwht", buildFwht)
 
   /** Column API for Fwht (requires register(spark) once). */
   def fwht(a: Column): Column =

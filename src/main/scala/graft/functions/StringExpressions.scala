@@ -116,8 +116,7 @@ object StringExpressions {
 
   /** Register `marker_counts` in the session registry (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "marker_counts", buildMarkerCounts, "built-in")
+    FunctionRegistrar.registerIfAbsent(spark, "marker_counts", buildMarkerCounts)
 
   /** Column API (requires register(spark) once). */
   def marker_counts(h: Column, markers: Column): Column =

@@ -71,12 +71,14 @@ case class DotProductD(left: Expression, right: Expression)
 
 object VectorExpressions {
 
-  /** Register `dot_d` in the session's function registry (idempotent).
-    * Registry + call_function is the stable public route to a custom
-    * Expression in Spark 4 (Column no longer exposes raw Expressions). */
+  /** Register `dot_d` in the session's function registry (idempotent —
+    * FunctionRegistrar probes before binding, so repeat calls are
+    * silent no-ops). Registry + call_function is the stable public
+    * route to a custom Expression in Spark 4 (Column no longer exposes
+    * raw Expressions). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_d", exprs => DotProductD(exprs(0), exprs(1)), "built-in")
+    FunctionRegistrar.registerIfAbsent(spark, "dot_d",
+      exprs => DotProductD(exprs(0), exprs(1)))
 
   /** Column API for DotProductD (requires register(spark) once). */
   def dot_d(a: Column, b: Column): Column =

@@ -1098,14 +1098,19 @@ object TextOps {
 
   /** Multi-signal near-dup candidates: the text signal (shingle Jaccard
     * ≥ 0.5, t03) full-outer-merged with the embedding signal (cosine
-    * ≥ 0.45, v02) per document pair — the cross-modal dedup review
-    * queue a real curation pipeline feeds to a judge. Missing signals
-    * surface as -1 sentinels (not NULLs: nullable doubles coerce to
-    * NaN-laden float64 in arrow/pandas and break exact comparison);
-    * n_signals counts the agreeing detectors. */
+    * ≥ 0.45 among centroid-cell mates, v15's posture) per document
+    * pair — the cross-modal dedup review queue a real curation pipeline
+    * feeds to a judge. BOTH signals are bucketed candidate generators
+    * (LSH bands on the text side, centroid cells on the embedding
+    * side) — a production-shaped composition never rides the v02
+    * all-pairs scan, which stays the recall-calibration oracle (v39
+    * grades the cell generator against it). Missing signals surface as
+    * -1 sentinels (not NULLs: nullable doubles coerce to NaN-laden
+    * float64 in arrow/pandas and break exact comparison); n_signals
+    * counts the agreeing detectors. */
   def multiSignalDedup(s: SparkSession, d: String): DataFrame = {
     val txt = lshNearDupPairs(s, d).select(col("a_id"), col("b_id"), col("jaccard"))
-    val emb = VectorOps.cosineNearDupPairs(s, d).select(col("a_id"), col("b_id"), col("cos"))
+    val emb = VectorOps.cellCosineNearDupPairs(s, d).select(col("a_id"), col("b_id"), col("cos"))
     txt.join(emb, Seq("a_id", "b_id"), "full_outer")
       .withColumn("n_signals",
         col("jaccard").isNotNull.cast("int") + col("cos").isNotNull.cast("int"))
@@ -3051,12 +3056,19 @@ object TextOps {
          |  JOIN sizes zb ON zb.doc_id = i.b_id
          |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5),
          |ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM ev),
+         |ec AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM en WHERE vec_id < 16),
+         |eaff AS (SELECT en.vec_id, ec.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY en.vec_id
+         |      ORDER BY round(list_dot_product(en.v, ec.cv) / (en.nrm * ec.cn), 6) DESC,
+         |        ec.cid ASC) AS crn
+         |  FROM en, ec),
+         |ecells AS (SELECT vec_id, cid AS cell FROM eaff WHERE crn = 1),
+         |em AS (SELECT ecells.cell, en.vec_id, en.v, en.nrm FROM en JOIN ecells USING (vec_id)),
          |ep AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |    round(list_dot_product(a.v, b.v) /
-         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-         |  FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v) /
-         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45)
+         |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+         |  FROM em a JOIN em b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45)
          |SELECT COALESCE(tp.a_id, ep.a_id) AS a_id,
          |  COALESCE(tp.b_id, ep.b_id) AS b_id,
          |  COALESCE(tp.jaccard, -1) AS jaccard,

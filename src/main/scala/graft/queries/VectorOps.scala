@@ -61,10 +61,13 @@ object VectorOps {
   }
 
   /** All near-duplicate pairs with cosine ≥ 0.45 (fixture max ≈ 0.51).
-    * Memoized per (session, dir) — the t03/t11 convention: the O(n²)
-    * pair scan is consumed by BOTH v02 and t15's multi-signal merge, so
-    * it executes once per harness run and the (tiny) result frame is
-    * localCheckpoint'ed for every later consumer. */
+    *
+    * This is the deliberate O(n²) CALIBRATION baseline — the exact
+    * truth set v39 grades the bucketed pair generation against — and
+    * nothing production-shaped may ride it: t15's embedding signal
+    * consumes [[cellCosineNearDupPairs]] (centroid-bucketed), not this.
+    * Memoized per (session, dir) — the t03/t11 convention — because
+    * v02's own oracle row and v39's truth side share one execution. */
   def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
     cosinePairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cosinePairsCache.getOrElseUpdate((s, d), {
@@ -284,25 +287,92 @@ object VectorOps {
     * run shards oversized cells), never the v02 all-pairs baseline. The
     * 16-row codebook broadcasts; the member frame joins KEYED on cell
     * (its size is data-dependent — no forced broadcast, t32's rule). */
-  def semanticDedup(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cells = centroidAffinity(s, d).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val m = e.join(cells, "vec_id")
-    val a = m.select(col("cell"), col("vec_id").as("a_id"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = m.select(col("cell"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val dups = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
-      .filter(col("cos") >= 0.45)
-      .groupBy("b_id").agg(count(lit(1)).as("n_dup_prior"))
-    m.select("vec_id", "cell")
-      .join(dups.withColumnRenamed("b_id", "vec_id"), Seq("vec_id"), "left")
+  def semanticDedup(s: SparkSession, d: String): DataFrame =
+    cellAssignments(s, d)
+      .join(cellPairFrame(s, d).filter(col("cos") >= 0.45)
+          .groupBy(col("b_id").as("vec_id"))
+          .agg(count(lit(1)).as("n_dup_prior")),
+        Seq("vec_id"), "left")
       .na.fill(0L, Seq("n_dup_prior"))
       .withColumn("is_kept",
         when(col("n_dup_prior") === 0, 1L).otherwise(0L))
       .orderBy("vec_id")
+
+  /** Every vector's centroid cell — the crn = 1 slice of the routing
+    * artifact, the ONE cell-assignment definition v15/v29/v39 and the
+    * cell pair frame share. */
+  private[queries] def cellAssignments(s: SparkSession, d: String): DataFrame =
+    centroidAffinity(s, d).filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+
+  /** The within-cell candidate pair frame behind the SEMANTIC dedup
+    * family (v15's dedup, v29's threshold curve, t15's embedding
+    * signal via [[cellCosineNearDupPairs]], v39's recall grade):
+    * members meet ONLY inside their centroid cell — the pair join keys
+    * on the cell id, so pair volume is Σ|cell|² (cells ≪ corpus; a
+    * production run shards oversized cells), never the v02 all-pairs
+    * |corpus|². Emits every a_id < b_id cell-mate pair with its rounded
+    * cosine, UNthresholded — v29 sweeps τ over it, the others filter. */
+  private[queries] def cellPairFrame(s: SparkSession, d: String): DataFrame = {
+    val m = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .join(cellAssignments(s, d), "vec_id")
+    val a = m.select(col("cell"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** The scale-safe embedding near-dup pair source — within-cell pairs
+    * at the v15 threshold (cos ≥ 0.45). This is what production-shaped
+    * compositions (t15's multi-signal merge) consume; the v02 all-pairs
+    * frame stays a pure calibration oracle, and v39 grades THIS frame's
+    * recall against it. Memoized per (session, dir): t15 and v39 share
+    * one execution, and the (tiny) result localCheckpoints for every
+    * later consumer. Plan-shape assertions run against
+    * [[cellCosineNearDupPairsUncached]] (the t05 cached-plan lesson). */
+  def cellCosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    cellPairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cellPairsCache.getOrElseUpdate((s, d),
+      cellCosineNearDupPairsUncached(s, d).localCheckpoint())
+  }
+
+  private[queries] def cellCosineNearDupPairsUncached(
+      s: SparkSession, d: String): DataFrame =
+    cellPairFrame(s, d).filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+
+  private val cellPairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v39 — recall of the centroid-bucketed pair generation against the
+    * v02 exact all-pairs truth set, at the shared τ = 0.45 on the shared
+    * rounded-cosine grid: the calibration row that justifies serving
+    * t15's embedding signal from [[cellCosineNearDupPairs]] instead of
+    * the O(n²) scan (v19's IVF-recall discipline applied to the dedup
+    * candidate generator). n_hit counts candidate pairs CONFIRMED in
+    * the truth set via an inner join — by construction every cell pair
+    * is an all-pairs pair, so n_hit = n_cand unless threshold or
+    * rounding drifts between the two builds; the join is the drift
+    * tripwire. recall_permille is exact integer arithmetic.
+    *
+    * Scale: the truth side is the one deliberate O(n²) pass — the
+    * calibration cost a recall audit pays by definition, run on a
+    * SAMPLE at 100 TB; the candidate side is the production frame. */
+  def cellPairRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = cosineNearDupPairs(s, d).select("a_id", "b_id")
+    val cand = cellCosineNearDupPairs(s, d)
+      .select(col("a_id").as("ca"), col("b_id").as("cb"))
+    val hit = cand.join(truth,
+      col("ca") === col("a_id") && col("cb") === col("b_id"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .withColumn("recall_permille", expr("n_hit * 1000 div n_true"))
+      .select("n_true", "n_cand", "n_hit", "recall_permille")
   }
 
   /** v29 — SemDeDup THRESHOLD tuning curve: what v15's fixed τ = 0.45
@@ -319,19 +389,9 @@ object VectorOps {
     * keep rate is integer floor arithmetic — no new float surface. */
   def semdedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
-    val cells = centroidAffinity(s, d).filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-    val m = e.join(cells, "vec_id")
-    val a = m.select(col("cell"), col("vec_id").as("a_id"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = m.select(col("cell"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    val pairs = a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
-      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
-      .select("b_id", "cos")
+    val pairs = cellPairFrame(s, d).select("b_id", "cos")
     val taus = Seq(0.30, 0.40, 0.45, 0.50, 0.60).toDF("tau")
-    val total = e.agg(count(lit(1)).as("n_total"))
+    val total = vecs(s, d).agg(count(lit(1)).as("n_total"))
     val hits = pairs.crossJoin(broadcast(taus)).filter(col("cos") >= col("tau"))
       .groupBy("tau")
       .agg(count(lit(1)).as("n_pairs"), countDistinct("b_id").as("n_victims"))
@@ -595,6 +655,80 @@ object VectorOps {
       .select("cell", "base_rows", "tomb_rows", "ins_rows",
         "amp_permille", "compact")
       .orderBy("cell")
+  }
+
+  /** (rebuilt cells, rebuilt rows, untriggered overlay rows) of the last
+    * v38 execution — VectorRebuildSpec pins the physical half. */
+  @volatile private[queries] var lastRebuildAudit: Option[(Long, Long, Long)] = None
+  private val rebuildCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v38 — ACTING on v36's trigger: the per-cell index REBUILD that
+    * folds v34/v35's overlay frames back into the base cell, q57's
+    * compaction shape transplanted to the ANN index. For every cell
+    * v36 marks `compact`, the materialized segment is rewritten — the
+    * artifact's base rows minus their tombstones, plus the arrivals
+    * v35's live rule routes to the cell — to a fresh parquet segment
+    * (a real write + read-back, not a plan alias), after which that
+    * cell serves as a PLAIN SCAN: no per-read anti-join, no live
+    * assignment branch. Untriggered cells keep the overlay read path
+    * untouched. The graded frame is the 2-probe top-5 search run BOTH
+    * ways — through the overlays ('pre') and through the rebuilt
+    * segments + remaining overlays ('post') — and the rebuild is
+    * RESULT-INVISIBLE, so the oracle states the same search twice
+    * (q57's pre/post hash-match rule). Tombstones (the mod-7 rule)
+    * apply to base AND arrival rows — one id space, one delete log.
+    *
+    * At 100 TB this is the background job that bounds ANN read
+    * amplification (FAISS index merges, Milvus segment compaction):
+    * rebuild cost is |triggered cells' rows| — data-proportional to the
+    * hot cells only — and the search plan sheds its overlay branches
+    * exactly where the trigger said the rent was highest. */
+  def ivfCompactionRebuild(s: SparkSession, d: String): DataFrame = {
+    rebuildCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    rebuildCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_ivfreb")
+      try {
+        val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+        val aff = centroidAffinity(s, d)
+        val cut = insertCut(e)
+        val tomb = e.filter(pmod(col("vec_id"), lit(7)) === 0).select("vec_id")
+        // the overlay serving state: deployed artifact rows below the
+        // build cutoff tombstone-filtered at read, arrivals live-routed
+        val baseCells = aff.filter(col("crn") === 1).crossJoin(cut)
+          .filter(col("vec_id") <= col("cut"))
+          .select(col("vec_id"), col("cid").as("cell"))
+        val preCells = baseCells.unionByName(deltaAssignments(e, cut))
+          .join(tomb, Seq("vec_id"), "left_anti")
+        val trig = ivfCompactionTrigger(s, d)
+          .filter(col("compact") === 1).select("cell")
+        // the rebuild: triggered cells' folded rows become a fresh
+        // materialized segment — written once, then a plain scan
+        val segDir = root.resolve("segments").toString
+        preCells.join(broadcast(trig), Seq("cell"))
+          .write.parquet(segDir)
+        val rebuilt = s.read.parquet(segDir)
+          .select(col("vec_id"), col("cell"))
+        val untrig = preCells.join(broadcast(trig), Seq("cell"), "left_anti")
+        lastRebuildAudit = Some((trig.count(), rebuilt.count(), untrig.count()))
+        def search(cells: DataFrame, phase: String) =
+          ivfSearchOn(e, aff, cells).withColumn("phase", lit(phase))
+            .select("phase", "q_id", "rk", "hit_id", "cos")
+        search(preCells, "1_pre_rebuild")
+          .unionByName(search(rebuilt.unionByName(untrig), "2_post_rebuild"))
+          .orderBy("phase", "q_id", "rk")
+          .localCheckpoint() // pin before the scratch segment is deleted
+      } finally {
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val st = java.nio.file.Files.list(p)
+            try st.forEach(rm(_)) finally st.close()
+          }
+          java.nio.file.Files.deleteIfExists(p)
+        }
+        rm(root)
+      }
+    })
   }
 
   /** v37 — the IVF PROBE-COUNT recall curve, the tuning knob v08 fixes
@@ -2081,6 +2215,63 @@ object VectorOps {
          |         >= $CellAmpThresholdPermille THEN 1 ELSE 0 END AS INT) AS compact
          |FROM art a LEFT JOIN ins i ON i.cell = a.cell
          |ORDER BY a.cell""".stripMargin),
+
+    // the rebuild is result-invisible, so the oracle states the SAME
+    // search (v34's filtered-corpus restatement) under both phases —
+    // q57's pre/post hash-match rule
+    "v38_ivf_compaction_rebuild" -> QueryDef(ivfCompactionRebuild _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff
+        |          WHERE crn = 1 AND vec_id % 7 != 0),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |p AS (SELECT pr.q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(q.v, b.v) /
+        |          (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e q ON q.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |r AS (SELECT q_id, hit_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, hit_id ASC) AS rk FROM p),
+        |sel AS (SELECT q_id, rk, hit_id, cos FROM r WHERE rk <= 5)
+        |SELECT '1_pre_rebuild' AS phase, q_id, rk, hit_id, cos FROM sel
+        |UNION ALL
+        |SELECT '2_post_rebuild' AS phase, q_id, rk, hit_id, cos FROM sel
+        |ORDER BY phase, q_id, rk""".stripMargin),
+
+    // the candidate generator's recall vs the v02 exact truth set —
+    // both sets restated, the hit join on the shared rounded grid
+    "v39_cell_pair_recall" -> QueryDef(cellPairRecall _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |tp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM n, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |m AS (SELECT cells.cell, n.vec_id, n.v, n.nrm FROM n JOIN cells USING (vec_id)),
+        |cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45),
+        |h AS (SELECT COUNT(*) AS n_hit
+        |  FROM cp JOIN tp ON tp.a_id = cp.a_id AND tp.b_id = cp.b_id)
+        |SELECT (SELECT COUNT(*) FROM tp) AS n_true,
+        |  (SELECT COUNT(*) FROM cp) AS n_cand,
+        |  h.n_hit,
+        |  (h.n_hit * 1000) // (SELECT COUNT(*) FROM tp) AS recall_permille
+        |FROM h""".stripMargin),
 
     // the probe-count operating curve: recall vs candidate volume for
     // nProbes 1..4, ground truth = brute-force top-5; all counts and

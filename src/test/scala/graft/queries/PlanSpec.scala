@@ -816,4 +816,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"accounting is keyed aggregates, never pairs:\n$p")
   }
+
+  test("t15's embedding signal: cell-keyed pair join — no theta self-join anywhere") {
+    // the BUILD plan of the bucketed pair source (the memoized frame
+    // would show only a checkpoint scan — the t05 cached-plan lesson)
+    val b = VectorOps.cellCosineNearDupPairsUncached(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!b.contains("CartesianProduct"),
+      s"candidate pairs must meet in cells, never all-pairs:\n$b")
+    assert(!b.contains("BroadcastNestedLoopJoin"),
+      s"the corpus must never meet itself unkeyed:\n$b")
+    assert(b.contains("dot_d"), "scoring must ride the codegen expression")
+    // and the composed t15 plan itself carries no unkeyed join
+    val p = plan("t15_multi_signal_dedup")
+    assert(!p.contains("CartesianProduct"), s"t15 must stay fully keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"t15 must not ride the O(n²) calibration frame:\n$p")
+  }
 }
