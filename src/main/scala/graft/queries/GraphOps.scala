@@ -485,56 +485,180 @@ object GraphOps {
     * count + one mode-pick via max(struct(cnt, −label)) — an AGGREGATE,
     * not a per-node rank window, so a 10^9-degree hub never funnels one
     * task; localCheckpoint per round (the t16 rule). */
-  def labelPropagation(s: SparkSession, d: String): DataFrame = {
+  def labelPropagation(s: SparkSession, d: String): DataFrame =
+    lpDelta(s, d)._1
+
+  /** p12 — the per-round accounting of p04's delta execution (round,
+    * n_changed, n_communities, sum_lbl), graded like p11's: the oracle
+    * runs FULL synchronous rounds and diffs label frames pairwise, so
+    * the n_changed the delta loop must reproduce IS its semi-naive
+    * frontier — the delta-correctness proof is the grade, and the
+    * message-volume curve the 100 TB operator watches is an
+    * oracle-checked table. */
+  def lpDeltaAccounting(s: SparkSession, d: String): DataFrame =
+    lpDelta(s, d)._2
+
+  /** p04/p12 share ONE delta execution per (session, dir): the
+    * communities readout reads the final label frame, the accounting
+    * reads the driver-collected per-round counters. */
+  private val lpResultCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def lpDelta(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    lpResultCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     lpEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    lpCore(lpEdgeCache.getOrElseUpdate((s, d), {
-      val und = partEdges(s, d)
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-        .repartition(col("src")).persist()
-    }))
+    lpResultCache.getOrElseUpdate((s, d),
+      lpDeltaCore(lpEdgeCache.getOrElseUpdate((s, d), {
+        val und = partEdges(s, d)
+        und.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+          .repartition(col("src")).persist()
+      })))
   }
 
   /** Core on an explicit (a, b) undirected edge frame — factored for
     * GraphOpsSpec's planted two-community barbell. */
   private[queries] def labelPropagationOn(und: DataFrame): DataFrame =
-    lpCore(und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))
+    lpDeltaCore(und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"))))._1
 
-  /** Per-round: join planned exchange-free against the persisted
-    * pre-partitioned edge frame (see the note above pagerank), then the
-    * message aggregation — the one inherent hash-LP shuffle. */
-  private def lpCore(edges: DataFrame): DataFrame = {
+  /** ADAPTIVE semi-naive synchronous label propagation — p11's delta
+    * discipline applied to LP, with the posture chosen PER ROUND from
+    * the measured frontier. Sync LP's round is a mode over the full
+    * neighbor-label multiset, so the state that makes deltas
+    * sufficient is the per-(node, label) NEIGHBOR COUNT table: a
+    * changed neighbor retracts one count from its old label and adds
+    * one to its new label, and a node none of whose neighbors changed
+    * has an unchanged table — the mode (max(cnt, −lbl), the
+    * deterministic tie-break) is a pure function of it, so either
+    * maintenance posture reproduces the synchronous semantics exactly.
+    *
+    * The adaptive rule (Differential-Dataflow's re-evaluation vs
+    * incremental choice, made explicit and ORACLE-PINNED as p12's
+    * `posture` column): a delta round ships TWO messages per
+    * frontier-incident edge (−1 old, +1 new) plus an O(|count table|)
+    * full-outer fold, so it beats full re-evaluation (one message per
+    * edge, one fold-free agg) only when the frontier is under half the
+    * nodes — `2·n_changed(k−1) < |V|`. Measured at sf0.1: the
+    * co-purchase graph's frontier stays ≈75 % through round 3
+    * (20000→15005→14588), so pure delta rounds ship 1.5× the
+    * messages AND pay the merge — the adaptive loop runs those rounds
+    * full, while a converging graph (the barbell spec; any graph past
+    * its mixing point) flips to delta and sheds message volume with
+    * the frontier. Round 1 needs no join in EITHER posture: labels
+    * start as node ids, so the initial count table is a direct
+    * edge-frame aggregation. An empty frontier ends the loop;
+    * remaining rounds are provably flat (p10/p11's short-circuit).
+    *
+    * Scale: the round cost is min(full, delta) by construction —
+    * message volume tracks the changed set exactly when that is the
+    * smaller bill, and the one O(|count table|) op (the keyed fold /
+    * re-agg) is the same rent p11 pays on its distance frame. */
+  private[queries] def lpDeltaCore(edges: DataFrame): (DataFrame, DataFrame) = {
+    val s = edges.sparkSession
+    import s.implicits._
+    // round 1: labels ARE node ids — the count table aggregates the
+    // edge frame directly (no join), one dst-hash exchange satisfying
+    // both the (dst, lbl) count and the dst mode (subset-clustering).
+    // LAZY on purpose: init/full rounds never materialize the count
+    // table (the mode agg fuses onto the same exchange, the old lpCore
+    // discipline) — only a DELTA round's fold needs it as a frame, and
+    // pays the one-join recompute as its posture-transition cost.
+    var cnts = edges.select(col("dst"), col("src").as("lbl"))
+      .repartition(col("dst"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to LpRounds) {
-      // shuffle_hash, not SMJ: both sides are already hash-partitioned
-      // on the key (edges persisted pre-partitioned, labels leave the
-      // previous round's keyed agg), so the SMJ's only extra work was
-      // re-SORTING the full edge frame EVERY round — the hash join
-      // builds the |V|-row labels map per partition and streams edges
-      // unsorted (measured: p04 8.1 s → 4.8 s count at sf0.1)
-      labels = labels.hint("shuffle_hash").join(edges, col("node") === col("src"))
-        .select(col("dst"), col("lbl"))
-        // ONE exchange per round: hash on dst alone, which satisfies
-        // BOTH downstream aggs (HashPartitioning on a subset of the
-        // group keys clusters every (dst, lbl) group), where the
-        // groupBy(dst, lbl) → groupBy(dst) pair re-shuffled the count
-        // frame a second time
-        .repartition(col("dst"))
-        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
-        // mode with min-label tie-break as ONE aggregate: max of
-        // (cnt, −label) picks the largest count, then the smallest label
-        .groupBy(col("dst").as("node"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("lbl"))
+      .localCheckpoint()
+    val nNodes = labels.count()
+    var ch: DataFrame = null // (node, old_lbl, new_lbl)
+    var nCh = 0L
+    // (round, posture, n_changed, that round's label frame) — the
+    // n_communities/sum_lbl aggregates defer into ONE lazy union the
+    // accounting consumer pays for once, instead of a driver collect
+    // per round (measured ~1 s of barrier overhead across the loop)
+    val recs = scala.collection.mutable.Buffer.empty[(Long, String, Long, DataFrame)]
+    var live = true
+    for (k <- 1 to LpRounds) {
+      if (live) {
+        val posture =
+          if (k == 1) "init" else if (2 * nCh < nNodes) "delta" else "full"
+        if (posture == "delta") {
+          // delta messages from the CHANGED set only — the semi-naive
+          // win: |edges out of the frontier|, not |E|. One reference to
+          // the join (the plan-doubling rule): each hit explodes to its
+          // (−1 old, +1 new) delta pair; the (dst, lbl) partial agg
+          // leaves the frame partitioned on the merge key, so the
+          // full-outer fold re-shuffles only the checkpointed base.
+          val dAgg = ch.hint("shuffle_hash")
+            .join(edges, col("node") === col("src"))
+            .select(col("dst"), explode(array(
+              struct(col("old_lbl").as("lbl"), lit(-1L).as("w")),
+              struct(col("new_lbl").as("lbl"), lit(1L).as("w")))).as("x"))
+            .select(col("dst"), col("x.lbl").as("lbl"), col("x.w").as("w"))
+            .groupBy(col("dst"), col("lbl")).agg(sum("w").as("dw"))
+          cnts = cnts.join(dAgg, Seq("dst", "lbl"), "full_outer")
+            .select(col("dst"), col("lbl"),
+              (coalesce(col("cnt"), lit(0L)) + coalesce(col("dw"), lit(0L))).as("cnt"))
+            .filter(col("cnt") > 0)
+            .localCheckpoint()
+        } else if (posture == "full") {
+          // re-evaluation: all labels message once (the frontier is the
+          // majority — fewer messages than the delta pair stream, no
+          // fold). Exchange-free on the persisted pre-partitioned edge
+          // side; one dst-hash shuffle serves count AND mode. Lazy —
+          // the mode agg fuses onto the same exchange (see round 1).
+          cnts = labels.hint("shuffle_hash")
+            .join(edges, col("node") === col("src"))
+            .select(col("dst"), col("lbl"))
+            .repartition(col("dst"))
+            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        }
+        // mode with min-label tie-break as ONE aggregate over the whole
+        // count table — a map-side partial agg reducing |cnts| rows to
+        // |V| groups is CHEAPER than any affected-dst restriction join,
+        // and a dst with an unchanged table reproduces its label (the
+        // mode is a pure function of the counts), so full recompute IS
+        // the synchronous semantics
+        val newLabels = cnts
+          .groupBy(col("dst").as("node"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("node"), (-col("m.neg")).as("lbl"))
+          .localCheckpoint() // next round's diff base + readout
+        // the frontier: a LAZY |V|-scale diff of two CHECKPOINTED label
+        // frames — counted once here (the posture/early-exit signal)
+        // and re-derived trivially if the next round goes delta; a
+        // checkpoint of its own would be a wasted barrier whenever the
+        // next round stays full
+        ch = labels.join(newLabels.withColumnRenamed("lbl", "new_lbl"), Seq("node"))
+          .filter(col("new_lbl") =!= col("lbl"))
+          .select(col("node"), col("lbl").as("old_lbl"), col("new_lbl"))
+        labels = newLabels
+        nCh = ch.count()
+        recs += ((k.toLong, posture, nCh, labels))
+        if (nCh == 0) live = false
+      } else {
+        // fixpoint: an empty frontier's delta round ships zero messages
+        // — emit the flat curve without touching the edges
+        recs += ((k.toLong, "delta", 0L, labels))
+      }
     }
-    labels.groupBy(col("lbl").as("community"))
+    val communities = labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("community").asc).limit(20)
+    val acct = recs.map { case (k, posture, n, lf) =>
+      lf.agg(countDistinct(col("lbl")).as("n_communities"),
+          sum(col("lbl")).as("sum_lbl"))
+        .select(lit(k).as("round"), lit(posture).as("posture"),
+          lit(n).as("n_changed"), col("n_communities"), col("sum_lbl"))
+    }.reduce(_.unionByName(_)).orderBy("round")
+    (communities, acct)
   }
 
-  private val LabelPropDuck: String = {
+  /** FULL synchronous LP rounds l0..l{LpRounds} — the naive execution
+    * the delta loop must agree with; shared by p04 (final communities)
+    * and p12 (pairwise-diffed per-round accounting). */
+  private val LpCtesDuck: String = {
     val base =
       """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
@@ -549,11 +673,36 @@ object GraphOps {
          |  FROM l${i - 1} p JOIN edges e ON e.src = p.node GROUP BY e.dst, p.lbl),
          |l$i AS (SELECT node, lbl FROM c$i WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$base,
-       |$rounds
+    s"$base,\n$rounds"
+  }
+
+  private val LabelPropDuck: String =
+    s"""$LpCtesDuck
        |SELECT lbl AS community, COUNT(*) AS n_members
        |FROM l$LpRounds GROUP BY lbl
        |ORDER BY n_members DESC, community ASC LIMIT 20""".stripMargin
+
+  /** p12 oracle: the full rounds diffed pairwise — n_changed is the
+    * semi-naive frontier the adaptive execution must reproduce, and the
+    * posture column re-derives the delta/full decision from the SAME
+    * rule (2·frontier < |V|), so the adaptive threshold itself is
+    * oracle-pinned. */
+  private val LpAcctDuck: String = {
+    val diffs = (1 to LpRounds).map { i =>
+      s"""i$i AS (SELECT COUNT(*) AS c FROM l$i a
+         |  JOIN l${i - 1} b ON a.node = b.node AND a.lbl != b.lbl)""".stripMargin
+    }.mkString(",\n")
+    val readout = (1 to LpRounds).map { i =>
+      val posture =
+        if (i == 1) "'init'"
+        else s"""CASE WHEN 2 * (SELECT c FROM i${i - 1}) <
+           |    (SELECT COUNT(*) FROM l0) THEN 'delta' ELSE 'full' END""".stripMargin
+      s"""SELECT CAST($i AS BIGINT) AS round, $posture AS posture,
+         |  (SELECT c FROM i$i) AS n_changed,
+         |  (SELECT COUNT(DISTINCT lbl) FROM l$i) AS n_communities,
+         |  (SELECT CAST(SUM(lbl) AS BIGINT) FROM l$i) AS sum_lbl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$LpCtesDuck,\n$diffs\n$readout\nORDER BY round"
   }
 
   /** p03 — log2-binned degree distribution of the part graph. The bin is
@@ -1069,6 +1218,10 @@ object GraphOps {
     // weighted SSSP: the graded accounting includes the per-round
     // improved counts, so the oracle's full-round diffs pin the
     // semi-naive frontier exactly
-    "p11_sssp_delta" -> QueryDef(ssspDelta _, SsspDuck)
+    "p11_sssp_delta" -> QueryDef(ssspDelta _, SsspDuck),
+    // p04's delta execution graded the same way: full-round pairwise
+    // diffs pin the changed-set curve the count-table maintenance
+    // must reproduce
+    "p12_lp_delta_accounting" -> QueryDef(lpDeltaAccounting _, LpAcctDuck)
   )
 }

@@ -64,6 +64,47 @@ class GraphOpsSpec extends AnyFunSuite {
       s"expected two 3-member communities (labels 0 and 2), got $out")
   }
 
+  test("p04/p12: a collapsing frontier flips the adaptive loop to a LIVE delta round") {
+    import spark.implicits._
+    // K6 clique (labels collapse to 0 in one round) + pendant chain
+    // 5-6-7 whose relabeling trickles outward one hop per round: after
+    // round 2 the frontier is just the chain boundary (≪ |V|/2), so
+    // round 3 MUST execute semi-naive — a live delta round, not the
+    // post-fixpoint flat fill
+    val cliq = for (i <- 0L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val edges = cliq ++ Seq((5L, 6L), (6L, 7L))
+    val und = edges.toDF("a", "b")
+    val bi = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val (communities, acctDf) = GraphOps.lpDeltaCore(bi)
+    val acct = acctDf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(acct.head._2 == "init", s"round 1 is the direct aggregation: ${acct.toSeq}")
+    assert(acct.exists(a => a._2 == "delta" && a._3 > 0),
+      s"a sub-half frontier must execute semi-naive: ${acct.toSeq}")
+    val fronts = acct.map(_._3)
+    assert(fronts.zip(fronts.tail).forall { case (a, b) => b <= a },
+      s"frontier must shrink: ${fronts.toSeq}")
+
+    // differential: the adaptive execution must agree label-for-label
+    // with a naive driver-side synchronous LP over the same graph
+    def naiveLp(rounds: Int): Map[Long, Long] = {
+      val bidir = edges ++ edges.map { case (x, y) => (y, x) }
+      val adj = bidir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      var lbl = adj.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds)
+        lbl = adj.map { case (n, ns) =>
+          val byLbl = ns.groupBy(lbl).view.mapValues(_.size)
+          n -> -byLbl.toSeq.map { case (l, c) => (c, -l) }.max._2
+        }
+      lbl
+    }
+    val expect = naiveLp(3).values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = communities.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"adaptive ≠ naive: got $got, expected $expect")
+  }
+
   test("p05: chain layers count out exactly; an unreachable island grades as -1") {
     // path 0-1-2-3-4 (each layer 1 node) + disconnected pair 90-91
     val und = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (90L, 91L))
