@@ -20,6 +20,14 @@ object Harness {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate silently RECYCLES a pre-existing default session built
+    // without these extensions — q61's ASOF syntax would then fail late
+    // with an opaque parser error. Harness must own the first session in
+    // the JVM; fail fast at construction if it did not.
+    require(spark.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser],
+      "Harness.withSession got a recycled SparkSession without GraftExtensions " +
+        "(another session was built first in this JVM) — the ASOF SQL surface " +
+        "and injected functions would be missing; stop the existing session first")
     spark.sparkContext.setLogLevel(logLevel)
     try body(spark)
     finally {

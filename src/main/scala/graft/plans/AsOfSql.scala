@@ -34,11 +34,13 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StructType}
   *     CTE names all resolve through the stock path (an earlier marker
   *     table function materialized its `UnresolvedRelation` after
   *     `CTESubstitution` had already run, so CTE right sides could not
-  *     resolve). The rewrite is literal- and comment-aware: `ASOF JOIN
-  *     ... ON` inside a string literal, quoted identifier, line comment
-  *     or bracketed comment is left untouched. The right side must be a
-  *     named relation (table, view, or CTE); subqueries stay on the
-  *     DataFrame API (`AsOfJoin.join`).
+  *     resolve). A parenthesized subquery right side gets the same
+  *     treatment through a balanced-paren scan (regexes cannot nest).
+  *     The rewrite is literal- and comment-aware: `ASOF JOIN ... ON`
+  *     inside a string literal, quoted identifier, line comment or
+  *     bracketed comment is left untouched — and any ASOF head left
+  *     standing after the rewrite fails immediately with the operator's
+  *     own guidance instead of the stock parser's bare syntax error.
   *  2. `graft_asof_flag()` (via `injectFunction`) resolves to
   *     [[AsOfFlag]], an unevaluable boolean leaf that tags the join
   *     condition — surviving analysis where bare text could not, and
@@ -57,11 +59,20 @@ object AsOfSql {
   /** `ASOF [LEFT [OUTER]] JOIN <multipart-name> [[AS] alias] ON` —
     * rewritten to a stock join whose ON clause leads with the
     * [[AsOfFlag]] conjunct. The `ON` keyword is consumed so the flag
-    * lands inside the right join's condition. */
+    * lands inside the right join's condition. Parenthesized subquery
+    * right sides are handled separately ([[rewriteSubqueries]] — a
+    * regex cannot balance their parens). */
   private val AsOfRe =
     ("""(?i)\bASOF\s+(LEFT\s+(?:OUTER\s+)?)?JOIN\s+""" +
       """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)""" +
       """(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s+ON\b""").r
+
+  /** The head of a subquery right side: `ASOF [LEFT [OUTER]] JOIN (`. */
+  private val AsOfSubqRe =
+    """(?i)\bASOF\s+(LEFT\s+(?:OUTER\s+)?)?JOIN\s*(?=\()""".r
+
+  /** Any ASOF JOIN head — the post-rewrite remnant detector. */
+  private val AsOfAnyRe = """(?i)\bASOF\s+(?:LEFT\s+(?:OUTER\s+)?)?JOIN\b""".r
 
   /** Spans of the text the rewrite must not touch: string literals
     * (single- or double-quoted, with backslash escapes and quote
@@ -117,24 +128,99 @@ object AsOfSql {
   private[plans] def rewrite(sqlText: String): String =
     if (!sqlText.toLowerCase(java.util.Locale.ROOT).contains("asof")) sqlText
     else {
-      val spans = protectedSpans(sqlText)
-      // the regex never matches a quote character, so a match starting
-      // outside every protected span lies entirely outside them
-      AsOfRe.replaceAllIn(sqlText, m =>
-        if (spans.exists(s => m.start >= s._1 && m.start < s._2))
-          scala.util.matching.Regex.quoteReplacement(m.matched)
-        else {
-          val jt = Option(m.group(1)).getOrElse("")
-          val rel = m.group(2)
-          // keep the user's alias if one was written; never invent one —
-          // a forced `AS t` on a multipart name replaces the [db, t]
-          // qualifier with [t] and breaks `db.t.col` references that the
-          // stock join would resolve
-          val alias = Option(m.group(3)).map(a => s" AS $a").getOrElse("")
-          scala.util.matching.Regex.quoteReplacement(
-            s"${jt}JOIN $rel$alias ON graft_asof_flag() AND")
-        })
+      val named = {
+        val spans = protectedSpans(sqlText)
+        // the regex never matches a quote character, so a match starting
+        // outside every protected span lies entirely outside them
+        AsOfRe.replaceAllIn(sqlText, m =>
+          if (spans.exists(s => m.start >= s._1 && m.start < s._2))
+            scala.util.matching.Regex.quoteReplacement(m.matched)
+          else {
+            val jt = Option(m.group(1)).getOrElse("")
+            val rel = m.group(2)
+            // keep the user's alias if one was written; never invent one —
+            // a forced `AS t` on a multipart name replaces the [db, t]
+            // qualifier with [t] and breaks `db.t.col` references that the
+            // stock join would resolve
+            val alias = Option(m.group(3)).map(a => s" AS $a").getOrElse("")
+            scala.util.matching.Regex.quoteReplacement(
+              s"${jt}JOIN $rel$alias ON graft_asof_flag() AND")
+          })
+      }
+      val full = rewriteSubqueries(named)
+      // remnant detector (round-11 advice): an ASOF head the rewrite
+      // could not complete would otherwise reach the stock parser and
+      // die with a bare `ASOF` syntax error — fail with the operator's
+      // own guidance instead
+      val leftover = {
+        val spans = protectedSpans(full)
+        AsOfAnyRe.findAllMatchIn(full)
+          .find(m => !spans.exists(s => m.start >= s._1 && m.start < s._2))
+      }
+      leftover.foreach { m =>
+        val snippet = full.substring(m.start, math.min(full.length, m.start + 80))
+        throw new IllegalArgumentException(
+          "ASOF JOIN: could not be lowered — the right side must be a named " +
+            "relation (table, view, CTE) or a parenthesized subquery, " +
+            "followed by an optional alias and an ON clause with column " +
+            s"equi-keys plus one time inequality; near: $snippet")
+      }
+      full
     }
+
+  /** Balanced-paren pass for `ASOF ... JOIN (SELECT …) [alias] ON`: the
+    * subquery body is copied verbatim (its own protected spans and
+    * nested parens respected), only the head and the ON keyword are
+    * rewritten — exactly the named-relation treatment, so the flagged
+    * join reaches [[AsOfSqlRule]] with a stock subquery-alias child. */
+  private def rewriteSubqueries(sqlText: String): String = {
+    val spans = protectedSpans(sqlText)
+    def inProtected(i: Int) = spans.exists(s => i >= s._1 && i < s._2)
+    val heads = AsOfSubqRe.findAllMatchIn(sqlText)
+      .filter(m => !inProtected(m.start)).toList
+    if (heads.isEmpty) sqlText
+    else {
+      val out = new StringBuilder
+      var pos = 0
+      val AliasOnRe =
+        """(?i)^\s*(?:(?:AS\s+)?([A-Za-z_]\w*)\s+)?ON\b""".r
+      heads.foreach { m =>
+        if (m.start >= pos) {
+          // scan the balanced subquery: depth over parens OUTSIDE
+          // protected spans (a paren inside a literal never counts)
+          var i = m.end // at '('
+          var depth = 0
+          var end = -1
+          while (i < sqlText.length && end < 0) {
+            if (inProtected(i))
+              i = spans.find(s => i >= s._1 && i < s._2).get._2
+            else {
+              sqlText.charAt(i) match {
+                case '(' => depth += 1
+                case ')' => depth -= 1; if (depth == 0) end = i
+                case _ => ()
+              }
+              i += 1
+            }
+          }
+          if (end >= 0) {
+            AliasOnRe.findFirstMatchIn(sqlText.substring(end + 1)) match {
+              case Some(am) =>
+                val jt = Option(m.group(1)).getOrElse("")
+                val sub = sqlText.substring(m.end, end + 1)
+                val alias = Option(am.group(1)).map(a => s" AS $a").getOrElse("")
+                out.append(sqlText.substring(pos, m.start))
+                out.append(s"${jt}JOIN $sub$alias ON graft_asof_flag() AND")
+                pos = end + 1 + am.end
+              case None => () // no ON — leave it; the remnant detector fails it
+            }
+          }
+        }
+      }
+      out.append(sqlText.substring(pos, sqlText.length))
+      out.toString
+    }
+  }
 
   /** The flag function: a zero-arg boolean that tags the rewritten ON
     * clause so [[AsOfSqlRule]] can recognize the join later. */
@@ -193,6 +279,23 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
         if (time.isDefined) fail("exactly one time inequality is allowed")
         time = Some((hi, lo, strict))
       }
+      // analyzer type coercion wraps mismatched attributes in Cast BEFORE
+      // this rule fires, so a bare-attribute match would route real
+      // key/time type mismatches to the generic "unsupported conjunct"
+      // message (round-11 advice) — unwrap casts to DETECT the mismatch
+      // and surface the dedicated guidance
+      def underCast(e: Expression): Option[Attribute] = e match {
+        case a: Attribute => Some(a)
+        case c: Cast => underCast(c.child)
+        case _ => None
+      }
+      def mismatch(kind: String, x: Expression, y: Expression): Unit =
+        (underCast(x), underCast(y)) match {
+          case (Some(a), Some(b)) =>
+            fail(s"$kind type mismatch: ${a.name}: ${a.dataType.simpleString} vs " +
+              s"${b.name}: ${b.dataType.simpleString} — cast before joining")
+          case _ => ()
+        }
       conjuncts(cond).foreach {
         case AsOfFlag() => ()
         case EqualTo(a: Attribute, b: Attribute) => addKey(a, b)
@@ -200,8 +303,14 @@ object AsOfSqlRule extends Rule[LogicalPlan] {
         case GreaterThanOrEqual(a: Attribute, b: Attribute) => setTime(a, b, strict = false)
         case LessThan(a: Attribute, b: Attribute) => setTime(b, a, strict = true)
         case LessThanOrEqual(a: Attribute, b: Attribute) => setTime(b, a, strict = false)
-        case other => fail(s"unsupported ON conjunct ${other.sql} — " +
-          "use column equi-keys plus one time inequality")
+        case other =>
+          other match {
+            case EqualTo(x, y) => mismatch("key", x, y)
+            case b: BinaryComparison => mismatch("time", b.left, b.right)
+            case _ => ()
+          }
+          fail(s"unsupported ON conjunct ${other.sql} — " +
+            "use column equi-keys plus one time inequality")
       }
       if (lk.isEmpty) fail("at least one equi-key pair is required")
       val (lt, rt, strict) = time.getOrElse(fail("a time inequality is required"))

@@ -239,7 +239,7 @@ object GraphOps {
     * long-lived session (tests) clears and rebuilds. unpersist is a
     * no-op on the localCheckpoint-backed frames and safe on a stopped
     * context's leftovers (guarded). */
-  def clearCaches(): Unit =
+  def clearCaches(): Unit = {
     Seq(edgeCache, bipartiteCache, pagerankEdgeCache, bfsEdgeCache, lpEdgeCache,
         ssspEdgeCache)
       .foreach { c =>
@@ -248,6 +248,8 @@ object GraphOps {
         }
         c.clear()
       }
+    lpResultCache.clear() // checkpointed frames — nothing to unpersist
+  }
 
   private def partEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }

@@ -222,7 +222,7 @@ object VectorOps {
     * alone would leak their blocks in a long-lived session that clears
     * and rebuilds; unpersist is a no-op on the checkpoint-backed pair
     * frame and guarded against stopped contexts. */
-  def clearCaches(): Unit =
+  def clearCaches(): Unit = {
     Seq(cosinePairsCache, affinityCache, pqCandCache, pqCand64Cache, pqCandOpqCache)
       .foreach { c =>
         c.values.foreach { df =>
@@ -230,6 +230,10 @@ object VectorOps {
         }
         c.clear()
       }
+    // checkpointed frames — nothing to unpersist
+    cellPairsCache.clear()
+    rebuildCache.clear()
+  }
 
   /** Per-label quantized centroids.
     * Floats are quantized to 1e-6 grid BIGINTs before summation so the

@@ -191,6 +191,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM asof_l /* ASOF LEFT JOIN b ON c */ LIMIT 1""".stripMargin)
         .collect().head.getString(0)
       assert(literal == "x ASOF JOIN t ON y", literal)
+      // a parenthesized SUBQUERY right side lowers through the same
+      // balanced-paren rewrite (nested parens + a literal containing a
+      // paren must not derail the scan)
+      val subq = run(
+        """SELECT l.lid, r.rid FROM asof_l l
+          |ASOF LEFT JOIN (SELECT rid, rk, rt FROM asof_r
+          |                WHERE rt >= (SELECT MIN(rt) + 0 FROM asof_r)
+          |                  AND ')' = ')') r
+          |  ON l.k = r.rk AND l.t >= r.rt
+          |ORDER BY l.lid""".stripMargin)
+      assert(subq.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        subq.queryExecution.executedPlan.toString)
+      val subqGot = subq.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(subqGot == Seq((1L, 101L), (2L, 100L), (3L, -1L)), subqGot.toString)
+      // an ASOF head the rewrite cannot complete (no ON clause) fails
+      // at parse with the operator's own guidance, not a bare stock
+      // parser error
+      val remnant = intercept[Exception] {
+        run("SELECT 1 FROM asof_l ASOF JOIN asof_r USING (k)").collect()
+      }
+      assert(remnant.getMessage.contains("could not be lowered"),
+        remnant.getMessage)
+      // a key type mismatch surfaces the DEDICATED message even though
+      // analyzer coercion wraps the attributes in casts first
+      Seq((1L, "1", 10L)).toDF("xid", "k_str", "xt")
+        .createOrReplaceTempView("asof_mis")
+      val mis = intercept[Exception] {
+        run("""SELECT l.lid FROM asof_l l
+              |ASOF LEFT JOIN asof_mis m ON l.k = m.k_str AND l.t >= m.xt""".stripMargin)
+          .collect()
+      }
+      assert(mis.getMessage.contains("type mismatch"), mis.getMessage)
+      assert(mis.getMessage.contains("cast before joining"), mis.getMessage)
     } finally spark.stop()
   }
 }
