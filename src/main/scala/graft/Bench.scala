@@ -3,6 +3,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_FAMILIES=t,v restricts the run to those query-family
+    // prefixes — tools/bench_detail.sh uses it to record per-family
+    // ISOLATED JVMs (the full-run record reads 2-3x high on queries that
+    // lose their storage-pool blocks to later families' caches); the
+    // driver never sets it, so BENCH_r*.json stays the full-run record
+    val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     Harness.withSession(cpus) { spark =>
       // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
       // numbers measure the plan, not JVM cold start; sorted order keeps
@@ -16,7 +23,9 @@ object Bench {
       // (n_failed), never summed — its time-to-throw is not a plan cost,
       // and silently folding it in corrupts the cross-round perf trend.
       def pass(): Map[String, (Double, Boolean)] =
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        SparkEntry.queries.toSeq
+          .filter(kv => famFilter.forall(_.contains(kv._1.take(1))))
+          .sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case _: Throwable => false }
@@ -74,10 +83,17 @@ object Bench {
       val detail = cold.toSeq.sortBy(_._1)
         .map { case (k, c) => "\"" + k + "\":" + cw(c, warm(k)) }
         .mkString("{", ",", "}")
+      // the recording mode travels IN the record (round-11 advice: the
+      // committed numbers get read without the commit message)
+      val mode = famFilter
+        .map(f => "isolated-family-jvm:" + f.toSeq.sorted.mkString(""))
+        .getOrElse("full-run")
       val detailLine =
-        s"""{"metric":"detail","unit":"sec","queries":$detail,"sf":"$sfDir"}"""
+        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"sf":"$sfDir"}"""
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("bench_detail.json"), detailLine + "\n")
+        java.nio.file.Paths.get(
+          sys.env.getOrElse("GRAFT_DETAIL_OUT", "bench_detail.json")),
+        detailLine + "\n")
       catch { case _: Throwable => println(detailLine) }
       // The headline, then per-family records, then the headline AGAIN.
       // The driver's tail capture held ~2.2 KB in round 8 and the 9

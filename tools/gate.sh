@@ -7,8 +7,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# bench defaults to sf0.1 — the SF the driver benches and the committed
+# BENCH_r*.json records use, so the regression tripwire below compares
+# like with like
 SF_VERIFY="${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.001}"
-SF_BENCH="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
+SF_BENCH="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 OUT="${GATE_OUT:-/tmp/graft_gate}"
 mkdir -p "$OUT"
 
@@ -33,5 +36,9 @@ SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
 grep '"metric":"total"' "$OUT/bench.log" | tail -1
 n_failed=$(grep '"metric":"total"' "$OUT/bench.log" | tail -1 | sed 's/.*"n_failed":\([0-9]*\).*/\1/')
 [ "${n_failed:-1}" = "0" ] || { echo "GATE RED: bench n_failed=$n_failed"; exit 1; }
+
+echo "== gate: bench-regression tripwire (vs last committed BENCH_r*.json) =="
+python3 tools/benchcmp.py "$OUT/bench.log" \
+  || { echo "GATE RED: bench regression"; exit 1; }
 
 echo "GATE GREEN"
