@@ -26,6 +26,14 @@ final case class DeferredLinkReport(table_name: String, fk_column: String,
     ref_table: String, n_linked: Long, n_null_after: Long,
     fk_armed_late: Boolean)
 
+/** One row of the partition-parallel read-back audit (g21's raw input):
+  * the table was read back through `n_strides` CONCURRENT JDBC
+  * connections (predicate strides on its PK) and the strides saw
+  * `n_rows` rows in total — gap- and overlap-free coverage shows as
+  * n_rows equalling the load accounting. */
+final case class PartReadbackReport(table_name: String, n_strides: Int,
+    n_rows: Long)
+
 /** The reference's flagship behavior — bulk-append into a LIVE relational
   * database with constraints out of the way (run_engine.py:227-260) —
   * run for real against embedded Derby:
@@ -72,11 +80,57 @@ object JdbcRoundTrip {
     finally dropDatabase(url)
   }
 
-  /** Armed wave load + the deferred-FK linking epilogue (g10): both run
-    * against ONE Derby lifetime, so the (expensive) load is paid once. */
+  /** g21's read path, generalized from g20's ranged fact scan to the
+    * WHOLE catalog: every table reads back through PREDICATE-partitioned
+    * JDBC (`spark.read.jdbc(url, table, predicates, …)` — one concurrent
+    * connection per stride), which is the posture a 100 TB reload audit
+    * needs: the verification scan parallelizes the wire per table
+    * instead of draining 77 tables through one connection each. Stride
+    * scheme per PK head column type, each PROVABLY gap- and overlap-free:
+    *  - string PK (the GUID majority): 4 half-open first-character
+    *    ranges with unbounded ends (< '4' … >= 'c'), so any value —
+    *    hex or not — lands in exactly one stride;
+    *  - integral PK: MOD(pk, 4) = 0..3;
+    *  - multi-column, non-strideable, or absent PK: one full stride
+    *    (recorded as n_strides = 1 — no silent cap).
+    * Counts reduce through ONE unioned Spark job (auditReadback's
+    * job-overhead discipline). */
+  private def partitionedReadback(spark: SparkSession, url: String,
+      target: JdbcSink.Target, catalog: Catalog, targets: Seq[String])
+      : Seq[PartReadbackReport] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+    val framed: Seq[(String, Int, DataFrame)] = targets.sorted.map { t =>
+      val td = catalog(t)
+      val preds: Array[String] = td.pk.headOption
+        .filter(td.schema.fieldNames.contains)
+        .map(pc => (pc, td.schema(pc).dataType)) match {
+        case Some((pc, StringType)) if td.pk.size == 1 =>
+          val c = s"SUBSTR(${DerbyDdl.q(pc)}, 1, 1)"
+          Array(s"$c < '4'", s"$c >= '4' AND $c < '8'",
+            s"$c >= '8' AND $c < 'c'", s"$c >= 'c'")
+        case Some((pc, IntegerType | LongType | ShortType)) if td.pk.size == 1 =>
+          val c = s"MOD(${DerbyDdl.q(pc)}, 4)"
+          Array(s"$c = 0", s"$c = 1", s"$c = 2", s"$c = 3")
+        case _ => Array("1=1")
+      }
+      (t, preds.length,
+        spark.read.jdbc(url, DerbyDdl.q(t), preds, JdbcSink.props(target)))
+    }
+    val counts: Map[String, Long] = framed
+      .map { case (t, _, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(t).as("table_name"), col("n"))
+      }
+      .reduceOption(_ unionAll _).map(_.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap).getOrElse(Map.empty)
+    framed.map { case (t, n, _) => PartReadbackReport(t, n, counts(t)) }
+  }
+
+  /** Armed wave load + the deferred-FK linking epilogue (g10) + the
+    * partition-parallel read-back audit (g21): all three run against ONE
+    * Derby lifetime, so the (expensive) load is paid once. */
   def runArmedLinked(spark: SparkSession, catalog: Catalog,
       rowCount: Long = 15, seed: Long = 42)
-      : (Seq[ArmedLoadReport], Seq[DeferredLinkReport]) = {
+      : (Seq[ArmedLoadReport], Seq[DeferredLinkReport], Seq[PartReadbackReport]) = {
     val db = s"graft_awl_${dbCounter.incrementAndGet()}_${System.nanoTime()}"
     val url = s"jdbc:derby:memory:$db"
     try runArmedOn(spark, catalog, url, rowCount, seed, link = true)
@@ -181,7 +235,7 @@ object JdbcRoundTrip {
 
   private def runArmedOn(spark: SparkSession, catalog: Catalog, url: String,
       rowCount: Long, seed: Long, link: Boolean)
-      : (Seq[ArmedLoadReport], Seq[DeferredLinkReport]) = {
+      : (Seq[ArmedLoadReport], Seq[DeferredLinkReport], Seq[PartReadbackReport]) = {
     val target = JdbcSink.Target(url, "", "")
     ensureDatabase(url)
     val targets = catalog.order.filterNot(GeneratePipeline.skipTable)
@@ -305,7 +359,12 @@ object JdbcRoundTrip {
         DeferredLinkReport(t, fk.column, fk.refTable, nLinked, nNull, canArm)
       }
     }
-    (loadReports, linkReports)
+    // g21's partition-parallel verification pass — same Derby lifetime,
+    // so the audit reads the exact state the load and link passes left
+    val partReports =
+      if (link) partitionedReadback(spark, url, target, catalog, targets)
+      else Seq.empty[PartReadbackReport]
+    (loadReports, linkReports, partReports)
   }
 
   private def updateCount(url: String, sql: String): Long = {

@@ -611,9 +611,9 @@ object Generated {
   }
 
   private val armedFullCache =
-    scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, DataFrame)]
+    scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, DataFrame, DataFrame)]
 
-  private def armedFull(s: SparkSession): (DataFrame, DataFrame) = {
+  private def armedFull(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     armedFullCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
     armedFullCache.getOrElseUpdate(s, armedFullLoadUncached(s))
   }
@@ -629,6 +629,19 @@ object Generated {
     * so fk_armed_late=true rows carry a database-checked guarantee. */
   def deferredFkLink(s: SparkSession, d: String): DataFrame = armedFull(s)._2
 
+  /** g21 — g20's partitioned JDBC scan generalized into the LOAD path:
+    * partition-parallel read-back VERIFICATION of the full armed catalog
+    * (g09 audits through one connection per table; this reads every
+    * table back through predicate strides on its PK — 4 concurrent
+    * connections for strideable PKs, the 100-TB reload-audit posture)
+    * and joins the per-table stride counts against the armed load's own
+    * generation accounting. n_mismatched = tables whose stride union
+    * disagrees with n_loaded — gap/overlap-free coverage and load
+    * fidelity in one integer; n_strided/n_strides pin the fan-out so a
+    * silent fallback to single-connection scans cannot pass unnoticed.
+    * Same memoized Derby lifetime as g09/g10 — the load is paid once. */
+  def partitionedReadbackAudit(s: SparkSession, d: String): DataFrame = armedFull(s)._3
+
   /** Teardown hook (Harness) — drop memoized audits with the session. */
   def clearCaches(): Unit = {
     armedFullCache.clear(); liveCache.clear()
@@ -641,9 +654,9 @@ object Generated {
     fedDbCache.clear()
   }
 
-  private def armedFullLoadUncached(s: SparkSession): (DataFrame, DataFrame) = {
+  private def armedFullLoadUncached(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
     import s.implicits._
-    val (reports, links) =
+    val (reports, links, parts) =
       graft.load.JdbcRoundTrip.runArmedLinked(s, catalog, rowCount = 15, seed = 42)
     val audit = Seq((
       reports.size.toLong,
@@ -656,7 +669,20 @@ object Generated {
     )).toDF("n_tables", "n_waves", "n_generated", "n_loaded",
       "n_fk_bad", "n_pk_armed", "n_fks_armed")
     val linkDf = links.toDF().orderBy("table_name", "fk_column")
-    (audit, linkDf)
+    // g21: the partitioned scans joined against the load accounting —
+    // the driver-side join is over two 77-entry report lists (metadata
+    // scale; the data-scale work happened inside the stride scans)
+    val loadedBy = reports.map(r => r.table_name -> r.n_loaded).toMap
+    val partAudit = Seq((
+      parts.size.toLong,
+      parts.count(_.n_strides > 1).toLong,
+      parts.map(_.n_strides.toLong).sum,
+      reports.map(_.n_loaded).sum,
+      parts.map(_.n_rows).sum,
+      parts.count(p => loadedBy.get(p.table_name).forall(_ != p.n_rows)).toLong
+    )).toDF("n_tables", "n_strided_tables", "n_strides", "n_loaded",
+      "n_readback", "n_mismatched")
+    (audit, linkDf, partAudit)
   }
 
   /** Config-drift audit (S3 × §2.8 composition): the slice catalog is
@@ -869,6 +895,8 @@ object Generated {
     "g08_armed_wave_load" -> QueryDef(armedWaveLoad _, G08Oracle),
 
     "g09_armed_full_catalog" -> QueryDef(armedFullLoad _, G09Oracle),
+    "g21_partitioned_readback_audit" ->
+      QueryDef(partitionedReadbackAudit _, G21Oracle),
 
     "g10_deferred_fk_link" -> QueryDef(deferredFkLink _, G10Oracle),
 
@@ -906,6 +934,16 @@ object Generated {
     * the 131 catalog FK edges armed live (the rest: parents skipped by
     * F1, or self/same-wave edges deferred as NULL); zero FK violations
     * across ALL audited edges, armed or not. */
+  // frozen from the deterministic (rowCount 15, seed 42) armed load:
+  // re-freeze via `sbt "runMain graft.Dump g21_partitioned_readback_audit"`
+  // if generation or load logic changes (the G09 convention)
+  private lazy val G21Oracle: Option[String] = Some(
+    """SELECT * FROM (VALUES (CAST(77 AS BIGINT), CAST(75 AS BIGINT),
+      |  CAST(302 AS BIGINT), CAST(997 AS BIGINT), CAST(997 AS BIGINT),
+      |  CAST(0 AS BIGINT)))
+      |t(n_tables, n_strided_tables, n_strides, n_loaded,
+      |  n_readback, n_mismatched)""".stripMargin)
+
   private lazy val G09Oracle: Option[String] = Some(
     """SELECT * FROM (VALUES (CAST(77 AS BIGINT), CAST(8 AS BIGINT),
       |  CAST(1155 AS BIGINT), CAST(997 AS BIGINT), CAST(0 AS BIGINT),
