@@ -23,12 +23,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Forked-JVM heap: the bench run holds every family's persisted edge
+// frames/artifacts at once — at 8g the storage pool evicted warm caches
+// mid-run (warm > cold on the graph loops; A/B at sf0.1: 162.3 s @8g →
+// 150.5 s @24g, same 263 queries). But a flat 24g default fails to start
+// (or swaps) on smaller machines (round-11 advice), so the default
+// DERIVES from physical RAM — a quarter of it, clamped to [4g, 24g] —
+// and SPARK_DRIVER_MEM stays the explicit override for bench rigs.
+def defaultHeapGb: Long = {
+  val physGb =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      os.getTotalMemorySize / (1024L * 1024 * 1024)
+    } catch { case _: Throwable => 32L }
+  math.max(4L, math.min(24L, physGb / 4))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g default: the bench run holds every family's persisted edge
-  // frames/artifacts at once — at 8g the storage pool evicted warm
-  // caches mid-run (warm > cold on the graph loops; A/B at sf0.1:
-  // 162.3 s @8g → 150.5 s @24g, same 263 queries)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

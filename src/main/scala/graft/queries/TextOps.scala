@@ -1455,6 +1455,62 @@ object TextOps {
         countDistinct(col("source")).as("n_sources"))
       .orderBy("shard")
 
+  /** t60's context-window budget (tokens per packed training sequence).
+    * Small against real 4k–8k windows so the fixture exercises straddles
+    * and underfilled tails; ONE constant shared with the oracle. */
+  private[queries] val PackCtx = 256L
+
+  /** t60 — SEQUENCE PACKING, the step that turns a curated corpus into
+    * fixed-length training sequences: documents concatenate in a
+    * deterministic order (doc_id) with a 1-token separator and chop
+    * every [[PackCtx]] tokens — GPT-style concat-and-chop, the packing
+    * posture large-scale pretraining pipelines use because greedy
+    * no-split bin packing is a sequential recurrence that cannot
+    * parallelize. Packing runs WITHIN t21's shards (the same
+    * salted-bucket rule, so the two operators compose): each shard's
+    * running token prefix-sum assigns every doc its sequence id
+    * (cum_before div ctx) and start offset, and a doc whose tokens cross
+    * the boundary is a straddler (truncation/continuation candidates —
+    * the loss-masking set). Graded per (shard, seq_id of the docs that
+    * START there): docs started, straddlers, and the sequence's fill
+    * (mid sequences pack to exactly ctx; each shard's tail underfills by
+    * shard_total mod ctx). A sequence fully covered by one long
+    * straddler starts no doc and so carries no row — the graded unit is
+    * the PACKING DECISION per document, not a dense sequence inventory.
+    *
+    * Scale: one shuffle on the shard key, then a per-shard ordered
+    * window — the shard is the parallel unit (16 here, thousands in
+    * production), so no global sort and no driver-side loop; the same
+    * plan packs 100 TB by adding shards. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame =
+    sequencePackingOn(documents(s, d)
+      .select(col("doc_id"),
+        saltedBucket(col("doc_id"), ":shard", NumShards.toLong).as("shard"),
+        (size(split(norm(col("text")), " ")) + 1).cast("long").as("n_tok")))
+
+  /** Core on an explicit (doc_id, shard, n_tok) frame — factored for
+    * SequencePackingSpec's planted boundary cases. */
+  private[queries] def sequencePackingOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val before = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("shard")
+    docs
+      .withColumn("cum_before", coalesce(sum("n_tok").over(before), lit(0L)))
+      .withColumn("shard_total", sum("n_tok").over(whole))
+      .select(col("shard"),
+        expr(s"cum_before div $PackCtx").cast("long").as("seq_id"),
+        (pmod(col("cum_before"), lit(PackCtx)) + col("n_tok") > PackCtx)
+          .cast("long").as("straddle"),
+        col("shard_total"))
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs_started"),
+        sum("straddle").as("n_straddlers"),
+        least(lit(PackCtx), max(col("shard_total")) - col("seq_id") * PackCtx)
+          .as("fill_tokens"))
+      .orderBy("shard", "seq_id")
+  }
+
   /** Global token-budget selection: pick the best-scoring documents
     * until a corpus-wide token budget (half the total here) is filled —
     * the "train on the top half by quality" step of a curation pipeline.
@@ -3106,6 +3162,27 @@ object TextOps {
          |  CAST(n_dup_trigram_occ AS DOUBLE) / n_trigrams AS dup_trigram_frac
          |FROM tok LEFT JOIN bi USING (doc_id) LEFT JOIN tri USING (doc_id)
          |ORDER BY doc_id""".stripMargin),
+
+    // all-integer packing arithmetic (token counts, prefix sums, div and
+    // mod against the shared ctx constant) — no float surface at all
+    "t60_sequence_packing" -> QueryDef(sequencePacking _,
+      s"""WITH tk AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT % $NumShards AS shard,
+         |    len(string_split($NormSqlDuck, ' ')) + 1 AS n_tok
+         |  FROM documents),
+         |cs AS (SELECT shard, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard) AS BIGINT) AS shard_total
+         |  FROM tk),
+         |x AS (SELECT shard, CAST(cum_before // $PackCtx AS BIGINT) AS seq_id,
+         |    CASE WHEN cum_before % $PackCtx + n_tok > $PackCtx THEN 1 ELSE 0 END AS straddle,
+         |    shard_total
+         |  FROM cs)
+         |SELECT shard, seq_id, COUNT(*) AS n_docs_started,
+         |  CAST(SUM(straddle) AS BIGINT) AS n_straddlers,
+         |  CAST(LEAST($PackCtx, MAX(shard_total) - seq_id * $PackCtx) AS BIGINT) AS fill_tokens
+         |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin),
 
     "t21_shard_assignment" -> QueryDef(shardAssignment _,
       s"""WITH sh AS (SELECT doc_id, source, text,
