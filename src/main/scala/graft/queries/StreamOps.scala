@@ -122,6 +122,99 @@ object StreamOps {
     })
   }
 
+  /** An ID-SLICED 4-file snapshot of the documents table: file i holds
+    * the i-th quarter of the doc_id range with ascending mtimes, so
+    * FileStreamSource (oldest-first) replays the corpus in doc_id order
+    * under maxFilesPerTrigger=1 — the arrival contract ORDER-SENSITIVE
+    * stateful consumers need (s30's packing: a doc's sequence id depends
+    * on every doc packed before it). The time-sliced events source's
+    * pattern, keyed on the id space instead of event time. */
+  private val idSliceDocSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def idSlicedDocStreamSource(s: SparkSession, d: String): String = {
+    evictDead(idSliceDocSourceCache)
+    idSliceDocSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_docid")
+      try {
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        val mm = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
+        val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
+        for (i <- 0 until 4) {
+          val from = lo + (hi - lo) * i / 4
+          val to = lo + (hi - lo) * (i + 1) / 4
+          val sliceDir = dir.resolve(s"build$i")
+          docs.filter(col("doc_id") >= from && col("doc_id") < to)
+            .coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
+          val part = java.nio.file.Files.list(sliceDir).filter(p =>
+            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
+          val dst = dir.resolve(s"slice$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+          rmrf(sliceDir)
+        }
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      trackScratch(dir.toString)
+    })
+  }
+
+  /** s30 — STREAMING sequence packing, t60's online twin: documents
+    * arrive in doc_id order (the id-sliced source — a real ingest
+    * assigns monotone ids at the door) and every shard's
+    * flatMapGroupsWithState carries ONE running token count, from which
+    * each arrival's sequence id and straddle flag fall out in O(1) —
+    * the training-sequence layout materializes AS the corpus lands,
+    * no batch repack. The drained per-doc packing decisions aggregate
+    * to t60's exact readout, so the oracle IS t60's oracle: online and
+    * batch packing must agree decision for decision.
+    *
+    * Scale: state per shard is two longs — thousands of shards cost
+    * kilobytes; the per-batch sort is per shard per micro-batch (a
+    * day's arrivals), never the corpus. Result memoized per
+    * (session, dir) — one drain per harness run is the honest cost. */
+  def streamSequencePacking(s: SparkSession, d: String): DataFrame = {
+    packCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    packCache.getOrElseUpdate((s, d), {
+      import graft.streaming.DocStream
+      val (rows, nBatches, scratch) = DocStream.runDocOnce(
+        s, idSlicedDocStreamSource(s, d), "graft_stream_pack") { srcDf =>
+        import s.implicits._
+        srcDf.select(col("doc_id"),
+            TextOps.saltedBucket(col("doc_id"), ":shard", TextOps.NumShards.toLong)
+              .as("shard"),
+            (size(split(TextOps.norm(col("text")), " ")) + 1).cast("long").as("n_tok"))
+          .as[DocStream.PackIn]
+          .groupByKey(_.shard)
+          .flatMapGroupsWithState(
+            org.apache.spark.sql.streaming.OutputMode.Append,
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+            DocStream.packFn(TextOps.PackCtx))
+          .toDF()
+      }
+      try {
+        // a single-batch drain would never exercise the carried state
+        require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+        val totals = rows.groupBy("shard")
+          .agg(max("cum_after").as("shard_total"))
+        rows.groupBy("shard", "seq_id")
+          .agg(count(lit(1)).as("n_docs_started"),
+            sum("straddle").as("n_straddlers"))
+          .join(totals, "shard")
+          .withColumn("fill_tokens",
+            least(lit(TextOps.PackCtx),
+              col("shard_total") - col("seq_id") * TextOps.PackCtx))
+          .select("shard", "seq_id", "n_docs_started", "n_straddlers", "fill_tokens")
+          .orderBy("shard", "seq_id")
+          .localCheckpoint() // pin BEFORE the sink scratch dir is deleted
+      } finally rmrf(java.nio.file.Paths.get(scratch))
+    })
+  }
+
+  private val packCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** A TIME-SLICED 4-file snapshot of the events table: file i holds
     * the i-th quarter of the event-time range, and file mtimes ascend
     * with the slice index so FileStreamSource (oldest-first) replays
@@ -308,6 +401,10 @@ object StreamOps {
     lateSourceCache.values.foreach(dirPath =>
       try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
     lateSourceCache.clear()
+    idSliceDocSourceCache.values.foreach(dirPath =>
+      try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
+    idSliceDocSourceCache.clear()
+    packCache.clear() // checkpointed frame; scratch deleted in the builder's finally
     nearDupCache.clear()  // ditto
     decontamCache.clear() // ditto
     qualityGateCache.clear() // ditto
@@ -1675,6 +1772,10 @@ object StreamOps {
     // the p-family's bipartite artifact maintained at ingest; the
     // oracle restates the batch rebuild — incremental == rebuild,
     // edge for edge
+    // online packing must agree with batch t60 decision for decision —
+    // the oracle is t60's oracle verbatim
+    "s30_stream_sequence_packing" ->
+      QueryDef(streamSequencePacking _, TextOps.PackOracleDuck),
     "s29_stream_edge_maintenance" -> QueryDef(streamEdgeMaintenance _,
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -1460,6 +1460,27 @@ object TextOps {
     * and underfilled tails; ONE constant shared with the oracle. */
   private[queries] val PackCtx = 256L
 
+  /** Shared by t60 and its streaming twin s30 — online packing must
+    * reproduce the batch packing decision for decision. */
+  private[queries] lazy val PackOracleDuck: String =
+    s"""WITH tk AS (SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT % $NumShards AS shard,
+       |    len(string_split($NormSqlDuck, ' ')) + 1 AS n_tok
+       |  FROM documents),
+       |cs AS (SELECT shard, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY shard) AS BIGINT) AS shard_total
+       |  FROM tk),
+       |x AS (SELECT shard, CAST(cum_before // $PackCtx AS BIGINT) AS seq_id,
+       |    CASE WHEN cum_before % $PackCtx + n_tok > $PackCtx THEN 1 ELSE 0 END AS straddle,
+       |    shard_total
+       |  FROM cs)
+       |SELECT shard, seq_id, COUNT(*) AS n_docs_started,
+       |  CAST(SUM(straddle) AS BIGINT) AS n_straddlers,
+       |  CAST(LEAST($PackCtx, MAX(shard_total) - seq_id * $PackCtx) AS BIGINT) AS fill_tokens
+       |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin
+
   /** t60 — SEQUENCE PACKING, the step that turns a curated corpus into
     * fixed-length training sequences: documents concatenate in a
     * deterministic order (doc_id) with a 1-token separator and chop
@@ -3165,24 +3186,7 @@ object TextOps {
 
     // all-integer packing arithmetic (token counts, prefix sums, div and
     // mod against the shared ctx constant) — no float surface at all
-    "t60_sequence_packing" -> QueryDef(sequencePacking _,
-      s"""WITH tk AS (SELECT doc_id,
-         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT % $NumShards AS shard,
-         |    len(string_split($NormSqlDuck, ' ')) + 1 AS n_tok
-         |  FROM documents),
-         |cs AS (SELECT shard, n_tok,
-         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
-         |    CAST(SUM(n_tok) OVER (PARTITION BY shard) AS BIGINT) AS shard_total
-         |  FROM tk),
-         |x AS (SELECT shard, CAST(cum_before // $PackCtx AS BIGINT) AS seq_id,
-         |    CASE WHEN cum_before % $PackCtx + n_tok > $PackCtx THEN 1 ELSE 0 END AS straddle,
-         |    shard_total
-         |  FROM cs)
-         |SELECT shard, seq_id, COUNT(*) AS n_docs_started,
-         |  CAST(SUM(straddle) AS BIGINT) AS n_straddlers,
-         |  CAST(LEAST($PackCtx, MAX(shard_total) - seq_id * $PackCtx) AS BIGINT) AS fill_tokens
-         |FROM x GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin),
+    "t60_sequence_packing" -> QueryDef(sequencePacking _, PackOracleDuck),
 
     "t21_shard_assignment" -> QueryDef(shardAssignment _,
       s"""WITH sh AS (SELECT doc_id, source, text,

@@ -164,6 +164,38 @@ object DocStream {
     * set under ANY micro-batch split; arrival order shifts WHICH
     * intermediate snapshots exist, never the last one. State is K
     * (id, chars) pairs per source — bounded by construction. */
+  /** s30's per-shard packing input/output/state (see StreamOps for the
+    * plan that feeds it). */
+  final case class PackIn(doc_id: Long, shard: Long, n_tok: Long)
+  final case class PackOut(shard: Long, doc_id: Long, seq_id: Long,
+      straddle: Long, cum_after: Long)
+  final case class PackState(cum: Long, lastDoc: Long)
+
+  /** ONLINE sequence packing — t60's concat-and-chop run the way a
+    * continuously-ingesting pipeline runs it: the whole per-shard
+    * packing state is ONE running token count (the open sequence's fill
+    * is `cum mod ctx`, its id `cum div ctx`), so each arriving document
+    * gets its sequence id and straddle flag from O(1) state — no
+    * rescan of anything already packed. Packing is order-SENSITIVE, so
+    * arrival order is a stated precondition (the id-sliced source
+    * replays doc_id order across batches; within a batch the group
+    * sorts) and violations CRASH rather than silently mis-pack. */
+  def packFn(ctx: Long)(shard: Long, rows: Iterator[PackIn],
+      state: GroupState[PackState]): Iterator[PackOut] = {
+    var st = state.getOption.getOrElse(PackState(0L, -1L))
+    val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+      require(r.doc_id > st.lastDoc,
+        s"packing requires doc_id-ordered arrival per shard: " +
+          s"doc ${r.doc_id} after ${st.lastDoc} in shard $shard")
+      val seqId = st.cum / ctx
+      val strad = if (st.cum % ctx + r.n_tok > ctx) 1L else 0L
+      st = PackState(st.cum + r.n_tok, r.doc_id)
+      PackOut(shard, r.doc_id, seqId, strad, st.cum)
+    }
+    state.update(st)
+    out.iterator
+  }
+
   def sourceQuotaFn(k: Int)(source: String, rows: Iterator[QuotaIn],
       state: GroupState[QuotaState]): Iterator[QuotaRow] = {
     val st = state.getOption.getOrElse(QuotaState(0L, Vector.empty, Vector.empty))
