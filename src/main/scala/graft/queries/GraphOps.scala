@@ -508,14 +508,53 @@ object GraphOps {
 
   private def lpDelta(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     lpResultCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    lpResultCache.getOrElseUpdate((s, d), lpDeltaCore(lpEdgesCached(s, d)))
+  }
+
+  private def lpEdgesCached(s: SparkSession, d: String): DataFrame = {
     lpEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    lpResultCache.getOrElseUpdate((s, d),
-      lpDeltaCore(lpEdgeCache.getOrElseUpdate((s, d), {
-        val und = partEdges(s, d)
-        und.select(col("a").as("src"), col("b").as("dst"))
-          .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-          .repartition(col("src")).persist()
-      })))
+    lpEdgeCache.getOrElseUpdate((s, d), {
+      val und = partEdges(s, d)
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")).persist()
+    })
+  }
+
+  /** ONE full re-evaluation round: all labels message once over the
+    * persisted pre-partitioned edge frame (shuffle_hash — the edge side
+    * arrives exchange-free), then ONE explicit dst exchange serves both
+    * the (dst, lbl) count and the downstream mode pick. Shared by the
+    * loop and [[lpFullRoundProbe]] so the plan-shape lock asserts the
+    * exact code the loop runs. */
+  private def lpFullRoundCnts(labels: DataFrame, edges: DataFrame): DataFrame =
+    labels.hint("shuffle_hash")
+      .join(edges, col("node") === col("src"))
+      .select(col("dst"), col("lbl"))
+      .repartition(col("dst"))
+      .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+
+  /** Mode with min-label tie-break as ONE aggregate over the count
+    * table — a map-side partial agg reducing |cnts| rows to |V| groups;
+    * a dst with an unchanged table reproduces its label (the mode is a
+    * pure function of the counts), so full recompute IS the synchronous
+    * semantics. */
+  private def lpModePick(cnts: DataFrame): DataFrame =
+    cnts.groupBy(col("dst").as("node"))
+      .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
+      .select(col("node"), (-col("m.neg")).as("lbl"))
+
+  /** The round plan PlanSpec locks: the adaptive loop materializes each
+    * round via localCheckpoint, so the registered p04 plan is only the
+    * final readout — this probe rebuilds one full round from the SAME
+    * factored bodies over the same cached edge frame, where the
+    * exchange discipline is assertable. */
+  private[queries] def lpFullRoundProbe(s: SparkSession, d: String): DataFrame = {
+    val edges = lpEdgesCached(s, d)
+    val labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    lpModePick(lpFullRoundCnts(labels, edges))
   }
 
   /** Core on an explicit (a, b) undirected edge frame — factored for
@@ -607,25 +646,13 @@ object GraphOps {
         } else if (posture == "full") {
           // re-evaluation: all labels message once (the frontier is the
           // majority — fewer messages than the delta pair stream, no
-          // fold). Exchange-free on the persisted pre-partitioned edge
-          // side; one dst-hash shuffle serves count AND mode. Lazy —
-          // the mode agg fuses onto the same exchange (see round 1).
-          cnts = labels.hint("shuffle_hash")
-            .join(edges, col("node") === col("src"))
-            .select(col("dst"), col("lbl"))
-            .repartition(col("dst"))
-            .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+          // fold). Lazy — the mode agg fuses onto the same dst exchange
+          // (see round 1); the plan shape is locked via lpFullRoundProbe.
+          cnts = lpFullRoundCnts(labels, edges)
         }
-        // mode with min-label tie-break as ONE aggregate over the whole
-        // count table — a map-side partial agg reducing |cnts| rows to
-        // |V| groups is CHEAPER than any affected-dst restriction join,
-        // and a dst with an unchanged table reproduces its label (the
-        // mode is a pure function of the counts), so full recompute IS
-        // the synchronous semantics
-        val newLabels = cnts
-          .groupBy(col("dst").as("node"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("m"))
-          .select(col("node"), (-col("m.neg")).as("lbl"))
+        // full mode recompute — a map-side partial agg over the count
+        // table is CHEAPER than any affected-dst restriction join
+        val newLabels = lpModePick(cnts)
           .localCheckpoint() // next round's diff base + readout
         // the frontier: a LAZY |V|-scale diff of two CHECKPOINTED label
         // frames — counted once here (the posture/early-exit signal)

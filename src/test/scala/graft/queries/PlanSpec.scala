@@ -694,7 +694,12 @@ class PlanSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
-      val df = graft.SparkEntry.all("p04_label_propagation").fn(spark, d)
+      // round 12: the adaptive loop materializes each round via
+      // localCheckpoint, so the REGISTERED p04 plan is only the final
+      // readout over a checkpoint scan — the probe rebuilds one full
+      // round from the loop's own factored bodies over the same cached
+      // edge frame, where the exchange discipline is assertable
+      val df = GraphOps.lpFullRoundProbe(spark, d)
       df.collect() // materialize THIS plan (count() would plan its own)
       val full = df.queryExecution.executedPlan.toString
       // assert on the runtime FINAL plan only: AdaptiveSparkPlan prints
