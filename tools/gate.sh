@@ -31,7 +31,12 @@ echo "verify wrote $n_results result dirs, $n_fail failures"
 [ "$n_fail" = "0" ] || { grep '\[verify\].*failed' "$OUT/verify.log"; echo "GATE RED: verify failures"; exit 1; }
 
 echo "== gate: Bench (sf=$SF_BENCH) =="
-SPARK_GRAFT_SF_DIR="$SF_BENCH" sbt -batch "runMain graft.Bench" \
+# GRAFT_DETAIL_OUT: the gate's full-run detail goes to the scratch dir —
+# the COMMITTED bench_detail.json is the per-family-isolated record
+# (tools/bench_detail.sh) and a full-run overwrite would silently
+# re-poison it with cross-family cache pressure
+SPARK_GRAFT_SF_DIR="$SF_BENCH" GRAFT_DETAIL_OUT="$OUT/bench_detail_fullrun.json" \
+  sbt -batch "runMain graft.Bench" \
   > "$OUT/bench.log" 2>&1 || { tail -40 "$OUT/bench.log"; echo "GATE RED: bench"; exit 1; }
 grep '"metric":"total"' "$OUT/bench.log" | tail -1
 n_failed=$(grep '"metric":"total"' "$OUT/bench.log" | tail -1 | sed 's/.*"n_failed":\([0-9]*\).*/\1/')
