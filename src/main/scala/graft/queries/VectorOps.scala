@@ -798,6 +798,70 @@ object VectorOps {
       .orderBy("n_probes")
   }
 
+  /** v40 — the index-STALENESS recall curve: what v35's insert overlay
+    * and v38's rebuild actually BUY. For build-point fractions
+    * f ∈ {70, 80, 90, 100} percent of the id space ("the index was
+    * built when f % of the corpus had arrived"; 90 is v35/v36's own
+    * cutoff), the 2-probe search is served from ONLY the indexed rows
+    * (vec_id ≤ cut_f — no live routing, the posture of a deployment
+    * WITHOUT the overlay) and graded against the FULL-corpus exact
+    * top-5 — the result the user expects regardless of index age. The
+    * f = 100 row is the overlay/rebuild serving state's recall (v35 and
+    * v38 are result-invisible vs the full index), so the curve's gap
+    * below it is precisely the freshness SLA the maintenance operators
+    * close — measured, not asserted (VectorRecallSpec pins the
+    * monotone climb and the v37 cross-lock: the 100 % row equals the
+    * probe curve's n_probes = 2 row by construction).
+    *
+    * One plan, not four (v37's expansion discipline): the 2-probe
+    * candidate set computes ONCE over the full corpus, a 4-row
+    * broadcast of data-derived cuts filters it per staleness point, and
+    * ONE window ranks per (cut, query). Exact integer readout. */
+  def ivfStalenessCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val exact = e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id").as("hit_id"))
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val cand = e.join(cells, "vec_id")
+      .join(broadcast(probes.join(q, "q_id")),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("q_id"), col("vec_id").as("hit_id"), col("cos"))
+      .localCheckpoint() // feeds the expansion AND its own stats
+    val cuts = broadcast(Seq(70L, 80L, 90L, 100L).toDF("pct")
+      .crossJoin(broadcast(e.agg(max("vec_id").as("mx"))))
+      .withColumn("cut", expr("mx * pct div 100"))
+      .select("pct", "cut"))
+    val byCut = cand.crossJoin(cuts).filter(col("hit_id") <= col("cut"))
+    val hits = byCut.withColumn("rk", row_number().over(
+        Window.partitionBy("pct", "q_id")
+          .orderBy(col("cos").desc, col("hit_id").asc)))
+      .filter(col("rk") <= 5)
+      .join(exact, Seq("q_id", "hit_id"))
+      .groupBy("pct").agg(count(lit(1)).as("n_hits"))
+    byCut.groupBy("pct")
+      .agg(countDistinct("q_id").as("n_queries"),
+        count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("pct"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("recall_permille",
+        expr("n_hits * 1000 div (5 * n_queries)"))
+      .select("pct", "n_queries", "n_candidates", "n_hits", "recall_permille")
+      .orderBy("pct")
+  }
+
   /** v31 — FILTERED ANN, pre- vs post-filter, measured side by side:
     * each query wants its top-5 among vectors of ITS OWN LABEL, served
     * from the same 2-probe IVF candidate set as v08. PRE-filtering
@@ -2276,6 +2340,55 @@ object VectorOps {
         |  h.n_hit,
         |  (h.n_hit * 1000) // (SELECT COUNT(*) FROM tp) AS recall_permille
         |FROM h""".stripMargin),
+
+    // the freshness SLA curve: recall of a stale index (arrivals above
+    // the build point invisible — no overlay) vs the full-corpus truth,
+    // per build-point fraction; integers on the rounded-cosine grid
+    "v40_ivf_staleness_curve" -> QueryDef(ivfStalenessCurve _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |exact AS (SELECT q_id, hit_id FROM (
+        |    SELECT q.q_id, b.vec_id AS hit_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.q_id
+        |        ORDER BY round(list_dot_product(q.qv, b.v) /
+        |            (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))), 6) DESC,
+        |          b.vec_id ASC) AS rk
+        |    FROM q JOIN e b ON b.vec_id != q.q_id) WHERE rk <= 5),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |cand AS (SELECT pr.q_id, b.vec_id AS hit_id,
+        |    round(list_dot_product(qe.v, b.v) /
+        |          (sqrt(list_dot_product(qe.v, qe.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |  FROM probes pr
+        |  JOIN e qe ON qe.vec_id = pr.q_id
+        |  JOIN cells cl ON cl.cell = pr.pcell
+        |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+        |cuts AS (SELECT pct, (SELECT MAX(vec_id) FROM e) * pct // 100 AS cut
+        |  FROM (SELECT CAST(unnest([70, 80, 90, 100]) AS BIGINT) AS pct)),
+        |bycut AS (SELECT cu.pct, cd.q_id, cd.hit_id, cd.cos
+        |  FROM cand cd JOIN cuts cu ON cd.hit_id <= cu.cut),
+        |r AS (SELECT pct, q_id, hit_id,
+        |    ROW_NUMBER() OVER (PARTITION BY pct, q_id
+        |      ORDER BY cos DESC, hit_id ASC) AS rk
+        |  FROM bycut),
+        |h AS (SELECT r.pct, COUNT(*) AS n_hits FROM r
+        |  JOIN exact ON exact.q_id = r.q_id AND exact.hit_id = r.hit_id
+        |  WHERE r.rk <= 5 GROUP BY r.pct),
+        |st AS (SELECT pct, COUNT(DISTINCT q_id) AS n_queries,
+        |    COUNT(*) AS n_candidates FROM bycut GROUP BY pct)
+        |SELECT st.pct, st.n_queries, st.n_candidates,
+        |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST((COALESCE(h.n_hits, 0) * 1000) // (5 * st.n_queries) AS BIGINT)
+        |    AS recall_permille
+        |FROM st LEFT JOIN h ON h.pct = st.pct
+        |ORDER BY st.pct""".stripMargin),
 
     // the probe-count operating curve: recall vs candidate volume for
     // nProbes 1..4, ground truth = brute-force top-5; all counts and

@@ -226,4 +226,26 @@ class VectorRecallSpec extends AnyFunSuite {
     info(s"v37 curve (probes → recall‰ @ candidates): " +
       rows.map(r => s"${r._1} → ${r._5}‰ @ ${r._3}").mkString(", "))
   }
+
+  test("v40 staleness curve: recall climbs with the build point; 100% row ≡ v37's 2-probe row") {
+    val rows = graft.SparkEntry.all("v40_ivf_staleness_curve").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(70L, 80L, 90L, 100L), rows.mkString(", "))
+    // a later build point can only ADD indexed rows: candidates and
+    // recall must be non-decreasing — a dip means the cut filter leaked
+    assert(rows.map(_._3).sliding(2).forall(w => w(0) <= w(1)),
+      s"candidates must grow with the build point: ${rows.toSeq}")
+    assert(rows.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      s"recall must be non-decreasing in the build point: ${rows.toSeq}")
+    // cross-lock: a 100 % build point IS the full 2-probe index, which
+    // is exactly v37's n_probes = 2 configuration — the two curves must
+    // meet at that point or one of the candidate builders drifted
+    val v37at2 = graft.SparkEntry.all("v37_ivf_probe_recall_curve").fn(spark, d)
+      .collect().find(_.getInt(0) == 2).get.getLong(4)
+    assert(rows.last._5 == v37at2,
+      s"v40@100% (${rows.last._5}‰) must equal v37@2 probes ($v37at2‰)")
+    info(s"v40 curve (build % → recall‰): " +
+      rows.map(r => s"${r._1} → ${r._5}‰").mkString(", "))
+  }
 }
