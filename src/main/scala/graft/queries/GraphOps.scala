@@ -804,8 +804,11 @@ object GraphOps {
   /** Core on an explicit (a < b) undirected edge frame — factored for
     * GraphOpsSpec's planted path/square graphs. */
   private[queries] def commonNeighborsOn(und: DataFrame): DataFrame = {
+    // |V| rows, attached to BOTH pair endpoints — checkpoint so the
+    // 2·|E| degree aggregation runs once, not once per attachment
     val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
     val nbrs = und.select(col("a").as("c"), col("b").as("nb"))
       .unionByName(und.select(col("b").as("c"), col("a").as("nb")))
     val capped = cappedAdjacencyOn(nbrs)
@@ -821,7 +824,10 @@ object GraphOps {
       .groupBy(col("nb").as("u"), col("nb2").as("v"))
       .agg(count(lit(1)).as("cn"))
     cns
-      .join(und, cns("u") === und("a") && cns("v") === und("b"), "left_anti")
+      // shuffle_hash: the SMJ would sort BOTH pair frames just to drop
+      // existing edges; hashing the edge side streams cns unsorted
+      .join(und.hint("shuffle_hash"),
+        cns("u") === und("a") && cns("v") === und("b"), "left_anti")
       .join(deg.select(col("n").as("u"), col("dg").as("du")).hint("shuffle_hash"), "u")
       .join(deg.select(col("n").as("v"), col("dg").as("dv")).hint("shuffle_hash"), "v")
       .withColumn("pa", col("du") * col("dv"))

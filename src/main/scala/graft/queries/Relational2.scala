@@ -541,6 +541,11 @@ object Relational2 {
         sigs.select(col("sig"), col("id").as("id2"), col("nm").as("nm2")), "sig")
       .filter(col("id") < col("id2"))
       .select("id", "nm", "id2", "nm2").distinct()
+      // the expensive subtree (signature self-join + dedup) feeds THREE
+      // consumers — the match filter, the candidate census, and through
+      // matches the top-20 — and re-executed once per consumer
+      // (measured: q52 warm 4.6 → 1.8 s at sf0.1)
+      .localCheckpoint()
     val matches = cand
       .withColumn("dist", levenshtein(col("nm"), col("nm2")))
       .filter(col("dist") <= 1)
