@@ -30,6 +30,14 @@ echo "verify wrote $n_results result dirs, $n_fail failures"
 [ "$n_results" -gt 0 ] || { echo "GATE RED: verify wrote nothing"; exit 1; }
 [ "$n_fail" = "0" ] || { grep '\[verify\].*failed' "$OUT/verify.log"; echo "GATE RED: verify failures"; exit 1; }
 
+echo "== gate: DuckDB differential (sf=$SF_VERIFY) =="
+# dirs-only counting misses value drift — run the full oracle compare at
+# the verify SF (cheap: DuckDB over the small fixture; the driver runs
+# the same compare at sf0.01, so this is the cross-SF early warning)
+python3 tools/diffcheck.py "$SF_VERIFY" "$OUT/verify" > "$OUT/diffcheck.log" 2>&1 \
+  || { grep -E "FAIL|Traceback" "$OUT/diffcheck.log" | head -20; echo "GATE RED: oracle diff"; exit 1; }
+tail -2 "$OUT/diffcheck.log"
+
 echo "== gate: Bench (sf=$SF_BENCH) =="
 # GRAFT_DETAIL_OUT: the gate's full-run detail goes to the scratch dir —
 # the COMMITTED bench_detail.json is the per-family-isolated record
