@@ -90,9 +90,15 @@ object Bench {
         .getOrElse("full-run")
       val detailLine =
         s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"sf":"$sfDir"}"""
+      // default destination is OUTSIDE the repo: the committed
+      // bench_detail.json is the per-family-ISOLATED record
+      // (tools/bench_detail.sh sets GRAFT_DETAIL_OUT explicitly), and a
+      // casual full-run `runMain graft.Bench` from the repo root must
+      // not silently re-poison it with cross-family cache pressure
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(
-          sys.env.getOrElse("GRAFT_DETAIL_OUT", "bench_detail.json")),
+          sys.env.getOrElse("GRAFT_DETAIL_OUT",
+            s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_detail.json")),
         detailLine + "\n")
       catch { case _: Throwable => println(detailLine) }
       // The headline, then per-family records, then the headline AGAIN.

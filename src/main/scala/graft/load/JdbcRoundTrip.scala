@@ -109,7 +109,11 @@ object JdbcRoundTrip {
           Array(s"$c < '4'", s"$c >= '4' AND $c < '8'",
             s"$c >= '8' AND $c < 'c'", s"$c >= 'c'")
         case Some((pc, IntegerType | LongType | ShortType)) if td.pk.size == 1 =>
-          val c = s"MOD(${DerbyDdl.q(pc)}, 4)"
+          // ABS around MOD, not around the PK: Derby's MOD keeps the
+          // dividend's sign, so a negative key would satisfy NO stride
+          // and silently drop from the audit; |MOD| ≤ 3 can't overflow
+          // where ABS(Long.MinValue) would
+          val c = s"ABS(MOD(${DerbyDdl.q(pc)}, 4))"
           Array(s"$c = 0", s"$c = 1", s"$c = 2", s"$c = 3")
         case _ => Array("1=1")
       }

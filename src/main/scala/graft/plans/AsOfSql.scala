@@ -182,8 +182,13 @@ object AsOfSql {
     else {
       val out = new StringBuilder
       var pos = 0
+      // whitespace, single-level bracketed comments, and line comments
+      // may sit between the subquery, its alias, and ON (nested
+      // bracketed comments fall through to the remnant error, which at
+      // least carries the operator's guidance)
+      val skip = """(?:\s|/\*(?:[^*]|\*(?!/))*\*/|--[^\n]*)"""
       val AliasOnRe =
-        """(?i)^\s*(?:(?:AS\s+)?([A-Za-z_]\w*)\s+)?ON\b""".r
+        s"""(?i)^$skip*(?:(?:AS\\s+)?([A-Za-z_]\\w*)$skip+)?ON\\b""".r
       heads.foreach { m =>
         if (m.start >= pos) {
           // scan the balanced subquery: depth over parens OUTSIDE
@@ -207,7 +212,13 @@ object AsOfSql {
             AliasOnRe.findFirstMatchIn(sqlText.substring(end + 1)) match {
               case Some(am) =>
                 val jt = Option(m.group(1)).getOrElse("")
-                val sub = sqlText.substring(m.end, end + 1)
+                // recurse into the body: an ASOF subquery head NESTED
+                // inside this subquery was skipped by the outer pass
+                // (its text is copied verbatim) — the named-relation
+                // pass already ran over the whole statement, so only
+                // subquery heads can remain inside
+                val sub =
+                  "(" + rewriteSubqueries(sqlText.substring(m.end + 1, end)) + ")"
                 val alias = Option(am.group(1)).map(a => s" AS $a").getOrElse("")
                 out.append(sqlText.substring(pos, m.start))
                 out.append(s"${jt}JOIN $sub$alias ON graft_asof_flag() AND")

@@ -122,6 +122,33 @@ object StreamOps {
     })
   }
 
+  /** Write `slices` as slice<i>.parquet under `dir` with ASCENDING
+    * mtimes, so FileStreamSource (oldest-first) replays them in slice
+    * order under maxFilesPerTrigger=1 — THE ordered-replay writer every
+    * sliced source shares (time-sliced events, the late-arrival replay,
+    * the id-sliced documents; a fourth copy of the move/mtime dance
+    * had already leaked directory-stream handles). Sequential writes
+    * alone can tie within the filesystem timestamp granularity, hence
+    * the explicit 2 s mtime ladder. */
+  private def writeOrderedSlices(dir: java.nio.file.Path,
+      slices: Seq[DataFrame]): Unit = {
+    val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      val sliceDir = dir.resolve(s"build$i")
+      slice.coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
+      val st = java.nio.file.Files.list(sliceDir)
+      val part =
+        try st.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally st.close()
+      val dst = dir.resolve(s"slice$i.parquet")
+      java.nio.file.Files.move(part, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
+      rmrf(sliceDir)
+    }
+  }
+
   /** An ID-SLICED 4-file snapshot of the documents table: file i holds
     * the i-th quarter of the doc_id range with ascending mtimes, so
     * FileStreamSource (oldest-first) replays the corpus in doc_id order
@@ -140,21 +167,11 @@ object StreamOps {
           .select("doc_id", "text", "lang", "source", "n_chars")
         val mm = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).collect()(0)
         val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
-        val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
-        for (i <- 0 until 4) {
+        writeOrderedSlices(dir, (0 until 4).map { i =>
           val from = lo + (hi - lo) * i / 4
           val to = lo + (hi - lo) * (i + 1) / 4
-          val sliceDir = dir.resolve(s"build$i")
           docs.filter(col("doc_id") >= from && col("doc_id") < to)
-            .coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
-          val part = java.nio.file.Files.list(sliceDir).filter(p =>
-            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          val dst = dir.resolve(s"slice$i.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-          rmrf(sliceDir)
-        }
+        })
       } catch { case e: Throwable => rmrf(dir); throw e }
       trackScratch(dir.toString)
     })
@@ -235,25 +252,11 @@ object StreamOps {
         val mm = ev.agg(min(unix_micros(col("ts"))).as("lo"),
           max(unix_micros(col("ts"))).as("hi")).collect()(0)
         val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
-        val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
-        for (i <- 0 until 4) {
+        writeOrderedSlices(dir, (0 until 4).map { i =>
           val from = lo + (hi - lo) * i / 4
           val to = lo + (hi - lo) * (i + 1) / 4
-          val sliceDir = dir.resolve(s"build$i")
           ev.filter(unix_micros(col("ts")) >= from && unix_micros(col("ts")) < to)
-            .coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
-          // move the part file up as slice<i>.parquet with an ASCENDING
-          // mtime — FileStreamSource orders new files oldest-first, and
-          // sequential writes alone can tie within the fs timestamp
-          // granularity
-          val part = java.nio.file.Files.list(sliceDir).filter(p =>
-            p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-          val dst = dir.resolve(s"slice$i.parquet")
-          java.nio.file.Files.move(part, dst)
-          java.nio.file.Files.setLastModifiedTime(dst,
-            java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-          rmrf(sliceDir)
-        }
+        })
       } catch { case e: Throwable => rmrf(dir); throw e }
       trackScratch(dir.toString)
     })
@@ -286,7 +289,6 @@ object StreamOps {
           max(unix_micros(col("ts"))).as("hi")).collect()(0)
         val mid = lit((mm.getLong(0) + mm.getLong(1)) / 2)
         val tail = lit(mm.getLong(1) - 5L * 60 * 1000000) // last 5 min
-        val t0 = java.nio.file.Files.getLastModifiedTime(dir).toMillis
         // THREE slices, because state eviction needs a batch boundary
         // after the watermark advances: slice 0 (bulk) sets the
         // watermark, slice 1 (recent tail) triggers the eviction pass
@@ -295,21 +297,10 @@ object StreamOps {
         // arrival order in which Spark's aggregation actually DROPS
         // late rows (a late row whose window is still in state merges
         // fine; measured round 7)
-        Seq(
+        writeOrderedSlices(dir, Seq(
           ev.filter(!lateSel(mid) && unix_micros(col("ts")) < tail),
           ev.filter(!lateSel(mid) && unix_micros(col("ts")) >= tail),
-          ev.filter(lateSel(mid))).zipWithIndex
-          .foreach { case (slice, i) =>
-            val sliceDir = dir.resolve(s"build$i")
-            slice.coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
-            val part = java.nio.file.Files.list(sliceDir).filter(p =>
-              p.getFileName.toString.endsWith(".parquet")).findFirst().get()
-            val dst = dir.resolve(s"slice$i.parquet")
-            java.nio.file.Files.move(part, dst)
-            java.nio.file.Files.setLastModifiedTime(dst,
-              java.nio.file.attribute.FileTime.fromMillis(t0 + i * 2000L))
-            rmrf(sliceDir)
-          }
+          ev.filter(lateSel(mid))))
       } catch { case e: Throwable => rmrf(dir); throw e }
       trackScratch(dir.toString)
     })

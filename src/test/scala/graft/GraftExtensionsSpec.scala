@@ -206,6 +206,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val subqGot = subq.collect().map(r =>
         (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
       assert(subqGot == Seq((1L, 101L), (2L, 100L), (3L, -1L)), subqGot.toString)
+      // a comment may sit between the subquery, its alias, and ON; and
+      // an ASOF subquery may NEST inside another ASOF subquery's body
+      // (the rewrite recurses into the interior)
+      val nested = run(
+        """SELECT l.lid, r.rid FROM asof_l l
+          |ASOF LEFT JOIN (SELECT x.rid, x.rk, x.rt
+          |                FROM asof_r x
+          |                ASOF JOIN (SELECT rk AS yk, rt AS yt FROM asof_r) y
+          |                  ON x.rk = y.yk AND x.rt >= y.yt) /* keep */ r
+          |  ON l.k = r.rk AND l.t >= r.rt
+          |ORDER BY l.lid""".stripMargin)
+      assert("AsOfJoin".r.findAllIn(nested.queryExecution.executedPlan.toString)
+          .length >= 2, // the outer AND the nested lowering
+        nested.queryExecution.executedPlan.toString)
+      val nestedGot = nested.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(nestedGot == Seq((1L, 101L), (2L, 100L), (3L, -1L)), nestedGot.toString)
       // an ASOF head the rewrite cannot complete (no ON clause) fails
       // at parse with the operator's own guidance, not a bare stock
       // parser error

@@ -30,15 +30,25 @@ FAMILY_FLOOR_S = 2.0
 
 
 def parse_lines(text):
-    """(total, sf, {family: subtotal_seconds}) from bench stdout text."""
+    """(total, sf, {family: ds list}) from bench stdout text."""
     total, sf, fams = None, None, {}
     for m in re.finditer(r'\{"metric":"total".*?\}', text):
         rec = json.loads(m.group(0))
         total, sf = rec["value"], rec.get("sf")
     for m in re.finditer(r'\{"f":"(\w)","ds":\[[^\]]*\]\}', text):
         rec = json.loads(m.group(0))
-        fams[rec["f"]] = sum(d for d in rec["ds"] if d is not None and d > 0) / 10.0
+        fams[rec["f"]] = rec["ds"]
     return total, sf, fams
+
+
+def common_subtotals(ref_ds, cur_ds):
+    """Per-family subtotal seconds over POSITIONS valid in BOTH records —
+    a query added or retired between rounds must not masquerade as (or
+    mask) a regression in the queries both rounds actually ran."""
+    n = min(len(ref_ds), len(cur_ds))
+    pairs = [(r, c) for r, c in zip(ref_ds[:n], cur_ds[:n])
+             if r is not None and c is not None and r >= 0 and c >= 0]
+    return (sum(r for r, _ in pairs) / 10.0, sum(c for _, c in pairs) / 10.0)
 
 
 def main():
@@ -71,16 +81,16 @@ def main():
 
     red = []
     if cur_total > THRESH * ref_total:
-        red.append(f"total {cur_total:.1f}s > {THRESH}x ref {ref_total:.1f}s")
-    for f, rv in sorted(ref_fams.items()):
-        cv = cur_fams.get(f)
-        if cv is not None and rv >= FAMILY_FLOOR_S and cv > THRESH * rv:
-            red.append(f"family {f} {cv:.1f}s > {THRESH}x ref {rv:.1f}s")
-    grew = {f: (ref_fams.get(f), cur_fams.get(f)) for f in sorted(set(ref_fams) | set(cur_fams))}
+        red.append(f"total {cur_total:.1f}s > {THRESH}x ref {ref_total:.1f}s "
+                   "(note: totals span each round's own query set)")
+    common = {f: common_subtotals(ref_fams[f], cur_fams[f])
+              for f in sorted(set(ref_fams) & set(cur_fams))}
+    for f, (rv, cv) in common.items():
+        if rv >= FAMILY_FLOOR_S and cv > THRESH * rv:
+            red.append(f"family {f} {cv:.1f}s > {THRESH}x ref {rv:.1f}s (common queries only)")
     print(f"benchcmp vs {os.path.basename(ref_path)} (sf {cur_sf}): "
-          f"total {ref_total:.1f}s -> {cur_total:.1f}s; families "
-          + ", ".join(f"{f}:{(r if r is not None else 0):.1f}->{(c if c is not None else 0):.1f}"
-                      for f, (r, c) in grew.items()))
+          f"total {ref_total:.1f}s -> {cur_total:.1f}s; common-query families "
+          + ", ".join(f"{f}:{r:.1f}->{c:.1f}" for f, (r, c) in common.items()))
     if red:
         print("benchcmp RED: " + "; ".join(red))
         return 1
