@@ -684,6 +684,106 @@ object GraphOps {
     (communities, acct)
   }
 
+  private val CcRounds = 5
+
+  /** p13 — DELTA-iterated connected components by min-label
+    * propagation on the co-purchase graph (lpEdgesCached — one shared
+    * deployment shuffle with p04): labels start as node ids and every
+    * round each node takes the MIN of its own label and its neighbors'
+    * — the monotone merge that makes CC the TEXTBOOK semi-naive case
+    * (unlike p04's mode, a min can never retract, so frontier-only
+    * messages are sufficient with no count-table state at all, and the
+    * frontier provably SHRINKS to the fixpoint). Per round the CHANGED
+    * set alone messages (shuffle-hash against the persisted
+    * pre-partitioned edges), candidates reduce through one mergeable
+    * min-agg, and one keyed left-merge folds them into the label frame.
+    * Empty frontier → remaining rounds emit flat (p10/p11's
+    * short-circuit).
+    *
+    * Graded readout is the per-round accounting (round, n_changed,
+    * n_components, sum_lbl) — p11's discipline: the oracle runs FULL
+    * min-propagation rounds and diffs label frames pairwise, so the
+    * frontier sizes the delta execution must reproduce ARE the grade.
+    *
+    * Scale: message volume tracks the shrinking changed set; the merge
+    * is O(|V|) keyed rows per round (CC state is one long per node —
+    * lighter than p04's count table); the t16/t34 doc-similarity CC
+    * operators keep their |edges|≪|docs| pointer-jumping posture, while
+    * this is the dense-graph propagation rung beside them. */
+  def ccDelta(s: SparkSession, d: String): DataFrame =
+    ccDeltaCore(lpEdgesCached(s, d))
+
+  /** Core on an explicit directed (src, dst) frame — factored for
+    * GraphOpsSpec's planted multi-component case. */
+  private[queries] def ccDeltaCore(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var ch = labels // round 1: every node announces its own label
+    val recs = scala.collection.mutable.Buffer.empty[(Long, Long, DataFrame)]
+    var nCh = 0L
+    var live = true
+    for (k <- 1 to CcRounds) {
+      if (live) {
+        val cand = ch.hint("shuffle_hash")
+          .join(edges, col("node") === col("src"))
+          .select(col("dst"), col("lbl"))
+          .groupBy(col("dst").as("node")).agg(min("lbl").as("cand"))
+        // checkpoint ONCE per round; labels and the frontier are cheap
+        // projections of it (min is monotone: improved ⇔ cand < lbl)
+        val merged = labels.join(cand, Seq("node"), "left")
+          .withColumn("imp", col("cand").isNotNull && col("cand") < col("lbl"))
+          .select(col("node"),
+            when(col("imp"), col("cand")).otherwise(col("lbl")).as("lbl"),
+            col("imp"))
+          .localCheckpoint()
+        labels = merged.select("node", "lbl")
+        ch = merged.filter(col("imp")).select("node", "lbl")
+        nCh = ch.count()
+        recs += ((k.toLong, nCh, labels))
+        if (nCh == 0) live = false
+      } else {
+        recs += ((k.toLong, 0L, labels))
+      }
+    }
+    recs.map { case (k, n, lf) =>
+      lf.agg(countDistinct(col("lbl")).as("n_components"),
+          sum(col("lbl")).as("sum_lbl"))
+        .select(lit(k).as("round"), lit(n).as("n_changed"),
+          col("n_components"), col("sum_lbl"))
+    }.reduce(_.unionByName(_)).orderBy("round")
+  }
+
+  /** p13 oracle: FULL min-propagation rounds diffed pairwise — the
+    * naive execution whose frontier sizes the delta loop must
+    * reproduce. */
+  private val CcAcctDuck: String = {
+    val base =
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+        |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |edges AS (SELECT a AS src, b AS dst FROM und
+        |          UNION ALL SELECT b, a FROM und),
+        |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""".stripMargin
+    val rounds = (1 to CcRounds).map { i =>
+      s"""m$i AS (SELECT e.dst AS node, MIN(q.lbl) AS mn
+         |  FROM l${i - 1} q JOIN edges e ON e.src = q.node GROUP BY e.dst),
+         |l$i AS (SELECT p.node,
+         |    CASE WHEN m.mn IS NOT NULL AND m.mn < p.lbl THEN m.mn ELSE p.lbl END AS lbl
+         |  FROM l${i - 1} p LEFT JOIN m$i m ON m.node = p.node),
+         |i$i AS (SELECT COUNT(*) AS c FROM l$i a
+         |  JOIN l${i - 1} b ON a.node = b.node AND a.lbl != b.lbl)""".stripMargin
+    }.mkString(",\n")
+    val readout = (1 to CcRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round, (SELECT c FROM i$i) AS n_changed,
+         |  (SELECT COUNT(DISTINCT lbl) FROM l$i) AS n_components,
+         |  (SELECT CAST(SUM(lbl) AS BIGINT) FROM l$i) AS sum_lbl""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$base,\n$rounds\n$readout\nORDER BY round"
+  }
+
   /** FULL synchronous LP rounds l0..l{LpRounds} — the naive execution
     * the delta loop must agree with; shared by p04 (final communities)
     * and p12 (pairwise-diffed per-round accounting). */
@@ -1257,6 +1357,9 @@ object GraphOps {
     // p04's delta execution graded the same way: full-round pairwise
     // diffs pin the changed-set curve the count-table maintenance
     // must reproduce
-    "p12_lp_delta_accounting" -> QueryDef(lpDeltaAccounting _, LpAcctDuck)
+    "p12_lp_delta_accounting" -> QueryDef(lpDeltaAccounting _, LpAcctDuck),
+    // the textbook semi-naive case (monotone min merge, no retractions):
+    // frontier-only messages, oracled by full min-propagation diffs
+    "p13_cc_delta" -> QueryDef(ccDelta _, CcAcctDuck)
   )
 }

@@ -105,6 +105,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == expect, s"adaptive ≠ naive: got $got, expected $expect")
   }
 
+  test("p13: min labels trickle one hop per round; components and fixpoint exact") {
+    import spark.implicits._
+    // chain 10-11-12-13 (min 10 needs 3 rounds to reach node 13),
+    // edge 20-21, edge 30-31 → 3 components; hand-simulated curve
+    val und = Seq((10L, 11L), (11L, 12L), (12L, 13L),
+      (20L, 21L), (30L, 31L)).toDF("a", "b")
+    val bi = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val got = GraphOps.ccDeltaCore(bi).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 5L, 5L, 143L), // 11,12,13,21,31 improve; labels 10,10,11,12,20,20,30,30
+      (2L, 2L, 4L, 141L), // 12→10, 13→11
+      (3L, 1L, 3L, 140L), // 13→10 — the min walked the whole chain
+      (4L, 0L, 3L, 140L), // fixpoint
+      (5L, 0L, 3L, 140L)), got.toString) // flat tail, edges untouched
+  }
+
   test("p05: chain layers count out exactly; an unreachable island grades as -1") {
     // path 0-1-2-3-4 (each layer 1 node) + disconnected pair 90-91
     val und = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (90L, 91L))
