@@ -544,7 +544,7 @@ object Relational2 {
       // the expensive subtree (signature self-join + dedup) feeds THREE
       // consumers — the match filter, the candidate census, and through
       // matches the top-20 — and re-executed once per consumer
-      // (measured: q52 warm 4.6 → 1.8 s at sf0.1)
+      // (measured: q52 warm 4.6 → ~3.0 s at sf0.1)
       .localCheckpoint()
     val matches = cand
       .withColumn("dist", levenshtein(col("nm"), col("nm2")))
