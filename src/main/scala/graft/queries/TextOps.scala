@@ -1532,6 +1532,56 @@ object TextOps {
       .orderBy("shard", "seq_id")
   }
 
+  /** t61 — the PACKING-EFFICIENCY curve: what t60's fixed ctx = 256
+    * actually costs, for ctx ∈ {128, 256, 512, 1024} (the v29/v32/k11/
+    * m12 tuning-curve discipline applied to the context-window knob).
+    * Per candidate window size: total sequences produced, boundary
+    * straddlers (the loss-masking set — shrinks as windows grow),
+    * per-shard tail waste (underfilled final sequences — grows as
+    * windows grow), and the straddle rate in permille. The knee of
+    * straddle-vs-waste is where a pretraining run sets its window;
+    * this is the table it reads first.
+    *
+    * ONE corpus pass, not four: the per-shard prefix sums are
+    * ctx-INDEPENDENT, so they compute once and a 4-row broadcast of
+    * window sizes fans the arithmetic out; everything stays integer. */
+  def packingCurve(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val before = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.partitionBy("shard")
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+        saltedBucket(col("doc_id"), ":shard", NumShards.toLong).as("shard"),
+        (size(split(norm(col("text")), " ")) + 1).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(before), lit(0L)))
+      .withColumn("shard_total", sum("n_tok").over(whole))
+    val ctxs = broadcast(Seq(128L, 256L, 512L, 1024L).toDF("ctx"))
+    docs.crossJoin(ctxs)
+      .select(col("ctx"), col("shard"), col("shard_total"),
+        (pmod(col("cum_before"), col("ctx")) + col("n_tok") > col("ctx"))
+          .cast("long").as("straddle"))
+      .groupBy("ctx", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("straddle").as("n_straddlers"),
+        // ceil-div sequences and the final sequence's underfill, exact
+        // integer per shard (shard_total is constant within the group)
+        expr("(max(shard_total) + ctx - 1) div ctx").as("n_seqs"),
+        expr("(max(shard_total) + ctx - 1) div ctx * ctx - max(shard_total)")
+          .as("waste"))
+      .groupBy("ctx")
+      .agg(sum("n_docs").as("n_docs"),
+        sum("n_seqs").as("n_seqs"),
+        sum("n_straddlers").as("n_straddlers"),
+        sum("waste").as("waste_tokens"))
+      .withColumn("straddle_permille",
+        expr("n_straddlers * 1000 div n_docs"))
+      .select("ctx", "n_docs", "n_seqs", "n_straddlers", "waste_tokens",
+        "straddle_permille")
+      .orderBy("ctx")
+  }
+
   /** Global token-budget selection: pick the best-scoring documents
     * until a corpus-wide token budget (half the total here) is filled —
     * the "train on the top half by quality" step of a curation pipeline.
@@ -3187,6 +3237,34 @@ object TextOps {
     // all-integer packing arithmetic (token counts, prefix sums, div and
     // mod against the shared ctx constant) — no float surface at all
     "t60_sequence_packing" -> QueryDef(sequencePacking _, PackOracleDuck),
+
+    // the window-size knob measured: straddlers shrink and tail waste
+    // grows with ctx; ceil-div and the permille rate are exact integers
+    "t61_packing_curve" -> QueryDef(packingCurve _,
+      s"""WITH tk AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT % $NumShards AS shard,
+         |    len(string_split($NormSqlDuck, ' ')) + 1 AS n_tok
+         |  FROM documents),
+         |cs AS (SELECT shard, n_tok,
+         |    CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY shard) AS BIGINT) AS shard_total
+         |  FROM tk),
+         |cx AS (SELECT CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS ctx),
+         |x AS (SELECT cx.ctx, cs.shard, cs.shard_total,
+         |    CASE WHEN cs.cum_before % cx.ctx + cs.n_tok > cx.ctx THEN 1 ELSE 0 END AS straddle
+         |  FROM cs, cx),
+         |sh AS (SELECT ctx, shard, COUNT(*) AS n_docs,
+         |    CAST(SUM(straddle) AS BIGINT) AS n_straddlers,
+         |    (MAX(shard_total) + ctx - 1) // ctx AS n_seqs,
+         |    (MAX(shard_total) + ctx - 1) // ctx * ctx - MAX(shard_total) AS waste
+         |  FROM x GROUP BY ctx, shard)
+         |SELECT ctx, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
+         |  CAST(SUM(n_straddlers) AS BIGINT) AS n_straddlers,
+         |  CAST(SUM(waste) AS BIGINT) AS waste_tokens,
+         |  CAST(SUM(n_straddlers) * 1000 // SUM(n_docs) AS BIGINT) AS straddle_permille
+         |FROM sh GROUP BY ctx ORDER BY ctx""".stripMargin),
 
     "t21_shard_assignment" -> QueryDef(shardAssignment _,
       s"""WITH sh AS (SELECT doc_id, source, text,

@@ -26,4 +26,24 @@ class SequencePackingSpec extends AnyFunSuite {
       (1L, 0L, 1L, 0L, 256L),
       (1L, 1L, 1L, 0L, 10L)), got.toString)
   }
+
+  test("t61: growing the window trades straddlers for tail waste, monotonically") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.all("t61_packing_curve").fn(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(128L, 256L, 512L, 1024L), rows.mkString(", "))
+    assert(rows.forall(_._2 == rows.head._2), "constant doc census across ctx")
+    // doubling the window can only merge sequences and un-straddle docs
+    // (a doc crossing a 2c boundary crosses a c boundary at the same
+    // offset), while each shard's tail underfill can only grow
+    assert(rows.map(_._3).sliding(2).forall(w => w(0) >= w(1)),
+      s"sequence count must fall with ctx: ${rows.toSeq}")
+    assert(rows.map(_._4).sliding(2).forall(w => w(0) >= w(1)),
+      s"straddlers must fall with ctx: ${rows.toSeq}")
+    assert(rows.map(_._5).sliding(2).forall(w => w(0) <= w(1)),
+      s"tail waste must grow with ctx: ${rows.toSeq}")
+    info("t61 curve (ctx → straddlers @ waste): " +
+      rows.map(r => s"${r._1} → ${r._4} @ ${r._5}").mkString(", "))
+  }
 }
