@@ -410,6 +410,7 @@ object StreamOps {
     compactTrigCache.clear() // ditto
     histQuantCache.clear() // ditto
     edgeMaintCache.clear() // ditto
+    incCcCache.clear() // ditto
   }
 
   /** Stateful sessionization through flatMapGroupsWithState; emits the
@@ -1372,6 +1373,107 @@ object StreamOps {
     })
   }
 
+  /** s31 — INCREMENTAL connected components maintained as trades
+    * arrive: s29 keeps the edge artifact fresh at ingest; this keeps the
+    * downstream ANALYSIS fresh too. Per micro-batch of lineitem
+    * arrivals, the new (first-seen) trading edges fold into the
+    * accumulated pair set and p13's semi-naive min-label flood runs TO
+    * FIXPOINT seeded with ONLY the new edges' endpoints — the incremental-
+    * connectivity textbook move: a new edge can only merge components,
+    * so the smaller label floods outward along existing edges and
+    * every non-improved node's state is already final (min is
+    * monotone, no retractions — the same argument as p13). The graded
+    * readout is the final component census, and the oracle computes it
+    * from scratch over the batch graph (a recursive min-label closure),
+    * so "incrementally maintained ≡ recomputed" IS the grade.
+    *
+    * Scale: per batch the flood touches |edges out of the shrinking
+    * frontier| — a day's arrivals mostly attach to existing components
+    * and quiesce in a round or two; the accumulated pair frame is the
+    * same |E|-bounded state s29's dedup carries (at 100 TB both live
+    * partitioned on the key; the fixture rebuilds the lazy edge view
+    * per batch). Result memoized per (session, dir) — one ingest per
+    * harness run is the honest cost. */
+  def streamIncrementalCc(s: SparkSession, d: String): DataFrame = {
+    incCcCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    incCcCache.getOrElseUpdate((s, d), {
+      val root = java.nio.file.Files.createTempDirectory("graft_stream_icc")
+      try {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val srcDir = root.resolve("src").toString
+        li.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 batches
+        val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        import s.implicits._
+        var pairsAcc = Seq.empty[(Long, Long)].toDF("cn", "sn").localCheckpoint()
+        var labels = Seq.empty[(Long, Long)].toDF("node", "lbl").localCheckpoint()
+        val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
+          s, srcDir, li.schema, (batch, _) => {
+            // first-seen dedup against the accumulated index (s29's
+            // bounded-state argument, expressed as one keyed anti-join)
+            val newPairs = batch.join(ordersStatic,
+                col("l_orderkey") === col("o_orderkey"))
+              .select((col("o_custkey") * 2).as("cn"),
+                (col("l_suppkey") * 2 + 1).as("sn"))
+              .distinct()
+              .join(pairsAcc, Seq("cn", "sn"), "left_anti")
+              .localCheckpoint()
+            if (newPairs.limit(1).count() > 0) {
+              val (l2, p2) = incCcFold(labels, pairsAcc, newPairs)
+              labels = l2; pairsAcc = p2
+            }
+          })
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        labels.groupBy(col("lbl").as("component"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("component").asc).limit(20)
+          .localCheckpoint() // pin before the scratch dir dies
+      } finally rmrf(root)
+    })
+  }
+
+  private val incCcCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** One incremental fold: new first-seen pairs join the accumulated
+    * set, arrivals register under their own label, and the min-label
+    * flood runs to fixpoint seeded with ONLY the touched endpoints —
+    * factored so IncCcStreamSpec can plant a cross-batch component
+    * merge. Returns the (labels, pairs) state for the next batch. */
+  private[queries] def incCcFold(labels0: DataFrame, pairsAcc0: DataFrame,
+      newPairs: DataFrame): (DataFrame, DataFrame) = {
+    val pairsAcc = pairsAcc0.unionByName(newPairs).localCheckpoint()
+    val edges = pairsAcc.select(col("cn").as("src"), col("sn").as("dst"))
+      .unionByName(pairsAcc.select(col("sn").as("src"), col("cn").as("dst")))
+    val touched = newPairs.select(col("cn").as("node"))
+      .unionByName(newPairs.select(col("sn").as("node"))).distinct()
+    // register arrivals under their own id, then seed the flood with
+    // every touched endpoint's CURRENT label
+    var labels = labels0.join(touched, Seq("node"), "outer")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+      .localCheckpoint()
+    var ch = labels.join(touched, Seq("node"))
+    var rounds = 0
+    var nCh = ch.count()
+    while (nCh > 0) {
+      rounds += 1
+      require(rounds <= 200, "incremental CC failed to converge")
+      val cand = ch.hint("shuffle_hash")
+        .join(edges, col("node") === col("src"))
+        .select(col("dst"), col("lbl"))
+        .groupBy(col("dst").as("node")).agg(min("lbl").as("cand"))
+      val merged = labels.join(cand, Seq("node"), "left")
+        .withColumn("imp", col("cand").isNotNull && col("cand") < col("lbl"))
+        .select(col("node"),
+          when(col("imp"), col("cand")).otherwise(col("lbl")).as("lbl"),
+          col("imp"))
+        .localCheckpoint()
+      labels = merged.select("node", "lbl")
+      ch = merged.filter(col("imp")).select("node", "lbl")
+      nCh = ch.count()
+    }
+    (labels, pairsAcc)
+  }
+
   /** s29's in-stream body, factored so EdgeMaintStreamSpec can drive it
     * over an at-least-once (redelivered) source: stream-static join to
     * attach the customer side, then stateful first-seen dedup on the
@@ -1767,6 +1869,19 @@ object StreamOps {
     // the oracle is t60's oracle verbatim
     "s30_stream_sequence_packing" ->
       QueryDef(streamSequencePacking _, TextOps.PackOracleDuck),
+    // incrementally maintained ≡ recomputed: the oracle labels the
+    // batch graph from scratch via a recursive min-label closure
+    "s31_stream_incremental_cc" -> QueryDef(streamIncrementalCc _,
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT o_custkey * 2 AS cn,
+        |    l_suppkey * 2 + 1 AS sn
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT cn AS src, sn AS dst FROM e0 UNION SELECT sn, cn FROM e0),
+        |cc AS (SELECT DISTINCT src AS id, src AS lbl FROM ed
+        |       UNION
+        |       SELECT ed.dst AS id, cc.lbl FROM cc JOIN ed ON ed.src = cc.id),
+        |lab AS (SELECT id, MIN(lbl) AS component FROM cc GROUP BY id)
+        |SELECT component, COUNT(*) AS n_members FROM lab GROUP BY component
+        |ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin),
     "s29_stream_edge_maintenance" -> QueryDef(streamEdgeMaintenance _,
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
