@@ -822,6 +822,20 @@ class PlanSpec extends AnyFunSuite {
       s"accounting is keyed aggregates, never pairs:\n$p")
   }
 
+  test("t60: packing is one documents scan, shard-keyed windows, no join at all") {
+    val p = plan("t60_sequence_packing")
+    assert("documents\\.parquet".r.findAllIn(p).length <= 1,
+      s"one corpus scan total:\n$p")
+    assert(!p.contains("Join"), "packing is windows + aggregation — never a join")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Window"), "per-shard prefix sums must plan as windows")
+    // the shard hash is the ONE data exchange; the window partitioning
+    // then serves the (shard, seq_id) aggregation (subset clustering),
+    // and only the presentation sort may exchange after it
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).length <= 2,
+      s"one shard exchange + the presentation sort, nothing more:\n$p")
+  }
+
   test("t15's embedding signal: cell-keyed pair join — no theta self-join anywhere") {
     // the BUILD plan of the bucketed pair source (the memoized frame
     // would show only a checkpoint scan — the t05 cached-plan lesson)
