@@ -22,18 +22,37 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * whichever call lands last installs an identical builder.
   */
 object FunctionRegistrar {
-  // keyed by registry identity: each session (and each cloned streaming
-  // micro-batch session with its own registry) tracks its own ownership
-  private val owned =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+  // keyed WEAKLY by the registry object itself (round-12 advice: an
+  // identityHashCode key could — however unlikely — collide across two
+  // registries and skip a needed registration, and a strong key would
+  // pin every cloned streaming micro-batch session's registry forever);
+  // the value is the exact builder WE installed, so ownership is
+  // verifiable against what the registry holds NOW, not just "we
+  // registered this name once"
+  private val owned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[AnyRef,
+      java.util.concurrent.ConcurrentHashMap[String, Seq[Expression] => Expression]]())
 
   def registerIfAbsent(spark: SparkSession, name: String,
       builder: Seq[Expression] => Expression): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val key = (System.identityHashCode(reg), name)
-    if (!owned.contains(key) || !reg.functionExists(FunctionIdentifier(name))) {
+    val perReg = owned.synchronized {
+      var m = owned.get(reg)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Seq[Expression] => Expression]()
+        owned.put(reg, m)
+      }
+      m
+    }
+    // skip ONLY when the registry still holds the builder this registrar
+    // installed (reference identity — builders are pure, but a foreign
+    // createOrReplaceTempFunction of the same name must not be silently
+    // kept just because graft claimed the name first)
+    val mine = perReg.get(name)
+    val current = reg.lookupFunctionBuilder(FunctionIdentifier(name))
+    if (mine == null || !current.exists(_ eq mine)) {
       reg.createOrReplaceTempFunction(name, builder, "built-in")
-      owned.add(key)
+      perReg.put(name, builder)
     }
   }
 }

@@ -76,14 +76,21 @@ object EventOps {
       .orderBy("prev_type", "event_type")
   }
 
-  /** Top-5 users by total event value (exact decimal), with dense rank. */
+  /** Top-5 users by total event value (exact decimal), with dense rank.
+    * The rank window deliberately does NOT run over the full per-user
+    * aggregate (|users| rows — an unpartitioned row_number funnels them
+    * all through one task): (sv desc, user_id asc) is a total order, so
+    * orderBy+limit(5) plans as TakeOrderedAndProject (per-partition
+    * heaps, no global sort) and selects exactly the rows the old rk<=5
+    * filter kept; only the 5 survivors flow through the rank window —
+    * a constant-size frame at any user count (t06's discipline). */
   def topUsersByValue(s: SparkSession, d: String): DataFrame = {
     val agg = events(s, d)
       .groupBy("user_id")
       .agg(sum(dec("value")).as("sv"), count(lit(1)).as("n_events"))
     agg
+      .orderBy(col("sv").desc, col("user_id").asc).limit(5)
       .withColumn("rk", row_number().over(Window.orderBy(col("sv").desc, col("user_id").asc)))
-      .filter(col("rk") <= 5)
       .select(col("rk"), col("user_id"), asDbl(col("sv")).as("total_value"), col("n_events"))
       .orderBy("rk")
   }

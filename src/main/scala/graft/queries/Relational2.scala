@@ -527,25 +527,50 @@ object Relational2 {
   /** Core over an explicit (id, nm) frame — factored so DqDiffSpec can
     * plant unequal-length names and prove recall 1 against a true
     * Levenshtein brute force (the fixture's c_name is fixed-length, so
-    * insert/delete pairs never occur there). */
-  private[queries] def fuzzyBlockedMatchOn(c: DataFrame): DataFrame = {
+    * insert/delete pairs never occur there).
+    *
+    * Shuffle diet (round-12 brief #4): the signature self-join — the
+    * hottest exchange on the r12 board at 4.8 s warm — used to carry
+    * (sig STRING, id, nm) rows, i.e. the full ~25-char name and its
+    * ~24-char signature through a 19×-exploded shuffle. The exchange
+    * now carries (sig64 BIGINT, id BIGINT) ONLY: signatures hash to
+    * xxhash64 keys before the join, the pair set dedups as bare id
+    * pairs, and names join back by key on the candidate-scale frame.
+    * A 64-bit hash can collide (≈n²/2⁶⁴), which would inflate the
+    * n_candidates census the oracle grades — so candidates pass an
+    * EXACT arrays_overlap recheck of the two delete-1 signature sets,
+    * a per-pair O(len²) char computation on the blocked (bounded)
+    * candidate set, never a second corpus shuffle. Collisions thus
+    * cost a recheck, never a wrong row, at any scale. */
+  /** The candidate-pair BUILD plan (everything below the checkpoint) —
+    * exposed so PlanSpec can lock the hashed-key exchange shape. */
+  private[queries] def fuzzyCandUncached(c: DataFrame): DataFrame = {
+    // delete-1 signatures + the name itself (distance-0 signature),
+    // as an array expression reused by the exact collision recheck
+    def sigSet(nmCol: String): String =
+      s"array_append(transform(sequence(1, length($nmCol)), " +
+        s"i -> concat(substring($nmCol, 1, i - 1), substring($nmCol, i + 1))), $nmCol)"
     val sigs = c
-      .select(col("id"), col("nm"),
-        explode(expr("sequence(1, length(nm))")).as("i"))
-      .select(col("id"), col("nm"),
-        concat(expr("substring(nm, 1, i - 1)"),
-          expr("substring(nm, i + 1)")).as("sig"))
-      .unionByName(c.select(col("id"), col("nm"), col("nm").as("sig")))
+      .select(col("id"), explode(expr(sigSet("nm"))).as("sig"))
+      .select(col("id"), xxhash64(col("sig")).as("sig64"))
       .distinct() // deleting duplicate chars yields the same signature
-    val cand = sigs.join(
-        sigs.select(col("sig"), col("id").as("id2"), col("nm").as("nm2")), "sig")
+    val candIds = sigs
+      .join(sigs.select(col("sig64"), col("id").as("id2")), "sig64")
       .filter(col("id") < col("id2"))
-      .select("id", "nm", "id2", "nm2").distinct()
-      // the expensive subtree (signature self-join + dedup) feeds THREE
-      // consumers — the match filter, the candidate census, and through
-      // matches the top-20 — and re-executed once per consumer
-      // (measured: q52 warm 4.6 → ~3.0 s at sf0.1)
-      .localCheckpoint()
+      .select("id", "id2").distinct()
+    candIds
+      .join(c, "id")
+      .join(c.select(col("id").as("id2"), col("nm").as("nm2")), "id2")
+      .filter(expr(s"arrays_overlap(${sigSet("nm")}, ${sigSet("nm2")})"))
+      .select("id", "nm", "id2", "nm2")
+  }
+
+  private[queries] def fuzzyBlockedMatchOn(c: DataFrame): DataFrame = {
+    // the expensive subtree (signature self-join + dedup) feeds THREE
+    // consumers — the match filter, the candidate census, and through
+    // matches the top-20 — and re-executed once per consumer
+    // (measured: q52 warm 4.6 → ~3.0 s at sf0.1)
+    val cand = fuzzyCandUncached(c).localCheckpoint()
     val matches = cand
       .withColumn("dist", levenshtein(col("nm"), col("nm2")))
       .filter(col("dist") <= 1)

@@ -1575,8 +1575,11 @@ object TextOps {
         sum("n_seqs").as("n_seqs"),
         sum("n_straddlers").as("n_straddlers"),
         sum("waste").as("waste_tokens"))
+      // guarded readout (round-12 advice): -1 sentinel instead of a
+      // NULL-vs-DuckDB-error divergence on an empty fixture
       .withColumn("straddle_permille",
-        expr("n_straddlers * 1000 div n_docs"))
+        expr("case when n_docs = 0 then cast(-1 as bigint) " +
+          "else n_straddlers * 1000 div n_docs end"))
       .select("ctx", "n_docs", "n_seqs", "n_straddlers", "waste_tokens",
         "straddle_permille")
       .orderBy("ctx")
@@ -3263,7 +3266,8 @@ object TextOps {
          |  CAST(SUM(n_seqs) AS BIGINT) AS n_seqs,
          |  CAST(SUM(n_straddlers) AS BIGINT) AS n_straddlers,
          |  CAST(SUM(waste) AS BIGINT) AS waste_tokens,
-         |  CAST(SUM(n_straddlers) * 1000 // SUM(n_docs) AS BIGINT) AS straddle_permille
+         |  CAST(CASE WHEN SUM(n_docs) = 0 THEN -1
+         |    ELSE SUM(n_straddlers) * 1000 // SUM(n_docs) END AS BIGINT) AS straddle_permille
          |FROM sh GROUP BY ctx ORDER BY ctx""".stripMargin),
 
     "t21_shard_assignment" -> QueryDef(shardAssignment _,

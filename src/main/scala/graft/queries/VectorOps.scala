@@ -66,6 +66,10 @@ object VectorOps {
     * truth set v39 grades the bucketed pair generation against — and
     * nothing production-shaped may ride it: t15's embedding signal
     * consumes [[cellCosineNearDupPairs]] (centroid-bucketed), not this.
+    * At 100 TB the audit runs on a deterministic hash-sample instead —
+    * [[sampledTruthPairs]] is that path IN CODE (the filter precedes
+    * the pair join, so the quadratic shrinks by k²) and v41 grades the
+    * sampled estimate's fidelity against this exact frame.
     * Memoized per (session, dir) — the t03/t11 convention — because
     * v02's own oracle row and v39's truth side share one execution. */
   def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
@@ -233,6 +237,7 @@ object VectorOps {
     // checkpointed frames — nothing to unpersist
     cellPairsCache.clear()
     rebuildCache.clear()
+    rebuildAudit.clear()
   }
 
   /** Per-label quantized centroids.
@@ -365,7 +370,9 @@ object VectorOps {
     *
     * Scale: the truth side is the one deliberate O(n²) pass — the
     * calibration cost a recall audit pays by definition, run on a
-    * SAMPLE at 100 TB; the candidate side is the production frame. */
+    * SAMPLE at 100 TB via the executable [[sampledTruthPairs]] path
+    * (v41 grades that sample's fidelity); the candidate side is the
+    * production frame. */
   def cellPairRecall(s: SparkSession, d: String): DataFrame = {
     val truth = cosineNearDupPairs(s, d).select("a_id", "b_id")
     val cand = cellCosineNearDupPairs(s, d)
@@ -375,8 +382,68 @@ object VectorOps {
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
       .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
-      .withColumn("recall_permille", expr("n_hit * 1000 div n_true"))
+      // guarded readout (round-12 advice): Spark's `div` yields NULL on a
+      // zero denominator while DuckDB's `//` raises — a broken/empty
+      // fixture must fail LOUDLY and IDENTICALLY in both engines, so both
+      // sides emit the -1 sentinel instead
+      .withColumn("recall_permille",
+        expr("case when n_true = 0 then cast(-1 as bigint) else n_hit * 1000 div n_true end"))
       .select("n_true", "n_cand", "n_hit", "recall_permille")
+  }
+
+  /** The SAMPLED truth-pair path — the executable form of v02's "run on
+    * a SAMPLE at 100 TB" posture (round-12 brief #3): the corpus filters
+    * to a deterministic hash-sample (saltedBucket(vec_id,":cal",k) = 0,
+    * the t21 shard hash both engines compute identically) BEFORE the
+    * pair join, so the calibration cost drops from O(n²) to O((n/k)²)
+    * in the PLAN, not in prose. The truth predicate (rounded cosine ≥ τ)
+    * is endpoint-local, so pairs-among-sampled-vectors ≡ exact truth
+    * pairs with both endpoints sampled — an unbiased restriction of the
+    * v02 frame, never an approximation of it. */
+  private[queries] def sampledTruthPairs(s: SparkSession, d: String, k: Long): DataFrame = {
+    val sampled = vecs(s, d)
+      .filter(TextOps.saltedBucket(col("vec_id"), ":cal", k) === 0)
+    val a = sampled.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = sampled.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /** v41 — the sampled-calibration FIDELITY curve (round-12 brief #3):
+    * v39's recall audit re-run on deterministic hash-samples of the
+    * truth space, k ∈ {1, 2, 4} (keep-1-in-k vectors, pairs need both
+    * endpoints). The k = 1 row IS the exact audit — it rides the
+    * memoized v02 frame and must equal v39's row (VectorRecallSpec
+    * cross-locks it); k = 2/4 run the [[sampledTruthPairs]] path whose
+    * pair join only ever sees the sampled corpus. At 100 TB a recall
+    * audit runs ONLY the k ≫ 1 rows; this table grades how far the
+    * sampled estimate drifts from the exact one at fixture scale, so
+    * the "sample at scale" claim ships with its measured fidelity, not
+    * as prose. Readout is exact integer permille with the -1 empty-
+    * sample sentinel on both engines. */
+  def sampledPairRecall(s: SparkSession, d: String): DataFrame = {
+    val perK = Seq(1L, 2L, 4L).map { k =>
+      def inSample(c: Column) = TextOps.saltedBucket(c, ":cal", k) === 0
+      val truth = (if (k == 1L) cosineNearDupPairs(s, d) else sampledTruthPairs(s, d, k))
+        .select("a_id", "b_id")
+      val cand = cellCosineNearDupPairs(s, d)
+        .filter(inSample(col("a_id")) && inSample(col("b_id")))
+        .select(col("a_id").as("ca"), col("b_id").as("cb"))
+      val hit = cand.join(truth,
+        col("ca") === col("a_id") && col("cb") === col("b_id"))
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_cand"))))
+        .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+        .withColumn("k", lit(k))
+    }
+    perK.reduce(_ unionByName _)
+      .withColumn("recall_permille",
+        expr("case when n_true = 0 then cast(-1 as bigint) " +
+          "else n_hit * 1000 div n_true end"))
+      .select("k", "n_true", "n_cand", "n_hit", "recall_permille")
+      .orderBy("k")
   }
 
   /** v29 — SemDeDup THRESHOLD tuning curve: what v15's fixed τ = 0.45
@@ -661,9 +728,13 @@ object VectorOps {
       .orderBy("cell")
   }
 
-  /** (rebuilt cells, rebuilt rows, untriggered overlay rows) of the last
-    * v38 execution — VectorRebuildSpec pins the physical half. */
-  @volatile private[queries] var lastRebuildAudit: Option[(Long, Long, Long)] = None
+  /** (rebuilt cells, rebuilt rows, untriggered overlay rows) per v38
+    * execution, keyed like [[rebuildCache]] — VectorRebuildSpec pins the
+    * physical half. (Round-12 advice: a single last-execution var would
+    * be silently overwritten by a concurrent/later v38 run on another
+    * (session, dir) between a test's run and its read.) */
+  private[queries] val rebuildAudit =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (Long, Long, Long)]
   private val rebuildCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -714,7 +785,7 @@ object VectorOps {
         val rebuilt = s.read.parquet(segDir)
           .select(col("vec_id"), col("cell"))
         val untrig = preCells.join(broadcast(trig), Seq("cell"), "left_anti")
-        lastRebuildAudit = Some((trig.count(), rebuilt.count(), untrig.count()))
+        rebuildAudit((s, d)) = (trig.count(), rebuilt.count(), untrig.count())
         def search(cells: DataFrame, phase: String) =
           ivfSearchOn(e, aff, cells).withColumn("phase", lit(phase))
             .select("phase", "q_id", "rk", "hit_id", "cos")
@@ -722,16 +793,7 @@ object VectorOps {
           .unionByName(search(rebuilt.unionByName(untrig), "2_post_rebuild"))
           .orderBy("phase", "q_id", "rk")
           .localCheckpoint() // pin before the scratch segment is deleted
-      } finally {
-        def rm(p: java.nio.file.Path): Unit = {
-          if (java.nio.file.Files.isDirectory(p)) {
-            val st = java.nio.file.Files.list(p)
-            try st.forEach(rm(_)) finally st.close()
-          }
-          java.nio.file.Files.deleteIfExists(p)
-        }
-        rm(root)
-      }
+      } finally StreamOps.rmrf(root)
     })
   }
 
@@ -793,7 +855,8 @@ object VectorOps {
       .join(hits, Seq("n_probes"), "left")
       .na.fill(0L, Seq("n_hits"))
       .withColumn("recall_permille",
-        expr("n_hits * 1000 div (5 * n_queries)"))
+        expr("case when n_queries = 0 then cast(-1 as bigint) " +
+          "else n_hits * 1000 div (5 * n_queries) end"))
       .select("n_probes", "n_queries", "n_candidates", "n_hits", "recall_permille")
       .orderBy("n_probes")
   }
@@ -857,7 +920,8 @@ object VectorOps {
       .join(hits, Seq("pct"), "left")
       .na.fill(0L, Seq("n_hits"))
       .withColumn("recall_permille",
-        expr("n_hits * 1000 div (5 * n_queries)"))
+        expr("case when n_queries = 0 then cast(-1 as bigint) " +
+          "else n_hits * 1000 div (5 * n_queries) end"))
       .select("pct", "n_queries", "n_candidates", "n_hits", "recall_permille")
       .orderBy("pct")
   }
@@ -2338,8 +2402,52 @@ object VectorOps {
         |SELECT (SELECT COUNT(*) FROM tp) AS n_true,
         |  (SELECT COUNT(*) FROM cp) AS n_cand,
         |  h.n_hit,
-        |  (h.n_hit * 1000) // (SELECT COUNT(*) FROM tp) AS recall_permille
+        |  CAST(CASE WHEN (SELECT COUNT(*) FROM tp) = 0 THEN -1
+        |    ELSE (h.n_hit * 1000) // (SELECT COUNT(*) FROM tp) END AS BIGINT)
+        |    AS recall_permille
         |FROM h""".stripMargin),
+
+    // the sampled-calibration fidelity curve: v39 re-run on 1-in-k
+    // deterministic hash-samples (both engines compute the same md5
+    // bucket); k=1 is the exact audit, k=2/4 the scale posture
+    "v41_sampled_pair_recall" -> QueryDef(sampledPairRecall _,
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |ks AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS k),
+        |sv AS (SELECT ks.k, n.vec_id, n.v, n.nrm FROM n, ks
+        |  WHERE ('0x' || substr(md5(CAST(n.vec_id AS VARCHAR) || ':cal'), 1, 8))::BIGINT % ks.k = 0),
+        |tp AS (SELECT a.k, a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM sv a JOIN sv b ON a.k = b.k AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45),
+        |c AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+        |aff AS (SELECT n.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY n.vec_id
+        |      ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM n, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |m AS (SELECT cells.cell, n.vec_id, n.v, n.nrm FROM n JOIN cells USING (vec_id)),
+        |cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.45),
+        |cpk AS (SELECT ks.k, cp.a_id, cp.b_id FROM cp, ks
+        |  WHERE ('0x' || substr(md5(CAST(cp.a_id AS VARCHAR) || ':cal'), 1, 8))::BIGINT % ks.k = 0
+        |    AND ('0x' || substr(md5(CAST(cp.b_id AS VARCHAR) || ':cal'), 1, 8))::BIGINT % ks.k = 0),
+        |t AS (SELECT k, COUNT(*) AS n_true FROM tp GROUP BY k),
+        |cd AS (SELECT k, COUNT(*) AS n_cand FROM cpk GROUP BY k),
+        |h AS (SELECT cpk.k, COUNT(*) AS n_hit FROM cpk
+        |  JOIN tp ON tp.k = cpk.k AND tp.a_id = cpk.a_id AND tp.b_id = cpk.b_id
+        |  GROUP BY cpk.k)
+        |SELECT ks.k,
+        |  CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+        |  CAST(COALESCE(cd.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(CASE WHEN COALESCE(t.n_true, 0) = 0 THEN -1
+        |    ELSE COALESCE(h.n_hit, 0) * 1000 // t.n_true END AS BIGINT)
+        |    AS recall_permille
+        |FROM ks LEFT JOIN t ON t.k = ks.k LEFT JOIN cd ON cd.k = ks.k
+        |LEFT JOIN h ON h.k = ks.k
+        |ORDER BY ks.k""".stripMargin),
 
     // the freshness SLA curve: recall of a stale index (arrivals above
     // the build point invisible — no overlay) vs the full-corpus truth,
@@ -2385,7 +2493,8 @@ object VectorOps {
         |    COUNT(*) AS n_candidates FROM bycut GROUP BY pct)
         |SELECT st.pct, st.n_queries, st.n_candidates,
         |  CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |  CAST((COALESCE(h.n_hits, 0) * 1000) // (5 * st.n_queries) AS BIGINT)
+        |  CAST(CASE WHEN st.n_queries = 0 THEN -1
+        |    ELSE (COALESCE(h.n_hits, 0) * 1000) // (5 * st.n_queries) END AS BIGINT)
         |    AS recall_permille
         |FROM st LEFT JOIN h ON h.pct = st.pct
         |ORDER BY st.pct""".stripMargin),
@@ -2431,7 +2540,9 @@ object VectorOps {
         |    COUNT(*) AS n_candidates FROM byp GROUP BY n_probes)
         |SELECT s.n_probes, s.n_queries, s.n_candidates,
         |  COALESCE(h.n_hits, 0) AS n_hits,
-        |  CAST((COALESCE(h.n_hits, 0) * 1000) // (5 * s.n_queries) AS BIGINT) AS recall_permille
+        |  CAST(CASE WHEN s.n_queries = 0 THEN -1
+        |    ELSE (COALESCE(h.n_hits, 0) * 1000) // (5 * s.n_queries) END AS BIGINT)
+        |    AS recall_permille
         |FROM stats s LEFT JOIN hits h ON h.n_probes = s.n_probes
         |ORDER BY s.n_probes""".stripMargin),
 

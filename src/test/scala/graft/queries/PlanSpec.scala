@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan hygiene: the properties that matter at 100 TB, asserted
@@ -834,6 +835,45 @@ class PlanSpec extends AnyFunSuite {
     // and only the presentation sort may exchange after it
     assert("Exchange \\(\\d+\\)".r.findAllIn(p).length <= 2,
       s"one shard exchange + the presentation sort, nothing more:\n$p")
+  }
+
+  test("q52: the signature self-join exchanges 64-bit keys, never name strings") {
+    // the BUILD plan of the checkpointed candidate frame (the composed
+    // q52 plan shows only the ExistingRDD scan)
+    val p = Relational2.fuzzyCandUncached(
+        graft.tables.Tables.customer(spark, d)
+          .select(col("c_custkey").as("id"), col("c_name").as("nm")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("xxhash64"),
+      s"signatures must hash to 64-bit keys before the shuffle:\n$p")
+    // every exchange key set must ride the hashed key (or the bare ids
+    // downstream) — NEVER the raw string signature or the name (the
+    // old shape shuffled the 19×-exploded (sig STRING, id, nm) rows).
+    // At fixture scale AQE broadcasts the self-join itself, so the
+    // stable invariant is the KEY COLUMNS of whatever exchanges remain.
+    val keys = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).toList
+    assert(keys.exists(_.contains("sig64")),
+      s"the signature dedup/join must key on the 64-bit hash:\n$p")
+    assert(keys.forall(k => !k.contains("sig#") && !k.contains("nm#")),
+      s"no exchange may key on the raw signature/name strings: $keys")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e05: top-5 cut is TakeOrderedAndProject; rank window runs on the 5-row frame only") {
+    val df = graft.SparkEntry.all("e05_top_users_by_value").fn(spark, d)
+    val p = plan("e05_top_users_by_value")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-5 must plan as per-partition heaps, not a global sort:\n$p")
+    // every Window must sit ABOVE the limit — the old shape ran
+    // row_number over the FULL per-user aggregate in one task (the
+    // r12 bench tail's "Window operation!" WARN was this query)
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Window => LWindow}
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "the rank window must still exist")
+    windows.foreach { w =>
+      assert(w.exists(_.isInstanceOf[GlobalLimit]),
+        s"window must consume the 5-row limited frame, not all users:\n$w")
+    }
   }
 
   test("t15's embedding signal: cell-keyed pair join — no theta self-join anywhere") {

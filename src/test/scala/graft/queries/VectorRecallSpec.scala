@@ -248,4 +248,34 @@ class VectorRecallSpec extends AnyFunSuite {
     info(s"v40 curve (build % → recall‰): " +
       rows.map(r => s"${r._1} → ${r._5}‰").mkString(", "))
   }
+
+  test("v41 sampled calibration: k=1 row ≡ v39's exact audit; samples restrict the truth") {
+    val d01 = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.all("v41_sampled_pair_recall").fn(spark, d01)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L), rows.mkString(", "))
+    // the k=1 "sample" is the whole corpus: its row must be EXACTLY
+    // v39's exact audit or the sampled path drifted from the v02 frame
+    val v39 = graft.SparkEntry.all("v39_cell_pair_recall").fn(spark, d01)
+      .collect().head
+    assert((rows.head._2, rows.head._3, rows.head._4, rows.head._5) ==
+      (v39.getLong(0), v39.getLong(1), v39.getLong(2), v39.getLong(3)),
+      s"v41@k=1 ${rows.head} must equal v39 exact audit $v39")
+    // a sampled truth set is a RESTRICTION of the exact one — counts
+    // can only shrink as k grows... for the truth side, which samples
+    // nested buckets ONLY at k=1 (bucket-0 of k=4 ⊄ bucket-0 of k=2 in
+    // general) — so assert each sample is bounded by the exact counts
+    rows.tail.foreach { r =>
+      assert(r._2 <= rows.head._2, s"sampled truth exceeds exact: $r")
+      assert(r._3 <= rows.head._3, s"sampled candidates exceed exact: $r")
+      assert(r._4 <= r._2, s"hits exceed truth: $r")
+    }
+    // the fixture must actually exercise the sampled estimator (a 0-pair
+    // sample would grade nothing — the -1 sentinel says so loudly)
+    assert(rows.exists(r => r._1 > 1 && r._2 > 0),
+      s"no k>1 sample captured any truth pair — fixture too thin: ${rows.toSeq}")
+    info("v41 fidelity (k → recall‰): " +
+      rows.map(r => s"${r._1} → ${r._5}‰ (${r._4}/${r._2})").mkString(", "))
+  }
 }

@@ -4,7 +4,14 @@ bench run against the last committed BENCH_r*.json at the same SF and go
 red above a 1.5x family-level jump — the driver's 2x budget gets the
 same automation that protects compile/test.
 
-Usage: python3 tools/benchcmp.py <gate_bench_log> [repo_root]
+Usage: python3 tools/benchcmp.py <gate_bench_log> [repo_root] [--retry <log>]
+
+--retry: a second bench log (gate re-ran the offending families in a
+quieter window); each query takes the MIN of the two samples and the
+total is adjusted by the same deltas — contention-only regressions
+dissolve, real plan regressions survive. On red without --retry the
+script prints `RERUN_FAMILIES=<letters>` so the gate knows what to
+re-run.
 
 Sources:
 - gate log: sbt stdout of `runMain graft.Bench` — family records
@@ -52,12 +59,32 @@ def common_subtotals(ref_ds, cur_ds):
 
 
 def main():
-    log_path = sys.argv[1]
-    root = sys.argv[2] if len(sys.argv) > 2 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    args = list(sys.argv[1:])
+    retry_path = None
+    if "--retry" in args:
+        i = args.index("--retry")
+        retry_path = args[i + 1]
+        del args[i:i + 2]
+    log_path = args[0]
+    root = args[1] if len(args) > 1 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     cur_total, cur_sf, cur_fams = parse_lines(open(log_path).read())
     if cur_total is None:
         print("benchcmp RED: gate bench log has no total line")
         return 1
+    if retry_path and os.path.exists(retry_path):
+        _, rsf, rfams = parse_lines(open(retry_path).read())
+        if rsf == cur_sf:
+            for f, rds in rfams.items():
+                cds = cur_fams.get(f)
+                if cds is None:
+                    continue
+                for i in range(min(len(cds), len(rds))):
+                    c, r = cds[i], rds[i]
+                    if c is not None and c >= 0 and r is not None and 0 <= r < c:
+                        cur_total -= (c - r) / 10.0
+                        cds[i] = r
+            print(f"benchcmp: merged retry samples from {retry_path} "
+                  f"(per-query min; adjusted total {cur_total:.1f}s)")
 
     refs = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)), reverse=True)
@@ -93,6 +120,16 @@ def main():
           + ", ".join(f"{f}:{r:.1f}->{c:.1f}" for f, (r, c) in common.items()))
     if red:
         print("benchcmp RED: " + "; ".join(red))
+        if retry_path is None:
+            # what the gate should re-sample: the flagged families, or —
+            # on a total-only red — the biggest common-query growers
+            flagged = sorted({r.split()[1] for r in red if r.startswith("family")})
+            if not flagged:
+                flagged = [f for f, (rv, cv) in
+                           sorted(common.items(), key=lambda kv: kv[1][0] - kv[1][1])
+                           if cv > rv][:3]
+            if flagged:
+                print("RERUN_FAMILIES=" + ",".join(flagged))
         return 1
     print("benchcmp OK (threshold {}x)".format(THRESH))
     return 0

@@ -12,6 +12,13 @@ cd "$(dirname "$0")/.."
 # like with like
 SF_VERIFY="${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.001}"
 SF_BENCH="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
+# fall back when the sf0.1 fixture is absent (round-12 advice: machines
+# without it failed the gate at the bench step); benchcmp skips the
+# regression compare on an SF mismatch, so the fallback stays safe
+if [ ! -d "$SF_BENCH" ]; then
+  echo "WARN: bench fixture $SF_BENCH absent — falling back to sf0.01"
+  SF_BENCH=/root/testdata/sf0.01
+fi
 OUT="${GATE_OUT:-/tmp/graft_gate}"
 mkdir -p "$OUT"
 
@@ -51,7 +58,18 @@ n_failed=$(grep '"metric":"total"' "$OUT/bench.log" | tail -1 | sed 's/.*"n_fail
 [ "${n_failed:-1}" = "0" ] || { echo "GATE RED: bench n_failed=$n_failed"; exit 1; }
 
 echo "== gate: bench-regression tripwire (vs last committed BENCH_r*.json) =="
-python3 tools/benchcmp.py "$OUT/bench.log" \
-  || { echo "GATE RED: bench regression"; exit 1; }
+# on red, re-run the offending families ONCE before flipping the gate:
+# this host shows up to 3x contention swings on identical plans
+# (round-12 advice) — a regression must survive a second, quieter sample
+if ! python3 tools/benchcmp.py "$OUT/bench.log" | tee "$OUT/benchcmp.log"; then
+  fams=$(sed -n 's/^RERUN_FAMILIES=//p' "$OUT/benchcmp.log" | tail -1)
+  [ -n "$fams" ] || { echo "GATE RED: bench regression"; exit 1; }
+  echo "== gate: benchcmp red — re-running families [$fams] once (contention check) =="
+  SPARK_GRAFT_SF_DIR="$SF_BENCH" SPARK_GRAFT_FAMILIES="$fams" \
+    GRAFT_DETAIL_OUT="$OUT/bench_detail_retry.json" \
+    sbt -batch "runMain graft.Bench" > "$OUT/bench_retry.log" 2>&1 || true
+  python3 tools/benchcmp.py "$OUT/bench.log" --retry "$OUT/bench_retry.log" \
+    || { echo "GATE RED: bench regression (confirmed after family re-run)"; exit 1; }
+fi
 
 echo "GATE GREEN"
