@@ -82,6 +82,28 @@ object StreamOps {
     })
   }
 
+  /** A 4-file (l_orderkey, l_suppkey) snapshot of LINEITEM — the shared
+    * replay source for the trade-ingest family (s29 edge maintenance,
+    * s31 incremental CC). Round-12 brief #1c: the two ingests used to
+    * write IDENTICAL private copies of this frame to separate scratch
+    * dirs — the fixture write is now a shared fixed cost paid once per
+    * harness run; per-query checkpoints and state stay separate. Any
+    * split works — both consumers dedup/fold per arriving row. */
+  private val liPairSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def liPairStreamSource(s: SparkSession, d: String): String = {
+    evictDead(liPairSourceCache)
+    liPairSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_li")
+      try {
+        Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+          .repartition(4) // ≥2 files → ≥2 micro-batches
+          .write.mode("overwrite").parquet(dir.toString)
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      trackScratch(dir.toString)
+    })
+  }
+
   /** A 4-file snapshot of the DOCUMENTS table for the streaming
     * near-dup index (s08): with maxFilesPerTrigger=1 it replays as 4
     * real micro-batches of arriving documents. Any split works — the
@@ -375,7 +397,7 @@ object StreamOps {
 
   def clearCaches(): Unit = {
     (sourceCache.values ++ dupSourceCache.values ++ multiFileSourceCache.values
-      ++ docSourceCache.values ++ embSourceCache.values)
+      ++ docSourceCache.values ++ embSourceCache.values ++ liPairSourceCache.values)
       .foreach(dir =>
         try rmrf(java.nio.file.Paths.get(dir)) catch { case _: Throwable => () })
     sourceCache.clear()
@@ -383,6 +405,7 @@ object StreamOps {
     multiFileSourceCache.clear()
     docSourceCache.clear()
     embSourceCache.clear()
+    liPairSourceCache.clear()
     semStreamCache.clear() // checkpointed frame; scratch deleted eagerly
     gramIndexStreamCache.clear() // ditto
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
@@ -1352,24 +1375,20 @@ object StreamOps {
   def streamEdgeMaintenance(s: SparkSession, d: String): DataFrame = {
     edgeMaintCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     edgeMaintCache.getOrElseUpdate((s, d), {
-      val root = java.nio.file.Files.createTempDirectory("graft_stream_em")
-      try {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        val srcDir = root.resolve("src").toString
-        li.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 batches
-        val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        val (edges, nBatches) = EventStream.runAppend(s, srcDir, li.schema,
-          edgeMaintPlan(ordersStatic), "graft_s29_edges")
-        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
-        val e = edges.localCheckpoint() // multi-referenced below
-        val deg = e.select(col("cn").as("n")).unionByName(e.select(col("sn").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("dg"))
-        deg.groupBy((length(bin(col("dg"))) - 1).cast("long").as("log2_bin"))
-          .agg(count(lit(1)).as("n_nodes"),
-            min("dg").as("min_deg"), max("dg").as("max_deg"))
-          .orderBy("log2_bin")
-          .localCheckpoint() // pin before the scratch dir dies
-      } finally rmrf(root)
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val srcDir = liPairStreamSource(s, d) // shared replay source (s31 too)
+      val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      val (edges, nBatches) = EventStream.runAppend(s, srcDir, li.schema,
+        edgeMaintPlan(ordersStatic), "graft_s29_edges")
+      require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+      val e = edges.localCheckpoint() // multi-referenced below
+      val deg = e.select(col("cn").as("n")).unionByName(e.select(col("sn").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      deg.groupBy((length(bin(col("dg"))) - 1).cast("long").as("log2_bin"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min("dg").as("min_deg"), max("dg").as("max_deg"))
+        .orderBy("log2_bin")
+        .localCheckpoint()
     })
   }
 
@@ -1397,37 +1416,33 @@ object StreamOps {
   def streamIncrementalCc(s: SparkSession, d: String): DataFrame = {
     incCcCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     incCcCache.getOrElseUpdate((s, d), {
-      val root = java.nio.file.Files.createTempDirectory("graft_stream_icc")
-      try {
-        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-        val srcDir = root.resolve("src").toString
-        li.repartition(4).write.parquet(srcDir) // ≥2 files → ≥2 batches
-        val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-        import s.implicits._
-        var pairsAcc = Seq.empty[(Long, Long)].toDF("cn", "sn").localCheckpoint()
-        var labels = Seq.empty[(Long, Long)].toDF("node", "lbl").localCheckpoint()
-        val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
-          s, srcDir, li.schema, (batch, _) => {
-            // first-seen dedup against the accumulated index (s29's
-            // bounded-state argument, expressed as one keyed anti-join)
-            val newPairs = batch.join(ordersStatic,
-                col("l_orderkey") === col("o_orderkey"))
-              .select((col("o_custkey") * 2).as("cn"),
-                (col("l_suppkey") * 2 + 1).as("sn"))
-              .distinct()
-              .join(pairsAcc, Seq("cn", "sn"), "left_anti")
-              .localCheckpoint()
-            if (newPairs.limit(1).count() > 0) {
-              val (l2, p2) = incCcFold(labels, pairsAcc, newPairs)
-              labels = l2; pairsAcc = p2
-            }
-          })
-        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
-        labels.groupBy(col("lbl").as("component"))
-          .agg(count(lit(1)).as("n_members"))
-          .orderBy(col("n_members").desc, col("component").asc).limit(20)
-          .localCheckpoint() // pin before the scratch dir dies
-      } finally rmrf(root)
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+      val srcDir = liPairStreamSource(s, d) // shared replay source (s29 too)
+      val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      import s.implicits._
+      var pairsAcc = Seq.empty[(Long, Long)].toDF("cn", "sn").localCheckpoint()
+      var labels = Seq.empty[(Long, Long)].toDF("node", "lbl").localCheckpoint()
+      val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
+        s, srcDir, li.schema, (batch, _) => {
+          // first-seen dedup against the accumulated index (s29's
+          // bounded-state argument, expressed as one keyed anti-join)
+          val newPairs = batch.join(ordersStatic,
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("cn"),
+              (col("l_suppkey") * 2 + 1).as("sn"))
+            .distinct()
+            .join(pairsAcc, Seq("cn", "sn"), "left_anti")
+            .localCheckpoint()
+          if (newPairs.limit(1).count() > 0) {
+            val (l2, p2) = incCcFold(labels, pairsAcc, newPairs)
+            labels = l2; pairsAcc = p2
+          }
+        })
+      require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+      labels.groupBy(col("lbl").as("component"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("component").asc).limit(20)
+        .localCheckpoint()
     })
   }
 
