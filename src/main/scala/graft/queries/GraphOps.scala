@@ -901,18 +901,59 @@ object GraphOps {
     SketchOps.saltedCap(nbrs, Seq(col("c")), col("nb"), Seq(col("nb").asc), CapA)
       .select("c", "nb")
 
+  /** One incremental merge of newly-observed undirected edges into the
+    * maintained first-CapA-by-id adjacency (s32's per-batch fold): the
+    * capped list is a BOUNDED MIN-K SKETCH — an id dropped at any batch
+    * was larger than CapA smaller ids already present, and the CapA-th
+    * smallest only ever decreases, so a dropped id can never belong to
+    * any later min-CapA; merging the carried lists with the batch's
+    * arrivals and re-cutting is therefore EXACTLY the batch cut over
+    * all edges ever observed (CappedAdjStreamSpec plants the cross-
+    * batch displacement that proves it). State is ≤ CapA·|V| ids —
+    * independent of |E| — and the cut itself reuses the ONE shared
+    * salted tournament, so a hub's batch arrivals never funnel one
+    * task. */
+  private[queries] def cappedMergeFold(capped0: DataFrame, newUnd: DataFrame): DataFrame = {
+    val newNbrs = newUnd.select(col("a").as("c"), col("b").as("nb"))
+      .unionByName(newUnd.select(col("b").as("c"), col("a").as("nb")))
+    cappedAdjacencyOn(capped0.unionByName(newNbrs).distinct())
+      .localCheckpoint() // truncate the per-batch lineage (incCcFold's rule)
+  }
+
+  /** p14 — p06 SERVED FROM THE INGEST-MAINTAINED ARTIFACT (round-12
+    * brief #5): the wedge generator consumes the capped adjacency that
+    * s32's streaming ingest maintained incrementally instead of
+    * re-cutting it from the batch snapshot — the expensive skew-safe
+    * tournament moves out of the query and into ingest, where it runs
+    * per batch over bounded state. Degrees and the existing-edge
+    * anti-join still read the batch graph (they are plain keyed
+    * aggregates/joins, not the cut). The grade IS the equivalence:
+    * p14 shares p06's oracle text verbatim, so "maintained-at-ingest ≡
+    * recomputed-from-snapshot" is hash-checked row for row. */
+  def commonNeighborsFromArtifact(s: SparkSession, d: String): DataFrame =
+    commonNeighborsWith(partEdges(s, d),
+      StreamOps.cappedAdjacencyArtifact(s, d))
+
   /** Core on an explicit (a < b) undirected edge frame — factored for
     * GraphOpsSpec's planted path/square graphs. */
   private[queries] def commonNeighborsOn(und: DataFrame): DataFrame = {
+    val nbrs = und.select(col("a").as("c"), col("b").as("nb"))
+      .unionByName(und.select(col("b").as("c"), col("a").as("nb")))
+    commonNeighborsWith(und,
+      cappedAdjacencyOn(nbrs)
+        .localCheckpoint()) // feeds both sides of the wedge self-join
+  }
+
+  /** The wedge/score pipeline over an explicit capped adjacency —
+    * shared by p06 (cut computed in-query) and p14 (cut served from
+    * the s32 ingest artifact), so the scoring semantics cannot drift
+    * between the two postures. */
+  private[queries] def commonNeighborsWith(und: DataFrame, capped: DataFrame): DataFrame = {
     // |V| rows, attached to BOTH pair endpoints — checkpoint so the
     // 2·|E| degree aggregation runs once, not once per attachment
     val deg = und.select(col("a").as("n")).unionByName(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
       .localCheckpoint()
-    val nbrs = und.select(col("a").as("c"), col("b").as("nb"))
-      .unionByName(und.select(col("b").as("c"), col("a").as("nb")))
-    val capped = cappedAdjacencyOn(nbrs)
-      .localCheckpoint() // feeds both sides of the wedge self-join
     // shuffle_hash throughout (the p04 loop lesson, applied to the
     // wedge pipeline): the capped-adjacency self-join and the two
     // degree attachments all sort-merged, paying three row-scale sorts
@@ -1341,6 +1382,10 @@ object GraphOps {
     // IS the delta-correctness proof
     "p10_effective_diameter" -> QueryDef(hyperballDelta _, EffDiamDuck),
     "p06_common_neighbors" -> QueryDef(commonNeighbors _, CommonNeighborsDuck),
+    // p14 shares p06's oracle VERBATIM: the artifact-served wedge
+    // pipeline must hash-match the snapshot recompute row for row
+    "p14_common_neighbors_artifact" ->
+      QueryDef(commonNeighborsFromArtifact _, CommonNeighborsDuck),
     "p07_personalized_pagerank" -> QueryDef(personalizedPagerank _, PprDuck),
     "p01_pagerank" -> QueryDef(pagerank _, PagerankDuck),
     "p02_triangle_count" -> QueryDef(triangleCount _, TriangleDuck),

@@ -104,6 +104,34 @@ object StreamOps {
     })
   }
 
+  /** An ORDERKEY-SLICED 4-file (l_orderkey, l_partkey) snapshot of
+    * lineitem — the replay source for s32's capped-adjacency ingest.
+    * Co-occurrence edges form WITHIN an order (two parts on the same
+    * order), so the batch boundary must never split an order: file i
+    * holds the i-th quarter of the l_orderkey range, complete orders
+    * per file (the id-sliced documents source's pattern, keyed on the
+    * order space). Batch ARRIVAL order is irrelevant — the min-CapA
+    * merge is commutative — only order-completeness matters. */
+  private val okSliceLiSourceCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def okSlicedLiPartSource(s: SparkSession, d: String): String = {
+    evictDead(okSliceLiSourceCache)
+    okSliceLiSourceCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_liok")
+      try {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val mm = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi")).collect()(0)
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1) + 1)
+        writeOrderedSlices(dir, (0 until 4).map { i =>
+          val from = lo + (hi - lo) * i / 4
+          val to = lo + (hi - lo) * (i + 1) / 4
+          li.filter(col("l_orderkey") >= from && col("l_orderkey") < to)
+        })
+      } catch { case e: Throwable => rmrf(dir); throw e }
+      trackScratch(dir.toString)
+    })
+  }
+
   /** A 4-file snapshot of the DOCUMENTS table for the streaming
     * near-dup index (s08): with maxFilesPerTrigger=1 it replays as 4
     * real micro-batches of arriving documents. Any split works — the
@@ -418,6 +446,10 @@ object StreamOps {
     idSliceDocSourceCache.values.foreach(dirPath =>
       try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
     idSliceDocSourceCache.clear()
+    okSliceLiSourceCache.values.foreach(dirPath =>
+      try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
+    okSliceLiSourceCache.clear()
+    cappedAdjCache.clear() // checkpointed frame; source dir handled above
     packCache.clear() // checkpointed frame; scratch deleted in the builder's finally
     nearDupCache.clear()  // ditto
     decontamCache.clear() // ditto
@@ -1449,6 +1481,56 @@ object StreamOps {
   private val incCcCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The INGEST-MAINTAINED capped adjacency (c, nb): p06's per-center
+    * first-CapA-by-id neighbor cut, kept fresh as orders ARRIVE instead
+    * of re-cut from a snapshot (round-12 brief #5 — s29's artifact
+    * discipline applied to the wedge generator's input). Per
+    * order-complete micro-batch, the batch's co-occurrence pairs (a
+    * within-batch self-join on the order key — edges only ever form
+    * inside one order, which the sliced source keeps whole) merge into
+    * the carried lists via [[GraphOps.cappedMergeFold]]; the min-CapA
+    * sketch property makes the maintained cut EQUAL the batch cut over
+    * everything observed. State is ≤ CapA·|V| ids — a derived index's
+    * maintenance state, never |E|. p14 serves p06's whole pipeline from
+    * this frame; s32's census grades it against a from-scratch oracle. */
+  private[queries] def cappedAdjacencyArtifact(s: SparkSession, d: String): DataFrame = {
+    cappedAdjCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    cappedAdjCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      var capped = Seq.empty[(Long, Long)].toDF("c", "nb").localCheckpoint()
+      val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
+        s, okSlicedLiPartSource(s, d), li.schema, (batch, _) => {
+          val b = batch.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          val pairs = b.join(b.withColumnRenamed("pk", "pk2"), "ok")
+            .filter(col("pk") < col("pk2"))
+            .select(col("pk").as("a"), col("pk2").as("b"))
+            .distinct()
+          capped = GraphOps.cappedMergeFold(capped, pairs)
+        })
+      require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+      capped
+    })
+  }
+
+  private val cappedAdjCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** s32 — the capped-adjacency artifact's graded census: per list
+    * size (1..CapA), how many centers hold that many capped neighbors
+    * and two integer checksums over (center, neighbor) ids. The oracle
+    * recomputes the cut FROM SCRATCH over the batch co-occurrence
+    * graph, so "incrementally maintained ≡ recomputed" is the grade —
+    * s31's rule, applied to the artifact p14 serves from. */
+  def streamCappedAdjacency(s: SparkSession, d: String): DataFrame =
+    cappedAdjacencyArtifact(s, d)
+      .groupBy("c")
+      .agg(count(lit(1)).as("n_nbrs"), sum("nb").as("snb"))
+      .groupBy("n_nbrs")
+      .agg(count(lit(1)).as("n_centers"),
+        sum("c").as("sum_c"), sum("snb").as("sum_nb"))
+      .orderBy("n_nbrs")
+
   /** One incremental fold: new first-seen pairs join the accumulated
     * set, arrivals register under their own label, and the min-label
     * flood runs to fixpoint seeded with ONLY the touched endpoints —
@@ -1897,6 +1979,23 @@ object StreamOps {
         |lab AS (SELECT id, MIN(lbl) AS component FROM cc GROUP BY id)
         |SELECT component, COUNT(*) AS n_members FROM lab GROUP BY component
         |ORDER BY n_members DESC, component ASC LIMIT 20""".stripMargin),
+    // the artifact census recomputed FROM SCRATCH: batch co-occurrence
+    // graph -> per-center first-CapA-by-id cut -> per-list-size census
+    // with id checksums; the Spark side reads the INGEST-MAINTAINED
+    // lists, so the hash match is the incremental≡batch equivalence
+    "s32_stream_capped_adjacency" -> QueryDef(streamCappedAdjacency _,
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |und AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+         |        FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         |nb AS (SELECT a AS c, b AS nb FROM und UNION ALL SELECT b, a FROM und),
+         |cap AS (SELECT c, nb FROM (
+         |    SELECT c, nb, ROW_NUMBER() OVER (PARTITION BY c ORDER BY nb) AS rn
+         |    FROM nb) WHERE rn <= ${GraphOps.CapA}),
+         |per AS (SELECT c, COUNT(*) AS n_nbrs, CAST(SUM(nb) AS BIGINT) AS snb
+         |        FROM cap GROUP BY c)
+         |SELECT n_nbrs, COUNT(*) AS n_centers,
+         |  CAST(SUM(c) AS BIGINT) AS sum_c, CAST(SUM(snb) AS BIGINT) AS sum_nb
+         |FROM per GROUP BY n_nbrs ORDER BY n_nbrs""".stripMargin),
     "s29_stream_edge_maintenance" -> QueryDef(streamEdgeMaintenance _,
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
