@@ -436,6 +436,7 @@ object StreamOps {
     liPairSourceCache.clear()
     semStreamCache.clear() // checkpointed frame; scratch deleted eagerly
     gramIndexStreamCache.clear() // ditto
+    trainedGateStreamCache.clear() // ditto
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     viewMaintCache.clear() // ditto
@@ -1531,6 +1532,41 @@ object StreamOps {
         sum("c").as("sum_c"), sum("snb").as("sum_nb"))
       .orderBy("n_nbrs")
 
+  /** s33 — the TRAINED quality gate at INGEST (t63's streaming twin):
+    * each micro-batch of arriving documents is scored with the t62
+    * epoch-6 weights — the offline-trained model is the deployed
+    * artifact; the stream never touches the distinct-count label state
+    * the gate distilled away — and folds its per-batch confusion
+    * partials (docs + token mass per (pred, actual) cell). Counts and
+    * sums are mergeable, so batch-partial census ≡ corpus census by
+    * construction, and the grade makes it an oracle fact: s33 shares
+    * t63's oracle text verbatim (the p06/p14 rule), whose weight CTEs
+    * rederive the training, so "stream-gated ≡ batch-gated ≡ trained"
+    * is one hash check end to end. */
+  def streamTrainedGate(s: SparkSession, d: String): DataFrame = {
+    trainedGateStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    trainedGateStreamCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val w = TextOps.t62FinalWeights(s, d)
+      var acc = Seq.empty[(Long, Long, Long, Long)]
+        .toDF("pred_keep", "actual_keep", "n_docs", "n_tokens")
+        .localCheckpoint()
+      val nBatches = graft.streaming.DocStream.runDocForeachBatch(
+        s, docStreamSource(s, d), (batch, _) => {
+          val part = TextOps.t63CensusOf(TextOps.t62FeaturesOf(batch), w)
+          acc = acc.unionByName(part).localCheckpoint() // per-batch lineage cut
+        })
+      require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+      acc.groupBy("pred_keep", "actual_keep")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+        .orderBy("pred_keep", "actual_keep")
+        .localCheckpoint()
+    })
+  }
+
+  private val trainedGateStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** One incremental fold: new first-seen pairs join the accumulated
     * set, arrivals register under their own label, and the min-label
     * flood runs to fixpoint seeded with ONLY the touched endpoints —
@@ -1996,6 +2032,9 @@ object StreamOps {
          |SELECT n_nbrs, COUNT(*) AS n_centers,
          |  CAST(SUM(c) AS BIGINT) AS sum_c, CAST(SUM(snb) AS BIGINT) AS sum_nb
          |FROM per GROUP BY n_nbrs ORDER BY n_nbrs""".stripMargin),
+    // stream-gated ≡ batch-gated ≡ trained: the oracle is t63's
+    // verbatim — its weight CTEs rederive the training itself
+    "s33_stream_trained_gate" -> QueryDef(streamTrainedGate _, TextOps.t63Duck),
     "s29_stream_edge_maintenance" -> QueryDef(streamEdgeMaintenance _,
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

@@ -1609,7 +1609,13 @@ object TextOps {
     * per-doc distinct state); the features deliberately exclude it —
     * t62 distills the gate into a scorer that runs without it. */
   private[queries] def t62FeaturesUncached(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(col("doc_id"), norm(col("text")).as("nrm"))
+    t62FeaturesOf(documents(s, d))
+
+  /** The same feature build over an explicit (doc_id, text, …) frame —
+    * factored so s33's ingest gate computes per-BATCH features through
+    * the identical expressions (the twin-shares-the-operator rule). */
+  private[queries] def t62FeaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), norm(col("text")).as("nrm"))
       .withColumn("h", concat(lit(" "), col("nrm"), lit(" ")))
       .withColumn("n_tok", size(split(col("nrm"), " ")).cast("long"))
       .selectExpr(
@@ -1660,7 +1666,9 @@ object TextOps {
     * pre-scaling (divide e before the product) buys another 1e4× in n
     * before BIGINT saturates. The scorer itself (z ≥ τ) then gates
     * arrivals in ONE codegen expression with no distinct-count state —
-    * that is what the distillation buys at ingest time. */
+    * t63 applies it over the batch corpus and s33 gates the arriving
+    * document stream with the same weights, both graded against the
+    * same weight-CTE oracle. */
   def trainedQualityScorer(s: SparkSession, d: String): DataFrame = {
     t62Cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     t62Cache.getOrElseUpdate((s, d), {
@@ -1671,7 +1679,17 @@ object TextOps {
         s"(${ws(0)} * x0 + ${ws(1)} * x1 + ${ws(2)} * x2 + ${ws(3)} * x3)"
       val epochs = (1 to T62Epochs).map { ep =>
         val g = f.selectExpr(
-          (0 until 4).map(j => s"sum((${z(w)} - y) * x$j) as g$j"): _*).head()
+          (0 until 4).map(j => s"sum((${z(w)} - y) * x$j) as g$j") ++
+            // overflow guard (round-13 advice): non-ANSI LongType sum
+            // WRAPS silently where DuckDB raises — bound the worst-case
+            // |Σ(e·x)| ≤ n·max|e|·max(x) in BigInt and fail LOUDLY on
+            // this side too; rides the same scan, so the guard is free
+            Seq(s"max(abs(${z(w)} - y)) as me", "max(greatest(x0, x1, x2, x3)) as mx"): _*)
+          .head()
+        require(BigInt(g.getLong(4)) * BigInt(g.getLong(5)) * BigInt(n)
+            <= BigInt(Long.MaxValue),
+          s"t62 epoch-$ep gradient can exceed int64 — pre-scale the error " +
+            "(shard-level e/k before the product; see scaladoc)")
         // plain Long division: TRUNCATING, exactly DuckDB's `//`
         // (probed: -7 // 2 = -3 there — floorDiv would drift by 1 on
         // negative gradients and did, late-epoch, before this pin)
@@ -1697,8 +1715,15 @@ object TextOps {
     * epoch CTE chain g_e (gradient sums) → w_e (floor-div update) →
     * m_e (that epoch's trajectory row). Built programmatically so the
     * constants can never drift from the Spark side. */
-  private[queries] def t62Duck: String = {
-    def zOf = "(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)"
+  private def t62ZOf = "(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)"
+
+  /** The shared CTE chain — feature frame `f` plus the whole training
+    * unroll g1/w1 … g6/w6 — factored so t63/s33's readout reuses the
+    * SAME weight derivation (the round-13 brief's "reusing t62Duck's
+    * weight CTEs"): the applied gate's oracle weights cannot drift
+    * from the trajectory oracle's. */
+  private def t62DuckCtes: String = {
+    val zOf = t62ZOf
     val sb = new StringBuilder
     sb.append(
       s"""WITH f AS (SELECT doc_id, CAST(1000 AS BIGINT) AS x0,
@@ -1721,18 +1746,82 @@ object TextOps {
          |  FROM f, $prev w),
          |w$ep AS (SELECT ${(0 until 4).map(j =>
              s"CAST(w.w$j - g.g$j // (nn.n * $T62LrK) AS BIGINT) AS w$j").mkString(", ")}
-         |  FROM g$ep g, $prev w, nn),
+         |  FROM g$ep g, $prev w, nn)""".stripMargin)
+      prev = s"w$ep"
+    }
+    sb.toString
+  }
+
+  private[queries] def t62Duck: String = {
+    val zOf = t62ZOf
+    val sb = new StringBuilder(t62DuckCtes)
+    (1 to T62Epochs).foreach { ep =>
+      sb.append(s""",
          |m$ep AS (SELECT CAST($ep AS BIGINT) AS epoch, w.w0 AS w_bias,
          |    w.w1 AS w_len, w.w2 AS w_the, w.w3 AS w_a,
          |    CAST(SUM((($zOf - y)//1000) * (($zOf - y)//1000)) AS BIGINT) AS sse_u,
          |    CAST(SUM(CASE WHEN $zOf >= $T62Thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
          |    CAST(SUM(CASE WHEN ($zOf >= $T62Thresh) = (y > 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
          |  FROM f, w$ep w GROUP BY w.w0, w.w1, w.w2, w.w3)""".stripMargin)
-      prev = s"w$ep"
     }
     sb.append("\n" + (1 to T62Epochs).map(e => s"SELECT * FROM m$e")
       .mkString("", "\nUNION ALL ", "") + "\nORDER BY epoch")
     sb.toString
+  }
+
+  // --- t63: the trained gate APPLIED -------------------------------------
+
+  /** The epoch-[[T62Epochs]] weights — the deployed model artifact.
+    * Reading them is a 1-row metadata collect off the (memoized)
+    * trajectory frame; training itself stays E·O(n). */
+  private[queries] def t62FinalWeights(s: SparkSession, d: String): Array[Long] = {
+    val r = trainedQualityScorer(s, d).filter(col("epoch") === T62Epochs)
+      .select("w_bias", "w_len", "w_the", "w_a").head()
+    Array.tabulate(4)(r.getLong)
+  }
+
+  /** The gate/census readout over an explicit feature frame — shared by
+    * t63 (batch corpus) and s33 (per-ingest-batch partials), so the
+    * scoring expression cannot drift between the two postures. The
+    * score z = w·x is ONE codegen expression over the four rate
+    * features — no distinct-count state, which is exactly what the t62
+    * distillation buys at ingest time. */
+  private[queries] def t63CensusOf(f: DataFrame, w: Array[Long]): DataFrame = {
+    val z = s"(${w(0)} * x0 + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3)"
+    f.selectExpr(
+        s"case when $z >= $T62Thresh then cast(1 as bigint) else cast(0 as bigint) end as pred_keep",
+        "case when y > 0 then cast(1 as bigint) else cast(0 as bigint) end as actual_keep",
+        "x1 div 10 as n_tok")
+      .groupBy("pred_keep", "actual_keep")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("pred_keep", "actual_keep")
+  }
+
+  /** t63 — t62's scorer applied as the GATE it was trained to be
+    * (round-13 brief #4: the trajectory was verified, the payoff was
+    * prose): score every document with the epoch-6 weights and grade
+    * the full agreement census against the distilled lexical-diversity
+    * gate — the 2×2 confusion matrix in docs AND token mass, i.e. the
+    * waterfall numbers a curator would see switching t58's quality
+    * stage to the trained gate. The oracle rederives the weights
+    * through t62Duck's own CTE chain, so "the weights t63 applies ARE
+    * the weights t62 trained" is itself hash-checked.
+    *
+    * Scale: one partial-agg pass over the checkpointed feature frame;
+    * the 4-long weight read is driver-side metadata (the model
+    * artifact). Nothing here re-runs the distinct-count label at
+    * score time — only the census grading needs y, and a deployment
+    * gating arrivals drops that column. */
+  def trainedGateApply(s: SparkSession, d: String): DataFrame =
+    t63CensusOf(t62Features(s, d), t62FinalWeights(s, d))
+
+  private[queries] def t63Duck: String = {
+    val zOf = t62ZOf
+    s"""${t62DuckCtes}
+       |SELECT CASE WHEN $zOf >= $T62Thresh THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS pred_keep,
+       |  CASE WHEN y > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS actual_keep,
+       |  COUNT(*) AS n_docs, CAST(SUM(x1 // 10) AS BIGINT) AS n_tokens
+       |FROM f, w$T62Epochs w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** Global token-budget selection: pick the best-scoring documents
@@ -3396,6 +3485,7 @@ object TextOps {
     // the trained scorer's full trajectory: weights + SSE + censuses per
     // epoch, oracle = the same closed-form fixed-point updates in SQL
     "t62_trained_quality_scorer" -> QueryDef(trainedQualityScorer _, t62Duck),
+    "t63_trained_gate_apply" -> QueryDef(trainedGateApply _, t63Duck),
 
     "t61_packing_curve" -> QueryDef(packingCurve _,
       s"""WITH tk AS (SELECT doc_id,

@@ -42,4 +42,29 @@ class T62Spec extends AnyFunSuite {
     assert(rows.last.getLong(2) < 0,
       s"final w_len must be negative: ${rows.last}")
   }
+
+  test("t63 applies the epoch-6 weights: confusion census reconciles with t62's trajectory row") {
+    val traj = graft.SparkEntry.all("t62_trained_quality_scorer").fn(spark, d)
+      .collect().sortBy(_.getLong(0)).last
+    val census = graft.SparkEntry.all("t63_trained_gate_apply").fn(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val n = TextOps.t62Features(spark, d).count()
+    def cell(p: Long, a: Long) = census.getOrElse((p, a), (0L, 0L))._1
+    // t62's final n_pass / n_agree are marginals of t63's confusion
+    // matrix — if t63 applied ANY other weights they would not add up
+    assert(cell(1, 0) + cell(1, 1) == traj.getLong(6),
+      s"pred-keep marginal must equal t62 epoch-6 n_pass: $census vs $traj")
+    assert(cell(0, 0) + cell(1, 1) == traj.getLong(7),
+      s"diagonal must equal t62 epoch-6 n_agree: $census vs $traj")
+    assert(census.values.map(_._1).sum == n, "cells must partition the corpus")
+  }
+
+  test("s33 gates the stream with the same weights: census equals t63's batch census") {
+    val batch = graft.SparkEntry.all("t63_trained_gate_apply").fn(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val stream = graft.SparkEntry.all("s33_stream_trained_gate").fn(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch,
+      s"per-batch mergeable partials must reproduce the corpus census:\n$stream\nvs\n$batch")
+  }
 }
