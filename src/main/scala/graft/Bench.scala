@@ -10,6 +10,29 @@ object Bench {
     // driver never sets it, so BENCH_r*.json stays the full-run record
     val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // "f01" -> seconds from the newest rc=0 committed BENCH_r*.json at
+    // this SF — the cross-round noise reference (see the second trigger
+    // below). Best-effort: any parse failure just disables the trigger.
+    val lastRoundRef: Map[String, Double] = try {
+      val files = Option(new java.io.File(".").listFiles(
+        (_, n) => n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
+      files.sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).iterator
+        .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
+        .filter(_.matches("(?s).*\"rc\"\\s*:\\s*0.*"))
+        // the family records live inside the JSON-escaped "tail" string
+        .map(_.replace("\\\"", "\""))
+        .filter(t => ("\"metric\":\"total\"[^}]*\"sf\":\"" +
+          java.util.regex.Pattern.quote(sfDir) + "\"").r.findFirstIn(t).isDefined)
+        .map { t =>
+          "\\{\"f\":\"(\\w)\",\"ds\":\\[([^\\]]*)\\]\\}".r.findAllMatchIn(t).flatMap { m =>
+            m.group(2).split(",").iterator.zipWithIndex.collect {
+              case (v, i) if v.trim.matches("\\d+") =>
+                f"${m.group(1)}${i + 1}%02d" -> v.trim.toInt / 10.0
+            }
+          }.toMap
+        }
+        .find(_.nonEmpty).getOrElse(Map.empty)
+    } catch { case _: Throwable => Map.empty[String, Double] }
     Harness.withSession(cpus) { spark =>
       // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
       // numbers measure the plan, not JVM cold start; sorted order keeps
@@ -64,11 +87,25 @@ object Bench {
           // ≤ cold — so those few queries re-run once and the warm slot
           // takes the min. Whole-pass min-of-3 would cost ~40% more
           // bench time for numbers only the outliers need.
+          // SECOND trigger (round-13 brief #5): contention that inflates
+          // BOTH passes slips the warm≥2×cold rule (r13's g12 doubled,
+          // 1.2→2.4 s, on an untouched plan with cold≈warm) — so a query
+          // whose best-of-2 lands ≥2× (and ≥ +0.5 s) over its value in
+          // the last committed BENCH_r*.json record at the same SF also
+          // earns one more sample. A REAL plan regression survives the
+          // re-sample (it is not host noise), so this can only remove
+          // contention, never hide a change.
           qs.foreach { case (name, fn) =>
             val (cv, cok) = c(name); val (wv, wok) = w(name)
-            if (wok && cok && wv >= 2 * cv && wv - cv >= 0.5) {
+            val contentionSuspect = wok && cok && wv >= 2 * cv && wv - cv >= 0.5
+            val crossRound = (cok || wok) && lastRoundRef.get(name.take(3)).exists { r =>
+              val cur = math.min(if (cok) cv else Double.MaxValue,
+                                 if (wok) wv else Double.MaxValue)
+              cur >= 2 * r && cur - r >= 0.5
+            }
+            if (contentionSuspect || crossRound) {
               val (t3, ok3) = time(fn)
-              if (ok3) w(name) = (math.min(wv, t3), true)
+              if (ok3) w(name) = (math.min(if (wok) wv else Double.MaxValue, t3), true)
             }
           }
         }
@@ -108,9 +145,13 @@ object Bench {
         .mkString("{", ",", "}")
       // the recording mode travels IN the record (round-11 advice: the
       // committed numbers get read without the commit message)
+      // "-perfam" marks the round-13 warm-semantics change (advice):
+      // warm passes run per family BEFORE later families build caches,
+      // so r12-and-earlier "full-run" warm numbers (which included
+      // cross-family eviction) are not comparable to these
       val mode = famFilter
         .map(f => "isolated-family-jvm:" + f.toSeq.sorted.mkString(""))
-        .getOrElse("full-run")
+        .getOrElse("full-run-perfam")
       val detailLine =
         s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"sf":"$sfDir"}"""
       // default destination is OUTSIDE the repo: the committed

@@ -26,9 +26,14 @@ for f in $FAMS; do
   grep -o '{"metric":"total".*' "$OUT/bench_$f.log" | tail -1
 done
 
-python3 - "$OUT" "$SF" <<'EOF'
+# src_hash binds the record to the source tree it measured (round-13
+# verdict #1: a stale committed record left the round's perf claims
+# unprovable) — tools/gate.sh recomputes and refuses a mismatched snapshot
+SRC_HASH=$(find src/main -name '*.scala' -type f | sort | xargs sha256sum | sha256sum | cut -c1-16)
+
+python3 - "$OUT" "$SF" "$SRC_HASH" <<'EOF'
 import glob, json, sys
-out, sf = sys.argv[1], sys.argv[2]
+out, sf, src_hash = sys.argv[1], sys.argv[2], sys.argv[3]
 queries = {}
 for p in sorted(glob.glob(out + "/detail_*.json")):
     queries.update(json.load(open(p))["queries"])
@@ -37,8 +42,9 @@ rec = {"metric": "detail", "unit": "sec",
                "query family, so no cross-family cache pressure inflates "
                "warm numbers; the driver's BENCH_r*.json remains the "
                "full-run record",
+       "src_hash": src_hash,
        "queries": dict(sorted(queries.items())), "sf": sf}
 with open("bench_detail.json", "w") as f:
     f.write(json.dumps(rec, separators=(",", ":")) + "\n")
-print(f"bench_detail.json: {len(queries)} queries merged")
+print(f"bench_detail.json: {len(queries)} queries merged (src_hash {src_hash})")
 EOF

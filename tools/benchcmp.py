@@ -84,7 +84,11 @@ def main():
                         cur_total -= (c - r) / 10.0
                         cds[i] = r
             print(f"benchcmp: merged retry samples from {retry_path} "
-                  f"(per-query min; adjusted total {cur_total:.1f}s)")
+                  f"(per-query min; adjusted total {cur_total:.1f}s). NOTE: the "
+                  "retry JVM runs one family with less cache/storage pressure "
+                  "than the full run — by policy, cross-family cache pressure "
+                  "is host contention, not a plan cost, so the min may absorb "
+                  "cache-interaction effects the full-run BENCH record keeps.")
 
     refs = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")),
                   key=lambda p: int(re.search(r"r(\d+)", p).group(1)), reverse=True)

@@ -13,10 +13,16 @@ cd "$(dirname "$0")/.."
 SF_VERIFY="${SPARK_GRAFT_VERIFY_SF:-/root/testdata/sf0.001}"
 SF_BENCH="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 # fall back when the sf0.1 fixture is absent (round-12 advice: machines
-# without it failed the gate at the bench step); benchcmp skips the
-# regression compare on an SF mismatch, so the fallback stays safe
+# without it failed the gate at the bench step) — but ONLY for the
+# default: an explicitly-set SPARK_GRAFT_SF_DIR that doesn't exist is a
+# user error, not a fixture gap (round-13 advice), and the fallback
+# must be LOUD because benchcmp then skips the regression compare
 if [ ! -d "$SF_BENCH" ]; then
+  if [ -n "${SPARK_GRAFT_SF_DIR:-}" ]; then
+    echo "GATE RED: SPARK_GRAFT_SF_DIR=$SPARK_GRAFT_SF_DIR does not exist"; exit 1
+  fi
   echo "WARN: bench fixture $SF_BENCH absent — falling back to sf0.01"
+  echo "WARN: ######## bench REGRESSION COMPARE WILL BE SKIPPED (SF mismatch vs committed BENCH record) ########"
   SF_BENCH=/root/testdata/sf0.01
 fi
 OUT="${GATE_OUT:-/tmp/graft_gate}"
@@ -70,6 +76,44 @@ if ! python3 tools/benchcmp.py "$OUT/bench.log" | tee "$OUT/benchcmp.log"; then
     sbt -batch "runMain graft.Bench" > "$OUT/bench_retry.log" 2>&1 || true
   python3 tools/benchcmp.py "$OUT/bench.log" --retry "$OUT/bench_retry.log" \
     || { echo "GATE RED: bench regression (confirmed after family re-run)"; exit 1; }
+fi
+
+echo "== gate: committed-artifact staleness (bench_detail.json vs this tree) =="
+# Round-13's #1 finding: the committed isolated per-family record went
+# stale (no rows for the round's new queries, pre-change numbers for its
+# edited ones) and the round's perf claims became unprovable. The gate
+# now refuses a snapshot whose bench_detail.json (a) misses any query
+# the Verify step just ran, (b) lost its isolated-mode marker, or
+# (c) was recorded against a different src/main source hash. Mid-round
+# (after adding a query, before the ~10 min re-record) set
+# GATE_SKIP_DETAIL=1 consciously — the round-END gate must run full.
+if [ "${GATE_SKIP_DETAIL:-0}" = "1" ]; then
+  echo "WARN: ######## bench_detail staleness check SKIPPED (GATE_SKIP_DETAIL=1) — not valid for the round-end gate ########"
+else
+  SRC_HASH=$(find src/main -name '*.scala' -type f | sort | xargs sha256sum | sha256sum | cut -c1-16)
+  stale=$(python3 - "$OUT/verify" "$SRC_HASH" <<'EOF'
+import json, os, sys
+vd, src_hash = sys.argv[1], sys.argv[2]
+names = sorted(d for d in os.listdir(vd) if os.path.isdir(os.path.join(vd, d)))
+try:
+    rec = json.load(open("bench_detail.json"))
+except Exception as e:
+    print(f"<unreadable: {e}>"); raise SystemExit
+bad = [n for n in names if n not in rec.get("queries", {})]
+if not rec.get("mode", "").startswith("isolated-family-jvm"):
+    bad.append("<mode-not-isolated>")
+if rec.get("src_hash") != src_hash:
+    bad.append(f"<src_hash {rec.get('src_hash')} != tree {src_hash}>")
+print(",".join(bad))
+EOF
+)
+  if [ -n "$stale" ]; then
+    echo "GATE RED: committed bench_detail.json is STALE: [$stale]"
+    echo "  Re-record on this tree with tools/bench_detail.sh and commit it in the"
+    echo "  same snapshot, or (mid-round only) re-run the gate with GATE_SKIP_DETAIL=1."
+    exit 1
+  fi
+  echo "bench_detail.json matches this tree (all verify queries present, src_hash $SRC_HASH)"
 fi
 
 echo "GATE GREEN"
