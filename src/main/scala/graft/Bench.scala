@@ -27,7 +27,10 @@ object Bench {
           "\\{\"f\":\"(\\w)\",\"ds\":\\[([^\\]]*)\\]\\}".r.findAllMatchIn(t).flatMap { m =>
             m.group(2).split(",").iterator.zipWithIndex.collect {
               case (v, i) if v.trim.matches("\\d+") =>
-                f"${m.group(1)}${i + 1}%02d" -> v.trim.toInt / 10.0
+                // NOT the f interpolator: %02d honors the default locale
+                // (this file's Locale.ROOT rule) — build the key manually
+                m.group(1) + (if (i + 1 < 10) "0" else "") + (i + 1) ->
+                  v.trim.toInt / 10.0
             }
           }.toMap
         }
@@ -95,17 +98,28 @@ object Bench {
           // earns one more sample. A REAL plan regression survives the
           // re-sample (it is not host noise), so this can only remove
           // contention, never hide a change.
+          // Both triggers require wok && cok: a FAILED pass must stay
+          // "fail" in the detail record (a flaky throw is a finding,
+          // not noise), so a re-sample may only ever refine numbers.
+          // Cross-round re-samples are capped per family — if the whole
+          // reference were incomparable (run-config drift, a mass plan
+          // change), re-running every query would cost the whole-pass
+          // min-of-3 this targeted design exists to avoid.
+          var crossLeft = 3
           qs.foreach { case (name, fn) =>
             val (cv, cok) = c(name); val (wv, wok) = w(name)
-            val contentionSuspect = wok && cok && wv >= 2 * cv && wv - cv >= 0.5
-            val crossRound = (cok || wok) && lastRoundRef.get(name.take(3)).exists { r =>
-              val cur = math.min(if (cok) cv else Double.MaxValue,
-                                 if (wok) wv else Double.MaxValue)
-              cur >= 2 * r && cur - r >= 0.5
-            }
-            if (contentionSuspect || crossRound) {
-              val (t3, ok3) = time(fn)
-              if (ok3) w(name) = (math.min(if (wok) wv else Double.MaxValue, t3), true)
+            if (wok && cok) {
+              val contentionSuspect = wv >= 2 * cv && wv - cv >= 0.5
+              val crossRound = crossLeft > 0 &&
+                lastRoundRef.get(name.take(3)).exists { r =>
+                  val cur = math.min(cv, wv)
+                  cur >= 2 * r && cur - r >= 0.5
+                }
+              if (crossRound && !contentionSuspect) crossLeft -= 1
+              if (contentionSuspect || crossRound) {
+                val (t3, ok3) = time(fn)
+                if (ok3) w(name) = (math.min(wv, t3), true)
+              }
             }
           }
         }

@@ -1686,6 +1686,16 @@ object TextOps {
             // this side too; rides the same scan, so the guard is free
             Seq(s"max(abs(${z(w)} - y)) as me", "max(greatest(x0, x1, x2, x3)) as mx"): _*)
           .head()
+        // guard the guard first (review finding: me is computed from the
+        // same wrapping arithmetic it polices): mx is a plain max over
+        // raw features — no products, cannot wrap — so bound the per-row
+        // dot product |z| ≤ 4·max|w|·mx with the PRE-update weights; only
+        // then is max|z−y| itself trustworthy as the gradient bound
+        val maxW = w.map(math.abs).max
+        require(BigInt(4) * BigInt(maxW) * BigInt(g.getLong(5)) +
+            BigInt(1000000000L) <= BigInt(Long.MaxValue),
+          s"t62 epoch-$ep per-row score z can exceed int64 — pre-scale the " +
+            "weights/features before trusting any aggregate this epoch")
         require(BigInt(g.getLong(4)) * BigInt(g.getLong(5)) * BigInt(n)
             <= BigInt(Long.MaxValue),
           s"t62 epoch-$ep gradient can exceed int64 — pre-scale the error " +

@@ -17,6 +17,10 @@ OUT="${BENCH_DETAIL_OUT:-/tmp/graft_bench_fams}"
 mkdir -p "$OUT"
 
 FAMS="e g k m p q s t v"
+# leftovers from a previous recording (a retired family, renamed
+# queries) must not merge stale numbers into a record stamped with the
+# CURRENT src_hash — the merge globs detail_*.json below
+rm -f "$OUT"/detail_*.json
 for f in $FAMS; do
   echo "== bench family $f (sf=$SF) =="
   SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_FAMILIES="$f" \
@@ -29,7 +33,7 @@ done
 # src_hash binds the record to the source tree it measured (round-13
 # verdict #1: a stale committed record left the round's perf claims
 # unprovable) — tools/gate.sh recomputes and refuses a mismatched snapshot
-SRC_HASH=$(find src/main -name '*.scala' -type f | sort | xargs sha256sum | sha256sum | cut -c1-16)
+SRC_HASH=$(bash tools/srchash.sh)   # we cd'd to the repo root above
 
 python3 - "$OUT" "$SF" "$SRC_HASH" <<'EOF'
 import glob, json, sys

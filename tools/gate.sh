@@ -90,10 +90,14 @@ echo "== gate: committed-artifact staleness (bench_detail.json vs this tree) =="
 if [ "${GATE_SKIP_DETAIL:-0}" = "1" ]; then
   echo "WARN: ######## bench_detail staleness check SKIPPED (GATE_SKIP_DETAIL=1) — not valid for the round-end gate ########"
 else
-  SRC_HASH=$(find src/main -name '*.scala' -type f | sort | xargs sha256sum | sha256sum | cut -c1-16)
-  stale=$(python3 - "$OUT/verify" "$SRC_HASH" <<'EOF'
+  SRC_HASH=$(bash tools/srchash.sh)
+  # the committed record must be at the driver's bench SF regardless of
+  # what this machine could bench (review finding: a record captured at
+  # a fallback SF would otherwise pass every other staleness check)
+  DETAIL_SF="${GRAFT_DETAIL_SF:-/root/testdata/sf0.1}"
+  stale=$(python3 - "$OUT/verify" "$SRC_HASH" "$DETAIL_SF" <<'EOF'
 import json, os, sys
-vd, src_hash = sys.argv[1], sys.argv[2]
+vd, src_hash, want_sf = sys.argv[1], sys.argv[2], sys.argv[3]
 names = sorted(d for d in os.listdir(vd) if os.path.isdir(os.path.join(vd, d)))
 try:
     rec = json.load(open("bench_detail.json"))
@@ -104,6 +108,8 @@ if not rec.get("mode", "").startswith("isolated-family-jvm"):
     bad.append("<mode-not-isolated>")
 if rec.get("src_hash") != src_hash:
     bad.append(f"<src_hash {rec.get('src_hash')} != tree {src_hash}>")
+if rec.get("sf") != want_sf:
+    bad.append(f"<sf {rec.get('sf')} != {want_sf}>")
 print(",".join(bad))
 EOF
 )
