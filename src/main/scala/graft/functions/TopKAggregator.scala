@@ -56,3 +56,29 @@ case class RegMax(n: Int)
   override def bufferEncoder: Encoder[Array[Int]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Int]] = ExpressionEncoder()
 }
+
+/** [[RegMax]] over BYTE-packed registers — the |E|-scale message width
+  * cut (round 14): an HLL register is ≤ 55, so the per-edge message
+  * payload is 64 BYTES (BinaryType), not 64 ints (~272 B as
+  * UnsafeArrayData) — 4× less traffic through the join→partial-agg
+  * pipeline and the agg exchange, the difference that matters when the
+  * edge frame is 10^11 rows. The |V|-scale frames stay array<int> so
+  * the register expressions (init, estimate, delta merge) keep their
+  * existing HOF form; only the propagation hot path packs. */
+case class RegMaxB(n: Int)
+    extends Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+  override def zero: Array[Byte] = new Array[Byte](n)
+  override def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < n) { val v = a(i); if (v > b(i)) b(i) = v; i += 1 }
+    b
+  }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < n) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+  override def finish(b: Array[Byte]): Array[Byte] = b
+  override def bufferEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Byte]] = ExpressionEncoder()
+}

@@ -1082,15 +1082,46 @@ object GraphOps {
     var regs = initRegisters(edgesW)
     val sums = scala.collection.mutable.Buffer(ballSum(regs, 0))
     for (r <- 1 to 3) {
-      regs = edges.join(regs.hint("shuffle_hash"), col("src") === col("node"))
-        .select(col("dst"), col("regs")).as[(Long, Array[Int])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(graft.functions.RegMax(64).toColumn.name("regs"))
-        .toDF("node", "regs")
+      // the round's message payload is BYTE-packed before the |E|-row
+      // join (registers ≤ 55): each of the ~|E| join-output rows and
+      // the partial-agg exchange carries 64 bytes, not a ~272 B int
+      // array — a 4× width cut on the only edge-scale traffic in the
+      // query. Pack/unpack are |V|-row typed maps, metadata-scale.
+      val regsB = packRegs(regs)
+      // untyped groupBy + udaf, NOT groupByKey: the key lambda would
+      // deserialize every |E|-row message into a Scala tuple before
+      // grouping — the UDAF path keeps the 64-byte payload in UnsafeRows
+      // until the aggregator's own input conversion
+      regs = edges.join(regsB.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(RegMaxBUdaf(col("regsb")).as("regsb"))
+        .select(col("dst"), col("regsb")).as[(Long, Array[Byte])]
+        .map { case (nd, b) => (nd, unpack64(b)) }.toDF("node", "regs")
         .localCheckpoint() // referenced by this round's estimate AND the next join
       sums += ballSum(regs, r)
     }
     sums.reduce(_ unionByName _).orderBy("radius")
+  }
+
+  /** The byte-register max-merge as an untyped UDAF column (see the
+    * groupBy-not-groupByKey note at its use sites). */
+  private val RegMaxBUdaf =
+    org.apache.spark.sql.functions.udaf(graft.functions.RegMaxB(64))
+
+  /** (node, regs: array<int>) → (node, regsb: binary) — lossless for
+    * register values (all ≤ 55). */
+  private def packRegs(regs: DataFrame): DataFrame = {
+    val s = regs.sparkSession
+    import s.implicits._
+    regs.as[(Long, Array[Int])]
+      .map { case (nd, a) => (nd, a.map(_.toByte)) }.toDF("node", "regsb")
+  }
+
+  private def unpack64(b: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](b.length)
+    var i = 0
+    while (i < b.length) { out(i) = b(i).toInt; i += 1 }
+    out
   }
 
   /** Round-0 HLL registers, one dense 64-int array row per node (the
@@ -1158,11 +1189,15 @@ object GraphOps {
     var r = 1
     var live = true
     while (r <= 3 && live) {
-      val inc = edges.join(delta.hint("shuffle_hash"), col("src") === col("node"))
-        .select(col("dst"), col("regs")).as[(Long, Array[Int])]
-        .groupByKey(_._1).mapValues(_._2)
-        .agg(graft.functions.RegMax(64).toColumn.name("inc"))
-        .toDF("node", "inc")
+      // byte-packed messages out of the frontier (hyperballCore's width
+      // cut applied to the delta rounds — here the saving COMPOUNDS
+      // with the shrinking frontier)
+      val deltaB = packRegs(delta)
+      val inc = edges.join(deltaB.hint("shuffle_hash"), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(RegMaxBUdaf(col("regsb")).as("regsb"))
+        .select(col("dst"), col("regsb")).as[(Long, Array[Byte])]
+        .map { case (nd, b) => (nd, unpack64(b)) }.toDF("node", "inc")
       val merged = regs.join(inc, Seq("node"), "left")
         .select(col("node"),
           when(col("inc").isNull, col("regs"))
