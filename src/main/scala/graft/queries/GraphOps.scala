@@ -1108,6 +1108,18 @@ object GraphOps {
   private val RegMaxBUdaf =
     org.apache.spark.sql.functions.udaf(graft.functions.RegMaxB(64))
 
+  /** ONE propagation round without the checkpoint — exposed so PlanSpec
+    * can lock the byte-packed message shape (the registered p09/p10
+    * plans show only checkpoint scans). */
+  private[queries] def hyperballRoundProbe(s: SparkSession, d: String): DataFrame = {
+    val edgesW = mkBfsEdges(bipartiteEdges(s, d))
+    edgesW.select("src", "dst")
+      .join(packRegs(initRegisters(edgesW)).hint("shuffle_hash"),
+        col("src") === col("node"))
+      .groupBy(col("dst"))
+      .agg(RegMaxBUdaf(col("regsb")).as("regsb"))
+  }
+
   /** (node, regs: array<int>) → (node, regsb: binary) — lossless for
     * register values (all ≤ 55). */
   private def packRegs(regs: DataFrame): DataFrame = {

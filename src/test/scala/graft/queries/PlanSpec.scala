@@ -676,6 +676,23 @@ class PlanSpec extends AnyFunSuite {
       "the top-20 cut must be TakeOrderedAndProject")
   }
 
+  test("p09/p10: register propagation ships BYTE-packed messages (binary payload, hash-agg merge)") {
+    // the round-14 width cut: the |E|-row join output and the partial-
+    // agg exchange must carry the 64-BYTE packed registers, never the
+    // ~272 B array<int> encoding (the registered p09/p10 plans show
+    // only checkpoint scans, so the lock runs on the round probe)
+    val probe = GraphOps.hyperballRoundProbe(spark, d)
+    assert(probe.schema("regsb").dataType ==
+      org.apache.spark.sql.types.BinaryType,
+      "messages must be binary-packed")
+    val p = probe.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ObjectHashAggregate"),
+      s"the RegMaxB merge must hash-aggregate (map-side partial):\n$p")
+    assert(p.toLowerCase.contains("regmaxb"),
+      s"the RegMaxB udaf must drive the merge:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("p04: loop joins read the cached pre-partitioned edges with NO per-round exchange") {
     // the SCALE.md claim "iterative loops shuffle the edge frame once,
     // ever": the edge frame's ONE intentional repartition lives inside
