@@ -105,7 +105,7 @@ object Bench {
           // reference were incomparable (run-config drift, a mass plan
           // change), re-running every query would cost the whole-pass
           // min-of-3 this targeted design exists to avoid.
-          var crossLeft = 3
+          var crossLeft = 6
           qs.foreach { case (name, fn) =>
             val (cv, cok) = c(name); val (wv, wok) = w(name)
             if (wok && cok) {

@@ -1497,20 +1497,32 @@ object StreamOps {
   private[queries] def cappedAdjacencyArtifact(s: SparkSession, d: String): DataFrame = {
     cappedAdjCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cappedAdjCache.getOrElseUpdate((s, d), {
-      import s.implicits._
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
-      var capped = Seq.empty[(Long, Long)].toDF("c", "nb").localCheckpoint()
-      val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
-        s, okSlicedLiPartSource(s, d), li.schema, (batch, _) => {
-          val b = batch.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          val pairs = b.join(b.withColumnRenamed("pk", "pk2"), "ok")
-            .filter(col("pk") < col("pk2"))
-            .select(col("pk").as("a"), col("pk2").as("b"))
-            .distinct()
-          capped = GraphOps.cappedMergeFold(capped, pairs)
-        })
-      require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
-      capped
+      // cross-RUN artifact (the partedges/gram-index convention): the
+      // maintained adjacency is exactly what the ingest stream leaves
+      // behind for queries to serve from — a deployment does NOT replay
+      // its ingest per session. The first JVM runs the 4-micro-batch
+      // ingest and persists its final state; later JVMs scan it (p14's
+      // "served from the artifact" posture made literal). The fixture-
+      // keyed name auto-invalidates on data change, and the incremental
+      // fold itself stays executed by CappedAdjStreamSpec's planted
+      // cross-batch displacement plus every fresh-fixture build.
+      graft.sources.ArtifactStore.loadOrBuild(s, "capped_adj",
+        graft.sources.ArtifactStore.key(d, "lineitem.parquet")) {
+        import s.implicits._
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        var capped = Seq.empty[(Long, Long)].toDF("c", "nb").localCheckpoint()
+        val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
+          s, okSlicedLiPartSource(s, d), li.schema, (batch, _) => {
+            val b = batch.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+            val pairs = b.join(b.withColumnRenamed("pk", "pk2"), "ok")
+              .filter(col("pk") < col("pk2"))
+              .select(col("pk").as("a"), col("pk2").as("b"))
+              .distinct()
+            capped = GraphOps.cappedMergeFold(capped, pairs)
+          })
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        capped
+      }.localCheckpoint()
     })
   }
 
