@@ -592,11 +592,15 @@ object Relational2 {
     // the expensive subtree (signature self-join + dedup) feeds THREE
     // consumers — the match filter, the candidate census, and through
     // matches the top-20 — and re-executed once per consumer
-    // (measured: q52 warm 4.6 → ~3.0 s at sf0.1)
-    val cand = fuzzyCandUncached(c).localCheckpoint()
-    val matches = cand
+    // (measured: q52 warm 4.6 → ~3.0 s at sf0.1). The exact distance is
+    // computed IN the build pass so the pinned frame is three ints per
+    // candidate, never two ~25-char names (~60 B → 24 B per row), and
+    // no consumer re-touches strings.
+    val cand = fuzzyCandUncached(c)
       .withColumn("dist", levenshtein(col("nm"), col("nm2")))
-      .filter(col("dist") <= 1)
+      .select("id", "id2", "dist")
+      .localCheckpoint()
+    val matches = cand.filter(col("dist") <= 1)
     val census = cand.agg(count(lit(1)).as("n_candidates"))
       .crossJoin(matches.agg(count(lit(1)).as("n_matches")))
     matches
