@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.concurrent.TrieMap
+
+/** Cache-hygiene contract: every per-(session, dir) TrieMap memo in the
+  * query/operator modules must be emptied by its module's clearCaches —
+  * Harness calls those hooks at teardown, and a forgotten entry pins
+  * DataFrames (and their checkpoint RDDs / persisted blocks) for the
+  * JVM's lifetime. Round 14 added five caches by hand (partDeg,
+  * cappedAdj, frontier, basketItems, resPqIndex, t27Model,
+  * trainedGateStream) — each needed its clear-hook line remembered;
+  * this spec makes the omission a test failure instead of a slow leak.
+  *
+  * The scan is reflective (all declared TrieMap fields, private
+  * included), so a NEW cache is covered the moment it is declared.
+  * Bucketing is exempt by design: its values are warehouse TABLE NAMES
+  * whose backing data outlives any session, not pinned frames. */
+class CacheHygieneSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.session
+  val d = "/root/testdata/sf0.001"
+
+  /** Exempt registries that must OUTLIVE clearCaches by design:
+    * StreamOps.allScratch holds scratch-dir PATH STRINGS for the JVM
+    * shutdown hook (a second-chance delete — the per-cache clears
+    * already rmrf the dirs; dropping the strings would disarm the
+    * hook). It pins no frames. */
+  private val Exempt = Set("allScratch")
+
+  private def trieMapFields(module: AnyRef): Seq[(String, TrieMap[_, _])] =
+    module.getClass.getDeclaredFields.toSeq
+      .filter(f => classOf[TrieMap[_, _]].isAssignableFrom(f.getType))
+      .filterNot(f => Exempt(f.getName))
+      .map { f => f.setAccessible(true); f.getName -> f.get(module).asInstanceOf[TrieMap[_, _]] }
+
+  test("clearCaches empties every TrieMap memo in its module (reflective scan)") {
+    // populate at least one memo per cheap module so the test proves
+    // clearing, not vacuous emptiness
+    GraphOps.degreeHistogram(spark, d).count()
+    TextOps.charTrigramFamiliarity(spark, d).count()
+    EventOps.robustSpikes(spark, d).count()
+    Relational2.basketRules(spark, d).count()
+    VectorOps.ivfPqResidualTopK(spark, d).count()
+    val modules: Seq[(String, AnyRef, () => Unit)] = Seq(
+      ("GraphOps", GraphOps, () => GraphOps.clearCaches()),
+      ("TextOps", TextOps, () => TextOps.clearCaches()),
+      ("EventOps", EventOps, () => EventOps.clearCaches()),
+      ("Relational2", Relational2, () => Relational2.clearObservedCache()),
+      ("VectorOps", VectorOps, () => VectorOps.clearCaches()),
+      ("StreamOps", StreamOps, () => StreamOps.clearCaches()),
+      ("Generated", Generated, () => Generated.clearCaches()),
+      ("MediaOps", MediaOps, () => MediaOps.clearCaches()),
+      ("CopyOnWrite", graft.operators.CopyOnWrite,
+        () => graft.operators.CopyOnWrite.clearCaches()),
+      ("MergeOnRead", graft.operators.MergeOnRead,
+        () => graft.operators.MergeOnRead.clearCaches()),
+      ("Multimodal", graft.multimodal.Multimodal,
+        () => graft.multimodal.Multimodal.clearCaches()))
+    val populated = modules.map { case (nm, m, _) =>
+      nm -> trieMapFields(m).count(_._2.nonEmpty)
+    }.filter(_._2 > 0)
+    assert(populated.size >= 5,
+      s"the populate phase must actually fill memos (got $populated)")
+    modules.foreach { case (_, _, clear) => clear() }
+    val leaked = for {
+      (nm, m, _) <- modules
+      (field, tm) <- trieMapFields(m)
+      if tm.nonEmpty
+    } yield s"$nm.$field (${tm.size} entries)"
+    assert(leaked.isEmpty,
+      s"caches not emptied by their module's clear hook: ${leaked.mkString(", ")}")
+  }
+}
