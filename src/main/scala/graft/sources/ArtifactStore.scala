@@ -30,7 +30,12 @@ object ArtifactStore {
     * changes — bump it whenever the tokenization/normalization that
     * FEEDS an artifact changes (norm(), sid60, gram windows), or a
     * persisted index built by the old code will silently serve the new
-    * engine and either fail the oracle confusingly or mask the fix. */
+    * engine and either fail the oracle confusingly or mask the fix.
+    * Per-artifact DERIVATION PARAMETERS (capped_adj's CapA and
+    * tournament slice count, s31's CC fold shape) ride in the artifact
+    * NAME instead — changing one invalidates just that artifact, not
+    * the whole store; only cross-cutting derivation code needs a bump
+    * here. */
   val FormatVersion = 1
 
   /** Kind directories that no code path reads any more. The stale-key

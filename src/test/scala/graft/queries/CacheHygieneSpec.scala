@@ -34,13 +34,23 @@ class CacheHygieneSpec extends AnyFunSuite {
       .map { f => f.setAccessible(true); f.getName -> f.get(module).asInstanceOf[TrieMap[_, _]] }
 
   test("clearCaches empties every TrieMap memo in its module (reflective scan)") {
-    // populate at least one memo per cheap module so the test proves
-    // clearing, not vacuous emptiness
+    // populate at least one memo in EVERY module that declares one
+    // (round-14 advice: modules the populate phase skipped — StreamOps,
+    // Generated, CopyOnWrite, MergeOnRead — passed vacuously on empty
+    // maps, so a forgotten clear-hook line there was exactly the
+    // omission this spec exists to catch). Each call is the module's
+    // cheapest memoizing entry point at sf0.001.
     GraphOps.degreeHistogram(spark, d).count()
     TextOps.charTrigramFamiliarity(spark, d).count()
     EventOps.robustSpikes(spark, d).count()
     Relational2.basketRules(spark, d).count()
     VectorOps.ivfPqResidualTopK(spark, d).count()
+    StreamOps.streamDedup(spark, d).count()
+    Generated.federatedJoin(spark, d).count()
+    graft.operators.CopyOnWrite.cowUpsert(spark, d).count()
+    graft.operators.MergeOnRead.morTimeTravel(spark, d).count()
+    MediaOps.mediaDupClusters(spark, d).count()
+    graft.multimodal.Multimodal.chunkSimhashPairs(spark, d).count()
     val modules: Seq[(String, AnyRef, () => Unit)] = Seq(
       ("GraphOps", GraphOps, () => GraphOps.clearCaches()),
       ("TextOps", TextOps, () => TextOps.clearCaches()),
@@ -56,11 +66,19 @@ class CacheHygieneSpec extends AnyFunSuite {
         () => graft.operators.MergeOnRead.clearCaches()),
       ("Multimodal", graft.multimodal.Multimodal,
         () => graft.multimodal.Multimodal.clearCaches()))
-    val populated = modules.map { case (nm, m, _) =>
-      nm -> trieMapFields(m).count(_._2.nonEmpty)
-    }.filter(_._2 > 0)
-    assert(populated.size >= 5,
-      s"the populate phase must actually fill memos (got $populated)")
+    // PER-MODULE coverage: every module that declares a memo must have
+    // at least one populated before the clear, or its assertion below
+    // is vacuous (a global count let whole modules slip through). A
+    // module with no TrieMap fields at all has nothing to leak and is
+    // trivially covered — and the moment someone adds its first memo,
+    // this assertion demands a populate line for it.
+    val unexercised = modules.collect {
+      case (nm, m, _) if trieMapFields(m).nonEmpty &&
+        trieMapFields(m).forall(_._2.isEmpty) => nm
+    }
+    assert(unexercised.isEmpty,
+      s"populate phase left these modules' memos all-empty (their clear " +
+        s"assertion would be vacuous): ${unexercised.mkString(", ")}")
     modules.foreach { case (_, _, clear) => clear() }
     val leaked = for {
       (nm, m, _) <- modules
