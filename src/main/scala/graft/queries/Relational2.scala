@@ -580,12 +580,25 @@ object Relational2 {
       .join(sigs.select(col("sig64"), col("id").as("id2")), "sig64")
       .filter(col("id") < col("id2"))
       .select("id", "id2").distinct()
+    // dist is computed IN the same codegen stage as the recheck, and
+    // the recheck SHORT-CIRCUITS behind it (round-14 brief #1): a pair
+    // at distance ≤ 1 provably shares a TRUE signature — identical
+    // names share the distance-0 signature; a substitution pair shares
+    // the delete-at-the-substituted-position signature; an insert/
+    // delete pair shares the shorter name itself — so `dist <= 1 OR
+    // overlap` equals `overlap` exactly (dist ≤ 1 ⟹ overlap), and the
+    // O(len²)-ish array probe runs only on the ~2/3 of candidates at
+    // distance ≥ 2. Collision-borne pairs (the recheck's prey) are
+    // ~never at distance ≤ 1, and when one is, it shares a true
+    // signature and IS a legitimate candidate.
     candIds
       .join(withSig, "id")
       .join(withSig.select(col("id").as("id2"), col("nm").as("nm2"),
         col("sig_arr").as("sig_arr2")), "id2")
-      .filter(arrays_overlap(col("sig_arr"), col("sig_arr2")))
-      .select("id", "nm", "id2", "nm2")
+      .withColumn("dist", levenshtein(col("nm"), col("nm2")))
+      .filter(col("dist") <= 1 ||
+        arrays_overlap(col("sig_arr"), col("sig_arr2")))
+      .select("id", "id2", "dist")
   }
 
   private[queries] def fuzzyBlockedMatchOn(c: DataFrame): DataFrame = {
@@ -597,8 +610,6 @@ object Relational2 {
     // candidate, never two ~25-char names (~60 B → 24 B per row), and
     // no consumer re-touches strings.
     val cand = fuzzyCandUncached(c)
-      .withColumn("dist", levenshtein(col("nm"), col("nm2")))
-      .select("id", "id2", "dist")
       .localCheckpoint()
     val matches = cand.filter(col("dist") <= 1)
     val census = cand.agg(count(lit(1)).as("n_candidates"))
