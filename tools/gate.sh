@@ -120,6 +120,12 @@ EOF
     exit 1
   fi
   echo "bench_detail.json matches this tree (all verify queries present, src_hash $SRC_HASH)"
+  # WARN-only cold-budget drift (round-14 brief #6): per-family cold
+  # sums of the (freshly re-recorded) working-tree record vs the one at
+  # HEAD — fresh-JVM cost regressions are invisible to every warm-
+  # focused tripwire above. Never flips the gate; see SCALE.md's
+  # per-family cold budget.
+  python3 tools/benchcmp.py --cold bench_detail.json || true
 fi
 
 echo "GATE GREEN"
