@@ -446,6 +446,54 @@ object Multimodal {
       .orderBy("a_id", "b_id")
   }
 
+  /** m13 — CROSS-MODAL decontamination (round-14 brief #7, the one
+    * pipeline surface the board didn't grade): the m-family dedups
+    * media against media and the t/v families scrub text against text,
+    * but an eval item can leak into training THROUGH a modality
+    * boundary — a rendered screenshot of a benchmark question, an
+    * audio read-through, a video slide. This query joins the TRAINING
+    * media's content-defined chunks against the digest set of the
+    * EVAL suite's payloads (docs 0–49, the t19 benchmark convention)
+    * in the shared BYTE-DIGEST space — the stubbed decoder stands in
+    * for the caption/OCR/transcript extraction a real pipeline runs
+    * before this exact join. Output: per contaminated media item, its
+    * chunk census, the contaminated chunk count/bytes, and the scrub
+    * share a redaction step consumes. Only chunks ≥ [[MinEvidenceLen]]
+    * bytes count as evidence (t19's 8-token-gram rule restated in
+    * bytes): the mask-16 chunker emits 1-byte chunks that collide
+    * across ~every payload and would grade noise, not leakage.
+    *
+    * The digest space is deliberately EXACT (not the v16 semantic
+    * space): v15/v16 already grade centroid-bucketed embedding
+    * decontamination; this closes the byte-identical-span channel,
+    * and the two compose the way a production scrub runs both.
+    *
+    * Scale: the eval digest set is benchmark-bounded — broadcast by
+    * nature (t19's discipline); training chunks are the memoized
+    * map-only chunker output; both aggregates key on media_id and
+    * payload bytes never shuffle (the m-series rule — only 32-char
+    * digests travel). */
+  private[multimodal] val MinEvidenceLen = 8L
+  def crossModalDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val ch = chunkFrame(spark, dir)
+    val bench = ch
+      .filter(col("media_id") < 50 && col("chunk_len") >= MinEvidenceLen)
+      .select("chunk_md5").distinct()
+    val corp = ch.filter(col("media_id") >= 50)
+    val tot = corp.groupBy("media_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("total_bytes"))
+    val hits = corp.filter(col("chunk_len") >= MinEvidenceLen)
+      .join(broadcast(bench), "chunk_md5")
+      .groupBy("media_id", "kind")
+      .agg(count(lit(1)).as("n_hit"), sum("chunk_len").as("hit_bytes"))
+    hits.join(tot, "media_id")
+      .select(col("media_id"), col("kind"), col("n_chunks"), col("n_hit"),
+        col("total_bytes"), col("hit_bytes"),
+        round(col("hit_bytes").cast("double") / col("total_bytes").cast("double"), 6)
+          .as("hit_share"))
+      .orderBy("media_id")
+  }
+
   /** CDC dedup census — the storage-level dedup a multimodal lake runs
     * before anything decodes: per kind, raw chunk bytes vs bytes after
     * chunk-level dedup. ONE pass: the chunker's output partial-aggregates

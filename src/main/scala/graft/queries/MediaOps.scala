@@ -276,6 +276,29 @@ object MediaOps {
          |ORDER BY mask""".stripMargin
     }),
 
+    // same chunk CTE chain; the eval side (docs 0-49, t19's benchmark
+    // convention) contributes a distinct digest set, evidence is
+    // length-gated at 8 bytes on BOTH sides, and the per-media census
+    // joins hits to totals keyed on the id — the oracle restates the
+    // whole cross-modal scrub list in closed form
+    "m13_cross_modal_decontam" -> QueryDef(Multimodal.crossModalDecontaminate _,
+      s"""$CdcChunksCtesDuck,
+         |bench AS (SELECT DISTINCT chunk_md5 FROM ch
+         |          WHERE doc_id < 50 AND chunk_len >= 8),
+         |corp AS (SELECT * FROM ch WHERE doc_id >= 50),
+         |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |        CAST(SUM(chunk_len) AS BIGINT) AS total_bytes
+         |        FROM corp GROUP BY doc_id),
+         |hit AS (SELECT c.doc_id, c.kind, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         |        CAST(SUM(c.chunk_len) AS BIGINT) AS hit_bytes
+         |        FROM corp c JOIN bench b ON b.chunk_md5 = c.chunk_md5
+         |        WHERE c.chunk_len >= 8
+         |        GROUP BY c.doc_id, c.kind)
+         |SELECT h.doc_id AS media_id, h.kind, t.n_chunks, h.n_hit,
+         |  t.total_bytes, h.hit_bytes,
+         |  round(CAST(h.hit_bytes AS DOUBLE) / CAST(t.total_bytes AS DOUBLE), 6) AS hit_share
+         |FROM hit h JOIN tot t ON t.doc_id = h.doc_id ORDER BY media_id""".stripMargin),
+
     "m06_cdc_dedup" -> QueryDef(Multimodal.cdcDedup _,
       s"""$CdcChunksCtesDuck,
          |tot AS (SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_chunks,
