@@ -20,13 +20,18 @@ object Bench {
     // reference that can never show cross-round contention. Falls back
     // to the directory listing only when git itself is unavailable.
     val lastRoundRef: Map[String, Double] = try {
-      val committed: Set[String] = try {
-        scala.sys.process.Process(Seq("git", "ls-files", "BENCH_r*.json"))
-          .!!.linesIterator.map(_.trim).filter(_.nonEmpty).toSet
-      } catch { case _: Throwable => Set.empty }
+      // None = git itself unavailable (fall back to the listing);
+      // Some(empty) = git answered "no committed records" (trust it —
+      // a fresh repo has NO valid reference, and admitting the
+      // current round's untracked file here would be the exact
+      // self-reference this filter exists to prevent)
+      val committed: Option[Set[String]] = try {
+        Some(scala.sys.process.Process(Seq("git", "ls-files", "BENCH_r*.json"))
+          .!!.linesIterator.map(_.trim).filter(_.nonEmpty).toSet)
+      } catch { case _: Throwable => None }
       val files = Option(new java.io.File(".").listFiles(
         (_, n) => n.matches("BENCH_r\\d+\\.json") &&
-          (committed.isEmpty || committed.contains(n)))).getOrElse(Array.empty)
+          committed.forall(_.contains(n)))).getOrElse(Array.empty)
       files.sortBy(f => -"\\d+".r.findFirstIn(f.getName).get.toInt).iterator
         .map(f => new String(java.nio.file.Files.readAllBytes(f.toPath)))
         .filter(_.matches("(?s).*\"rc\"\\s*:\\s*0.*"))

@@ -473,7 +473,7 @@ object Multimodal {
     * map-only chunker output; both aggregates key on media_id and
     * payload bytes never shuffle (the m-series rule — only 32-char
     * digests travel). */
-  private[multimodal] val MinEvidenceLen = 8L
+  private[graft] val MinEvidenceLen = 8L
   def crossModalDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val ch = chunkFrame(spark, dir)
     val bench = ch

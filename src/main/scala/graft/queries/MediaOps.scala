@@ -284,7 +284,7 @@ object MediaOps {
     "m13_cross_modal_decontam" -> QueryDef(Multimodal.crossModalDecontaminate _,
       s"""$CdcChunksCtesDuck,
          |bench AS (SELECT DISTINCT chunk_md5 FROM ch
-         |          WHERE doc_id < 50 AND chunk_len >= 8),
+         |          WHERE doc_id < 50 AND chunk_len >= ${Multimodal.MinEvidenceLen}),
          |corp AS (SELECT * FROM ch WHERE doc_id >= 50),
          |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
          |        CAST(SUM(chunk_len) AS BIGINT) AS total_bytes
@@ -292,7 +292,7 @@ object MediaOps {
          |hit AS (SELECT c.doc_id, c.kind, CAST(COUNT(*) AS BIGINT) AS n_hit,
          |        CAST(SUM(c.chunk_len) AS BIGINT) AS hit_bytes
          |        FROM corp c JOIN bench b ON b.chunk_md5 = c.chunk_md5
-         |        WHERE c.chunk_len >= 8
+         |        WHERE c.chunk_len >= ${Multimodal.MinEvidenceLen}
          |        GROUP BY c.doc_id, c.kind)
          |SELECT h.doc_id AS media_id, h.kind, t.n_chunks, h.n_hit,
          |  t.total_bytes, h.hit_bytes,

@@ -4,18 +4,21 @@ import org.apache.spark.sql.functions._
 
 /** Stage-split probe for q52's candidate build (round-14 brief #1):
   * times each CUMULATIVE prefix of the SymSpell pipeline so the
-  * marginal cost of every stage is a subtraction. Stages:
+  * marginal cost of every stage is a subtraction. The stage frames
+  * come from [[Relational2.fuzzyStages]] — the SAME frames the
+  * production query composes (a copy-pasted probe pipeline drifted
+  * from the real one within a single round). Stages:
   *
-  *   A  sigs        — signature array build + 19× explode + xxhash64 +
-  *                    (id, sig64) distinct: the diet's one ok-shuffle
-  *   B  candIds     — sig64 self-join + id<id2 + pair distinct
-  *   C  joinbacks   — the two id join-backs that re-attach (nm, sig_arr)
-  *   D  recheck     — + exact arrays_overlap collision recheck
-  *   E  full        — + fused levenshtein + checkpoint + census/top-20
-  *                    (the registered q52 body)
+  *   A  sigs      — signature array build + 19× explode + xxhash64 +
+  *                  (id, sig64) distinct: the diet's one ok-shuffle
+  *   B  candIds   — sig64 self-join + id<id2 + pair distinct
+  *   C  joined    — the two id join-backs + the fused levenshtein
+  *   D  cand      — + the short-circuited exact arrays_overlap recheck
+  *                  (dist ≤ 1 rows skip the probe — the SymSpell lemma)
+  *   E  full      — + checkpoint + census/top-20 (the registered q52)
   *
-  * Marginal(stage) = t(stage) − t(previous); two passes are printed so
-  * the warm pass (what Bench grades after memoization) is the one read.
+  * Marginal(stage) = t(stage) − t(previous); multiple passes are
+  * printed so the warm passes (what Bench grades) are the ones read.
   * Usage: runMain graft.queries.Q52Probe [sfDir] [nPasses]. */
 object Q52Probe {
   def main(args: Array[String]): Unit = {
@@ -25,26 +28,9 @@ object Q52Probe {
     graft.Harness.withSession(cpus, logLevel = "ERROR") { spark =>
       val c = graft.tables.Tables.customer(spark, sfDir)
         .select(col("c_custkey").as("id"), col("c_name").as("nm"))
-      def sigSet(nmCol: String): String =
-        s"array_append(transform(sequence(1, length($nmCol)), " +
-          s"i -> concat(substring($nmCol, 1, i - 1), substring($nmCol, i + 1))), $nmCol)"
       (1 to n).foreach { pass =>
-        val withSig = c.select(col("id"), col("nm"), expr(sigSet("nm")).as("sig_arr"))
-        val sigs = withSig
-          .select(col("id"), explode(col("sig_arr")).as("sig"))
-          .select(col("id"), xxhash64(col("sig")).as("sig64"))
-          .distinct()
-        val candIds = sigs
-          .join(sigs.select(col("sig64"), col("id").as("id2")), "sig64")
-          .filter(col("id") < col("id2"))
-          .select("id", "id2").distinct()
-        val joined = candIds
-          .join(withSig, "id")
-          .join(withSig.select(col("id").as("id2"), col("nm").as("nm2"),
-            col("sig_arr").as("sig_arr2")), "id2")
-        val rechecked = joined
-          .filter(arrays_overlap(col("sig_arr"), col("sig_arr2")))
-          .select("id", "nm", "id2", "nm2")
+        val st = Relational2.fuzzyStages(c)
+        val cand = Relational2.fuzzyCandUncached(c)
         def t(label: String)(body: => Long): Double = {
           val t0 = System.nanoTime()
           val rows = body
@@ -52,12 +38,11 @@ object Q52Probe {
           println(f"[q52probe] pass $pass $label%-10s ${sec}%7.3f s  ($rows rows)")
           sec
         }
-        val ta = t("A_sigs")(sigs.count())
-        val tb = t("B_candIds")(candIds.count())
-        val tc = t("C_joinback")(joined.count())
-        val td = t("D_recheck")(rechecked.count())
-        val te = t("E_full")(Relational2.fuzzyBlockedMatchOn(
-          c.select(col("id"), col("nm"))).count())
+        val ta = t("A_sigs")(st.sigs.count())
+        val tb = t("B_candIds")(st.candIds.count())
+        val tc = t("C_joined")(st.joined.count())
+        val td = t("D_recheck")(cand.count())
+        val te = t("E_full")(Relational2.fuzzyBlockedMatchOn(c).count())
         println(f"[q52probe] pass $pass marginals: A=${ta}%.3f B=${tb - ta}%.3f " +
           f"C=${tc - tb}%.3f D=${td - tc}%.3f E=${te}%.3f (E is independent end-to-end)")
       }

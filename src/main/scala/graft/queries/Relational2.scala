@@ -558,7 +558,33 @@ object Relational2 {
     * cost a recheck, never a wrong row, at any scale. */
   /** The candidate-pair BUILD plan (everything below the checkpoint) —
     * exposed so PlanSpec can lock the hashed-key exchange shape. */
+  /** The pipeline's stage frames, exposed as a group so Q52Probe times
+    * each cumulative prefix of the SAME frames the production query
+    * runs (a copy-pasted probe pipeline drifted from the real one
+    * within a single round — round-15 review finding). */
+  private[queries] final case class FuzzyStages(
+      withSig: DataFrame, sigs: DataFrame, candIds: DataFrame,
+      joined: DataFrame)
+
   private[queries] def fuzzyCandUncached(c: DataFrame): DataFrame = {
+    val st = fuzzyStages(c)
+    // the recheck SHORT-CIRCUITS behind the fused distance (round-14
+    // brief #1): a pair at distance ≤ 1 provably shares a TRUE
+    // signature — identical names share the distance-0 signature; a
+    // substitution pair shares the delete-at-the-substituted-position
+    // signature; an insert/delete pair shares the shorter name itself —
+    // so `dist <= 1 OR overlap` equals `overlap` exactly (dist ≤ 1 ⟹
+    // overlap), and the O(len²)-ish array probe runs only on the ~2/3
+    // of candidates at distance ≥ 2. Collision-borne pairs (the
+    // recheck's prey) are ~never at distance ≤ 1, and when one is, it
+    // shares a true signature and IS a legitimate candidate.
+    st.joined
+      .filter(col("dist") <= 1 ||
+        arrays_overlap(col("sig_arr"), col("sig_arr2")))
+      .select("id", "id2", "dist")
+  }
+
+  private[queries] def fuzzyStages(c: DataFrame): FuzzyStages = {
     // delete-1 signatures + the name itself (distance-0 signature),
     // as an array expression reused by the exact collision recheck
     def sigSet(nmCol: String): String =
@@ -580,25 +606,14 @@ object Relational2 {
       .join(sigs.select(col("sig64"), col("id").as("id2")), "sig64")
       .filter(col("id") < col("id2"))
       .select("id", "id2").distinct()
-    // dist is computed IN the same codegen stage as the recheck, and
-    // the recheck SHORT-CIRCUITS behind it (round-14 brief #1): a pair
-    // at distance ≤ 1 provably shares a TRUE signature — identical
-    // names share the distance-0 signature; a substitution pair shares
-    // the delete-at-the-substituted-position signature; an insert/
-    // delete pair shares the shorter name itself — so `dist <= 1 OR
-    // overlap` equals `overlap` exactly (dist ≤ 1 ⟹ overlap), and the
-    // O(len²)-ish array probe runs only on the ~2/3 of candidates at
-    // distance ≥ 2. Collision-borne pairs (the recheck's prey) are
-    // ~never at distance ≤ 1, and when one is, it shares a true
-    // signature and IS a legitimate candidate.
-    candIds
+    // dist is computed IN the same codegen stage as the recheck filter
+    // fuzzyCandUncached applies above this frame
+    val joined = candIds
       .join(withSig, "id")
       .join(withSig.select(col("id").as("id2"), col("nm").as("nm2"),
         col("sig_arr").as("sig_arr2")), "id2")
       .withColumn("dist", levenshtein(col("nm"), col("nm2")))
-      .filter(col("dist") <= 1 ||
-        arrays_overlap(col("sig_arr"), col("sig_arr2")))
-      .select("id", "id2", "dist")
+    FuzzyStages(withSig, sigs, candIds, joined)
   }
 
   private[queries] def fuzzyBlockedMatchOn(c: DataFrame): DataFrame = {

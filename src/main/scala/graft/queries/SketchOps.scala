@@ -64,16 +64,18 @@ object SketchOps {
     * per-key top/bottom-cap in the engine (t56's source caps, p06's
     * hub-adjacency caps, the KMV kSmallest below; a second copy could
     * silently drift from the containment proof all of them cite):
-    * level 1 ranks inside (keys, saltOn % 32) so a hot key becomes 32
+    * level 1 ranks inside (keys, saltOn % SaltSlices) so a hot key becomes SaltSlices
     * bounded slices; only the ≤ 32·cap level-1 survivors reach the
     * level-2 per-key window. Exact under any TOTAL `order`
     * (CellSampleSpec's containment argument: a global top-cap row
     * ranks ≤ cap inside its own salt slice). Returns the ≤ cap rows
     * per key with their final rank in `__rk`. */
-  /** Level-1 slice count of the tournament. NAMED (round-14 advice)
-    * because it is a DERIVATION PARAMETER of persisted artifacts: the
-    * capped_adj artifact folds it (with CapA) into its key, so a
-    * re-tuned tournament can never serve a stale persisted cut. */
+  /** Level-1 slice count of the tournament. Named so re-tuning is one
+    * edit — but deliberately NOT part of any persisted artifact's key:
+    * by the containment proof above, the tournament's OUTPUT is exact
+    * under any total order for any slice count, so the capped_adj
+    * artifact folds in only CapA (which does change the cut) and a
+    * slice re-tune never forces a spurious artifact rebuild. */
   private[queries] val SaltSlices = 32
   private[queries] def saltedRank(df: DataFrame, keys: Seq[Column],
       saltOn: Column, order: Seq[Column], cap: Int): DataFrame = {

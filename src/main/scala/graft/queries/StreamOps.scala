@@ -1525,16 +1525,22 @@ object StreamOps {
       // keyed name auto-invalidates on data change, and the incremental
       // fold itself stays executed by CappedAdjStreamSpec's planted
       // cross-batch displacement plus every fresh-fixture build.
-      // the artifact name folds in the cut's DERIVATION PARAMETERS
-      // (CapA and the tournament's slice count) beside the fixture
-      // digest (round-14 advice): a re-tuned CapA or salt without a
-      // global FormatVersion bump used to serve the OLD persisted cut,
-      // surfacing only later as a confusing p14/s32 oracle mismatch.
-      // gc() keeps non-digest name segments conservatively, so the
-      // suffix never strands the dir.
-      graft.sources.ArtifactStore.loadOrBuild(s, "capped_adj",
+      // the artifact name folds in the cut's DERIVATION PARAMETER
+      // (CapA) beside the fixture digest (round-14 advice): a re-tuned
+      // CapA without a global FormatVersion bump used to serve the OLD
+      // persisted cut, surfacing only later as a confusing p14/s32
+      // oracle mismatch. The tournament's slice count is deliberately
+      // NOT in the name — the cut is slice-count-invariant (the
+      // containment proof at SketchOps.saltedRank), so a slice re-tune
+      // must not force a rebuild. The kind is "capped_adj2" because the
+      // pre-r15 kind keyed on the bare fixture digest; its dirs would
+      // strand forever under gc()'s conservative keep (the digest still
+      // reproduces), so the OLD kind is retired wholesale
+      // (ArtifactStore.RetiredKinds) — the documented path for a key-
+      // schema change.
+      graft.sources.ArtifactStore.loadOrBuild(s, "capped_adj2",
         graft.sources.ArtifactStore.key(d, "lineitem.parquet") +
-          s"-capa${GraphOps.CapA}x${SketchOps.SaltSlices}") {
+          s"-capa${GraphOps.CapA}") {
         import s.implicits._
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
         var capped = Seq.empty[(Long, Long)].toDF("c", "nb").localCheckpoint()

@@ -31,11 +31,13 @@ object ArtifactStore {
     * FEEDS an artifact changes (norm(), sid60, gram windows), or a
     * persisted index built by the old code will silently serve the new
     * engine and either fail the oracle confusingly or mask the fix.
-    * Per-artifact DERIVATION PARAMETERS (capped_adj's CapA and
-    * tournament slice count, s31's CC fold shape) ride in the artifact
-    * NAME instead — changing one invalidates just that artifact, not
-    * the whole store; only cross-cutting derivation code needs a bump
-    * here. */
+    * Per-artifact DERIVATION PARAMETERS (capped_adj2's CapA, s31's CC
+    * fold shape) ride in the artifact NAME instead — changing one
+    * invalidates just that artifact, not the whole store; only
+    * cross-cutting derivation code needs a bump here. (Parameters the
+    * output is provably invariant to — e.g. the tournament slice
+    * count — belong in NEITHER: they would only force spurious
+    * rebuilds.) */
   val FormatVersion = 1
 
   /** Kind directories that no code path reads any more. The stale-key
@@ -44,7 +46,11 @@ object ArtifactStore {
     * unchanged fixture, so gc would keep it forever — a slow disk leak.
     * When retiring or renaming a kind, add the OLD name here; gc()
     * deletes the whole kind dir. */
-  val RetiredKinds: Set[String] = Set()
+  val RetiredKinds: Set[String] = Set(
+    // r15: capped_adj keyed on the bare fixture digest; the key now
+    // folds in CapA (kind renamed capped_adj2), and the old dirs'
+    // digests still reproduce so only a kind retirement reaps them
+    "capped_adj")
 
   /** Observability for specs: how many artifacts were built vs served
     * from disk in this JVM. */

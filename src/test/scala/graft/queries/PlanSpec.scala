@@ -569,13 +569,22 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("t49: BM25 doc length is map-only, idf broadcasts, top-20 is TakeOrderedAndProject") {
+    // the registered t49 reads the memoized postings/doc-length
+    // checkpoints (whose plan shows zero Generate nodes), so the
+    // re-explode locks assert on the index BUILD plans the memos
+    // materialize (the t05/langIdUncached rule)
+    val dlP = TextOps.buildDocLengths(spark, d).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!"""\(\d+\) Generate""".r.findAllIn(dlP).hasNext,
+      s"doc length must be map-only size(split(...)), never an explode:\n$dlP")
+    val tfP = TextOps.buildProbePostings(spark, d).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert("""\(\d+\) Generate""".r.findAllIn(tfP).length == 1,
+      s"the postings build is exactly ONE corpus explode:\n$tfP")
+    // the scoring plan over the index: top-20 via per-partition heaps
     val p = plan("t49_bm25_topk")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-20 must never be a global sort:\n$p")
-    // dl = size(split(...)) per row: exactly ONE generator (the tf
-    // explode) may appear — a second means doc lengths re-explode tokens
-    assert("""\(\d+\) Generate""".r.findAllIn(p).length <= 1,
-      s"doc length must not explode corpus tokens:\n$p")
   }
 
   test("e16: quintile thresholds broadcast back; no global NTILE window over users") {

@@ -44,11 +44,13 @@ COLD_THRESH = 1.5
 COLD_FLOOR_S = 3.0
 
 
-def cold_sums(rec):
-    """{family: cold-sum seconds} from a bench_detail record."""
+def cold_sums(rec, names):
+    """{family: cold-sum seconds} over exactly `names` — both records
+    must sum the SAME query set or a query added/retired between rounds
+    masquerades as (or masks) cold drift."""
     sums = {}
-    for name, cw in rec.get("queries", {}).items():
-        c = cw.get("cold")
+    for name in names:
+        c = rec["queries"][name].get("cold")
         if isinstance(c, (int, float)):
             sums[name[:1]] = sums.get(name[:1], 0.0) + c
     return sums
@@ -79,7 +81,14 @@ def cold_drift(detail_path, root):
     if head.get("sf") != cur.get("sf"):
         print(f"cold-drift: SF mismatch ({cur.get('sf')} vs HEAD {head.get('sf')}) — skipping")
         return 0
-    ref, now = cold_sums(head), cold_sums(cur)
+    # common queries only, and only those with a NUMERIC cold in BOTH
+    # records — a round's new queries must not inflate their family's
+    # sum into a false WARN, and a "fail" cold on either side must drop
+    # the query from BOTH sums (an asymmetric drop would shift one sum)
+    both = [n for n in set(head.get("queries", {})) & set(cur.get("queries", {}))
+            if isinstance(head["queries"][n].get("cold"), (int, float))
+            and isinstance(cur["queries"][n].get("cold"), (int, float))]
+    ref, now = cold_sums(head, both), cold_sums(cur, both)
     parts, warns = [], []
     for f in sorted(set(ref) & set(now)):
         parts.append(f"{f}:{ref[f]:.1f}->{now[f]:.1f}")
@@ -119,6 +128,9 @@ def common_subtotals(ref_ds, cur_ds):
 def main():
     args = list(sys.argv[1:])
     if args and args[0] == "--cold":
+        if len(args) < 2:
+            print("usage: benchcmp.py --cold <bench_detail.json> [repo_root]")
+            return 2
         root = args[2] if len(args) > 2 else os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))
         return cold_drift(args[1], root)
