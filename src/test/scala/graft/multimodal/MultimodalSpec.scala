@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
@@ -81,6 +82,47 @@ class MultimodalSpec extends AnyFunSuite {
     // -693148e-6, so the deterministic score is 0.693148, not 0.693147
     assert(out(901L) == ((4L, 2, 0.693148)),
       s"uniform 2-nibble payload must score quantized ln 2: ${out(901L)}")
+  }
+
+  test("m13 planted leak: spliced eval chunk is found exactly; sub-evidence and clean payloads score zero") {
+    import spark.implicits._
+    // The round-15 verdict's one caveat: m13's semantics were pinned only
+    // by its self-written DuckDB twin. This plants a known leak and grades
+    // the census against hand-computed truth. Chunk boundary = byte ≡ 0
+    // (mod 16); '0' (0x30) is the only such byte used below, so chunking
+    // is fully hand-traceable:
+    //   eval 10:   "abcdefg0"(8) + "xy0"(3)
+    //   train 100: "cleanheadx0"(11) + SPLICED "abcdefg0"(8) + "xy0"(3)
+    //              + "tailbitszz"(10)              — 32 bytes, 4 chunks
+    //   train 101: "benigncleandifferent0"(21)     — clean, no shared chunk
+    //   train 102: "xy0"(3) + "longuniquetail"(14) — shares ONLY the
+    //              3-byte chunk, below MinEvidenceLen(8) on BOTH sides
+    val dir = java.nio.file.Files.createTempDirectory("graft_m13leak")
+      .toFile.getAbsolutePath
+    Seq(
+      (10L, "abcdefg0xy0"),
+      (100L, "cleanheadx0" + "abcdefg0xy0" + "tailbitszz"),
+      (101L, "benigncleandifferent0"),
+      (102L, "xy0longuniquetail"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.crossModalDecontaminate(spark, dir).collect()
+    // exactly the spliced payload surfaces — the clean payload (101) and
+    // the sub-evidence sharer (102) must be ABSENT, not zero-scored rows
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L),
+      s"only the spliced payload may surface: ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getString(1) == "audio")          // 100 % 3 == 1
+    assert(r.getLong(2) == 4L, s"n_chunks: $r") // census counts ALL chunks
+    assert(r.getLong(3) == 1L, s"n_hit: $r")    // the 8-byte evidence chunk
+    assert(r.getLong(4) == 32L && r.getLong(5) == 8L, s"bytes: $r")
+    assert(r.getDouble(6) == 0.25, s"hit_share: $r")
+    // the shared 3-byte chunk IS byte-identical across 10/100/102 — only
+    // the MinEvidenceLen gate keeps it out of the hit census above
+    val ch = Multimodal.chunkMedia(syntheticMedia(spark, dir).as[MediaRow])
+      .toDF().filter(col("chunk_len") < Multimodal.MinEvidenceLen)
+    assert(ch.select("chunk_md5").distinct().count() == 1 &&
+      ch.count() == 3, "fixture self-check: the short chunk must recur")
   }
 
   test("m12 curve invariants: bytes conserved per mask; chunk count falls as the mask widens") {
