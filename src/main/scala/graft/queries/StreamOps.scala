@@ -444,6 +444,12 @@ object StreamOps {
     lateSourceCache.values.foreach(dirPath =>
       try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
     lateSourceCache.clear()
+    // caught by CacheHygieneSpec's static field scan (round-15 advice):
+    // this source registry never had a clear line — its scratch dirs were
+    // only reclaimed by the JVM-shutdown second-chance hook
+    timeSliceSourceCache.values.foreach(dirPath =>
+      try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
+    timeSliceSourceCache.clear()
     idSliceDocSourceCache.values.foreach(dirPath =>
       try rmrf(java.nio.file.Paths.get(dirPath)) catch { case _: Throwable => () })
     idSliceDocSourceCache.clear()

@@ -51,6 +51,12 @@ class CacheHygieneSpec extends AnyFunSuite {
     graft.operators.MergeOnRead.morTimeTravel(spark, d).count()
     MediaOps.mediaDupClusters(spark, d).count()
     graft.multimodal.Multimodal.chunkSimhashPairs(spark, d).count()
+    // round-15 memos (advice: the populate phase never touched them, so
+    // a forgotten clear-hook line passed the module-granular check)
+    Relational2.fuzzyBlockedMatch(spark, d).count()   // q52CandCache
+    TextOps.curationWaterfall(spark, d).count()       // t58Cache + swqCache
+    TextOps.tokenBudgetSelect(spark, d).count()       // t22SelCache
+    TextOps.bm25Topk(spark, d).count()                // postingsCache + dlCache
     val modules: Seq[(String, AnyRef, () => Unit)] = Seq(
       ("GraphOps", GraphOps, () => GraphOps.clearCaches()),
       ("TextOps", TextOps, () => TextOps.clearCaches()),
@@ -66,12 +72,11 @@ class CacheHygieneSpec extends AnyFunSuite {
         () => graft.operators.MergeOnRead.clearCaches()),
       ("Multimodal", graft.multimodal.Multimodal,
         () => graft.multimodal.Multimodal.clearCaches()))
-    // PER-MODULE coverage: every module that declares a memo must have
-    // at least one populated before the clear, or its assertion below
-    // is vacuous (a global count let whole modules slip through). A
-    // module with no TrieMap fields at all has nothing to leak and is
-    // trivially covered — and the moment someone adds its first memo,
-    // this assertion demands a populate line for it.
+    // PER-MODULE non-vacuity: every module that declares a memo must have
+    // at least one populated before the clear (a global count let whole
+    // modules slip through). Populating all ~70 FIELDS would re-run most
+    // of the board — field-granular coverage is the STATIC test below,
+    // which needs no populate at all.
     val unexercised = modules.collect {
       case (nm, m, _) if trieMapFields(m).nonEmpty &&
         trieMapFields(m).forall(_._2.isEmpty) => nm
@@ -87,5 +92,50 @@ class CacheHygieneSpec extends AnyFunSuite {
     } yield s"$nm.$field (${tm.size} entries)"
     assert(leaked.isEmpty,
       s"caches not emptied by their module's clear hook: ${leaked.mkString(", ")}")
+  }
+
+  test("every TrieMap field is referenced inside its module's clear hook (static, field-granular)") {
+    // Field-granular companion to the runtime test above (round-15
+    // advice: that test is only as granular as its populate phase, so a
+    // field nothing populates — the round-15 memos, most StreamOps
+    // scratch registries — would pass with its clear-hook line missing).
+    // Populating every field would re-run most of the board; instead this
+    // reads each module's SOURCE and asserts every reflected TrieMap
+    // field name occurs as a word inside the clear hook's body — the
+    // exact omission class (a forgotten `xCache.clear()` line) is a
+    // failure for ALL fields, including ones added after this spec.
+    val src = "src/main/scala/graft"
+    val modules: Seq[(String, AnyRef, String, String)] = Seq(
+      ("GraphOps", GraphOps, s"$src/queries/GraphOps.scala", "clearCaches"),
+      ("TextOps", TextOps, s"$src/queries/TextOps.scala", "clearCaches"),
+      ("EventOps", EventOps, s"$src/queries/EventOps.scala", "clearCaches"),
+      ("Relational2", Relational2, s"$src/queries/Relational2.scala", "clearObservedCache"),
+      ("VectorOps", VectorOps, s"$src/queries/VectorOps.scala", "clearCaches"),
+      ("StreamOps", StreamOps, s"$src/queries/StreamOps.scala", "clearCaches"),
+      ("Generated", Generated, s"$src/queries/Generated.scala", "clearCaches"),
+      ("MediaOps", MediaOps, s"$src/queries/MediaOps.scala", "clearCaches"),
+      ("CopyOnWrite", graft.operators.CopyOnWrite,
+        s"$src/operators/CopyOnWrite.scala", "clearCaches"),
+      ("MergeOnRead", graft.operators.MergeOnRead,
+        s"$src/operators/MergeOnRead.scala", "clearCaches"),
+      ("Multimodal", graft.multimodal.Multimodal,
+        s"$src/multimodal/Multimodal.scala", "clearCaches"))
+    val missing = modules.flatMap { case (nm, mod, path, hook) =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+      val defIdx = text.indexOf(s"def $hook")
+      assert(defIdx >= 0, s"$nm: no `def $hook` in $path")
+      // hook body = from the def to the next module-level (2-space) def;
+      // handles both braced and expression-bodied one-liner hooks
+      val rest = text.substring(defIdx + 4)
+      val end = rest.indexOf("\n  def ")
+      val body = if (end >= 0) rest.substring(0, end) else rest
+      trieMapFields(mod).collect {
+        case (field, _) if !s"\\b${java.util.regex.Pattern.quote(field)}\\b".r
+          .findFirstIn(body).isDefined => s"$nm.$field"
+      }
+    }
+    assert(missing.isEmpty,
+      s"TrieMap fields with no line in their module's clear hook: ${missing.mkString(", ")}")
   }
 }
