@@ -188,12 +188,16 @@ object Bench {
       // if the file write fails. No "value" field anywhere below, so a
       // consumer summing value across records can never double-count the
       // headline. Failed passes report "fail" instead of a number.
-      def cw(c: (Double, Boolean), w: (Double, Boolean)): String = {
+      // "memo":true marks queries whose warm is a memo/artifact READOUT
+      // (SparkEntry.memoServed) — benchcmp grades their COLD (the honest
+      // build) for regressions; a consumer comparing warms must skip them
+      def cw(k: String, c: (Double, Boolean), w: (Double, Boolean)): String = {
         def one(t: (Double, Boolean)) = if (t._2) ms(t._1) else "\"fail\""
-        "{\"cold\":" + one(c) + ",\"warm\":" + one(w) + "}"
+        val memo = if (SparkEntry.memoServed(k)) ",\"memo\":true" else ""
+        "{\"cold\":" + one(c) + ",\"warm\":" + one(w) + memo + "}"
       }
       val detail = cold.toSeq.sortBy(_._1)
-        .map { case (k, c) => "\"" + k + "\":" + cw(c, warm(k)) }
+        .map { case (k, c) => "\"" + k + "\":" + cw(k, c, warm(k)) }
         .mkString("{", ",", "}")
       // the recording mode travels IN the record (round-11 advice: the
       // committed numbers get read without the commit message)

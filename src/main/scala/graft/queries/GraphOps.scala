@@ -42,7 +42,7 @@ object GraphOps {
   private val bipartiteCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
     bipartiteCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     // p01/p05/p07 all iterate over this frame — one materialization
     // per session, and (the partEdges/gram-index convention) a cross-RUN
@@ -91,11 +91,33 @@ object GraphOps {
   /** p01 — 5 PageRank iterations in exact integer fixed-point; top-20
     * nodes by final rank. One keyed join + one keyed partial-agg per
     * iteration; degree and rank frames are data-scale so they join
-    * keyed, never broadcast. */
-  def pagerank(s: SparkSession, d: String): DataFrame =
+    * keyed, never broadcast.
+    *
+    * The FINAL score frame is memoized per (session, dir) — the
+    * lpResultCache convention (p04/p12): a rank vector over a fixed
+    * graph snapshot is a maintained derived index, recomputed when the
+    * snapshot changes, read everywhere else. Cold carries the honest
+    * 5-iteration build; the registration is memo-flagged (QueryDef
+    * .memo) so bench_detail marks the warm as a readout and benchcmp
+    * grades the BUILD (cold) for regressions, not the memo read. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    rankResultCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    rankResultCache.getOrElseUpdate((s, d, "pr"),
+      pagerankBuild(s, d).localCheckpoint())
+  }
+
+  /** The UNCACHED p01 build — what the memo materializes on first
+    * invocation. PlanSpec's p01 lock asserts on THIS (the registered
+    * query's plan is a checkpoint scan once the memo is populated —
+    * the t49 vacuity lesson). */
+  private[queries] def pagerankBuild(s: SparkSession, d: String): DataFrame =
     pagerankCore(pagerankEdgesCached(s, d))
 
-  private def pagerankEdgesCached(s: SparkSession, d: String): DataFrame = {
+  /** p01/p07 final score frames (≤20 rows each, checkpoint-backed). */
+  private val rankResultCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private[queries] def pagerankEdgesCached(s: SparkSession, d: String): DataFrame = {
     pagerankEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     pagerankEdgeCache.getOrElseUpdate((s, d),
       mkEdgesD(bipartiteEdges(s, d)).repartition(col("src")).persist())
@@ -114,8 +136,18 @@ object GraphOps {
     *
     * Scale: identical per-round shape to p01 (exchange-free join
     * against the shared cached edge frame + one keyed partial agg);
-    * the seed predicate is a pure row expression — no seed-set join. */
+    * the seed predicate is a pure row expression — no seed-set join.
+    * Result memoized per (session, dir) like p01 — a per-seed-set PPR
+    * vector is the maintained index under a graph recommender; the
+    * registration is memo-flagged so builds stay graded (see p01). */
   def personalizedPagerank(s: SparkSession, d: String): DataFrame = {
+    rankResultCache.filterInPlace { case ((sess, _, _), _) => !sess.sparkContext.isStopped }
+    rankResultCache.getOrElseUpdate((s, d, "ppr"),
+      pprBuild(s, d).localCheckpoint())
+  }
+
+  /** The UNCACHED p07 build (see [[pagerankBuild]]). */
+  private[queries] def pprBuild(s: SparkSession, d: String): DataFrame = {
     val edgesD = pagerankEdgesCached(s, d)
     val nodes = edgesD.select(col("src").as("node")).distinct()
     // metadata-scale driver constants; the oracle re-derives both
@@ -248,7 +280,8 @@ object GraphOps {
         }
         c.clear()
       }
-    lpResultCache.clear() // checkpointed frames — nothing to unpersist
+    lpResultCache.clear()   // checkpointed frames — nothing to unpersist
+    rankResultCache.clear() // ditto (p01/p07 score frames)
   }
 
   /** Per-node degree of the part co-occurrence graph — |V| rows,
@@ -260,7 +293,7 @@ object GraphOps {
   private val partDegCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def partDegrees(s: SparkSession, d: String): DataFrame = {
+  private[queries] def partDegrees(s: SparkSession, d: String): DataFrame = {
     partDegCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     partDegCache.getOrElseUpdate((s, d), {
       val und = partEdges(s, d)
@@ -281,7 +314,7 @@ object GraphOps {
   private val cappedAdjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def cappedAdjCached(s: SparkSession, d: String): DataFrame = {
+  private[queries] def cappedAdjCached(s: SparkSession, d: String): DataFrame = {
     cappedAdjCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cappedAdjCache.getOrElseUpdate((s, d), {
       val und = partEdges(s, d)
@@ -291,7 +324,7 @@ object GraphOps {
     })
   }
 
-  private def partEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def partEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     edgeCache.getOrElseUpdate((s, d), {
       // cross-RUN artifact (the gram-index convention): the co-occurrence
@@ -388,10 +421,16 @@ object GraphOps {
     * separately, the whole dist frame re-derives per round and
     * localCheckpoints (at 10^9 nodes one would delta-iterate on the
     * frontier only — noted, not needed at 4 rounds). */
-  def bfsLayers(s: SparkSession, d: String): DataFrame = {
+  def bfsLayers(s: SparkSession, d: String): DataFrame =
+    bfsCore(bfsEdgesCached(s, d))
+
+  /** The shared weighted-self-loop edge frame (p05/p08/p09/p10),
+    * repartitioned once and persisted — factored so PFamilyProbe can
+    * time the build as its own line. */
+  private[queries] def bfsEdgesCached(s: SparkSession, d: String): DataFrame = {
     bfsEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    bfsCore(bfsEdgeCache.getOrElseUpdate((s, d),
-      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))
+    bfsEdgeCache.getOrElseUpdate((s, d),
+      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist())
   }
 
   /** Weighted edge frame with ZERO-weight self-loops: a node's own
@@ -428,11 +467,8 @@ object GraphOps {
     * every round — frontier-scale materializations, the t16 rule —
     * and the per-round frontier count that drives early exit is the
     * same action a production delta loop runs to know it converged. */
-  def bfsDeltaLayers(s: SparkSession, d: String): DataFrame = {
-    bfsEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    bfsDeltaCore(bfsEdgeCache.getOrElseUpdate((s, d),
-      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))._1
-  }
+  def bfsDeltaLayers(s: SparkSession, d: String): DataFrame =
+    bfsDeltaCore(bfsEdgesCached(s, d))._1
 
   /** Core on a p05-shaped weighted edge frame (w=0 self-loops supply
     * the node universe; w=1 rows are the real edges). Returns the
@@ -551,7 +587,7 @@ object GraphOps {
     lpResultCache.getOrElseUpdate((s, d), lpDeltaCore(lpEdgesCached(s, d)))
   }
 
-  private def lpEdgesCached(s: SparkSession, d: String): DataFrame = {
+  private[queries] def lpEdgesCached(s: SparkSession, d: String): DataFrame = {
     lpEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     lpEdgeCache.getOrElseUpdate((s, d), {
       val und = partEdges(s, d)
@@ -1064,11 +1100,8 @@ object GraphOps {
     * The w=0 self-loops in the shared p05/p08 edge frame carry each
     * node's own registers through the round (the single-reference loop
     * discipline). */
-  def hyperball(s: SparkSession, d: String): DataFrame = {
-    bfsEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    hyperballCore(bfsEdgeCache.getOrElseUpdate((s, d),
-      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))
-  }
+  def hyperball(s: SparkSession, d: String): DataFrame =
+    hyperballCore(bfsEdgesCached(s, d))
 
   /** Registers ride as ONE dense 64-int array row per node, and the
     * per-round merge is the RegMax typed Aggregator (element-wise max —
@@ -1178,11 +1211,8 @@ object GraphOps {
     * not |E|; the merge back into the register table is one keyed outer
     * join. At 100 TB this is the whole difference between "4 full
     * |E|-shuffles" and "|E| + three shrinking fringes". */
-  def hyperballDelta(s: SparkSession, d: String): DataFrame = {
-    bfsEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    hyperballDeltaCore(bfsEdgeCache.getOrElseUpdate((s, d),
-      mkBfsEdges(bipartiteEdges(s, d)).repartition(col("src")).persist()))
-  }
+  def hyperballDelta(s: SparkSession, d: String): DataFrame =
+    hyperballDeltaCore(bfsEdgesCached(s, d))
 
   /** Factored for GraphOpsSpec: `onRound` observes (round, frontierSize)
     * — the count is computed anyway to drive early termination, so the
@@ -1263,7 +1293,7 @@ object GraphOps {
   private val ssspEdgeCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def weightedEdgesCached(s: SparkSession, d: String): DataFrame = {
+  private[queries] def weightedEdgesCached(s: SparkSession, d: String): DataFrame = {
     ssspEdgeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     ssspEdgeCache.getOrElseUpdate((s, d), {
       graft.sources.ArtifactStore.loadOrBuild(s, "bipartite_w",

@@ -1414,14 +1414,29 @@ object StreamOps {
   def streamEdgeMaintenance(s: SparkSession, d: String): DataFrame = {
     edgeMaintCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     edgeMaintCache.getOrElseUpdate((s, d), {
-      val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
-      val srcDir = liPairStreamSource(s, d) // shared replay source (s31 too)
-      val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
-      val (edges, nBatches) = EventStream.runAppend(s, srcDir, li.schema,
-        edgeMaintPlan(ordersStatic), "graft_s29_edges")
-      require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
-      val e = edges.localCheckpoint() // multi-referenced below
-      val deg = e.select(col("cn").as("n")).unionByName(e.select(col("sn").as("n")))
+      // cross-RUN artifact (round-15 brief #8 — the inc_cc/capped_adj2
+      // convention applied to the s family's next-largest pure fold,
+      // 5.4 s of replay): the maintained EDGE SET is first-seen dedup —
+      // set union, order-independent under any micro-batch split — and
+      // a deployment's edge index does not re-ingest history per
+      // session. The key folds both source fixtures plus a fold-shape
+      // tag derived from the fold's source (EdgeMaintStreamSpec's
+      // tag-lock recomputes it — the IncCcFoldTag rule), so editing the
+      // plan or the replay cannot silently serve stale edges. The fold
+      // itself stays executed by EdgeMaintStreamSpec's at-least-once
+      // redelivery drive plus every fresh-fixture build.
+      val edges = graft.sources.ArtifactStore.loadOrBuild(s, "edge_maint",
+        graft.sources.ArtifactStore.key(d, "lineitem.parquet") + "-" +
+          graft.sources.ArtifactStore.key(d, "orders.parquet") + "-" + EdgeMaintFoldTag) {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        val srcDir = liPairStreamSource(s, d) // shared replay source (s31 too)
+        val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        val (e, nBatches) = EventStream.runAppend(s, srcDir, li.schema,
+          edgeMaintPlan(ordersStatic), "graft_s29_edges")
+        require(nBatches >= 2, s"expected a multi-micro-batch ingest, got $nBatches")
+        e
+      }.localCheckpoint() // multi-referenced below
+      val deg = edges.select(col("cn").as("n")).unionByName(edges.select(col("sn").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       deg.groupBy((length(bin(col("dg"))) - 1).cast("long").as("log2_bin"))
         .agg(count(lit(1)).as("n_nodes"),
@@ -1430,6 +1445,14 @@ object StreamOps {
         .localCheckpoint()
     })
   }
+
+  /** s29 artifact fold-shape tag — the IncCcFoldTag rule applied to the
+    * edge fold: sha256 (first 8 hex) over the source of the three defs
+    * the persisted edge set derives from ([[liPairStreamSource]],
+    * [[edgeMaintPlan]], [[streamEdgeMaintenance]]);
+    * EdgeMaintStreamSpec's tag-lock recomputes it, so a derivation edit
+    * without a bump is a test failure, never a stale artifact. */
+  private[queries] val EdgeMaintFoldTag = "emf-52ab1fa2"
 
   /** s31 — INCREMENTAL connected components maintained as trades
     * arrive: s29 keeps the edge artifact fresh at ingest; this keeps the
@@ -1471,7 +1494,7 @@ object StreamOps {
       // maintained ≡ recomputed" stays the grade either way.
       graft.sources.ArtifactStore.loadOrBuild(s, "inc_cc",
         graft.sources.ArtifactStore.key(d, "lineitem.parquet") + "-" +
-          graft.sources.ArtifactStore.key(d, "orders.parquet") + "-cc1") {
+          graft.sources.ArtifactStore.key(d, "orders.parquet") + "-" + IncCcFoldTag) {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         val srcDir = liPairStreamSource(s, d) // shared replay source (s29 too)
         val ordersStatic = Tables.orders(s, d).select("o_orderkey", "o_custkey")
@@ -1617,6 +1640,20 @@ object StreamOps {
 
   private val trainedGateStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** s31 artifact fold-shape tag, LOCKED to the fold's implementation
+    * (round-15 advice: the old hand-maintained "cc1" could go stale —
+    * editing [[incCcFold]] or the replay without bumping it would serve
+    * a stale persisted label state, the capped_adj2/CapA failure class
+    * for a derivation with no scalar parameter to key on). The suffix
+    * is the first 8 hex of sha256 over the SOURCE of the three defs the
+    * persisted state derives from ([[liPairStreamSource]],
+    * [[incCcFold]], [[streamIncrementalCc]]); IncCcStreamSpec's
+    * tag-lock test recomputes it and fails the moment any of them
+    * changes without this constant being bumped to the value the
+    * failing test prints — a derivation edit can no longer silently
+    * reuse the old artifact. */
+  private[queries] val IncCcFoldTag = "ccf-c6f58fec"
 
   /** One incremental fold: new first-seen pairs join the accumulated
     * set, arrivals register under their own label, and the min-label

@@ -254,6 +254,7 @@ object TextOps {
     t58Cache.clear()
     postingsCache.clear()
     dlCache.clear()
+    bpeMergesCache.clear() // driver-side merge lists — nothing to unpersist
   }
 
   private val t27ModelCache =
@@ -1627,6 +1628,72 @@ object TextOps {
       .orderBy("ctx")
   }
 
+  /** t65 — DETERMINISTIC EPOCH SHUFFLE: the training-data tail the
+    * packing surface leaves open — a trainer reads the corpus once per
+    * epoch in a DIFFERENT order, and at 100 TB that order must come
+    * from a seeded permutation, never a reshuffle (a global shuffle per
+    * epoch re-moves the whole corpus; a seeded hash order moves
+    * nothing). Epoch e's read order within each of t21's shards is
+    * ascending salted hash h(doc_id, ":ep" + e) — the EPOCH IS THE
+    * SALT — so the permutation is reproducible (resume mid-epoch from
+    * a position), engine-independent (md5, the saltedBucket twin), and
+    * local to the shard (the parallel unit; no cross-shard movement
+    * ever). Graded per (epoch, shard): doc count, the first and last
+    * docs of the read order, and a position-weighted checksum
+    * Σ pos·doc_id that pins the ENTIRE permutation (any transposition
+    * of two distinct docs changes it).
+    *
+    * Scale: one hash-exchange on (epoch, shard) + per-shard sort —
+    * NO corpus-scale global sort (the one range exchange in the plan
+    * is the 48-row readout; EpochShuffleSpec locks this); epochs fan
+    * out from a 3-row broadcast, so e epochs cost e ordered scans of
+    * already-sharded data, which is exactly what a trainer pays. */
+  private[queries] val EpochCount = 3
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    epochShuffleOn(
+      documents(s, d).select(col("doc_id"),
+        saltedBucket(col("doc_id"), ":shard", NumShards.toLong).as("shard")),
+      broadcast((0L until EpochCount.toLong).toDF("epoch")))
+  }
+
+  /** Core on explicit (doc_id, shard) docs + epoch frames — factored for
+    * EpochShuffleSpec's planted permutation traces. */
+  private[queries] def epochShuffleOn(docs: DataFrame, epochs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eh = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":ep"), col("epoch").cast("string"))), 1, 15), 16, 10).cast("long")
+    val pos = row_number().over(
+      Window.partitionBy("epoch", "shard").orderBy("eh", "doc_id"))
+    docs.crossJoin(epochs)
+      .select(col("epoch"), col("shard"), col("doc_id"), eh.as("eh"))
+      .select(col("epoch"), col("shard"), col("doc_id"), pos.cast("long").as("pos"))
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min_by(col("doc_id"), col("pos")).as("head_doc"),
+        max_by(col("doc_id"), col("pos")).as("tail_doc"),
+        sum(col("pos") * col("doc_id")).as("order_checksum"))
+      .orderBy("epoch", "shard")
+  }
+
+  private val EpochShuffleDuck: String =
+    s"""WITH ep AS (SELECT unnest(generate_series(0, ${EpochCount - 1})) AS epoch),
+       |sh AS (SELECT doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8))::BIGINT % $NumShards AS shard
+       |  FROM documents),
+       |r AS (SELECT epoch, shard, doc_id,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ep' || CAST(epoch AS VARCHAR)), 1, 15))::BIGINT AS eh
+       |  FROM sh, ep),
+       |o AS (SELECT epoch, shard, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY eh, doc_id) AS pos
+       |  FROM r)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(arg_min(doc_id, pos) AS BIGINT) AS head_doc,
+       |  CAST(arg_max(doc_id, pos) AS BIGINT) AS tail_doc,
+       |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+       |FROM o GROUP BY epoch, shard ORDER BY epoch, shard""".stripMargin
+
   // --- t62: TRAINED quality scorer (gate distillation) ------------------
 
   private[queries] val T62Epochs = 6
@@ -2458,7 +2525,11 @@ object TextOps {
       .orderBy("round")
   }
 
-  private val BpeTrainDuck: String = {
+  /** The trainer's CTE chain (v0 → b1/v1 → b2/v2 → b3/v3), shared by
+    * t57's readout and t64's encoder oracle — composing the SAME chain
+    * in both cross-locks "the merges t64 applies ARE the merges t57
+    * trained" (the t62→t63 oracle pattern). */
+  private val BpeCtesDuck: String = {
     def round(r: Int): String = {
       val prev = s"v${r - 1}"
       s"""p$r AS (SELECT l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1] AS pair, f FROM (
@@ -2472,14 +2543,18 @@ object TextOps {
          |    ' ' || b$r.pair || ' ', ' ' || b$r.merged || ' ')) AS sym
          |  FROM $prev, b$r)""".stripMargin
     }
-    s"""WITH toks AS (SELECT unnest(string_split($NormSqlDuck, ' ')) AS tok
+    s"""toks AS (SELECT unnest(string_split($NormSqlDuck, ' ')) AS tok
        |  FROM documents),
        |v0 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS f,
        |    trim(regexp_replace(tok, '(.)', '\\1 ', 'g')) AS sym
        |  FROM toks WHERE length(tok) >= 2 GROUP BY tok),
        |${round(1)},
        |${round(2)},
-       |${round(3)}
+       |${round(3)}""".stripMargin
+  }
+
+  private val BpeTrainDuck: String = {
+    s"""WITH $BpeCtesDuck
        |SELECT 1 AS round, b1.pair, b1.merged, b1.n AS n_pair,
        |  (SELECT CAST(SUM(f * len(string_split(sym, ' '))) AS BIGINT) FROM v1)
        |    AS corpus_symbols_after FROM b1
@@ -2488,6 +2563,99 @@ object TextOps {
        |UNION ALL SELECT 3, b3.pair, b3.merged, b3.n,
        |  (SELECT CAST(SUM(f * len(string_split(sym, ' '))) AS BIGINT) FROM v3) FROM b3
        |ORDER BY 1""".stripMargin
+  }
+
+  /** t57's trained merge table, collected to the driver and memoized
+    * per (session, dir) — the t62FinalWeights convention: the merge
+    * list is MODEL STATE (vocab-bounded; here 3 rows), trained once per
+    * corpus snapshot and then a pure constant of every encode pass. */
+  private val bpeMergesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
+
+  private[queries] def trainedBpeMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    bpeMergesCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    bpeMergesCache.getOrElseUpdate((s, d), {
+      val m = bpeTrainRounds(s, d).orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      // the oracle cross-joins b1..b3 (1 row each), so an exhausted
+      // trainer round would zero it — fail loudly instead of diverging
+      require(m.size == 3, s"expected 3 trained merges, got ${m.size}")
+      m
+    })
+  }
+
+  /** Per-doc token census under a given merge table: each word is
+    * char-split then every merge applies IN TRAINING ORDER via the
+    * exact iterated space-delimited replace t57 froze (left-to-right,
+    * non-overlapping, shared-boundary-space consuming — back-to-back
+    * pair occurrences merge alternately). Factored so BpeEncodeSpec can
+    * pin a hand-traced encoding, including a fully-merged word and the
+    * alternating quirk. Returns (doc_id, source, n_words, n_tok). */
+  private[queries] def bpeEncodeOn(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    // symbols are [a-z0-9] post-norm; the merged form must be the
+    // pair's concatenation or the replace chain is not a BPE encode
+    require(merges.forall { case (p, m) =>
+      p.matches("[a-z0-9]+ [a-z0-9]+") && m == p.replace(" ", "") },
+      s"merge table must be space-delimited pairs -> concatenation: $merges")
+    val sym = merges.foldLeft(trim(regexp_replace(col("tok"), "(.)", "$1 "))) {
+      case (e, (p, m)) =>
+        trim(replace(concat(lit(" "), e, lit(" ")), lit(s" $p "), lit(s" $m ")))
+    }
+    docs
+      .select(col("doc_id"), col("source"),
+        explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1) // an all-punct doc norms to ""
+      .select(col("doc_id"), col("source"),
+        size(split(sym, " ")).cast("long").as("n_sym"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tok"))
+  }
+
+  /** t64 — ENCODE the corpus with t57's TRAINED merge table, closing
+    * the trainer→encoder loop (t57 trains 3 merge rounds; t10's token
+    * count is BPE-ish but never applies a trained table). Graded as the
+    * per-source census over the per-doc encoding: doc and word counts,
+    * total trained-BPE tokens, a doc-sensitive checksum (Σ doc_id ·
+    * n_tok — any single doc's count drifting flips it), and the max
+    * single-doc count. The oracle composes t57's own CTE chain to
+    * re-derive the merges (the t62→t63 cross-lock), so "the merges
+    * applied ARE the merges trained" is part of the hash grade.
+    *
+    * Scale: the merge table is vocab-bounded driver state (3 rows here;
+    * a production vocab's merge list broadcasts); the encode is ONE map
+    * pass over the corpus — char-split + |merges| codegen'd replaces
+    * per word, no join — and the census is one keyed partial agg. */
+  def bpeEncodeCensus(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOn(documents(s, d), trainedBpeMerges(s, d))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tok").as("n_tokens"),
+        sum(col("doc_id") * col("n_tok")).as("doc_tok_checksum"),
+        max("n_tok").as("max_doc_tokens"))
+      .orderBy("source")
+
+  private val BpeEncodeDuck: String = {
+    val sym = (1 to 3).foldLeft("trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))") {
+      case (e, r) =>
+        s"trim(replace(' ' || $e || ' ', ' ' || b$r.pair || ' ', ' ' || b$r.merged || ' '))"
+    }
+    s"""WITH $BpeCtesDuck,
+       |dtoks AS (SELECT doc_id, source,
+       |    unnest(string_split($NormSqlDuck, ' ')) AS tok FROM documents),
+       |enc AS (SELECT doc_id, source,
+       |    CAST(len(string_split($sym, ' ')) AS BIGINT) AS n_sym
+       |  FROM dtoks, b1, b2, b3 WHERE length(tok) >= 1),
+       |perdoc AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_sym) AS BIGINT) AS n_tok
+       |  FROM enc GROUP BY doc_id, source)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(doc_id * n_tok) AS BIGINT) AS doc_tok_checksum,
+       |  CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** Novelty against a previous corpus snapshot — the dedup-across-dumps
@@ -3211,6 +3379,8 @@ object TextOps {
          |FROM census c LEFT JOIN shr s ON s.doc_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin),
     "t57_bpe_train_rounds" -> QueryDef(bpeTrainRounds _, BpeTrainDuck),
+    "t64_bpe_encode_census" -> QueryDef(bpeEncodeCensus _, BpeEncodeDuck),
+    "t65_epoch_shuffle" -> QueryDef(epochShuffle _, EpochShuffleDuck),
     "t56_source_caps" -> QueryDef(sourceCaps _,
       s"""WITH r AS (SELECT doc_id, source, n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY source

@@ -68,4 +68,59 @@ class BpeMergeSpec extends AnyFunSuite {
     // r2: only "xy z" (f=1) still has a pair
     assert(out(1)._2 == "xy z" && out(1)._3 == 5L + 1L, out.toSeq)
   }
+
+  test("t64: hand-traced encoding — fully-merged word, alternating quirk, ordered merges") {
+    import spark.implicits._
+    // merge table in TRAINING ORDER: 'a b'→'ab' then 'ab c'→'abc'
+    // (round 2's pair contains round 1's output symbol — applying out of
+    // order would leave 'abc' unmergeable, so the trace locks ordering)
+    val merges = Seq(("a b", "ab"), ("ab c", "abc"))
+    // doc 1 "abc ab a":
+    //   abc: "a b c" → r1 "ab c" → r2 "abc"  = 1 symbol (FULLY merged)
+    //   ab:  "a b"   → r1 "ab"               = 1
+    //   a:   "a"     (no pair)               = 1  → n_tok = 3, n_words = 3
+    // doc 2 "abab cab":
+    //   abab: "a b a b" → r1 merges ALTERNATE occurrences (the frozen
+    //         left-to-right shared-space quirk): "ab a b" = 3 symbols —
+    //         NOT "ab ab"
+    //   cab:  "c a b" → r1 "c ab" → r2: ' ab c ' not present = 2
+    //                                        → n_tok = 5, n_words = 2
+    val docs = Seq(
+      (1L, "abc ab a", "en", "srcA"),
+      (2L, "Abab, cab!", "en", "srcB") // norm: lowercase + strip punct
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextOps.bpeEncodeOn(docs, merges).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "srcA", 3L, 3L), (2L, "srcB", 2L, 5L)),
+      out.toSeq.toString)
+  }
+
+  test("t64: encode applies the merges t57 actually trained (composition lock)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc")
+      .toFile.getAbsolutePath
+    // low×3 lower×2 newest×1 (the textbook corpus): r1 merges 'l o'(6),
+    // r2 'lo w'(6), r3 'e r'? — whatever t57 picks, the encoder must
+    // consume THAT table; assert consistency, not a re-derivation:
+    // every word's encoded symbol count equals the trainer's v3 state
+    // for trained words, and an untrained (short) word char-splits.
+    Seq((0L, "low low low", "en", "s1"),
+        (1L, "lower lower newest", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = TextOps.trainedBpeMerges(spark, dir)
+    assert(merges.size == 3 && merges.head == (("l o", "lo")), merges.toString)
+    val perDoc = TextOps.bpeEncodeOn(
+      graft.tables.Tables.documents(spark, dir), merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // trainer trace: r1 'l o'→'lo' (5), r2 'lo w'→'low' (5), r3 then
+    // best of we(3)/er(2)/ties → 'w e'? no — after r2 'low' exists:
+    // lower = "low e r", newest = "n e w e s t"; pairs: 'e r'=2,
+    // 'low e'=2, 'e w'=1... tie 'e r' vs 'low e' at 2 → pair-ASC picks
+    // 'e r'. Encodings: low = [low] = 1; lower = [low, er] = 2;
+    // newest = [n,e,w,e,s,t] = 6.
+    assert(perDoc.toSeq == Seq((0L, 3L, 3L), (1L, 3L, 2L + 2L + 6L)),
+      s"per-doc (n_words, n_tok): ${perDoc.toSeq}; merges: $merges")
+  }
 }

@@ -35,4 +35,15 @@ class EdgeMaintStreamSpec extends AnyFunSuite {
         s"sink must hold each edge EXACTLY once (8 rows delivered): $got")
     } finally StreamOps.rmrf(root)
   }
+  test("artifact fold-shape tag is locked to the fold's source (the s31 rule)") {
+    // the persisted edge set must be invalidated when the fold or the
+    // replay changes — the tag is derived from the defs' source, so an
+    // edit without a bump fails here and prints the value to paste
+    val want = FoldTagLock.expectedTag("emf",
+      "src/main/scala/graft/queries/StreamOps.scala",
+      Seq("def liPairStreamSource", "def edgeMaintPlan", "def streamEdgeMaintenance"))
+    assert(StreamOps.EdgeMaintFoldTag == want,
+      s"fold source changed: bump StreamOps.EdgeMaintFoldTag to \"$want\" " +
+        "(the persisted edge_maint artifact must be invalidated with it)")
+  }
 }

@@ -31,4 +31,20 @@ class IncCcStreamSpec extends AnyFunSuite {
     val (l3, _) = StreamOps.incCcFold(l2, p2, Seq((2L, 13L)).toDF("cn", "sn"))
     assert(labelMap(l3) == labelMap(l2), labelMap(l3).toString)
   }
+
+  test("artifact fold-shape tag is locked to the fold's source (round-15 advice)") {
+    // The s31 cross-run artifact persists the fold's OUTPUT; its key must
+    // change whenever the fold's DERIVATION changes, or a fresh session
+    // serves a stale label state. The tag has no scalar parameter to key
+    // on (the capped_adj2/CapA route), so it is the source hash of the
+    // three defs the state derives from — recomputed here, so editing any
+    // of them without bumping StreamOps.IncCcFoldTag is a test failure
+    // that PRINTS the new value to paste.
+    val want = FoldTagLock.expectedTag("ccf",
+      "src/main/scala/graft/queries/StreamOps.scala",
+      Seq("def liPairStreamSource", "def incCcFold", "def streamIncrementalCc"))
+    assert(StreamOps.IncCcFoldTag == want,
+      s"fold source changed: bump StreamOps.IncCcFoldTag to \"$want\" " +
+        "(the persisted inc_cc artifact must be invalidated with it)")
+  }
 }

@@ -681,13 +681,29 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "no shuffle join against a metadata-scale cover")
   }
 
-  test("p01: rank/degree frames join keyed (never forced broadcast); no cartesian") {
-    val df = graft.SparkEntry.all("p01_pagerank").fn(spark, d)
-    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"message passing must ride equi-joins:\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      "the top-20 cut must be TakeOrderedAndProject")
+  test("p01/p07: rank/degree frames join keyed (never forced broadcast); no cartesian") {
+    // lock on the UNCACHED builds: the registered p01/p07 serve a
+    // per-session result memo, so their plans are checkpoint scans once
+    // populated — asserting there would be vacuous (the t49 lesson)
+    for (df <- Seq(GraphOps.pagerankBuild(spark, d), GraphOps.pprBuild(spark, d))) {
+      val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"message passing must ride equi-joins:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        "the top-k cut must be TakeOrderedAndProject")
+    }
+  }
+
+  test("t65: permutation sorts stay per-(epoch, shard); the only range exchange is the readout") {
+    val p = plan("t65_epoch_shuffle")
+    assert(p.contains("hashpartitioning(epoch"),
+      s"the window must exchange on (epoch, shard) — the shard is the parallel unit:\n$p")
+    // the permutation sort (the one ordering by the salted hash `eh`)
+    // must be partition-local: `Arguments: [... eh#... ...], false, 0`
+    assert("Arguments: \\[epoch[^\\]]*eh#[^\\]]*\\], false, 0".r.findFirstIn(p).isDefined,
+      s"the permutation sort must be partition-local (global=false):\n$p")
+    assert("rangepartitioning".r.findAllMatchIn(p).size <= 1,
+      s"more than one range exchange — a corpus-scale global sort crept in:\n$p")
   }
 
   test("p09/p10: register propagation ships BYTE-packed messages (binary payload, hash-agg merge)") {

@@ -7,9 +7,16 @@ same automation that protects compile/test.
 Usage: python3 tools/benchcmp.py <gate_bench_log> [repo_root] [--retry <log>]
        python3 tools/benchcmp.py --cold <bench_detail.json> [repo_root]
 
---cold: WARN-only per-family COLD-sum compare of a fresh isolated
-bench_detail record against the one committed at HEAD (round-14 brief
-#6) — makes fresh-JVM cost regressions visible round over round.
+--cold: per-family COLD-sum compare of a fresh isolated bench_detail
+record against the one committed at HEAD (round-14 brief #6) — makes
+fresh-JVM cost regressions visible round over round. Family sums stay
+WARN-only (cold carries ingest/replay noise); per-QUERY memo-BUILD
+regressions go RED (round-15 verdict #2 / advice #1): for queries the
+record flags "memo":true the warm is a readout, so the COLD number IS
+the build — a build that doubles (>2x and >= +2.0s vs HEAD, on
+builds >= 0.5s) exits 1 and the gate refuses the snapshot; >1.5x and
+>= +1.0s warns. A deliberate build change re-records and commits both
+sides together, which is exactly the audit trail we want.
 
 --retry: a second bench log (gate re-ran the offending families in a
 quieter window); each query takes the MIN of the two samples and the
@@ -42,6 +49,10 @@ THRESH = 1.5
 FAMILY_FLOOR_S = 2.0
 COLD_THRESH = 1.5
 COLD_FLOOR_S = 3.0
+# memo-flagged queries: cold IS the build — per-query regression gates
+MEMO_RED_RATIO, MEMO_RED_ABS_S = 2.0, 2.0
+MEMO_WARN_RATIO, MEMO_WARN_ABS_S = 1.5, 1.0
+MEMO_BUILD_FLOOR_S = 0.5
 
 
 def cold_sums(rec, names):
@@ -62,9 +73,10 @@ def cold_drift(detail_path, root):
     Cold is what a fresh-JVM deployment pays before the session memos
     and cross-run artifacts amortize it — warm-focused tripwires never
     see it drift, so a 4x cold regression (s31 pre-artifact was 11.8 s)
-    stays invisible until a judge reads the record. Always exits 0:
-    cold numbers carry ingest/replay noise, so this flags, a human
-    decides. SCALE.md's 'Per-family cold budget' table is the
+    stays invisible until a judge reads the record. Family sums are
+    WARN-only (cold numbers carry ingest/replay noise — this flags, a
+    human decides); per-query MEMO-BUILD regressions exit 1 (see module
+    docstring). SCALE.md's 'Per-family cold budget' table is the
     narrative companion."""
     try:
         cur = json.load(open(detail_path))
@@ -100,6 +112,41 @@ def cold_drift(detail_path, root):
               "artifact/memo stopped amortizing or an ingest grew")
     if not warns:
         print("cold-drift OK (threshold {}x on families >= {}s)".format(COLD_THRESH, COLD_FLOOR_S))
+
+    # memo-flagged queries (round-15 verdict #2): their warm is a memo
+    # READOUT, so cold is the only number that sees the BUILD path —
+    # compare it per query with a RED gate. Flag source is the CURRENT
+    # record (it reflects this tree's SparkEntry.memoServed).
+    reds = []
+    for n in sorted(both):
+        if not cur["queries"][n].get("memo"):
+            continue
+        r, c = head["queries"][n]["cold"], cur["queries"][n]["cold"]
+        if r < MEMO_BUILD_FLOOR_S:
+            continue
+        if c > MEMO_RED_RATIO * r and c - r >= MEMO_RED_ABS_S:
+            reds.append(f"{n} build {r:.2f}s -> {c:.2f}s")
+        elif c > MEMO_WARN_RATIO * r and c - r >= MEMO_WARN_ABS_S:
+            print(f"memo-build WARN: {n} build (cold) {r:.2f}s -> {c:.2f}s "
+                  f"(> {MEMO_WARN_RATIO}x) — the warm readout hides this; "
+                  "check the build pipeline")
+    # flag sanity: a memo-flagged query whose warm costs a large share of
+    # its cold is either mis-flagged or its memo stopped serving
+    for n in sorted(cur.get("queries", {})):
+        q = cur["queries"][n]
+        w, c = q.get("warm"), q.get("cold")
+        if q.get("memo") and isinstance(w, (int, float)) and \
+                isinstance(c, (int, float)) and w >= 0.8 and w > 0.6 * c:
+            print(f"memo-flag WARN: {n} is flagged memo-served but warm "
+                  f"{w:.2f}s is {100 * w / c:.0f}% of cold {c:.2f}s — flag "
+                  "suspect or memo not serving")
+    if reds:
+        for m in reds:
+            print(f"memo-build RED: {m} (> {MEMO_RED_RATIO}x and >= "
+                  f"+{MEMO_RED_ABS_S}s) — a memoized build path regressed; "
+                  "fix it, or re-record and commit both sides with the "
+                  "explaining change")
+        return 1
     return 0
 
 

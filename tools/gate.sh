@@ -110,6 +110,29 @@ if rec.get("src_hash") != src_hash:
     bad.append(f"<src_hash {rec.get('src_hash')} != tree {src_hash}>")
 if rec.get("sf") != want_sf:
     bad.append(f"<sf {rec.get('sf')} != {want_sf}>")
+# sample-adoption audit (round-15 brief #5): the committed record must
+# carry every sample's sums, and the adopted numbers must (a) re-sum to
+# the named sample and (b) BE the median — so min-selection can never
+# quietly come back
+samples = rec.get("samples")
+if not isinstance(samples, dict) or not samples:
+    bad.append("<no-samples-array>")
+else:
+    for fam, info in samples.items():
+        sums, adopted = info.get("sums", []), info.get("adopted", -1)
+        qs = {k: v for k, v in rec["queries"].items() if k.startswith(fam)}
+        c = round(sum(v["cold"] for v in qs.values()
+                      if isinstance(v.get("cold"), (int, float))), 3)
+        w = round(sum(v["warm"] for v in qs.values()
+                      if isinstance(v.get("warm"), (int, float))), 3)
+        if not (0 <= adopted < len(sums)) or \
+                abs(sums[adopted][0] - c) > 0.005 or abs(sums[adopted][1] - w) > 0.005:
+            bad.append(f"<{fam}-adopted-sums-mismatch>")
+        elif len(sums) >= 2:
+            order = sorted(range(len(sums)),
+                           key=lambda i: (sums[i][0] + sums[i][1], i))
+            if order[len(sums) // 2] != adopted:
+                bad.append(f"<{fam}-adopted-not-median>")
 print(",".join(bad))
 EOF
 )
@@ -120,12 +143,15 @@ EOF
     exit 1
   fi
   echo "bench_detail.json matches this tree (all verify queries present, src_hash $SRC_HASH)"
-  # WARN-only cold-budget drift (round-14 brief #6): per-family cold
-  # sums of the (freshly re-recorded) working-tree record vs the one at
-  # HEAD — fresh-JVM cost regressions are invisible to every warm-
-  # focused tripwire above. Never flips the gate; see SCALE.md's
-  # per-family cold budget.
-  python3 tools/benchcmp.py --cold bench_detail.json || true
+  # Cold-budget drift (round-14 brief #6): per-family cold sums of the
+  # (freshly re-recorded) working-tree record vs the one at HEAD —
+  # fresh-JVM cost regressions are invisible to every warm-focused
+  # tripwire above. Family sums WARN only; a per-query MEMO-BUILD
+  # regression (round-15 verdict #2: the warm readout hides the build)
+  # flips the gate — a deliberate build change lands with its own
+  # explanation, an accidental one gets caught here.
+  python3 tools/benchcmp.py --cold bench_detail.json \
+    || { echo "GATE RED: memo-build regression (benchcmp --cold)"; exit 1; }
 fi
 
 echo "GATE GREEN"
