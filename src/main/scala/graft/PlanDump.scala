@@ -72,7 +72,19 @@ object PlanDump {
     // round 15 additions (t22/t58 now memoize their readout, so their
     // registered plans are checkpoint scans; t22's bounded-window lock
     // moved to the tokenBudgetSelectUncached PlanSpec row)
-    "m13_cross_modal_decontam")
+    "m13_cross_modal_decontam",
+    // round 16 additions
+    "t64_bpe_encode_census", "t65_epoch_shuffle")
+
+  /** Registered names whose fn now serves a memo (plan = checkpoint
+    * scan) but whose UNCACHED build plan is the load-bearing evidence —
+    * dumped under "<name> (uncached build)" via the production build
+    * entry points (round 16: p01/p07 memoize their score frames). */
+  val UncachedBuilds: Seq[(String, (SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+    "p01_pagerank" -> (graft.queries.GraphOps.pagerankBuild _),
+    "p07_personalized_pagerank" -> (graft.queries.GraphOps.pprBuild _),
+    "m07_chunk_near_dup" -> (graft.multimodal.Multimodal.chunkNearDupUncached _))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -90,7 +102,16 @@ object PlanDump {
     Headline.foreach { name =>
       val plan = SparkEntry.all(name).fn(spark, d)
         .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      md.append(s"\n## $name\n\n```\n$plan```\n")
+      // memo-served registrations dump their UNCACHED build instead —
+      // a checkpoint-scan plan carries no evidence (the t49 vacuity rule)
+      UncachedBuilds.find(_._1 == name) match {
+        case Some((_, build)) =>
+          val bp = build(spark, d)
+            .queryExecution.explainString(ExplainMode.fromString("formatted"))
+          md.append(s"\n## $name (uncached build; registered plan is a memo scan)\n\n```\n$bp```\n")
+        case None =>
+          md.append(s"\n## $name\n\n```\n$plan```\n")
+      }
     }
     Files.writeString(Paths.get("PLANS.md"), md.toString)
     println(s"[plandump] wrote PLANS.md (${Headline.size} plans)")

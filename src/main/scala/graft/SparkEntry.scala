@@ -32,13 +32,13 @@ object SparkEntry {
   val memoServed: Set[String] = Set(
     "p01_pagerank", "p04_label_propagation", "p07_personalized_pagerank",
     "p12_lp_delta_accounting",
-    "q49_cow_upsert", "q52_fuzzy_blocked_match", "q55_mor_time_travel",
-    "q57_mor_compaction",
+    "q49_cow_upsert", "q51_basket_rules", "q52_fuzzy_blocked_match",
+    "q55_mor_time_travel", "q57_mor_compaction",
     "t02_minhash_signatures", "t03_lsh_near_dup_pairs", "t13_simhash_near_dup",
     "t16_dup_clusters", "t22_token_budget_select", "t34_cc_star_clusters",
     "t42_stopword_quality", "t58_curation_waterfall", "t62_trained_quality_scorer",
     "v02_cosine_near_dup_pairs", "v38_ivf_compaction_rebuild",
-    "m09_chunk_simhash_pairs", "m10_media_dup_clusters",
+    "m07_chunk_near_dup", "m09_chunk_simhash_pairs", "m10_media_dup_clusters",
     "g07_jdbc_roundtrip", "g08_armed_wave_load", "g09_armed_full_catalog",
     "g10_deferred_fk_link", "g13_merge_upsert", "g14_schema_evolution",
     "g15_idempotent_sink", "g18_transactional_rollback",

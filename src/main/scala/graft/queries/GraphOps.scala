@@ -110,7 +110,7 @@ object GraphOps {
     * invocation. PlanSpec's p01 lock asserts on THIS (the registered
     * query's plan is a checkpoint scan once the memo is populated —
     * the t49 vacuity lesson). */
-  private[queries] def pagerankBuild(s: SparkSession, d: String): DataFrame =
+  private[graft] def pagerankBuild(s: SparkSession, d: String): DataFrame =
     pagerankCore(pagerankEdgesCached(s, d))
 
   /** p01/p07 final score frames (≤20 rows each, checkpoint-backed). */
@@ -147,7 +147,7 @@ object GraphOps {
   }
 
   /** The UNCACHED p07 build (see [[pagerankBuild]]). */
-  private[queries] def pprBuild(s: SparkSession, d: String): DataFrame = {
+  private[graft] def pprBuild(s: SparkSession, d: String): DataFrame = {
     val edgesD = pagerankEdgesCached(s, d)
     val nodes = edgesD.select(col("src").as("node")).distinct()
     // metadata-scale driver constants; the oracle re-derives both

@@ -409,7 +409,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("m07: chunk near-dup joins on digests only — candidates from rare chunks, no cartesian") {
-    val p = plan("m07_chunk_near_dup")
+    // the registered m07 serves a result memo since round 16 — the lock
+    // asserts on the UNCACHED build (the t49/p01 vacuity rule)
+    val df = graft.multimodal.Multimodal.chunkNearDupUncached(spark, d)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct"), "candidate generation must be digest-keyed")
     assert(p.contains("partial_count"), "chunk-frequency and intersection counts must partial-agg")
   }
@@ -674,11 +677,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "all three aggregates partial map-side")
   }
 
-  test("q46: the Morton cover broadcasts; the fact side joins on the computed zval") {
+  test("q46: the Morton cover broadcasts; the box's bounding ranges reach the scan") {
     val p = plan("q46_zorder_box")
     assert(p.contains("BroadcastHashJoin"),
       s"the 51-cell cover must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), "no shuffle join against a metadata-scale cover")
+    // the z-range pushdown made literal (round 16): on a z-sorted layout
+    // these PushedFilters are the file-skipping ranges
+    assert(p.matches("(?s).*PushedFilters: \\[.*GreaterThanOrEqual\\(o_totalprice.*"),
+      s"the box's price range must push down to the scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[.*o_orderdate.*"),
+      s"the box's date range must push down to the scan:\n$p")
   }
 
   test("p01/p07: rank/degree frames join keyed (never forced broadcast); no cartesian") {
