@@ -74,7 +74,8 @@ object PlanDump {
     // moved to the tokenBudgetSelectUncached PlanSpec row)
     "m13_cross_modal_decontam",
     // round 16 additions
-    "t64_bpe_encode_census", "t65_epoch_shuffle")
+    "t64_bpe_encode_census", "t65_epoch_shuffle",
+    "t66_tokenizer_fertility", "v42_hard_negative_mining")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —

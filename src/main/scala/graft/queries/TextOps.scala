@@ -2636,12 +2636,15 @@ object TextOps {
         max("n_tok").as("max_doc_tokens"))
       .orderBy("source")
 
-  private val BpeEncodeDuck: String = {
+  /** The trainer chain + per-doc encode census (doc_id, source,
+    * n_words, n_tok) — shared by t64's per-source census and t66's
+    * fertility readout. */
+  private val BpePerDocCtesDuck: String = {
     val sym = (1 to 3).foldLeft("trim(regexp_replace(tok, '(.)', '\\1 ', 'g'))") {
       case (e, r) =>
         s"trim(replace(' ' || $e || ' ', ' ' || b$r.pair || ' ', ' ' || b$r.merged || ' '))"
     }
-    s"""WITH $BpeCtesDuck,
+    s"""$BpeCtesDuck,
        |dtoks AS (SELECT doc_id, source,
        |    unnest(string_split($NormSqlDuck, ' ')) AS tok FROM documents),
        |enc AS (SELECT doc_id, source,
@@ -2649,7 +2652,11 @@ object TextOps {
        |  FROM dtoks, b1, b2, b3 WHERE length(tok) >= 1),
        |perdoc AS (SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS n_words,
        |    CAST(SUM(n_sym) AS BIGINT) AS n_tok
-       |  FROM enc GROUP BY doc_id, source)
+       |  FROM enc GROUP BY doc_id, source)""".stripMargin
+  }
+
+  private val BpeEncodeDuck: String = {
+    s"""WITH $BpePerDocCtesDuck
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
@@ -2657,6 +2664,43 @@ object TextOps {
        |  CAST(MAX(n_tok) AS BIGINT) AS max_doc_tokens
        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** t66 — TOKENIZER FERTILITY under the trained table: tokens-per-word
+    * and chars-per-token per (lang, source) cell — the standard metric
+    * a tokenizer evaluation reads per language/domain before committing
+    * a vocab (high fertility on a language = the merge table
+    * under-serves it; here every doc is keyword soup so the cells are
+    * flat, but the MEASUREMENT plumbing is the graded object). Exact
+    * integer permille ratios — no float division near the hash.
+    *
+    * Scale: t64's one encode pass re-aggregated by (lang, source) —
+    * the per-doc frame joins documents' (lang, n_chars) KEYED on
+    * doc_id (both corpus-scale, the t32 no-forced-broadcast rule), and
+    * everything after the join is a ≤|langs·sources|-row partial agg. */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    bpeEncodeOn(documents(s, d), trainedBpeMerges(s, d))
+      .join(documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("n_chars"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_words"),
+        col("n_tokens"),
+        expr("n_tokens * 1000 div n_words").as("fertility_permille"),
+        expr("n_chars * 1000 div n_tokens").as("chars_per_token_permille"))
+      .orderBy("lang", "source")
+
+  private val TokenizerFertilityDuck: String =
+    s"""WITH $BpePerDocCtesDuck
+       |SELECT d.lang, p.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(p.n_tok) * 1000 // SUM(p.n_words) AS BIGINT) AS fertility_permille,
+       |  CAST(SUM(d.n_chars) * 1000 // SUM(p.n_tok) AS BIGINT) AS chars_per_token_permille
+       |FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+       |GROUP BY d.lang, p.source ORDER BY d.lang, p.source""".stripMargin
 
   /** Novelty against a previous corpus snapshot — the dedup-across-dumps
     * step (each new CommonCrawl-style dump scored against everything
@@ -3381,6 +3425,7 @@ object TextOps {
     "t57_bpe_train_rounds" -> QueryDef(bpeTrainRounds _, BpeTrainDuck),
     "t64_bpe_encode_census" -> QueryDef(bpeEncodeCensus _, BpeEncodeDuck),
     "t65_epoch_shuffle" -> QueryDef(epochShuffle _, EpochShuffleDuck),
+    "t66_tokenizer_fertility" -> QueryDef(tokenizerFertility _, TokenizerFertilityDuck),
     "t56_source_caps" -> QueryDef(sourceCaps _,
       s"""WITH r AS (SELECT doc_id, source, n_chars,
          |    ROW_NUMBER() OVER (PARTITION BY source

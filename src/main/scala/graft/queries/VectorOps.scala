@@ -1043,6 +1043,101 @@ object VectorOps {
       |LEFT JOIN ovl v ON v.q_id = e.q_id
       |ORDER BY e.q_id""".stripMargin
 
+  /** v42's similarity band: candidates at cos ≥ DupGate are the
+    * anchor's near-duplicates/positives (the v02 class — excluded, a
+    * hard negative must NOT be the same content); candidates below
+    * NegFloor are easy negatives a contrastive loss learns nothing
+    * from. The band between is what gets mined. On the synthetic
+    * embeddings the raw cos 90th percentile is ~0.16 and the max
+    * ~0.49, so 0.2 keeps the genuinely-confusable tail and 0.9 is the
+    * dup wall (vacuously empty here — planted dups sit outside the
+    * anchor set — but the gate is part of the operator's contract and
+    * HardNegativeSpec plants a pair that trips it). */
+  private[queries] val HnDupGate = 0.9
+  private[queries] val HnNegFloor = 0.2
+
+  /** v42 — HARD-NEGATIVE MINING for contrastive/embedding training:
+    * for each anchor (vec_id < 10), the top-5 candidates in the
+    * [NegFloor, DupGate) similarity band — similar enough to be
+    * confusable, provably not the same content — mined through the
+    * SAME IVF routing as v31 (candidates meet the anchor only in its
+    * top-2 affinity cells). This is the data-side step that makes
+    * contrastive training work at scale: random negatives are too
+    * easy, near-duplicates are false negatives; the band is the
+    * training signal. Graded per (anchor, rank): the mined negative,
+    * its rounded cosine, a same-label flag, plus the anchor's band
+    * census (band size, dup-excluded count) riding every row.
+    *
+    * Scale: identical shape to v31 — the ≤|anchors|·2-row probe frame
+    * broadcasts, candidates stay cell-local (never all-pairs), the
+    * per-anchor top-5 is one bounded window over cell-sized candidate
+    * sets; the dup/band gates are row predicates. Mining negatives for
+    * a FULL training set (every vector an anchor) keeps the same plan
+    * with the broadcast dropped — both sides partition on cell. */
+  def hardNegativeMining(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val aff = centroidAffinity(s, d)
+    val cells = aff.filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val base = e.join(cells, "vec_id")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+      .join(probes, "q_id")
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+    val cand = base.join(broadcast(q),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .localCheckpoint() // one candidate frame feeds the census + the mine
+    val stats = cand.groupBy("q_id").agg(
+      sum((col("cos") >= HnDupGate).cast("long")).as("n_dup_excluded"),
+      sum((col("cos") >= HnNegFloor && col("cos") < HnDupGate).cast("long"))
+        .as("n_band"))
+    cand.filter(col("cos") >= HnNegFloor && col("cos") < HnDupGate)
+      .withColumn("rk", row_number().over(
+        byQ.orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .join(stats, "q_id")
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("neg_id"), col("cos").as("cosv"),
+        (col("label") === col("q_label")).cast("long").as("same_label"),
+        col("n_band"), col("n_dup_excluded"))
+      .orderBy("q_id", "rk")
+  }
+
+  private val HardNegativeDuck: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |aff AS (SELECT e.vec_id, c.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |      ORDER BY round(list_dot_product(e.v, c.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+      |        c.cid ASC) AS crn
+      |  FROM e, c),
+      |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+      |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+      |cand AS (SELECT pr.q_id, q.label AS q_label, b.vec_id, b.label,
+      |    round(list_dot_product(q.v, b.v) /
+      |      (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM probes pr
+      |  JOIN e q ON q.vec_id = pr.q_id
+      |  JOIN cells cl ON cl.cell = pr.pcell
+      |  JOIN e b ON b.vec_id = cl.vec_id AND b.vec_id != pr.q_id),
+      |stats AS (SELECT q_id,
+      |    CAST(SUM(CASE WHEN cos >= $HnDupGate THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_excluded,
+      |    CAST(SUM(CASE WHEN cos >= $HnNegFloor AND cos < $HnDupGate THEN 1 ELSE 0 END) AS BIGINT) AS n_band
+      |  FROM cand GROUP BY q_id),
+      |hn AS (SELECT q_id, q_label, vec_id, label, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      |  FROM cand WHERE cos >= $HnNegFloor AND cos < $HnDupGate)
+      |SELECT h.q_id, CAST(h.rk AS BIGINT) AS rk, h.vec_id AS neg_id, h.cos AS cosv,
+      |  CAST(CASE WHEN h.label = h.q_label THEN 1 ELSE 0 END AS BIGINT) AS same_label,
+      |  s.n_band, s.n_dup_excluded
+      |FROM hn h JOIN stats s ON s.q_id = h.q_id
+      |WHERE h.rk <= 5 ORDER BY h.q_id, h.rk""".stripMargin
+
   /** One Lloyd refinement round of the IVF codebook: every vector
     * assigns to its nearest of the 16 seed centroids (v08's cells, same
     * rounded-cosine + cid tie-break), and each centroid moves to the
@@ -2123,6 +2218,7 @@ object VectorOps {
   val defs: Map[String, QueryDef] = Map(
     "v30_matryoshka_recall_curve" -> QueryDef(matryoshkaRecallCurve _, MatryoshkaCurveDuck),
     "v31_filtered_ann" -> QueryDef(filteredAnn _, FilteredAnnDuck),
+    "v42_hard_negative_mining" -> QueryDef(hardNegativeMining _, HardNegativeDuck),
     "v26_binary_hamming_topk" -> QueryDef(binaryHammingTopK _, BinaryHammingDuck),
     "v27_ivf_binary_topk" -> QueryDef(ivfBinaryTopK _, IvfBinaryDuck),
     "v28_binary_shortlist_curve" -> QueryDef(binaryShortlistCurve _, BinaryCurveDuck),
