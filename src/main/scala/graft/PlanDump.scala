@@ -75,7 +75,9 @@ object PlanDump {
     "m13_cross_modal_decontam",
     // round 16 additions
     "t64_bpe_encode_census", "t65_epoch_shuffle",
-    "t66_tokenizer_fertility", "v42_hard_negative_mining")
+    "t66_tokenizer_fertility", "v42_hard_negative_mining",
+    // s34 stays out (stream runs at build time; plan = checkpoint scan)
+    "m14_frame_reuse")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —

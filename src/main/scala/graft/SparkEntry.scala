@@ -53,7 +53,8 @@ object SparkEntry {
     "s26_stream_cdc_ingest", "s27_stream_compaction_trigger",
     "s28_stream_hist_quantiles", "s29_stream_edge_maintenance",
     "s30_stream_sequence_packing", "s31_stream_incremental_cc",
-    "s32_stream_capped_adjacency", "s33_stream_trained_gate")
+    "s32_stream_capped_adjacency", "s33_stream_trained_gate",
+    "s34_stream_bpe_census")
 
   /** All registered operators of the engine. */
   val all: Map[String, QueryDef] = {

@@ -97,6 +97,56 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class FrameDigest(media_id: Long, frame_idx: Long, fd: String)
+
+  /** m14 — CROSS-MEDIA FRAME REUSE: which media share sampled frames
+    * (the video-dedup primitive UNDER near-dup detection — reused
+    * intros/outros, stock footage, re-uploads with edits). Every
+    * sampled frame (m03's stride machinery — a real pipeline's
+    * keyframes) digests to md5(uppercase-hex) per the m06 chunk
+    * convention, and a frame digest held by ≥ 2 distinct media is
+    * SHARED; the census grades, per media with any sharing: sampled /
+    * distinct / shared frame counts and the reuse share in permille.
+    *
+    * Scale: payloads never shuffle — only (media_id, 16-byte digest)
+    * rows leave the map; sharing is one keyed agg over the distinct
+    * (media, digest) set plus one semi-join back, NO pair join at all
+    * (the m07 pair mine is the operator that pays for pairs; this
+    * census is what you run first, at any multiplicity, because a
+    * stock frame in 10^5 videos costs it nothing extra). */
+  def frameReuse(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = syntheticMedia(spark, dir).as[MediaRow]
+    val frames = sampleFrames(media).map { f =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = new java.lang.StringBuilder(f.frame.length * 2)
+      var j = 0
+      while (j < f.frame.length) { hex.append(HexUpper(f.frame(j) & 0xff)); j += 1 }
+      val dig = md.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val sb = new java.lang.StringBuilder(32)
+      var k = 0
+      while (k < dig.length) { sb.append(HexLower(dig(k) & 0xff)); k += 1 }
+      FrameDigest(f.media_id, f.frame_idx.toLong, sb.toString)
+    }.toDF().localCheckpoint() // feeds the per-media census AND the share set
+    val sets = frames.select(col("media_id"), col("fd")).distinct()
+    val shared = sets.groupBy("fd")
+      .agg(count(lit(1)).as("nm")).filter(col("nm") >= 2).select("fd")
+    val perMedia = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("fd")).as("n_distinct_frames"))
+    val sharedCnt = sets.join(shared, "fd")
+      .groupBy("media_id").agg(count(lit(1)).as("n_shared_frames"))
+    perMedia.join(sharedCnt, "media_id")
+      .withColumn("kind",
+        when(pmod(col("media_id"), lit(3)) === 0, "image")
+          .when(pmod(col("media_id"), lit(3)) === 1, "audio")
+          .otherwise("video"))
+      .select(col("media_id"), col("kind"), col("n_frames"),
+        col("n_distinct_frames"), col("n_shared_frames"),
+        expr("n_shared_frames * 1000 div n_distinct_frames").as("reuse_permille"))
+      .orderBy("media_id")
+  }
+
   final case class Thumb(media_id: Long, t0: Long, t1: Long, t2: Long, t3: Long)
 
   /** STUBBED RESIZE — a fixed-size "thumbnail" of the payload: the

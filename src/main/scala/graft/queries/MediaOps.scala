@@ -312,6 +312,30 @@ object MediaOps {
 
     // same chunk CTE chain; candidates from rare shared chunks, exact
     // chunk-set Jaccard ≥ 0.5 via integer cross-multiplication
+    // frame digests via the m06 hex-md5 convention; sharing = one keyed
+    // agg + one semi-join over (media, digest) — no pair join
+    "m14_frame_reuse" -> QueryDef(Multimodal.frameReuse _,
+      """WITH m AS (SELECT doc_id AS media_id, to_hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n FROM documents
+        |  WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT media_id, CAST(i AS BIGINT) AS frame_idx,
+        |    md5(substr(hx, CAST(128 * i + 1 AS INT), 128)) AS fd
+        |  FROM m, unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS t(i)
+        |  WHERE i % 4 = 0),
+        |sets AS (SELECT DISTINCT media_id, fd FROM f),
+        |sh AS (SELECT fd FROM sets GROUP BY fd HAVING COUNT(*) >= 2),
+        |pm AS (SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |    CAST(COUNT(DISTINCT fd) AS BIGINT) AS n_distinct_frames
+        |  FROM f GROUP BY media_id),
+        |sc AS (SELECT s.media_id, CAST(COUNT(*) AS BIGINT) AS n_shared_frames
+        |  FROM sets s JOIN sh ON sh.fd = s.fd GROUP BY s.media_id)
+        |SELECT p.media_id,
+        |  CASE WHEN p.media_id % 3 = 0 THEN 'image'
+        |       WHEN p.media_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  p.n_frames, p.n_distinct_frames, c.n_shared_frames,
+        |  CAST(c.n_shared_frames * 1000 // p.n_distinct_frames AS BIGINT) AS reuse_permille
+        |FROM pm p JOIN sc c ON c.media_id = p.media_id
+        |ORDER BY p.media_id""".stripMargin),
     "m07_chunk_near_dup" -> QueryDef(Multimodal.chunkNearDup _,
       s"""$CdcChunksCtesDuck,
          |sets AS (SELECT DISTINCT doc_id AS media_id, chunk_md5 FROM ch),

@@ -437,6 +437,7 @@ object StreamOps {
     semStreamCache.clear() // checkpointed frame; scratch deleted eagerly
     gramIndexStreamCache.clear() // ditto
     trainedGateStreamCache.clear() // ditto
+    bpeStreamCache.clear() // ditto
     jdbcSinkCache.clear() // checkpointed frames; RDDs reclaimed by the ContextCleaner
     restartCache.clear()  // ditto — scratch dirs already deleted eagerly
     viewMaintCache.clear() // ditto
@@ -1641,6 +1642,54 @@ object StreamOps {
   private val trainedGateStreamCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** s34 — the TRAINED TOKENIZER at INGEST (t64's streaming twin,
+    * closing the trainer→encoder loop into the modality matrix the way
+    * s33 closed t62→t63): the merge table trains once batch-side (the
+    * deployed model artifact — the stream never re-trains), and each
+    * micro-batch of arriving documents encodes itself with the same
+    * per-row replace chain, folding mergeable per-source partials
+    * (doc/word/token counts, the Σ doc_id·n_tok checksum, max doc
+    * tokens — sums and max both merge under any batch split). Shares
+    * t64's oracle text VERBATIM (the p06/p14 rule), whose CTEs
+    * rederive the merges from scratch — so "stream-encoded ≡
+    * batch-encoded ≡ trained" is one end-to-end hash check.
+    *
+    * Scale: per batch ONE expression pass + a ≤|sources|-row partial;
+    * no state store, no shuffle before the partial agg — a token
+    * census that is always current as the corpus lands. */
+  def streamBpeCensus(s: SparkSession, d: String): DataFrame = {
+    bpeStreamCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    bpeStreamCache.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val merges = TextOps.trainedBpeMerges(s, d)
+      var acc = Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("source", "n_docs", "n_words", "n_tokens",
+          "doc_tok_checksum", "max_doc_tokens")
+        .localCheckpoint()
+      val nBatches = graft.streaming.DocStream.runDocForeachBatch(
+        s, docStreamSource(s, d), (batch, _) => {
+          val part = TextOps.bpeEncodeOn(batch, merges)
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+              sum("n_tok").as("n_tokens"),
+              sum(col("doc_id") * col("n_tok")).as("doc_tok_checksum"),
+              max("n_tok").as("max_doc_tokens"))
+          acc = acc.unionByName(part).localCheckpoint() // per-batch lineage cut
+        })
+      require(nBatches >= 2, s"expected a multi-micro-batch replay, got $nBatches")
+      acc.groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_words").as("n_words"),
+          sum("n_tokens").as("n_tokens"),
+          sum("doc_tok_checksum").as("doc_tok_checksum"),
+          max("max_doc_tokens").as("max_doc_tokens"))
+        .orderBy("source")
+        .localCheckpoint()
+    })
+  }
+
+  private val bpeStreamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** s31 artifact fold-shape tag, LOCKED to the fold's implementation
     * (round-15 advice: the old hand-maintained "cc1" could go stale —
     * editing [[incCcFold]] or the replay without bumping it would serve
@@ -2123,6 +2172,8 @@ object StreamOps {
     // stream-gated ≡ batch-gated ≡ trained: the oracle is t63's
     // verbatim — its weight CTEs rederive the training itself
     "s33_stream_trained_gate" -> QueryDef(streamTrainedGate _, TextOps.t63Duck),
+    // t64's oracle verbatim — stream-encoded ≡ batch-encoded ≡ trained
+    "s34_stream_bpe_census" -> QueryDef(streamBpeCensus _, TextOps.BpeEncodeDuck),
     "s29_stream_edge_maintenance" -> QueryDef(streamEdgeMaintenance _,
       """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS cn, l_suppkey * 2 + 1 AS sn
         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),

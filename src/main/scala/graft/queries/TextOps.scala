@@ -2655,7 +2655,7 @@ object TextOps {
        |  FROM enc GROUP BY doc_id, source)""".stripMargin
   }
 
-  private val BpeEncodeDuck: String = {
+  private[queries] val BpeEncodeDuck: String = {
     s"""WITH $BpePerDocCtesDuck
        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_words) AS BIGINT) AS n_words,
