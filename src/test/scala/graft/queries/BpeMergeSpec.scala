@@ -95,6 +95,32 @@ class BpeMergeSpec extends AnyFunSuite {
       out.toSeq.toString)
   }
 
+  test("t66: fertility permilles hand-computed on the textbook corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fert")
+      .toFile.getAbsolutePath
+    // the t64 composition corpus: trained merges are (l o), (lo w),
+    // (e r) — see the test below. Encodings: low = 1 token ×3,
+    // lower = [low, er] = 2 ×2, newest = 6 ×1.
+    // en/s1: docs 2, words 3+2=5, tokens 3·1+2·2=7,
+    //   fertility = 7000 div 5 = 1400, chars = 11+11 = 22? no —
+    //   doc0 "low low low" n_chars 11, doc1 "lower lower" n_chars 11:
+    //   chars_per_token = 22000 div 7 = 3142
+    // de/s2: doc2 "newest" 1 doc, 1 word, 6 tokens, fertility 6000,
+    //   chars 6 → chars_per_token = 1000
+    Seq((0L, "low low low", "en", "s1", 11L),
+        (1L, "lower lower", "en", "s1", 11L),
+        (2L, "newest", "de", "s2", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.tokenizerFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("de", "s2", 1L, 1L, 6L, 6000L, 1000L),
+      ("en", "s1", 2L, 5L, 7L, 1400L, 3142L)), out.toSeq.toString)
+  }
+
   test("t64: encode applies the merges t57 actually trained (composition lock)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe_enc")
