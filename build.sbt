@@ -42,5 +42,9 @@ def defaultHeapGb: Long = {
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // pin the JVM default TZ too (round-16 advice): literal bounds built
+  // via java.time must mean the same instant on any host — session TZ
+  // alone does not reach JVM-side java.sql/java.time construction
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

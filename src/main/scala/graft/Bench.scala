@@ -1,5 +1,56 @@
 package graft
 object Bench {
+
+  /** GRAFT_CLEARED_PASS=1 — the cleared-memo graded lane (round-16
+    * brief #2, finishing round-15 advice #1): 58/289 graded warms are
+    * memo/artifact READOUTS, so the full-run BENCH_r*.json increasingly
+    * measures scans; the per-family isolated cold column was the only
+    * automated guard on those queries' BUILD paths. This pass grades
+    * exactly the memo-served queries (SparkEntry.memoServed), calling
+    * Memos.clearAll() — the CacheHygieneSpec-enforced hook list —
+    * BEFORE each one, so every number is an uncached build in ONE
+    * full-run record. tools/bench_cleared.sh runs it with
+    * GRAFT_ARTIFACT_DIR pointed at a scratch dir, so cross-run
+    * artifact-backed builds (s29/s31/s32, t67's postings, v43's index)
+    * rebuild too — the forced-rebuild lane round-16 advice asked for
+    * (the --cold memo gate only sees their artifact-READ cold).
+    * Attribution note: within one pass the scratch artifact dir is NOT
+    * wiped between queries, so a shared artifact's build cost lands in
+    * its first consumer in sorted order — deterministic, hence
+    * comparable round over round. tools/benchcmp.py --cleared compares
+    * the committed bench_cleared.json builds against HEAD's and goes
+    * RED on the same thresholds as the memo-build gate. */
+  private def clearedPass(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): Unit = {
+    val qs = SparkEntry.all.toSeq
+      .filter { case (k, _) => SparkEntry.memoServed(k) }
+      .sortBy(_._1)
+    // untimed warmup (JIT/codegen/first-scan), then cleared so the
+    // first graded query still pays its own build
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val rows = qs.map { case (name, q) =>
+      Memos.clearAll()
+      val t0 = System.nanoTime()
+      val ok = try { q.fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val t = (System.nanoTime() - t0) / 1e9
+      name -> (t, ok)
+    }
+    def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val detail = rows.map { case (k, (t, ok)) =>
+      "\"" + k + "\":{\"build\":" + (if (ok) ms(t) else "\"fail\"") + "}"
+    }.mkString("{", ",", "}")
+    val nFailed = rows.count(!_._2._2)
+    val total = rows.collect { case (_, (t, true)) => t }.sum
+    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DETAIL_OUT",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_cleared.json")),
+      line + "\n")
+    catch { case _: Throwable => println(line) }
+    println(s"""{"metric":"cleared_total","value":${ms(total)},"unit":"sec","n_queries":${rows.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,6 +109,9 @@ object Bench {
         .find(_.nonEmpty).getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty[String, Double] }
     Harness.withSession(cpus) { spark =>
+      if (sys.env.get("GRAFT_CLEARED_PASS").contains("1")) {
+        clearedPass(spark, sfDir); return
+      }
       // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
       // numbers measure the plan, not JVM cold start; sorted order keeps
       // runs comparable as the query set grows

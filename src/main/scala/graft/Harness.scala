@@ -33,17 +33,9 @@ object Harness {
     finally {
       // cleanup must run even on a mid-run throw, or stream-snapshot
       // temp dirs and persisted plans leak for the JVM's lifetime
-      queries.TextOps.clearCaches()
-      queries.StreamOps.clearCaches()
-      queries.EventOps.clearCaches()
-      queries.Relational2.clearObservedCache()
-      queries.VectorOps.clearCaches()
-      queries.Generated.clearCaches()
-      queries.GraphOps.clearCaches()
-      operators.CopyOnWrite.clearCaches()
-      operators.MergeOnRead.clearCaches()
-      multimodal.Multimodal.clearCaches()
-      queries.MediaOps.clearCaches()
+      // (Memos.clearAll is the single maintained hook list —
+      // CacheHygieneSpec enforces its completeness)
+      Memos.clearAll()
       spark.stop()
     }
   }

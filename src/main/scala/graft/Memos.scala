@@ -1,0 +1,30 @@
+package graft
+
+/** The ONE list of session-memo clear hooks. Harness teardown calls it
+  * so no entry point can leak pinned frames past its session, and
+  * Bench's cleared-memo pass (GRAFT_CLEARED_PASS=1) calls it BEFORE
+  * each graded query so every number in bench_cleared.json is an
+  * uncached BUILD — 58/289 graded warms are memo readouts, and without
+  * this lane their build paths were gated only by the per-family
+  * isolated cold column (round-16 brief #2 / round-15 advice #1).
+  *
+  * Completeness is test-enforced, not conventional: CacheHygieneSpec
+  * populates at least one memo per module and asserts clearAll empties
+  * EVERY declared TrieMap field (reflective scan), so a module added
+  * here late — or a hook that misses a field — is a test failure, not
+  * a silently-warm "cleared" pass. */
+object Memos {
+  def clearAll(): Unit = {
+    queries.TextOps.clearCaches()
+    queries.StreamOps.clearCaches()
+    queries.EventOps.clearCaches()
+    queries.Relational2.clearObservedCache()
+    queries.VectorOps.clearCaches()
+    queries.Generated.clearCaches()
+    queries.GraphOps.clearCaches()
+    operators.CopyOnWrite.clearCaches()
+    operators.MergeOnRead.clearCaches()
+    multimodal.Multimodal.clearCaches()
+    queries.MediaOps.clearCaches()
+  }
+}

@@ -103,16 +103,19 @@ object PlanDump {
         "Generated by `graft.PlanDump`; plan-shape assertions live in\n" +
         "`src/test/scala/graft/queries/PlanSpec.scala`, reasoning in `SCALE.md`.\n")
     Headline.foreach { name =>
-      val plan = SparkEntry.all(name).fn(spark, d)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
       // memo-served registrations dump their UNCACHED build instead —
-      // a checkpoint-scan plan carries no evidence (the t49 vacuity rule)
+      // a checkpoint-scan plan carries no evidence (the t49 vacuity
+      // rule). Only the branch taken runs its build: the registered fn
+      // of a memoized query eagerly materializes the memo, so invoking
+      // it just to discard the plan would do the build work twice.
       UncachedBuilds.find(_._1 == name) match {
         case Some((_, build)) =>
           val bp = build(spark, d)
             .queryExecution.explainString(ExplainMode.fromString("formatted"))
           md.append(s"\n## $name (uncached build; registered plan is a memo scan)\n\n```\n$bp```\n")
         case None =>
+          val plan = SparkEntry.all(name).fn(spark, d)
+            .queryExecution.explainString(ExplainMode.fromString("formatted"))
           md.append(s"\n## $name\n\n```\n$plan```\n")
       }
     }

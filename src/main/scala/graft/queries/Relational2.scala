@@ -975,10 +975,15 @@ object Relational2 {
   private val BoxYHi = 40L
 
   /** First instant of month cell m (months since 1995-01) — fixture
-    * o_orderdate is TIMESTAMP. */
+    * o_orderdate is TIMESTAMP. Built UTC-explicitly: yb (year/month)
+    * and the DuckDB oracle evaluate in the UTC session timezone, so the
+    * bound must be an instant, not a JVM-default-TZ wall time (on a
+    * host west of UTC `Timestamp.valueOf` would land hours late and
+    * drop orders dated on the first UTC day of the cell). */
   private def monthStart(m: Long): java.sql.Timestamp =
-    java.sql.Timestamp.valueOf(
-      java.time.LocalDate.of(1995, 1, 1).plusMonths(m).atStartOfDay())
+    java.sql.Timestamp.from(
+      java.time.LocalDate.of(1995, 1, 1).plusMonths(m)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
 
   /** The box's Morton cover: every (x, y) cell of the cell-aligned box,
     * coded. Built from ranges — never touches the fact table. */

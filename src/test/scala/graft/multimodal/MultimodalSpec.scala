@@ -125,6 +125,53 @@ class MultimodalSpec extends AnyFunSuite {
       ch.count() == 3, "fixture self-check: the short chunk must recur")
   }
 
+  test("m14 planted reuse: cross-media shared frame found exactly; unsampled blocks, clean payloads and within-media repeats are gated out") {
+    import spark.implicits._
+    // The round-16 verdict's one caveat: m14's semantics were pinned only
+    // by its self-written DuckDB twin (the m13 pattern). This plants a
+    // known cross-media frame reuse and grades the census against
+    // hand-computed truth. Sampler contract (spec'd above): 64-byte
+    // blocks, every 4th sampled — so a 320-byte payload samples exactly
+    // block 0 and block 4. All payloads are ASCII so bytes == chars:
+    //   doc 0 (image): [F0][c][d][e][F1]          — samples F0, F1
+    //   doc 2 (video): [F0][F1][f][g][h]          — samples F0, h;
+    //     F1 sits at UNSAMPLED block 1 — a decoy: if the census counted
+    //     raw blocks instead of the sampler's output, 0↔2 would share
+    //     TWO frames and reuse_permille would read 1000, not 500
+    //   doc 1 (audio): [i]                        — clean, must be ABSENT
+    //   doc 3 (image): [j][k][l][m][j]            — samples j twice;
+    //     a frame repeated WITHIN one media is not reuse (the ≥2
+    //     DISTINCT media gate), so doc 3 must be ABSENT too
+    val F0 = "A" * 64; val F1 = "B" * 64
+    def blk(c: Char) = c.toString * 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_m14reuse")
+      .toFile.getAbsolutePath
+    Seq(
+      (0L, F0 + blk('c') + blk('d') + blk('e') + F1),
+      (2L, F0 + F1 + blk('f') + blk('g') + blk('h')),
+      (1L, blk('i')),
+      (3L, blk('j') + blk('k') + blk('l') + blk('m') + blk('j')))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.frameReuse(spark, dir).collect()
+    // exactly the sharing pair surfaces — cross-media (image ↔ video)
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L),
+      s"only the planted pair may surface: ${out.mkString(";")}")
+    for (r <- out) {
+      assert(r.getString(1) == (if (r.getLong(0) == 0L) "image" else "video"))
+      assert(r.getLong(2) == 2L, s"n_frames: $r")          // 2 sampled blocks
+      assert(r.getLong(3) == 2L, s"n_distinct_frames: $r")
+      assert(r.getLong(4) == 1L, s"n_shared_frames: $r")   // F0 only — NOT the decoy
+      assert(r.getLong(5) == 500L, s"reuse_permille: $r")  // 1·1000 div 2
+    }
+    // fixture self-check: the decoy really is byte-identical to doc 0's
+    // sampled F1 frame — only the sampler keeps it out of the census
+    val raw = syntheticMedia(spark, dir).as[MediaRow].collect()
+      .map(m => m.media_id -> m.content).toMap
+    assert(java.util.Arrays.equals(raw(0L).slice(256, 320), raw(2L).slice(64, 128)),
+      "fixture self-check: doc 2 must carry doc 0's sampled F1 run at an unsampled offset")
+  }
+
   test("m12 curve invariants: bytes conserved per mask; chunk count falls as the mask widens") {
     val rows = graft.multimodal.Multimodal
       .cdcMaskCurve(spark, "/root/testdata/sf0.001").collect()

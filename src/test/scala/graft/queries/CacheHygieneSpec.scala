@@ -57,41 +57,42 @@ class CacheHygieneSpec extends AnyFunSuite {
     TextOps.curationWaterfall(spark, d).count()       // t58Cache + swqCache
     TextOps.tokenBudgetSelect(spark, d).count()       // t22SelCache
     TextOps.bm25Topk(spark, d).count()                // postingsCache + dlCache
-    val modules: Seq[(String, AnyRef, () => Unit)] = Seq(
-      ("GraphOps", GraphOps, () => GraphOps.clearCaches()),
-      ("TextOps", TextOps, () => TextOps.clearCaches()),
-      ("EventOps", EventOps, () => EventOps.clearCaches()),
-      ("Relational2", Relational2, () => Relational2.clearObservedCache()),
-      ("VectorOps", VectorOps, () => VectorOps.clearCaches()),
-      ("StreamOps", StreamOps, () => StreamOps.clearCaches()),
-      ("Generated", Generated, () => Generated.clearCaches()),
-      ("MediaOps", MediaOps, () => MediaOps.clearCaches()),
-      ("CopyOnWrite", graft.operators.CopyOnWrite,
-        () => graft.operators.CopyOnWrite.clearCaches()),
-      ("MergeOnRead", graft.operators.MergeOnRead,
-        () => graft.operators.MergeOnRead.clearCaches()),
-      ("Multimodal", graft.multimodal.Multimodal,
-        () => graft.multimodal.Multimodal.clearCaches()))
+    val modules: Seq[(String, AnyRef)] = Seq(
+      ("GraphOps", GraphOps),
+      ("TextOps", TextOps),
+      ("EventOps", EventOps),
+      ("Relational2", Relational2),
+      ("VectorOps", VectorOps),
+      ("StreamOps", StreamOps),
+      ("Generated", Generated),
+      ("MediaOps", MediaOps),
+      ("CopyOnWrite", graft.operators.CopyOnWrite),
+      ("MergeOnRead", graft.operators.MergeOnRead),
+      ("Multimodal", graft.multimodal.Multimodal))
     // PER-MODULE non-vacuity: every module that declares a memo must have
     // at least one populated before the clear (a global count let whole
     // modules slip through). Populating all ~70 FIELDS would re-run most
     // of the board — field-granular coverage is the STATIC test below,
     // which needs no populate at all.
     val unexercised = modules.collect {
-      case (nm, m, _) if trieMapFields(m).nonEmpty &&
+      case (nm, m) if trieMapFields(m).nonEmpty &&
         trieMapFields(m).forall(_._2.isEmpty) => nm
     }
     assert(unexercised.isEmpty,
       s"populate phase left these modules' memos all-empty (their clear " +
         s"assertion would be vacuous): ${unexercised.mkString(", ")}")
-    modules.foreach { case (_, _, clear) => clear() }
+    // the SINGLE production hook list (Harness teardown AND Bench's
+    // cleared-memo pass call exactly this) — clearing per-module here
+    // instead would let Memos.clearAll silently miss a module while the
+    // spec stays green
+    graft.Memos.clearAll()
     val leaked = for {
-      (nm, m, _) <- modules
+      (nm, m) <- modules
       (field, tm) <- trieMapFields(m)
       if tm.nonEmpty
     } yield s"$nm.$field (${tm.size} entries)"
     assert(leaked.isEmpty,
-      s"caches not emptied by their module's clear hook: ${leaked.mkString(", ")}")
+      s"caches not emptied by Memos.clearAll: ${leaked.mkString(", ")}")
   }
 
   test("every TrieMap field is referenced inside its module's clear hook (static, field-granular)") {

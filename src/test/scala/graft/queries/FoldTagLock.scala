@@ -12,14 +12,18 @@ package graft.queries
 object FoldTagLock {
 
   /** The module-level def body starting at `sig`, ending at the next
-    * 2-space-indented member (inner lines are indented deeper). */
+    * 2-space-indented member of ANY form (inner lines are indented
+    * deeper or blank). Matching `^  \S` — rather than an enumerated
+    * def/private/doc-comment prefix list — keeps the region exactly the
+    * fold's source: a trailing `val`/`//`/`final` member no longer gets
+    * silently folded in, so the tag churns only on edits that touch
+    * the derivation itself (round-16 advice). */
   private def moduleDefBody(text: String, sig: String): String = {
     val i = text.indexOf(sig)
     require(i >= 0, s"def not found: $sig")
     val rest = text.substring(i)
-    val ends = Seq("\n  def ", "\n  private", "\n  /**")
-      .map(rest.indexOf(_, 1)).filter(_ > 0)
-    rest.substring(0, if (ends.nonEmpty) ends.min else rest.length)
+    val m = java.util.regex.Pattern.compile("\\n  \\S").matcher(rest)
+    rest.substring(0, if (m.find(1)) m.start() else rest.length)
   }
 
   def expectedTag(prefix: String, sourcePath: String, defSigs: Seq[String]): String = {
