@@ -77,7 +77,10 @@ object PlanDump {
     "t64_bpe_encode_census", "t65_epoch_shuffle",
     "t66_tokenizer_fertility", "v42_hard_negative_mining",
     // s34 stays out (stream runs at build time; plan = checkpoint scan)
-    "m14_frame_reuse")
+    "m14_frame_reuse",
+    // round 17 additions (v43/t67 are memo-served — their UNCACHED
+    // serve plans over the persisted artifacts are the evidence)
+    "v43_ann_persisted_index", "t67_delta_dedup")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —
@@ -87,7 +90,15 @@ object PlanDump {
       org.apache.spark.sql.DataFrame)] = Seq(
     "p01_pagerank" -> (graft.queries.GraphOps.pagerankBuild _),
     "p07_personalized_pagerank" -> (graft.queries.GraphOps.pprBuild _),
-    "m07_chunk_near_dup" -> (graft.multimodal.Multimodal.chunkNearDupUncached _))
+    "m07_chunk_near_dup" -> (graft.multimodal.Multimodal.chunkNearDupUncached _),
+    // round 17: t03's pair frame is a cross-run artifact now — the
+    // registered plan is a parquet scan of it; the LSH pipeline is the
+    // evidence. v43/t67 dump their artifact-SERVING plans (which is the
+    // claim: corpus/index side scans the artifact, fresh work is
+    // query/delta-sized).
+    "t03_lsh_near_dup_pairs" -> (graft.queries.TextOps.lshNearDupPairsUncached _),
+    "v43_ann_persisted_index" -> (graft.queries.VectorOps.annPersistedTopKUncached _),
+    "t67_delta_dedup" -> (graft.queries.TextOps.deltaDedupUncached _))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

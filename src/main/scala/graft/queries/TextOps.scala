@@ -64,11 +64,17 @@ object TextOps {
     * instead of an interpreted transform() building a 500-element string
     * array per document. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    shinglesOf(documents(s, d))
+
+  /** The shingling plan over ANY doc frame — shared by the full-corpus
+    * path and t67's corpus/delta slices so the three can never shingle
+    * differently. */
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       // the fixture is one small parquet file = one input split; spread
       // the ~200× shingle explosion across the cluster first (shuffling
       // |docs| slim rows to parallelize |docs|·len downstream work)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), norm(col("text")).as("nrm"))
       .filter(length(col("nrm")) >= 5)
       .select(col("doc_id"), col("nrm"),
@@ -194,13 +200,37 @@ object TextOps {
   private def signatureFrame(s: SparkSession, d: String): DataFrame = {
     sigCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     sigCache.getOrElseUpdate((s, d), {
-      val g = shingles(s, d).withColumn("sid", sid(col("sh")))
-        .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-        .persist()
+      // cross-RUN artifact (round-16 brief #3): the signature table is a
+      // pure function of documents.parquet and IS the index a deployed
+      // LSH system persists next to itself — a fresh JVM used to pay the
+      // full shingle explosion (3.7 s at sf0.1) to rebuild it. Key =
+      // fixture digest + fold-shape tag over the derivation defs
+      // (TextArtifactSpec's tag-lock recomputes it — the IncCcFoldTag
+      // rule), so a regenerated corpus or an edited derivation can never
+      // serve a stale table.
+      val g = graft.sources.ArtifactStore.loadOrBuild(s, "minhash_sig",
+        graft.sources.ArtifactStore.key(d, "documents.parquet") + "-" + SigFoldTag) {
+        signatureFrameUncached(s, d)
+      }.persist()
       g.count()
       g
     })
   }
+
+  /** The signature BUILD (shingle explosion → 16 min-hash aggregates) —
+    * the load-bearing plan behind the minhash_sig artifact; PlanDump
+    * dumps this, not the artifact scan. */
+  private[graft] def signatureFrameUncached(s: SparkSession, d: String): DataFrame =
+    shingles(s, d).withColumn("sid", sid(col("sh")))
+      .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+
+  /** minhash_sig artifact fold-shape tag — sha256 (first 8 hex) over the
+    * source of the defs/constants the signature table derives from
+    * ([[norm]], [[shingles]], [[sid]], [[mhAggs]], NumHashes/BandRows/
+    * MhA/MhB/P31); TextArtifactSpec's tag-lock recomputes it, so a
+    * derivation edit without a bump is a test failure, never a stale
+    * artifact. */
+  private[queries] val SigFoldTag = "sig-c18554d4"
 
   /** MinHash signatures: 16 permutations min-hashed over 5-gram shingles. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
@@ -221,8 +251,49 @@ object TextOps {
     // entries bound to a stopped SparkContext are dead plans — drop them
     // so a recreated session recomputes instead of failing confusingly
     pairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    pairsCache.getOrElseUpdate((s, d), lshNearDupPairsUncached(s, d))
+    pairsCache.getOrElseUpdate((s, d), {
+      // cross-RUN artifact (round-16 brief #3): the verified pair frame
+      // is a pure function of documents.parquet and the single most
+      // reused derived index on the text board (t03/t11/t14/t16/t30/
+      // t32/t34/t44/... all key on it) — a fresh JVM used to pay the
+      // full LSH pipeline (6.6 s at sf0.1) to rebuild it. Same key
+      // discipline as minhash_sig; the build plan itself stays graded
+      // by the cleared-memo lane and dumped by PlanDump.
+      var built: DataFrame = null
+      val scan = graft.sources.ArtifactStore.loadOrBuild(s, "lsh_pairs",
+        graft.sources.ArtifactStore.key(d, "documents.parquet") + "-" + LshPairsFoldTag) {
+        built = lshNearDupPairsUncached(s, d); built
+      }
+      // the build's internal persist served only the artifact write
+      if (built != null) built.unpersist()
+      val a = scan.orderBy("a_id", "b_id").persist()
+      a.count()
+      a
+    })
   }
+
+  /** Explode a 16-column signature frame into (doc_id, band, h0..h3)
+    * band-key rows — the POSTING layout of an LSH index; shared by the
+    * static pipeline (t03) and the incremental delta-dedup index (t67),
+    * so the two can never band differently. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    val nBands = NumHashes / BandRows
+    sig.select(col("doc_id"), explode(array(
+      (0 until nBands).map(b => struct(
+        lit(b).as("band") +: (0 until BandRows).map(r =>
+          col(s"mh${BandRows * b + r}").as(s"h$r")): _*)): _*
+    )).as("bd")).select(col("doc_id") +: (col("bd.band") +:
+      (0 until BandRows).map(r => col(s"bd.h$r"))): _*)
+  }
+
+  private val BandKeys = Seq("band") ++ (0 until BandRows).map(r => s"h$r")
+
+  /** lsh_pairs artifact fold-shape tag — sha256 (first 8 hex) over the
+    * source of [[lshNearDupPairsUncached]] plus the signature-derivation
+    * defs/constants it composes (the SigFoldTag region); TextArtifactSpec
+    * recomputes it, so a derivation edit without a bump is a test
+    * failure, never a stale persisted pair set. */
+  private[queries] val LshPairsFoldTag = "lsh-9541aecd"
 
   /** Teardown hook (Bench/Verify call this before spark.stop()): release
     * persisted pair results so repeated harness runs in one JVM don't
@@ -231,11 +302,12 @@ object TextOps {
     (pairsCache.values ++ simhashPairsCache.values ++ clustersCache.values ++
       starClustersCache.values ++ gramCache.values ++ bigramCache.values ++
       posGramCache.values ++ lmModelCache.values ++ sigCache.values ++
-      langCache.values)
+      langCache.values ++ deltaDedupCache.values)
       .foreach(df =>
         try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
         catch { case _: Throwable => () })
     pairsCache.clear()
+    deltaDedupCache.clear()
     simhashPairsCache.clear()
     clustersCache.clear()
     starClustersCache.clear()
@@ -660,7 +732,7 @@ object TextOps {
     (labels, rounds)
   }
 
-  private def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lshNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
     // the shingle set and signature subtrees are each consumed 2-4× in
     // this plan — persist them (exact-sized, |docs|-bounded) instead of
     // recomputing the explode+distinct per consumer. All downstream
@@ -670,14 +742,8 @@ object TextOps {
     val sh = shingles(s, d).select(col("doc_id"), sid(col("sh")).as("sid"))
       .distinct().persist()
     val sig = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val nBands = NumHashes / BandRows
-    val bands = sig.select(col("doc_id"), explode(array(
-      (0 until nBands).map(b => struct(
-        lit(b).as("band") +: (0 until BandRows).map(r =>
-          col(s"mh${BandRows * b + r}").as(s"h$r")): _*)): _*
-    )).as("bd")).select(col("doc_id") +: (col("bd.band") +:
-      (0 until BandRows).map(r => col(s"bd.h$r"))): _*)
-    val bandKeys = (Seq("band") ++ (0 until BandRows).map(r => s"h$r"))
+    val bands = bandsOf(sig)
+    val bandKeys = BandKeys
     val cand = bands.as("x").join(bands.as("y"),
         bandKeys.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _) &&
           col("x.doc_id") < col("y.doc_id"))
@@ -702,6 +768,109 @@ object TextOps {
     sh.unpersist()
     pairs
   }
+
+  // ——— t67: incremental delta-dedup against a persisted corpus index ———
+
+  /** Deterministic "today's ingest shard": doc_id ≡ DeltaRes (mod
+    * DeltaMod). At 100 TB the delta would be its own partition/day
+    * directory; the hash-gate stands in for that partition predicate on
+    * the shared fixture (the q26 determinism discipline). */
+  private[queries] val DeltaMod = 10L
+  private[queries] val DeltaRes = 7L
+
+  private def corpusDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(pmod(col("doc_id"), lit(DeltaMod)) =!= DeltaRes)
+  private def deltaDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(pmod(col("doc_id"), lit(DeltaMod)) === DeltaRes)
+
+  /** The persisted corpus VERIFICATION index: (doc_id, sid) distinct
+    * shingle-id postings of every corpus (non-delta) document. */
+  private[graft] def corpusSidsUncached(s: SparkSession, d: String): DataFrame =
+    shinglesOf(corpusDocs(s, d)).select(col("doc_id"), sid(col("sh")).as("sid"))
+      .distinct()
+
+  private def corpusSids(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "corpus_sids",
+      graft.sources.ArtifactStore.key(d, "documents.parquet") + "-" + DeltaFoldTag) {
+      corpusSidsUncached(s, d)
+    }
+
+  /** The persisted corpus CANDIDATE index: band-key postings
+    * (doc_id, band, h0..h3) — built FROM the sid-postings artifact, so
+    * the corpus text is shingled exactly once across both indices. */
+  private[graft] def corpusBandsUncached(s: SparkSession, d: String): DataFrame =
+    bandsOf(corpusSids(s, d).groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*))
+
+  private def corpusBands(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "corpus_bands",
+      graft.sources.ArtifactStore.key(d, "documents.parquet") + "-" + DeltaFoldTag) {
+      corpusBandsUncached(s, d)
+    }
+
+  /** t67 — INCREMENTAL DELTA-DEDUP (round-16 brief #5): dedup today's
+    * ingest shard against yesterday's corpus WITHOUT rescanning the
+    * corpus — the production posture at 100 TB, where the static t03
+    * sweep is a once-ever backfill. The corpus side is served entirely
+    * from two persisted ArtifactStore indices (band postings for
+    * candidates, sid postings for verification); only the DELTA is
+    * shingled, signed, and banded fresh, so the new shuffles are all
+    * O(|delta|) — the delta's band keys join the corpus postings
+    * KEYED on (band, h0..h3), and delta-delta pairs come from one
+    * self-join of the same delta band frame. Verification restricts
+    * both posting sets to candidate docs (left-semi) before the t03
+    * inter/sizes join chain, so corpus postings are touched only where
+    * a candidate exists. Result ≡ batch LSH over (corpus ∪ delta)
+    * restricted to pairs touching the delta — the oracle states exactly
+    * that (t03's chain + the delta predicate), keeping the incremental
+    * path honest against the batch semantics. */
+  private[graft] def deltaDedupUncached(s: SparkSession, d: String): DataFrame = {
+    val cs = corpusSids(s, d)
+    val cb = corpusBands(s, d)
+    // no persists here: the plan must stay pure (PlanDump dumps it), the
+    // delta subtrees are |corpus|/10-sized, and the registered wrapper
+    // checkpoints the (tiny) RESULT once per session anyway
+    val dsh = shinglesOf(deltaDocs(s, d))
+      .select(col("doc_id"), sid(col("sh")).as("sid")).distinct()
+    val dbands = bandsOf(dsh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*))
+    val onBand = (x: String, y: String) =>
+      BandKeys.map(k => col(s"$x.$k") === col(s"$y.$k")).reduce(_ && _)
+    val dc = dbands.as("x").join(cb.as("y"), onBand("x", "y"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+    val dd = dbands.as("x").join(dbands.as("y"),
+        onBand("x", "y") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val cand = dc.unionByName(dd).distinct()
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sidsAll = cs.unionByName(dsh).join(candIds, Seq("doc_id"), "left_semi")
+    val sizes = sidsAll.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cand
+      .join(sidsAll.select(col("doc_id").as("a_id"), col("sid")), "a_id")
+      .join(sidsAll.select(col("doc_id").as("b_id"), col("sid")), Seq("b_id", "sid"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("sza")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("szb")), "b_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("a_id", "b_id", "inter", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val deltaDedupCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    deltaDedupCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    deltaDedupCache.getOrElseUpdate((s, d),
+      deltaDedupUncached(s, d).localCheckpoint())
+  }
+
+  /** corpus_sids/corpus_bands artifact fold-shape tag — sha256 (first
+    * 8 hex) over the shared signature-derivation region plus the
+    * delta-index defs; TextArtifactSpec's tag-lock recomputes it. */
+  private[queries] val DeltaFoldTag = "dlt-6d93642e"
 
   /** Per-source MinHash sketches + pairwise source similarity — the
     * MERGEABLE-SKETCH pattern: a source's sketch is min-per-slot over
@@ -3474,6 +3643,38 @@ object TextOps {
          |JOIN sizes za ON za.doc_id = i.a_id
          |JOIN sizes zb ON zb.doc_id = i.b_id
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
+         |ORDER BY 1, 2""".stripMargin),
+
+    // t67's oracle is the BATCH semantics restated: t03's full LSH chain
+    // over (corpus ∪ delta) = all documents, restricted to pairs that
+    // touch the delta shard — the incremental path must be result-
+    // invisible against the backfill
+    "t67_delta_dedup" -> QueryDef(deltaDedup _,
+      s"""$ShinglesSqlDuck,
+         |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until NumHashes / BandRows).map(b =>
+               s"SELECT doc_id, $b AS band, " + (0 until BandRows).map(r =>
+                 s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
+             .mkString(" UNION ALL\n  ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND ${(0 until BandRows).map(r =>
+               s"x.h$r = y.h$r").mkString(" AND ")}
+         |          AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ids GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS inter
+         |          FROM cand c
+         |          JOIN ids sa ON sa.doc_id = c.a_id
+         |          JOIN ids sb ON sb.doc_id = c.b_id AND sb.sid = sa.sid
+         |          GROUP BY c.a_id, c.b_id)
+         |SELECT i.a_id, i.b_id, i.inter,
+         |  CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.a_id
+         |JOIN sizes zb ON zb.doc_id = i.b_id
+         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
+         |  AND (i.a_id % $DeltaMod = $DeltaRes OR i.b_id % $DeltaMod = $DeltaRes)
          |ORDER BY 1, 2""".stripMargin),
 
     "t04_simhash" -> QueryDef(simhash _,

@@ -75,16 +75,37 @@ object VectorOps {
   def cosineNearDupPairs(s: SparkSession, d: String): DataFrame = {
     cosinePairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     cosinePairsCache.getOrElseUpdate((s, d), {
-      val a = vecs(s, d).select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
-      val b = vecs(s, d).select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
-        .filter(col("cos") >= 0.45)
-        .select("a_id", "b_id", "cos")
-        .orderBy("a_id", "b_id")
-        .localCheckpoint()
+      // cross-RUN artifact (round-16 brief #3): the exact truth-pair set
+      // is a pure function of embeddings.parquet and the calibration
+      // reference four graders key on (v39/v41/v42 + v02's own row) — a
+      // fresh JVM used to pay the O(n²) baseline (5.0 s at sf0.1) to
+      // rebuild it. Key = fixture digest + fold-shape tag over the
+      // derivation defs (VectorArtifactSpec's tag-lock recomputes it).
+      graft.sources.ArtifactStore.loadOrBuild(s, "cos_pairs",
+        graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + CosPairsFoldTag) {
+        cosineNearDupPairsUncached(s, d)
+      }.orderBy("a_id", "b_id").localCheckpoint()
     })
   }
+
+  /** The exact all-pairs BUILD behind the cos_pairs artifact — the
+    * load-bearing plan (PlanDump/cleared-lane evidence), deliberately
+    * quadratic: it is the truth set, not the production path. */
+  private[graft] def cosineNearDupPairsUncached(s: SparkSession, d: String): DataFrame = {
+    val a = vecs(s, d).select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val b = vecs(s, d).select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("a_id", "b_id", "cos")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** cos_pairs artifact fold-shape tag — sha256 (first 8 hex) over the
+    * source of [[vecs]] and [[cosineNearDupPairsUncached]];
+    * VectorArtifactSpec's tag-lock recomputes it, so a derivation edit
+    * without a bump is a test failure, never a stale truth set. */
+  private[queries] val CosPairsFoldTag = "cos-16ea49ca"
 
   private val cosinePairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -239,6 +260,7 @@ object VectorOps {
     rebuildCache.clear()
     rebuildAudit.clear()
     resPqIndexCache.clear()
+    annTopKCache.clear()
   }
 
   private val resPqIndexCache = scala.collection.concurrent.TrieMap
@@ -1429,6 +1451,89 @@ object VectorOps {
       .orderBy("q_id", "rk")
   }
 
+  /** v43 — ANN INDEX CROSS-RUN PERSISTENCE, graded (round-16 brief #6):
+    * the search-ready IVF-PQ index — (vec_id, cell, m, code): the
+    * routing cell plus 8 PQ codes per vector, exactly what v37's
+    * staleness curve assumes a deployment keeps on disk — persists as
+    * ONE ArtifactStore artifact, and this query serves a fresh-JVM
+    * top-k that SCANS it: the corpus is never re-embedded,
+    * re-quantized, or re-routed at serve time. Only query-side state is
+    * built fresh (quantize + LUT against the 64-codeword codebook =
+    * vec_id < 64 rows, a pushed-down id-range read of the embeddings
+    * fixture), which is the honest serving posture — queries arrive
+    * after the index is built. Result ≡ v24 BY CONSTRUCTION (the index
+    * is v24's enc ⋈ cells materialized), so it shares v24's oracle
+    * verbatim (the q61 convention: build path and artifact-scan path
+    * must agree); VectorArtifactSpec locks the frame equality, the
+    * served-from-disk path, and the fold tag. Scale: the artifact is 8
+    * slim integer rows per vector — the ADC layout FAISS ships; serve
+    * cost is one keyed join of codes against a 10-query × 2-probe
+    * broadcast LUT (10,240 rows at ANY corpus size). */
+  def annPersistedIndexTopK(s: SparkSession, d: String): DataFrame = {
+    annTopKCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    annTopKCache.getOrElseUpdate((s, d),
+      annPersistedTopKUncached(s, d).localCheckpoint())
+  }
+
+  private val annTopKCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v43's serve plan over the persisted index — the uncached evidence
+    * (PlanDump / VectorArtifactSpec run against this). */
+  private[graft] def annPersistedTopKUncached(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val idx = graft.sources.ArtifactStore.loadOrBuild(s, "ann_index",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnIndexFoldTag) {
+      annIndexUncached(s, d)
+    }
+    // probes come from the deployed router artifact (the coarse half of
+    // the same index family); the LUT quantizes ONLY ids < 64 — the
+    // codebook rows plus the 10 queries — behind a pushed-down filter
+    val probes = centroidAffinity(s, d).filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
+    val eq = embeddings(s, d).filter(col("vec_id") < 64).withColumn("qv",
+      expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+    val sub = eq.select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cb = sub.select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+    val plut = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv"))
+      .join(cb, "m")
+      .select(col("q_id"), col("m").as("lm"), col("j"),
+        dot("sv", "cv").cast("long").as("qip"))
+      .join(probes, "q_id")
+    idx.join(broadcast(plut),
+        col("m") === col("lm") && col("cell") === col("pcell") &&
+          col("code") === col("j"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id").agg(sum(col("qip")).as("ascore"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("ascore").desc, col("vec_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id").as("hit_id"), col("ascore"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** The index BUILD behind the ann_index artifact — v24's enc ⋈ cells
+    * materialized once per corpus (composes the pq_cand64 and
+    * ivf_affinity artifacts, so a scratch-dir cleared pass rebuilds the
+    * whole chain). */
+  private[graft] def annIndexUncached(s: SparkSession, d: String): DataFrame = {
+    val enc = pqCand64(s, d)
+      .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("code"))
+    enc.join(cellAssignments(s, d), "vec_id")
+      .select("vec_id", "cell", "m", "code")
+  }
+
+  /** ann_index artifact fold-shape tag — sha256 (first 8 hex) over the
+    * source of the defs the persisted index derives from
+    * ([[pqCandUncachedK]], [[centroidAffinityUncached]],
+    * [[cellAssignments]], [[annIndexUncached]]); VectorArtifactSpec's
+    * tag-lock recomputes it. */
+  private[queries] val AnnIndexFoldTag = "ann-fd6ba877"
+
   /** Residual IVF-PQ top-5 — v24 upgraded to the full FAISS recipe:
     * the PQ codes quantize each vector's RESIDUAL against its cell
     * centroid (x − c), and the codebook is TRAINED — one v18-style
@@ -2215,6 +2320,49 @@ object VectorOps {
   private val CosDuck =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
+  /** v24's oracle, shared verbatim by v43 (artifact-scan path must
+    * agree with the in-session build path). */
+  private lazy val IvfPqTopkDuck: String =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |aff AS (SELECT e.vec_id, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |        c.cid ASC) AS crn
+        |  FROM e, c),
+        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
+        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
+        |v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 200.0)) AS qv
+        |  FROM embeddings),
+        |sub AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
+        |    (qv[ms.m * 8 + 1 : ms.m * 8 + 8])::DOUBLE[] AS sv
+        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS m) ms),
+        |cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 64),
+        |cand AS (SELECT s.vec_id, s.m, c.j,
+        |    CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+        |       - 2 * list_dot_product(s.sv, c.cv) AS BIGINT) AS d2,
+        |    CAST(list_dot_product(s.sv, c.cv) AS BIGINT) AS ip
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, j AS code FROM (
+        |    SELECT vec_id, m, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        |    FROM cand) t WHERE rn = 1),
+        |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
+        |adc AS (SELECT l.q_id, en.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
+        |  FROM enc en
+        |  JOIN cells cl ON cl.vec_id = en.vec_id
+        |  JOIN probes pr ON pr.pcell = cl.cell
+        |  JOIN lut l ON l.q_id = pr.q_id AND l.m = en.m AND l.j = en.code
+        |  WHERE en.vec_id <> pr.q_id
+        |  GROUP BY l.q_id, en.vec_id),
+        |top AS (SELECT q_id, vec_id, ascore,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS rk
+        |  FROM adc)
+        |SELECT q_id, rk, vec_id AS hit_id, ascore
+        |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "v30_matryoshka_recall_curve" -> QueryDef(matryoshkaRecallCurve _, MatryoshkaCurveDuck),
     "v31_filtered_ann" -> QueryDef(filteredAnn _, FilteredAnnDuck),
@@ -2718,46 +2866,11 @@ object VectorOps {
         |  FROM adc WHERE vec_id <> q_id)
         |SELECT q_id, rk, vec_id AS hit_id, ascore
         |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
-    "v24_ivfpq_topk" -> QueryDef(ivfPqTopK _,
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-        |aff AS (SELECT e.vec_id, c.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |      ORDER BY round(list_dot_product(e.v, c.cv) /
-        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
-        |        c.cid ASC) AS crn
-        |  FROM e, c),
-        |cells AS (SELECT vec_id, cid AS cell FROM aff WHERE crn = 1),
-        |probes AS (SELECT vec_id AS q_id, cid AS pcell FROM aff WHERE vec_id < 10 AND crn <= 2),
-        |v AS (SELECT vec_id,
-        |    list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 200.0)) AS qv
-        |  FROM embeddings),
-        |sub AS (SELECT vec_id, CAST(ms.m AS INT) AS m,
-        |    (qv[ms.m * 8 + 1 : ms.m * 8 + 8])::DOUBLE[] AS sv
-        |  FROM v, (SELECT unnest(generate_series(0, 7)) AS m) ms),
-        |cb AS (SELECT m, vec_id AS j, sv AS cv FROM sub WHERE vec_id < 64),
-        |cand AS (SELECT s.vec_id, s.m, c.j,
-        |    CAST(list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
-        |       - 2 * list_dot_product(s.sv, c.cv) AS BIGINT) AS d2,
-        |    CAST(list_dot_product(s.sv, c.cv) AS BIGINT) AS ip
-        |  FROM sub s JOIN cb c ON c.m = s.m),
-        |enc AS (SELECT vec_id, m, j AS code FROM (
-        |    SELECT vec_id, m, j,
-        |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
-        |    FROM cand) t WHERE rn = 1),
-        |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
-        |adc AS (SELECT l.q_id, en.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
-        |  FROM enc en
-        |  JOIN cells cl ON cl.vec_id = en.vec_id
-        |  JOIN probes pr ON pr.pcell = cl.cell
-        |  JOIN lut l ON l.q_id = pr.q_id AND l.m = en.m AND l.j = en.code
-        |  WHERE en.vec_id <> pr.q_id
-        |  GROUP BY l.q_id, en.vec_id),
-        |top AS (SELECT q_id, vec_id, ascore,
-        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS rk
-        |  FROM adc)
-        |SELECT q_id, rk, vec_id AS hit_id, ascore
-        |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin),
+    "v24_ivfpq_topk" -> QueryDef(ivfPqTopK _, IvfPqTopkDuck),
+    // v43 serves v24's EXACT semantics from the persisted index — the
+    // oracle is shared verbatim (the q61 convention), so the artifact
+    // scan path and the in-session build path must agree to the hash
+    "v43_ann_persisted_index" -> QueryDef(annPersistedIndexTopK _, IvfPqTopkDuck),
     "v25_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 (r16 brief #3): the minhash signature table and the
+  * verified LSH pair frame are cross-run ArtifactStore artifacts now —
+  * these tests lock (a) the fold-shape tags to the derivation source
+  * (the IncCcFoldTag rule: an edit without a bump fails here and prints
+  * the value to paste), and (b) the serving contract: after the session
+  * memo is cleared, a re-invocation is served from the persisted
+  * artifact with byte-identical rows. */
+class TextArtifactSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.session
+  val d = "/root/testdata/sf0.001"
+  val src = "src/main/scala/graft/queries/TextOps.scala"
+
+  /** The signature derivation region: normalization, shingling, the
+    * sid hash, the min-hash aggregates, and every LSH constant. */
+  private val SigSigs = Seq("def norm(", "def shingles(", "def shinglesOf(",
+    "def sid(", "def mhAggs", "val NumHashes", "val BandRows", "val MhA",
+    "val MhB", "val P31")
+
+  /** The banding layout shared by t03 and t67's postings. */
+  private val BandSigs = Seq("def bandsOf(", "val BandKeys")
+
+  test("minhash_sig artifact fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("sig", src, SigSigs)
+    assert(TextOps.SigFoldTag == want,
+      s"signature derivation changed: bump TextOps.SigFoldTag to \"$want\" " +
+        "(the persisted minhash_sig artifact must be invalidated with it)")
+  }
+
+  test("lsh_pairs artifact fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("lsh", src,
+      SigSigs ++ BandSigs :+ "def lshNearDupPairsUncached(")
+    assert(TextOps.LshPairsFoldTag == want,
+      s"pair derivation changed: bump TextOps.LshPairsFoldTag to \"$want\" " +
+        "(the persisted lsh_pairs artifact must be invalidated with it)")
+  }
+
+  test("corpus_sids/corpus_bands (t67) fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("dlt", src,
+      SigSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
+        "def corpusDocs(", "def deltaDocs(", "def corpusSidsUncached(",
+        "def corpusBandsUncached(", "def deltaDedupUncached("))
+    assert(TextOps.DeltaFoldTag == want,
+      s"delta-index derivation changed: bump TextOps.DeltaFoldTag to \"$want\" " +
+        "(the persisted corpus_sids/corpus_bands artifacts must be invalidated with it)")
+  }
+
+  test("t67 incremental ≡ batch: delta-dedup equals the full LSH pairs restricted to delta-touching") {
+    // the DuckDB oracle states this cross-engine; this states it
+    // IN-ENGINE against the t03 frame, so the two implementations (one
+    // incremental over persisted postings, one static) cannot drift even
+    // where the fixture has no discriminating pair
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val batch = TextOps.lshNearDupPairs(spark, d)
+      .filter(pmod(col("a_id"), lit(TextOps.DeltaMod)) === TextOps.DeltaRes ||
+        pmod(col("b_id"), lit(TextOps.DeltaMod)) === TextOps.DeltaRes)
+      .collect().map(_.toSeq).toSeq
+    val inc = TextOps.deltaDedup(spark, d).collect().map(_.toSeq).toSeq
+    assert(inc == batch,
+      s"incremental delta-dedup diverged from batch (inc=${inc.size}, batch=${batch.size})")
+    assert(inc.nonEmpty, "fixture must have at least one delta-touching pair")
+  }
+
+  test("t67 serve plan scans the persisted corpus indices; only the delta is shingled fresh") {
+    val plan = TextOps.deltaDedupUncached(spark, d)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("corpus_bands") && plan.contains("corpus_sids"),
+      s"the corpus side must be served from the persisted postings artifacts:\n$plan")
+    // the only fresh text scans are the delta slice: every scan of the
+    // documents fixture must carry the delta residue filter
+    val docScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(docScans > 0, "delta side must read the documents fixture")
+    assert(!plan.contains("NOT (pmod(doc_id"),
+      s"no corpus-residue scan of the raw fixture may appear in the serve plan:\n$plan")
+  }
+
+  test("lsh_pairs: a cleared session is served from the artifact with identical rows") {
+    val rows1 = TextOps.lshNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
+    assert(rows1.nonEmpty, "fixture must have near-dup pairs")
+    TextOps.clearCaches()
+    val loads0 = graft.sources.ArtifactStore.loads.get()
+    val builds0 = graft.sources.ArtifactStore.builds.get()
+    val rows2 = TextOps.lshNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
+    // lsh_pairs load + (possibly memoized-elsewhere) sig load — at least
+    // the pair artifact itself must come from disk, never a rebuild
+    assert(graft.sources.ArtifactStore.loads.get() > loads0,
+      "second invocation must SCAN the persisted lsh_pairs artifact")
+    assert(graft.sources.ArtifactStore.builds.get() == builds0,
+      "second invocation must not rebuild")
+    assert(rows2 == rows1, "artifact scan must equal the built frame")
+  }
+}

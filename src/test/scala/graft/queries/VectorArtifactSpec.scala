@@ -1,47 +1,58 @@
 package graft.queries
 
-import graft.sources.ArtifactStore
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The ANN index persists ACROSS RUNS like the gram index: the coarse
-  * routing table (centroid affinity) and the PQ candidate frame are
-  * deployed parquet artifacts, so a fresh session serves v08/v12/v24/
-  * v25 and friends from the index scan instead of re-scoring the
-  * corpus — the "build once at deployment, read forever per query"
-  * posture a 100 TB vector index actually runs under. */
+/** Round-17: v02's exact truth-pair set and v43's search-ready IVF-PQ
+  * index persist as cross-run artifacts. Locks the fold tags (the
+  * IncCcFoldTag rule), v43's build-path ≡ serve-path equality against
+  * v24 (they share one oracle, so they must also agree in-JVM), and the
+  * served-from-disk contract after a memo clear. */
 class VectorArtifactSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.session
   val d = "/root/testdata/sf0.001"
+  val src = "src/main/scala/graft/queries/VectorOps.scala"
 
-  test("a new session loads both ANN index artifacts (no rebuild), v24 unchanged") {
-    // run 1: builds or loads — either way both artifacts exist after
-    val r1 = graft.SparkEntry.all("v24_ivfpq_topk").fn(spark, d)
-      .collect().map(_.toSeq).toSet
-    val key = ArtifactStore.key(d, "embeddings.parquet")
-    for (kind <- Seq("ivf_affinity", "pq_cand64")) {
-      val dir = java.nio.file.Paths.get(ArtifactStore.root, kind, key)
-      assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
-        s"$kind artifact must exist after first use: $dir")
-    }
+  test("cos_pairs artifact fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("cos", src,
+      Seq("def vecs(", "def cosineNearDupPairsUncached("))
+    assert(VectorOps.CosPairsFoldTag == want,
+      s"truth-pair derivation changed: bump VectorOps.CosPairsFoldTag to \"$want\" " +
+        "(the persisted cos_pairs artifact must be invalidated with it)")
+  }
 
-    // run 2: a NEW SparkSession (fresh memo key — the fresh-JVM shape)
-    // must LOAD both halves, and consumers must scan the artifacts
-    val s2 = spark.newSession()
-    val builds0 = ArtifactStore.builds.get()
-    val loads0 = ArtifactStore.loads.get()
-    val aff2 = VectorOps.centroidAffinity(s2, d)
-    val cand2 = VectorOps.pqCand64(s2, d)
-    assert(ArtifactStore.builds.get() == builds0,
-      "a second session must not rebuild the ANN index")
-    assert(ArtifactStore.loads.get() >= loads0 + 2,
-      "both index halves must load from disk")
-    assert(aff2.inputFiles.forall(_.contains("ivf_affinity")),
-      s"routing reads the artifact scan: ${aff2.inputFiles.take(3).mkString(",")}")
-    assert(cand2.inputFiles.forall(_.contains("pq_cand64")),
-      s"PQ candidates read the artifact scan: ${cand2.inputFiles.take(3).mkString(",")}")
+  test("ann_index artifact fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("ann", src,
+      Seq("def pqCandUncachedK(", "def centroidAffinityUncached(",
+        "def cellAssignments(", "def annIndexUncached("))
+    assert(VectorOps.AnnIndexFoldTag == want,
+      s"index derivation changed: bump VectorOps.AnnIndexFoldTag to \"$want\" " +
+        "(the persisted ann_index artifact must be invalidated with it)")
+  }
 
-    val r2 = graft.SparkEntry.all("v24_ivfpq_topk").fn(s2, d)
-      .collect().map(_.toSeq).toSet
-    assert(r2 == r1, "artifact-served results must hash-match the built run")
+  test("v43 persisted-index serve ≡ v24 in-session build, and a cleared session scans the artifact") {
+    val r24 = VectorOps.ivfPqTopK(spark, d).collect().map(_.toSeq).toSeq
+    val r43 = VectorOps.annPersistedIndexTopK(spark, d).collect().map(_.toSeq).toSeq
+    assert(r43.nonEmpty && r43 == r24,
+      "the persisted index must answer exactly what the in-session pipeline answers")
+    VectorOps.clearCaches()
+    val loads0 = graft.sources.ArtifactStore.loads.get()
+    val builds0 = graft.sources.ArtifactStore.builds.get()
+    val again = VectorOps.annPersistedIndexTopK(spark, d).collect().map(_.toSeq).toSeq
+    assert(graft.sources.ArtifactStore.loads.get() > loads0,
+      "post-clear serve must SCAN the persisted ann_index artifact")
+    assert(graft.sources.ArtifactStore.builds.get() == builds0,
+      "post-clear serve must not rebuild the index")
+    assert(again == r43, "artifact-served top-k must be identical")
+  }
+
+  test("v02: a cleared session is served from the cos_pairs artifact with identical rows") {
+    val rows1 = VectorOps.cosineNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
+    assert(rows1.nonEmpty, "fixture must have cosine near-dup pairs")
+    VectorOps.clearCaches()
+    val builds0 = graft.sources.ArtifactStore.builds.get()
+    val rows2 = VectorOps.cosineNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
+    assert(graft.sources.ArtifactStore.builds.get() == builds0,
+      "second invocation must not rebuild the truth set")
+    assert(rows2 == rows1, "artifact scan must equal the built frame")
   }
 }
