@@ -79,7 +79,10 @@ object PlanDump {
     // s34 stays out (stream runs at build time; plan = checkpoint scan)
     "m14_frame_reuse",
     // round 17 additions (v43/t67 are memo-served — their UNCACHED
-    // serve plans over the persisted artifacts are the evidence)
+    // serve plans over the persisted artifacts are the evidence; t68
+    // stays out: the roll artifact writes at build time, so the
+    // registered plan is a 4-row census scan — its shape lock is the
+    // rolled ≡ rebuild equality in TextArtifactSpec)
     "v43_ann_persisted_index", "t67_delta_dedup")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint

@@ -37,7 +37,7 @@ object SparkEntry {
     "t02_minhash_signatures", "t03_lsh_near_dup_pairs", "t13_simhash_near_dup",
     "t16_dup_clusters", "t22_token_budget_select", "t34_cc_star_clusters",
     "t42_stopword_quality", "t58_curation_waterfall", "t62_trained_quality_scorer",
-    "t67_delta_dedup",
+    "t67_delta_dedup", "t68_index_roll",
     "v02_cosine_near_dup_pairs", "v38_ivf_compaction_rebuild",
     "v43_ann_persisted_index",
     "m07_chunk_near_dup", "m09_chunk_simhash_pairs", "m10_media_dup_clusters",

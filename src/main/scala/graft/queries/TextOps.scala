@@ -308,6 +308,7 @@ object TextOps {
         catch { case _: Throwable => () })
     pairsCache.clear()
     deltaDedupCache.clear()
+    indexRollCache.clear() // checkpoint-backed 4-row census
     simhashPairsCache.clear()
     clustersCache.clear()
     starClustersCache.clear()
@@ -783,11 +784,19 @@ object TextOps {
   private def deltaDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).filter(pmod(col("doc_id"), lit(DeltaMod)) === DeltaRes)
 
+  /** (doc_id, sid) distinct shingle-id postings of any doc slice. */
+  private def sidsOf(docs: DataFrame): DataFrame =
+    shinglesOf(docs).select(col("doc_id"), sid(col("sh")).as("sid")).distinct()
+
+  /** The delta shard's fresh band keys — shared by t67 (candidates) and
+    * t68 (the roll-forward union). */
+  private def deltaBands(s: SparkSession, d: String): DataFrame =
+    bandsOf(sidsOf(deltaDocs(s, d)).groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*))
+
   /** The persisted corpus VERIFICATION index: (doc_id, sid) distinct
     * shingle-id postings of every corpus (non-delta) document. */
   private[graft] def corpusSidsUncached(s: SparkSession, d: String): DataFrame =
-    shinglesOf(corpusDocs(s, d)).select(col("doc_id"), sid(col("sh")).as("sid"))
-      .distinct()
+    sidsOf(corpusDocs(s, d))
 
   private def corpusSids(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.loadOrBuild(s, "corpus_sids",
@@ -829,9 +838,8 @@ object TextOps {
     // no persists here: the plan must stay pure (PlanDump dumps it), the
     // delta subtrees are |corpus|/10-sized, and the registered wrapper
     // checkpoints the (tiny) RESULT once per session anyway
-    val dsh = shinglesOf(deltaDocs(s, d))
-      .select(col("doc_id"), sid(col("sh")).as("sid")).distinct()
-    val dbands = bandsOf(dsh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*))
+    val dsh = sidsOf(deltaDocs(s, d))
+    val dbands = deltaBands(s, d)
     val onBand = (x: String, y: String) =>
       BandKeys.map(k => col(s"$x.$k") === col(s"$y.$k")).reduce(_ && _)
     val dc = dbands.as("x").join(cb.as("y"), onBand("x", "y"))
@@ -867,10 +875,51 @@ object TextOps {
       deltaDedupUncached(s, d).localCheckpoint())
   }
 
-  /** corpus_sids/corpus_bands artifact fold-shape tag — sha256 (first
-    * 8 hex) over the shared signature-derivation region plus the
-    * delta-index defs; TextArtifactSpec's tag-lock recomputes it. */
-  private[queries] val DeltaFoldTag = "dlt-6d93642e"
+  /** t68 — INDEX ROLL-FORWARD: fold today's delta into the persisted
+    * corpus index so TOMORROW'S delta joins (corpus ∪ today) — the
+    * nightly maintenance step that completes t67's lifecycle (t67 reads
+    * the index, t68 advances it; together they are the steady state a
+    * 100 TB dedup service runs instead of ever re-running the t03
+    * backfill). The rolled index is corpus_bands ∪ the delta's fresh
+    * band keys — a pure union write, O(|delta|) new work — persisted as
+    * its own artifact (rolled_bands), and the graded readout is a
+    * per-band census over the ROLLED artifact: postings, distinct docs,
+    * Σ doc_id, and a Σ(h0+h1+h2+h3) key checksum that flips if ANY
+    * posting's band keys drift. The oracle computes the same census
+    * from a FULL REBUILD over all documents — roll-forward ≡ rebuild is
+    * a cross-engine hash fact (per-doc signatures are independent, so
+    * the union must be posting-for-posting the rebuild; the checksum is
+    * what turns "must be" into a graded equality). */
+  private[graft] def rolledBandsUncached(s: SparkSession, d: String): DataFrame =
+    corpusBands(s, d).unionByName(deltaBands(s, d))
+
+  private def rolledBands(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "rolled_bands",
+      graft.sources.ArtifactStore.key(d, "documents.parquet") + "-" + DeltaFoldTag) {
+      rolledBandsUncached(s, d)
+    }
+
+  private val indexRollCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def indexRoll(s: SparkSession, d: String): DataFrame = {
+    indexRollCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    indexRollCache.getOrElseUpdate((s, d),
+      rolledBands(s, d)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"),
+          sum(col("h0") + col("h1") + col("h2") + col("h3")).cast("long").as("h_checksum"))
+        .orderBy("band")
+        .localCheckpoint())
+  }
+
+  /** corpus_sids/corpus_bands/rolled_bands artifact fold-shape tag —
+    * sha256 (first 8 hex) over the shared signature-derivation region
+    * plus the delta-index defs; TextArtifactSpec's tag-lock recomputes
+    * it. */
+  private[queries] val DeltaFoldTag = "dlt-c33ce1f3"
 
   /** Per-source MinHash sketches + pairwise source similarity — the
     * MERGEABLE-SKETCH pattern: a source's sketch is min-per-slot over
@@ -3676,6 +3725,21 @@ object TextOps {
          |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
          |  AND (i.a_id % $DeltaMod = $DeltaRes OR i.b_id % $DeltaMod = $DeltaRes)
          |ORDER BY 1, 2""".stripMargin),
+
+    // t68's oracle is a FULL REBUILD: the same census computed from
+    // scratch over all documents — roll-forward ≡ rebuild is the claim
+    "t68_index_roll" -> QueryDef(indexRoll _,
+      s"""$ShinglesSqlDuck,
+         |sig AS (SELECT doc_id, $mhSelect FROM ids GROUP BY doc_id),
+         |bands AS (
+         |  ${(0 until NumHashes / BandRows).map(b =>
+               s"SELECT doc_id, $b AS band, " + (0 until BandRows).map(r =>
+                 s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
+             .mkString(" UNION ALL\n  ")})
+         |SELECT band, COUNT(*) AS n_postings, COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(SUM(h0 + h1 + h2 + h3) AS BIGINT) AS h_checksum
+         |FROM bands GROUP BY band ORDER BY band""".stripMargin),
 
     "t04_simhash" -> QueryDef(simhash _,
       s"""$SimhashCtesDuck

@@ -38,14 +38,40 @@ class TextArtifactSpec extends AnyFunSuite {
         "(the persisted lsh_pairs artifact must be invalidated with it)")
   }
 
-  test("corpus_sids/corpus_bands (t67) fold-shape tag is locked to the derivation source") {
+  test("corpus_sids/corpus_bands/rolled_bands (t67/t68) fold-shape tag is locked to the derivation source") {
     val want = FoldTagLock.expectedTag("dlt", src,
       SigSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
-        "def corpusDocs(", "def deltaDocs(", "def corpusSidsUncached(",
-        "def corpusBandsUncached(", "def deltaDedupUncached("))
+        "def corpusDocs(", "def deltaDocs(", "def sidsOf(", "def deltaBands(",
+        "def corpusSidsUncached(", "def corpusBandsUncached(",
+        "def deltaDedupUncached(", "def rolledBandsUncached("))
     assert(TextOps.DeltaFoldTag == want,
       s"delta-index derivation changed: bump TextOps.DeltaFoldTag to \"$want\" " +
-        "(the persisted corpus_sids/corpus_bands artifacts must be invalidated with it)")
+        "(the persisted corpus_sids/corpus_bands/rolled_bands artifacts must be invalidated with it)")
+  }
+
+  test("t68 roll-forward ≡ rebuild: the rolled index census equals a from-scratch banding of all docs") {
+    // the DuckDB oracle states this cross-engine; this states it
+    // in-engine so the union write can never silently drop or duplicate
+    // postings even where both engines would drift together
+    import org.apache.spark.sql.functions.{col, count, countDistinct, lit, sum}
+    val rebuilt = TextOps.minhashSignatures(spark, d) // full-corpus signatures
+    val nBands = TextOps.NumHashes / TextOps.BandRows
+    val bands = (0 until nBands).map { b =>
+      rebuilt.select(col("doc_id"), lit(b).as("band"),
+        col(s"mh${TextOps.BandRows * b}").as("h0"),
+        col(s"mh${TextOps.BandRows * b + 1}").as("h1"),
+        col(s"mh${TextOps.BandRows * b + 2}").as("h2"),
+        col(s"mh${TextOps.BandRows * b + 3}").as("h3"))
+    }.reduce(_ unionByName _)
+    val want = bands.groupBy("band")
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("doc_id")).cast("long").as("id_sum"),
+        sum(col("h0") + col("h1") + col("h2") + col("h3")).cast("long").as("h_checksum"))
+      .orderBy("band").collect().map(_.toSeq).toSeq
+    val got = TextOps.indexRoll(spark, d).collect().map(_.toSeq).toSeq
+    assert(got == want, s"rolled census diverged from rebuild:\n got=$got\nwant=$want")
+    assert(got.size == nBands)
   }
 
   test("t67 incremental ≡ batch: delta-dedup equals the full LSH pairs restricted to delta-touching") {
