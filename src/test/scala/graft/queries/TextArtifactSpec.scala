@@ -43,7 +43,8 @@ class TextArtifactSpec extends AnyFunSuite {
       SigSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
         "def corpusDocs(", "def deltaDocs(", "def sidsOf(", "def deltaBands(",
         "def corpusSidsUncached(", "def corpusBandsUncached(",
-        "def deltaDedupUncached(", "def rolledBandsUncached("))
+        "def deltaDedupUncached(", "def deltaDedupBuild(",
+        "def rolledBandsUncached("))
     assert(TextOps.DeltaFoldTag == want,
       s"delta-index derivation changed: bump TextOps.DeltaFoldTag to \"$want\" " +
         "(the persisted corpus_sids/corpus_bands/rolled_bands artifacts must be invalidated with it)")
