@@ -149,4 +149,18 @@ class BpeMergeSpec extends AnyFunSuite {
     assert(perDoc.toSeq == Seq((0L, 3L, 3L), (1L, 3L, 2L + 2L + 6L)),
       s"per-doc (n_words, n_tok): ${perDoc.toSeq}; merges: $merges")
   }
+
+  test("s34 stream-encoded census ≡ t64 batch census, row for row (in-engine)") {
+    // s34 shares t64's ORACLE verbatim (the cross-engine lock); this is
+    // the round-16 verdict's missing in-ENGINE assertion: the replayed
+    // multi-micro-batch fold (streamBpeCensus requires ≥2 batches, so
+    // the mergeable-partials claim is actually exercised) must equal
+    // the one-pass batch census on the same fixture, column for column.
+    val d = "/root/testdata/sf0.001"
+    val batch = TextOps.bpeEncodeCensus(spark, d).collect().map(_.toSeq).toSeq
+    val stream = StreamOps.streamBpeCensus(spark, d).collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty, "fixture must produce a census")
+    assert(stream == batch,
+      s"stream-encoded census diverged from batch:\n stream=$stream\n batch=$batch")
+  }
 }
