@@ -91,6 +91,48 @@ class TextArtifactSpec extends AnyFunSuite {
     assert(inc.nonEmpty, "fixture must have at least one delta-touching pair")
   }
 
+  test("t67 planted geometry: delta↔corpus and delta↔delta dups found; corpus↔corpus gated out") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // The m13/m14 evidence bar applied to t67: plant KNOWN duplicates on
+    // both sides of the delta boundary (delta = doc_id ≡ 7 mod 10) and
+    // grade the census against hand-known truth. Identical texts ⇒
+    // identical shingle sets ⇒ identical signatures ⇒ band candidates ⇒
+    // jaccard exactly 1.0 — no hand-tracing of the hash needed:
+    //   docs 3 (corpus) & 7 (delta): same text A  → MUST surface (3, 7)
+    //   docs 17 & 27 (both delta):   same text B  → MUST surface (17, 27)
+    //   docs 4 & 14 (both corpus):   same text C  → must be ABSENT
+    //     (a dup, but not delta-touching — yesterday's backfill already
+    //     reported it; the incremental pass must not re-emit it)
+    //   docs 5, 8 (corpus): unique long texts     → absent
+    val A = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val B = "completely different delta payload about streaming ingestion of text"
+    val C = "a corpus only duplicate that the incremental pass must never re emit"
+    val dir = java.nio.file.Files.createTempDirectory("graft_t67plant")
+      .toFile.getAbsolutePath
+    Seq(
+      (3L, A, "en", "fx"), (7L, A, "en", "fx"),
+      (17L, B, "en", "fx"), (27L, B, "en", "fx"),
+      (4L, C, "en", "fx"), (14L, C, "en", "fx"),
+      (5L, "unrelated corpus text number five with plenty of words inside", "en", "fx"),
+      (8L, "another unrelated corpus document with its own distinct wording", "en", "fx"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.deltaDedup(spark, dir)
+      .select("a_id", "b_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.map(p => (p._1, p._2)) == Seq((3L, 7L), (17L, 27L)),
+      s"exactly the delta-touching dup pairs must surface: $out")
+    assert(out.forall(_._3 == 1.0),
+      s"identical texts must verify at jaccard exactly 1.0: $out")
+    // and the corpus↔corpus dup really IS a dup the batch path sees —
+    // only the delta restriction keeps it out of t67's census
+    val batch = TextOps.lshNearDupPairs(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch.contains((4L, 14L)),
+      s"fixture self-check: the corpus-only dup must exist in the batch frame: $batch")
+  }
+
   test("t67 serve plan scans the persisted corpus indices; only the delta is shingled fresh") {
     val plan = TextOps.deltaDedupUncached(spark, d)
       .queryExecution.explainString(
