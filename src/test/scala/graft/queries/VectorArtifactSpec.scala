@@ -10,6 +10,43 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorArtifactSpec extends AnyFunSuite {
   lazy val spark = graft.TestSpark.session
   val d = "/root/testdata/sf0.001"
+
+  test("a new session loads both ANN index artifacts (no rebuild), v24 unchanged") {
+    // The pre-round-17 contract, kept verbatim (a round-17 rewrite
+    // briefly dropped it — caught in review): the coarse routing table
+    // and the PQ candidate frame are deployed parquet artifacts, so a
+    // FRESH session serves v08/v12/v24/v25 from the index scan instead
+    // of re-scoring the corpus.
+    // run 1: builds or loads — either way both artifacts exist after
+    val r1 = graft.SparkEntry.all("v24_ivfpq_topk").fn(spark, d)
+      .collect().map(_.toSeq).toSet
+    val key = graft.sources.ArtifactStore.key(d, "embeddings.parquet")
+    for (kind <- Seq("ivf_affinity", "pq_cand64")) {
+      val dir = java.nio.file.Paths.get(graft.sources.ArtifactStore.root, kind, key)
+      assert(java.nio.file.Files.exists(dir.resolve("_SUCCESS")),
+        s"$kind artifact must exist after first use: $dir")
+    }
+
+    // run 2: a NEW SparkSession (fresh memo key — the fresh-JVM shape)
+    // must LOAD both halves, and consumers must scan the artifacts
+    val s2 = spark.newSession()
+    val builds0 = graft.sources.ArtifactStore.builds.get()
+    val loads0 = graft.sources.ArtifactStore.loads.get()
+    val aff2 = VectorOps.centroidAffinity(s2, d)
+    val cand2 = VectorOps.pqCand64(s2, d)
+    assert(graft.sources.ArtifactStore.builds.get() == builds0,
+      "a second session must not rebuild the ANN index")
+    assert(graft.sources.ArtifactStore.loads.get() >= loads0 + 2,
+      "both index halves must load from disk")
+    assert(aff2.inputFiles.forall(_.contains("ivf_affinity")),
+      s"routing reads the artifact scan: ${aff2.inputFiles.take(3).mkString(",")}")
+    assert(cand2.inputFiles.forall(_.contains("pq_cand64")),
+      s"PQ candidates read the artifact scan: ${cand2.inputFiles.take(3).mkString(",")}")
+
+    val r2 = graft.SparkEntry.all("v24_ivfpq_topk").fn(s2, d)
+      .collect().map(_.toSeq).toSet
+    assert(r2 == r1, "artifact-served results must hash-match the built run")
+  }
   val src = "src/main/scala/graft/queries/VectorOps.scala"
 
   test("cos_pairs artifact fold-shape tag is locked to the derivation source") {
