@@ -131,6 +131,17 @@ class TextArtifactSpec extends AnyFunSuite {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(batch.contains((4L, 14L)),
       s"fixture self-check: the corpus-only dup must exist in the batch frame: $batch")
+    // t68 on the same planted corpus, from first principles: every doc
+    // contributes EXACTLY one posting per band (4 bands, one signature
+    // row each), so per band: 8 postings, 8 distinct docs, and
+    // Σ doc_id = 3+7+17+27+4+14+5+8 = 85 — the rolled (corpus ∪ delta)
+    // index must reconstruct the full population exactly
+    val roll = TextOps.indexRoll(spark, dir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(roll.map(_._1) == (0L until 4L), s"4 bands: $roll")
+    assert(roll.forall(r => r._2 == 8L && r._3 == 8L && r._4 == 85L),
+      s"per band the rolled index must hold all 8 docs once (Σid 85): $roll")
   }
 
   test("t67 serve plan scans the persisted corpus indices; only the delta is shingled fresh") {
