@@ -83,7 +83,12 @@ object PlanDump {
     // stays out: the roll artifact writes at build time, so the
     // registered plan is a 4-row census scan — its shape lock is the
     // rolled ≡ rebuild equality in TextArtifactSpec)
-    "v43_ann_persisted_index", "t67_delta_dedup")
+    "v43_ann_persisted_index", "t67_delta_dedup",
+    // round 18 additions (v44's registered plan is a census over the
+    // rolled artifact written at build time — the load-bearing evidence
+    // is the ROLL plan: corpus side artifact-scanned, delta-only fresh
+    // encode — dumped via UncachedBuilds)
+    "v44_ann_index_roll")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —
@@ -101,7 +106,13 @@ object PlanDump {
     // query/delta-sized).
     "t03_lsh_near_dup_pairs" -> (graft.queries.TextOps.lshNearDupPairsUncached _),
     "v43_ann_persisted_index" -> (graft.queries.VectorOps.annPersistedTopKUncached _),
-    "t67_delta_dedup" -> (graft.queries.TextOps.deltaDedupUncached _))
+    "t67_delta_dedup" -> (graft.queries.TextOps.deltaDedupUncached _),
+    // round 18: v44's evidence is the roll plan — the corpus_ann
+    // artifact scanned, only the delta slice routed + encoded fresh;
+    // m09's pair frame became a cross-run artifact (verdict #4), so
+    // its banded build pipeline is the evidence now
+    "v44_ann_index_roll" -> (graft.queries.VectorOps.rolledAnnUncached _),
+    "m09_chunk_simhash_pairs" -> (graft.multimodal.Multimodal.chunkSimhashPairsUncached _))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

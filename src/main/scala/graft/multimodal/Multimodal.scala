@@ -261,30 +261,49 @@ object Multimodal {
   def chunkSimhashPairs(spark: SparkSession, dir: String): DataFrame = {
     simhashPairsCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     simhashPairsCache.getOrElseUpdate((spark, dir), {
-      val sig = chunkSimhash(spark, dir)
-      val ph = (0 until 4).foldLeft(sig) { (df, k) =>
-        df.withColumn(s"band$k",
-          shiftright(col("phash60"), 15 * k).bitwiseAND(lit(32767L)))
-      }
-      val a = ph.select(col("media_id").as("a_id") +: col("phash60").as("ha") +:
-        (0 until 4).map(k => col(s"band$k").as(s"a$k")): _*)
-      val b = ph.select(col("media_id").as("b_id") +: col("phash60").as("hb") +:
-        (0 until 4).map(k => col(s"band$k").as(s"c$k")): _*)
-      // the exact hamming verify runs INSIDE each band join, before the
-      // dedup shuffle — far candidates drop map-side instead of riding
-      // through the distinct; hamming is a function of the pair, so it
-      // dedupes along with it
-      val pairs = (0 until 4).map { k =>
-        a.join(b, col(s"a$k") === col(s"c$k") && col("a_id") < col("b_id")
-            && expr("bit_count(ha ^ hb)") <= 2)
-          .select(col("a_id"), col("b_id"),
-            expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
-      }.reduce(_ unionByName _).distinct()
-        .orderBy("a_id", "b_id")
-      pairs.persist().count()
-      pairs
+      // cross-RUN artifact (round-17 verdict #4): the verified pair set
+      // is a pure function of documents.parquet and feeds m10's cluster
+      // walk — a fresh JVM used to pay the chunk+SimHash+band pipeline
+      // (7.5 s in the cleared lane at sf0.1) to rebuild it. Key =
+      // fixture digest + fold-shape tag (MediaArtifactSpec's tag-lock
+      // recomputes it over the chunker/SimHash/pair derivation).
+      graft.sources.ArtifactStore.loadOrBuild(spark, "m_simhash_pairs",
+        graft.sources.ArtifactStore.key(dir, "documents.parquet") +
+          "-" + SimhashPairsFoldTag) {
+        chunkSimhashPairsUncached(spark, dir)
+      }.orderBy("a_id", "b_id").localCheckpoint()
     })
   }
+
+  /** The banded build behind the m_simhash_pairs artifact — the
+    * load-bearing plan (PlanDump / cleared-lane evidence). */
+  private[graft] def chunkSimhashPairsUncached(spark: SparkSession, dir: String): DataFrame = {
+    val sig = chunkSimhash(spark, dir)
+    val ph = (0 until 4).foldLeft(sig) { (df, k) =>
+      df.withColumn(s"band$k",
+        shiftright(col("phash60"), 15 * k).bitwiseAND(lit(32767L)))
+    }
+    val a = ph.select(col("media_id").as("a_id") +: col("phash60").as("ha") +:
+      (0 until 4).map(k => col(s"band$k").as(s"a$k")): _*)
+    val b = ph.select(col("media_id").as("b_id") +: col("phash60").as("hb") +:
+      (0 until 4).map(k => col(s"band$k").as(s"c$k")): _*)
+    // the exact hamming verify runs INSIDE each band join, before the
+    // dedup shuffle — far candidates drop map-side instead of riding
+    // through the distinct; hamming is a function of the pair, so it
+    // dedupes along with it. No orderBy here: the serving wrapper sorts
+    // the artifact scan (the round-18 double-sort fold-out).
+    (0 until 4).map { k =>
+      a.join(b, col(s"a$k") === col(s"c$k") && col("a_id") < col("b_id")
+          && expr("bit_count(ha ^ hb)") <= 2)
+        .select(col("a_id"), col("b_id"),
+          expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
+  /** m_simhash_pairs artifact fold-shape tag — sha256 (first 8 hex)
+    * over the chunker + SimHash + banded-pair derivation source;
+    * MediaArtifactSpec's tag-lock recomputes it. */
+  private[graft] val SimhashPairsFoldTag = "msp-4170f88b"
 
   /** Real (non-stub) metadata extraction over the binary column —
     * length, digest, sniffed prefix. Pure built-in expressions. */

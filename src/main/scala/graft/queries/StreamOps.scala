@@ -1453,7 +1453,7 @@ object StreamOps {
     * [[edgeMaintPlan]], [[streamEdgeMaintenance]]);
     * EdgeMaintStreamSpec's tag-lock recomputes it, so a derivation edit
     * without a bump is a test failure, never a stale artifact. */
-  private[queries] val EdgeMaintFoldTag = "emf-2483c987"
+  private[graft] val EdgeMaintFoldTag = "emf-2483c987"
 
   /** s31 — INCREMENTAL connected components maintained as trades
     * arrive: s29 keeps the edge artifact fresh at ingest; this keeps the
@@ -1702,7 +1702,7 @@ object StreamOps {
     * changes without this constant being bumped to the value the
     * failing test prints — a derivation edit can no longer silently
     * reuse the old artifact. */
-  private[queries] val IncCcFoldTag = "ccf-14aa0062"
+  private[graft] val IncCcFoldTag = "ccf-14aa0062"
 
   /** One incremental fold: new first-seen pairs join the accumulated
     * set, arrivals register under their own label, and the min-label

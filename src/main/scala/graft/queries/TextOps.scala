@@ -230,7 +230,7 @@ object TextOps {
     * MhA/MhB/P31); TextArtifactSpec's tag-lock recomputes it, so a
     * derivation edit without a bump is a test failure, never a stale
     * artifact. */
-  private[queries] val SigFoldTag = "sig-c18554d4"
+  private[graft] val SigFoldTag = "sig-c18554d4"
 
   /** MinHash signatures: 16 permutations min-hashed over 5-gram shingles. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
@@ -293,7 +293,7 @@ object TextOps {
     * defs/constants it composes (the SigFoldTag region); TextArtifactSpec
     * recomputes it, so a derivation edit without a bump is a test
     * failure, never a stale persisted pair set. */
-  private[queries] val LshPairsFoldTag = "lsh-9541aecd"
+  private[graft] val LshPairsFoldTag = "lsh-d9328cb6"
 
   /** Teardown hook (Bench/Verify call this before spark.stop()): release
     * persisted pair results so repeated harness runs in one JVM don't
@@ -762,7 +762,9 @@ object TextOps {
       .withColumn("jaccard", col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= 0.5)
       .select("a_id", "b_id", "inter", "jaccard")
-      .orderBy("a_id", "b_id")
+    // no orderBy here: the serving wrapper sorts the artifact SCAN, so
+    // a builder sort was a second, redundant sort of the |pairs|-row
+    // result (SCALE "Known tradeoffs", folded out in round 18)
     // materialize the (tiny, |pairs|-row) result, then release the
     // shingle cache — it exists only to serve this plan's 4 consumers
     pairs.persist().count()
@@ -937,7 +939,7 @@ object TextOps {
     * sha256 (first 8 hex) over the shared signature-derivation region
     * plus the delta-index defs; TextArtifactSpec's tag-lock recomputes
     * it. */
-  private[queries] val DeltaFoldTag = "dlt-2dbde157"
+  private[graft] val DeltaFoldTag = "dlt-2dbde157"
 
   /** Per-source MinHash sketches + pairwise source similarity — the
     * MERGEABLE-SKETCH pattern: a source's sketch is min-per-slot over

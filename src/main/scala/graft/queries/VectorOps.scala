@@ -98,14 +98,15 @@ object VectorOps {
       .withColumn("cos", round(dot("av", "bv") / (col("an") * col("bn")), 6))
       .filter(col("cos") >= 0.45)
       .select("a_id", "b_id", "cos")
-      .orderBy("a_id", "b_id")
+    // no orderBy here: the serving wrapper sorts the artifact scan
+    // (SCALE "Known tradeoffs" double-sort, folded out in round 18)
   }
 
   /** cos_pairs artifact fold-shape tag — sha256 (first 8 hex) over the
     * source of [[vecs]] and [[cosineNearDupPairsUncached]];
     * VectorArtifactSpec's tag-lock recomputes it, so a derivation edit
     * without a bump is a test failure, never a stale truth set. */
-  private[queries] val CosPairsFoldTag = "cos-16ea49ca"
+  private[graft] val CosPairsFoldTag = "cos-a54aef08"
 
   private val cosinePairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
@@ -261,6 +262,7 @@ object VectorOps {
     rebuildAudit.clear()
     resPqIndexCache.clear()
     annTopKCache.clear()
+    annRollCache.clear()
   }
 
   private val resPqIndexCache = scala.collection.concurrent.TrieMap
@@ -1532,7 +1534,119 @@ object VectorOps {
     * ([[pqCandUncachedK]], [[centroidAffinityUncached]],
     * [[cellAssignments]], [[annIndexUncached]]); VectorArtifactSpec's
     * tag-lock recomputes it. */
-  private[queries] val AnnIndexFoldTag = "ann-fd6ba877"
+  private[graft] val AnnIndexFoldTag = "ann-fd6ba877"
+
+  // ——— v44: incremental ANN index roll-forward (the t67/t68 lifecycle
+  // for vectors — round-17 verdict #3) ———
+
+  /** Deterministic "today's embedding ingest shard": vec_id ≡ VecDeltaRes
+    * (mod VecDeltaMod) — the t67 convention; at 100 TB the delta would
+    * be its own partition/day directory and the hash gate stands in for
+    * that partition predicate on the shared fixture. */
+  private[queries] val VecDeltaMod = 10L
+  private[queries] val VecDeltaRes = 7L
+
+  /** Route + PQ-encode EXACTLY the vectors matching `pred`, against the
+    * FROZEN quantizers (the 16 id-pinned coarse centroids and the
+    * 64-codeword id-pinned sub-vector codebook — training data, fixed
+    * at index build like any deployed FAISS index): per vector its
+    * nearest cell (rounded cosine, cid-asc tie-break — v08's router)
+    * plus 8 PQ codes (min integer L2², j-asc tie-break — v12's
+    * encoder). Per-vector output depends only on the vector and the
+    * frozen quantizers — NO cross-vector state — which is exactly what
+    * makes the roll-forward ≡ rebuild equality hold posting-for-
+    * posting. Scale: the slice scans once for routing and once for
+    * encoding; both quantizers broadcast (16 and 512 rows at ANY corpus
+    * size); every downstream shuffle is O(|slice|). */
+  private[graft] def annEncodeSlice(s: SparkSession, d: String, pred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorExpressions.register(s)
+    val e = embeddings(s, d)
+    val cents = withVecNorm(e.filter(col("vec_id") < 16))
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val cells = withVecNorm(e.filter(pred))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", round(dot("v", "cv") / (col("nrm") * col("cn")), 6))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    def subs(df: DataFrame) = df
+      .withColumn("qv",
+        expr("transform(embedding, x -> cast(floor(cast(x AS double) * 200.0D) AS double))"))
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("m"), col("qv"))
+      .select(col("vec_id"), col("m"), expr("slice(qv, m * 8 + 1, 8)").as("sv"))
+    val cb = subs(e.filter(col("vec_id") < 64))
+      .select(col("m"), col("vec_id").as("j"), col("sv").as("cv"))
+    val d2 = (dot("sv", "sv") + dot("cv", "cv") - lit(2.0) * dot("sv", "cv")).cast("long")
+    val codes = subs(e.filter(pred)).join(broadcast(cb), "m")
+      .select(col("vec_id"), col("m"), col("j"), d2.as("d2"))
+      .groupBy("vec_id", "m").agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.j").as("code"))
+    codes.join(cells, "vec_id").select("vec_id", "cell", "m", "code")
+  }
+
+  /** The persisted CORPUS half of the rolling index: yesterday's
+    * vectors (the non-delta slice), encoded once and kept on disk —
+    * the v43 `ann_index` layout restricted to the corpus shard. */
+  private[graft] def corpusAnnUncached(s: SparkSession, d: String): DataFrame =
+    annEncodeSlice(s, d, pmod(col("vec_id"), lit(VecDeltaMod)) =!= VecDeltaRes)
+
+  private def corpusAnn(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "corpus_ann",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnRollFoldTag) {
+      corpusAnnUncached(s, d)
+    }
+
+  /** v44 — ANN INDEX ROLL-FORWARD: fold today's delta vectors into the
+    * persisted corpus index WITHOUT re-embedding, re-routing, or
+    * re-encoding the corpus — the nightly maintenance step that
+    * completes v43's lifecycle (v43 serves the persisted index, v44
+    * advances it; together they are the steady state a 100 TB vector
+    * store runs instead of ever re-running the index backfill — the
+    * t67/t68 pair for vectors). The rolled index is the corpus_ann
+    * artifact ∪ a fresh route+encode of ONLY the delta slice (both
+    * quantizers frozen and broadcast, so the new work is O(|delta|)),
+    * persisted as its own artifact (rolled_ann); the graded readout is
+    * a per-CELL census over the ROLLED artifact — entries, distinct
+    * vectors, Σ vec_id, and a Σ(m+1)·code checksum that flips if ANY
+    * posting's code or subspace drifts. The oracle computes the same
+    * census from a FULL REBUILD (v24's enc ⋈ cells chain over ALL
+    * vectors) — roll-forward ≡ rebuild is a cross-engine hash fact
+    * (per-vector encodings are independent of the split, so the union
+    * must be posting-for-posting the rebuild; the checksum turns "must
+    * be" into a graded equality, the t68 convention). */
+  private[graft] def rolledAnnUncached(s: SparkSession, d: String): DataFrame =
+    corpusAnn(s, d).unionByName(
+      annEncodeSlice(s, d, pmod(col("vec_id"), lit(VecDeltaMod)) === VecDeltaRes))
+
+  private def rolledAnn(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "rolled_ann",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnRollFoldTag) {
+      rolledAnnUncached(s, d)
+    }
+
+  private val annRollCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def annIndexRoll(s: SparkSession, d: String): DataFrame = {
+    annRollCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    annRollCache.getOrElseUpdate((s, d),
+      rolledAnn(s, d)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("vec_id")).as("n_vecs"),
+          sum(col("vec_id")).cast("long").as("id_sum"),
+          sum((col("m") + 1) * col("code")).cast("long").as("code_checksum"))
+        .orderBy("cell")
+        .localCheckpoint())
+  }
+
+  /** corpus_ann/rolled_ann artifact fold-shape tag — sha256 (first 8
+    * hex) over the slice-encoder and roll defs plus the delta-split
+    * constants; VectorArtifactSpec's tag-lock recomputes it. */
+  private[graft] val AnnRollFoldTag = "anr-7d62c517"
 
   /** Residual IVF-PQ top-5 — v24 upgraded to the full FAISS recipe:
     * the PQ codes quantize each vector's RESIDUAL against its cell
@@ -2320,9 +2434,10 @@ object VectorOps {
   private val CosDuck =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
-  /** v24's oracle, shared verbatim by v43 (artifact-scan path must
-    * agree with the in-session build path). */
-  private lazy val IvfPqTopkDuck: String =
+  /** The shared IVF-PQ derivation CTEs (through the per-vector `enc`
+    * codes and `cells` routing) — the prefix of v24/v43's top-k oracle,
+    * reused verbatim by v44's full-rebuild census oracle. */
+  private lazy val IvfPqEncCtesDuck: String =
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
         |aff AS (SELECT e.vec_id, c.cid,
@@ -2348,7 +2463,12 @@ object VectorOps {
         |enc AS (SELECT vec_id, m, j AS code FROM (
         |    SELECT vec_id, m, j,
         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
-        |    FROM cand) t WHERE rn = 1),
+        |    FROM cand) t WHERE rn = 1)""".stripMargin
+
+  /** v24's oracle, shared verbatim by v43 (artifact-scan path must
+    * agree with the in-session build path). */
+  private lazy val IvfPqTopkDuck: String = IvfPqEncCtesDuck +
+      """,
         |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
         |adc AS (SELECT l.q_id, en.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
         |  FROM enc en
@@ -2362,6 +2482,18 @@ object VectorOps {
         |  FROM adc)
         |SELECT q_id, rk, vec_id AS hit_id, ascore
         |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  /** v44's oracle — the FULL-REBUILD census: the same per-cell census
+    * computed from scratch over ALL vectors (v24's enc ⋈ cells chain);
+    * roll-forward ≡ rebuild is the claim. */
+  private lazy val AnnRollCensusDuck: String = IvfPqEncCtesDuck +
+      """
+        |SELECT cl.cell, COUNT(*) AS n_entries,
+        |  COUNT(DISTINCT en.vec_id) AS n_vecs,
+        |  CAST(SUM(en.vec_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM((en.m + 1) * en.code) AS BIGINT) AS code_checksum
+        |FROM enc en JOIN cells cl ON cl.vec_id = en.vec_id
+        |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
     "v30_matryoshka_recall_curve" -> QueryDef(matryoshkaRecallCurve _, MatryoshkaCurveDuck),
@@ -2871,6 +3003,9 @@ object VectorOps {
     // oracle is shared verbatim (the q61 convention), so the artifact
     // scan path and the in-session build path must agree to the hash
     "v43_ann_persisted_index" -> QueryDef(annPersistedIndexTopK _, IvfPqTopkDuck),
+    // v44 folds the delta slice into the persisted corpus index; the
+    // oracle is the full-rebuild census — roll ≡ rebuild as a hash fact
+    "v44_ann_index_roll" -> QueryDef(annIndexRoll _, AnnRollCensusDuck),
     "v25_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

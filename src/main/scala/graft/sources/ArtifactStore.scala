@@ -52,6 +52,33 @@ object ArtifactStore {
     // digests still reproduce so only a kind retirement reaps them
     "capped_adj")
 
+  /** Current fold-shape tag per TAGGED kind — the gc mirror of the
+    * module tag constants (round-17 verdict #6 / advice: a fold-tag
+    * BUMP inside a live kind stranded its old `<digest>-<oldTag>` dirs
+    * forever, because the digest half still reproduces — the same slow
+    * leak RetiredKinds closes for kind renames, per tag bump). gc()
+    * reaps a key dir whose name is `<registeredDigest>-<suffix>` with
+    * `suffix != currentTags(kind)`. Kinds NOT listed here keep the
+    * conservative digest-only rule (capped_adj2-style parameter
+    * suffixes are derivation inputs, not supersedable tags).
+    * Completeness is test-enforced: GcTagSpec statically scans every
+    * `loadOrBuild(..., key(...) + "-" + <X>FoldTag)` call site and
+    * fails if its kind is missing here. */
+  def currentTags: Map[String, String] = Map(
+    "minhash_sig" -> graft.queries.TextOps.SigFoldTag,
+    "lsh_pairs" -> graft.queries.TextOps.LshPairsFoldTag,
+    "corpus_sids" -> graft.queries.TextOps.DeltaFoldTag,
+    "corpus_bands" -> graft.queries.TextOps.DeltaFoldTag,
+    "rolled_bands" -> graft.queries.TextOps.DeltaFoldTag,
+    "cos_pairs" -> graft.queries.VectorOps.CosPairsFoldTag,
+    "ann_index" -> graft.queries.VectorOps.AnnIndexFoldTag,
+    "corpus_ann" -> graft.queries.VectorOps.AnnRollFoldTag,
+    "rolled_ann" -> graft.queries.VectorOps.AnnRollFoldTag,
+    "edge_maint" -> graft.queries.StreamOps.EdgeMaintFoldTag,
+    "inc_cc" -> graft.queries.StreamOps.IncCcFoldTag,
+    "m_simhash_pairs" -> graft.multimodal.Multimodal.SimhashPairsFoldTag,
+    "media_clusters" -> graft.queries.MediaOps.MediaClustersFoldTag)
+
   /** Observability for specs: how many artifacts were built vs served
     * from disk in this JVM. */
   val builds = new AtomicInteger(0)
@@ -126,10 +153,15 @@ object ArtifactStore {
     * digests and recompute each against its REGISTERED source: a digest
     * that no longer reproduces (fixture changed or gone) marks the dir
     * stale and it is deleted. Unregistered digests are kept —
-    * conservative, never deletes what it can't prove stale. Also reaps
-    * orphaned `.tmp-*` dirs from crashed builders — run gc only when no
-    * builder is concurrently active. Returns the deleted paths. */
-  def gc(retired: Set[String] = RetiredKinds): Seq[String] = synchronized {
+    * conservative, never deletes what it can't prove stale. For kinds
+    * in `tags`, a dir named `<registeredDigest>-<suffix>` whose suffix
+    * is not the kind's CURRENT fold tag is superseded (the tag bump
+    * re-keyed the artifact) and is reaped even though its digest still
+    * reproduces. Also reaps orphaned `.tmp-*` dirs from crashed
+    * builders — run gc only when no builder is concurrently active.
+    * Returns the deleted paths. */
+  def gc(retired: Set[String] = RetiredKinds,
+      tags: Map[String, String] = currentTags): Seq[String] = synchronized {
     loadRegistry()
     val deleted = scala.collection.mutable.Buffer.empty[String]
     val rootP = Paths.get(root)
@@ -140,12 +172,26 @@ object ArtifactStore {
             retired.contains(kindDir.getFileName.toString)) {
           rmrf(kindDir); deleted += kindDir.toString
         } else if (Files.isDirectory(kindDir)) {
+          val curTag = tags.get(kindDir.getFileName.toString)
           val keys = Files.list(kindDir)
           try keys.forEach { keyDir =>
             val name = keyDir.getFileName.toString
+            // strip every leading `<registeredDigest>-` (multi-fixture
+            // keys concatenate digests: edge_maint/inc_cc carry two);
+            // what remains is the tag suffix the bump superseded
+            @annotation.tailrec
+            def stripDigests(n: String): String =
+              registry.keysIterator.find(dg => n.startsWith(dg + "-")) match {
+                case Some(dg) => stripDigests(n.drop(dg.length + 1))
+                case None => n
+              }
+            val supersededTag = curTag.exists { t =>
+              val suffix = stripDigests(name)
+              (suffix ne name) && suffix != t
+            }
             val stale =
               if (name.contains(".tmp-")) true
-              else name.split("-").exists { dg =>
+              else supersededTag || name.split("-").exists { dg =>
                 registry.get(dg)
                   .exists { case (sd, sf) => keyNoRecord(sd, sf) != dg }
               }

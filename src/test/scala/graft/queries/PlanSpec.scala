@@ -635,7 +635,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("m09: band candidates hash-join on band keys; signature aggregates partially") {
-    val p = plan("m09_chunk_simhash_pairs")
+    // against the UNCACHED build: the registered fn serves the
+    // m_simhash_pairs artifact since round 18, so its plan is a scan
+    // and any lock on it would be vacuous (the t49 vacuity rule)
+    val p = graft.multimodal.Multimodal.chunkSimhashPairsUncached(spark, d)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),
       s"the 60 conditional sums must partial-aggregate map-side:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

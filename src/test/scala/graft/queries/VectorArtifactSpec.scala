@@ -82,6 +82,68 @@ class VectorArtifactSpec extends AnyFunSuite {
     assert(again == r43, "artifact-served top-k must be identical")
   }
 
+  test("corpus_ann/rolled_ann (v44) fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("anr", src,
+      Seq("private[queries] val VecDeltaMod", "private[queries] val VecDeltaRes",
+        "def annEncodeSlice(", "def corpusAnnUncached(", "def rolledAnnUncached("))
+    assert(VectorOps.AnnRollFoldTag == want,
+      s"roll derivation changed: bump VectorOps.AnnRollFoldTag to \"$want\" " +
+        "(the persisted corpus_ann/rolled_ann artifacts must be invalidated with it)")
+  }
+
+  test("v44 roll-forward ≡ rebuild in-engine: rolled index equals the full v24 encode chain") {
+    // the oracle states the same equality cross-engine; this pins it
+    // in-JVM at posting granularity (the t68 convention)
+    val rolled = VectorOps.rolledAnnUncached(spark, d)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = VectorOps.annIndexUncached(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(rolled.nonEmpty && rolled == rebuilt,
+      "corpus_ann ∪ delta-encode must be posting-for-posting the full rebuild")
+  }
+
+  test("v44 planted geometry: delta slice is real, encodes fresh, and partitions the id space") {
+    import org.apache.spark.sql.functions._
+    val all = graft.tables.Tables.embeddings(spark, d)
+    val nAll = all.count()
+    val nDelta = all.filter(
+      pmod(col("vec_id"), lit(VectorOps.VecDeltaMod)) === VectorOps.VecDeltaRes).count()
+    assert(nDelta > 0 && nDelta < nAll,
+      s"fixture must have a non-trivial delta shard ($nDelta of $nAll)")
+    // first-principles census: every vector contributes exactly 8
+    // postings (one per subspace) to exactly one cell, on both slices
+    val corpus = VectorOps.corpusAnnUncached(spark, d)
+    assert(corpus.count() == 8 * (nAll - nDelta),
+      "corpus index must hold 8 postings per corpus vector")
+    val rolled = VectorOps.rolledAnnUncached(spark, d)
+    assert(rolled.count() == 8 * nAll,
+      "rolled index must hold 8 postings per vector, corpus ∪ delta")
+    assert(rolled.select("vec_id").distinct().count() == nAll,
+      "rolled index must cover every vector exactly once")
+  }
+
+  test("v44 serve: the roll plan scans the persisted corpus_ann artifact; a cleared session reads rolled_ann from disk") {
+    // materialize once (builds or loads both artifacts)
+    val r1 = VectorOps.annIndexRoll(spark, d).collect().map(_.toSeq).toSeq
+    assert(r1.nonEmpty)
+    // the roll plan's corpus side is the artifact scan — the delta is
+    // the only slice of the embeddings fixture doing fresh encode work
+    val rollInputs = VectorOps.rolledAnnUncached(spark, d).inputFiles
+    assert(rollInputs.exists(_.contains("corpus_ann")),
+      s"roll must scan the persisted corpus index: ${rollInputs.take(4).mkString(",")}")
+    assert(rollInputs.exists(_.contains("embeddings.parquet")),
+      "roll's fresh side reads the delta from the embeddings fixture")
+    VectorOps.clearCaches()
+    val builds0 = graft.sources.ArtifactStore.builds.get()
+    val loads0 = graft.sources.ArtifactStore.loads.get()
+    val r2 = VectorOps.annIndexRoll(spark, d).collect().map(_.toSeq).toSeq
+    assert(graft.sources.ArtifactStore.builds.get() == builds0,
+      "post-clear roll must not re-encode the corpus")
+    assert(graft.sources.ArtifactStore.loads.get() > loads0,
+      "post-clear roll must SCAN the persisted rolled_ann artifact")
+    assert(r2 == r1, "artifact-served census must be identical")
+  }
+
   test("v02: a cleared session is served from the cos_pairs artifact with identical rows") {
     val rows1 = VectorOps.cosineNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
     assert(rows1.nonEmpty, "fixture must have cosine near-dup pairs")
