@@ -1,6 +1,36 @@
 package graft
 object Bench {
 
+  /** Fixed-known-cost CALIBRATION PROBE (round-17 verdict #1: the round
+    * closed on a RED gate adjudicated in prose — contention vs plan
+    * regression must be the GATE's call). A deterministic, plan-trivial
+    * workload — integer range + modular sum, CPU-bound, no IO, no
+    * shuffle beyond the final 32-partial combine — whose cost on this
+    * host is pinned in tools/benchcmp.py (CALIB_REF_S, a quiet-window
+    * floor). It runs at bench start, middle, and end; benchcmp divides
+    * family totals by median(probe)/CALIB_REF_S (clamped ≥ 1) before
+    * thresholding, so host inflation normalizes out and a RED that
+    * survives is a real regression. Both the full-run and cleared
+    * passes emit the samples ("calib" in the JSON records, a
+    * {"metric":"calib"} stdout line before the final total). */
+  private val CalibRows = 1200L * 1000 * 1000
+  private def calibProbe(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, CalibRows, 1L, 32)
+      .selectExpr("sum(id % 7 + (id >> 2))").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+  /** One untimed probe first — the probe's own codegen/JIT compiles on
+    * first execution and would otherwise inflate the start sample. */
+  private def calibStart(spark: org.apache.spark.sql.SparkSession)
+      : scala.collection.mutable.Buffer[Double] = {
+    calibProbe(spark)
+    scala.collection.mutable.Buffer(calibProbe(spark))
+  }
+  private def calibJson(samples: Seq[Double]): String =
+    samples.map(v => String.format(java.util.Locale.ROOT, "%.3f", v))
+      .mkString("[", ",", "]")
+
   /** GRAFT_CLEARED_PASS=1 — the cleared-memo graded lane (round-16
     * brief #2, finishing round-15 advice #1): 58/289 graded warms are
     * memo/artifact READOUTS, so the full-run BENCH_r*.json increasingly
@@ -28,7 +58,9 @@ object Bench {
     // untimed warmup (JIT/codegen/first-scan), then cleared so the
     // first graded query still pays its own build
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val rows = qs.map { case (name, q) =>
+    val calib = calibStart(spark)
+    val rows = qs.zipWithIndex.map { case ((name, q), i) =>
+      if (i == qs.size / 2) calib += calibProbe(spark)
       Memos.clearAll()
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
@@ -36,18 +68,20 @@ object Bench {
       val t = (System.nanoTime() - t0) / 1e9
       name -> (t, ok)
     }
+    calib += calibProbe(spark)
     def ms(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
     val detail = rows.map { case (k, (t, ok)) =>
       "\"" + k + "\":{\"build\":" + (if (ok) ms(t) else "\"fail\"") + "}"
     }.mkString("{", ",", "}")
     val nFailed = rows.count(!_._2._2)
     val total = rows.collect { case (_, (t, true)) => t }.sum
-    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"calib":${calibJson(calib.toSeq)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DETAIL_OUT",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_cleared.json")),
       line + "\n")
     catch { case _: Throwable => println(line) }
+    println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"unit":"sec"}""")
     println(s"""{"metric":"cleared_total","value":${ms(total)},"unit":"sec","n_queries":${rows.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
   }
 
@@ -116,6 +150,7 @@ object Bench {
       // numbers measure the plan, not JVM cold start; sorted order keeps
       // runs comparable as the query set grows
       try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+      val calib = calibStart(spark)
       // two passes PER FAMILY, families in sorted order: pass 1 is the
       // COLD cost (first materialization of any memoized subtree —
       // t03/t11/t16/v02/s06/e08 share cached frames), pass 2 the warm
@@ -152,7 +187,8 @@ object Bench {
       val (cold, warm) = {
         val c = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
         val w = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
-        families.foreach { case (_, qs) =>
+        families.zipWithIndex.foreach { case ((_, qs), fi) =>
+          if (fi == families.size / 2 && fi > 0) calib += calibProbe(spark)
           qs.foreach { case (name, fn) => c(name) = time(fn) }
           qs.foreach { case (name, fn) => w(name) = time(fn) }
           // Targeted third sample for NOISE SUSPECTS only, while the
@@ -217,6 +253,7 @@ object Bench {
         }
         (c.toMap, w.toMap)
       }
+      calib += calibProbe(spark)
       // headline stays min-of-2 per query OVER SUCCESSFUL PASSES: the
       // host is a shared microVM with bursty contention (up to 3x swings
       // on identical plans), and the min is the contention-free estimate.
@@ -263,7 +300,7 @@ object Bench {
         .map(f => "isolated-family-jvm:" + f.toSeq.sorted.mkString(""))
         .getOrElse("full-run-perfam")
       val detailLine =
-        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"sf":"$sfDir"}"""
+        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"sf":"$sfDir"}"""
       // default destination is OUTSIDE the repo: the committed
       // bench_detail.json is the per-family-ISOLATED record
       // (tools/bench_detail.sh sets GRAFT_DETAIL_OUT explicitly), and a
@@ -322,6 +359,9 @@ object Bench {
           println(s"""{"f":"$fam","ds":$body}""")
           }
         }
+      // calib travels adjacent to the trailing total so a tail clip
+      // keeps both (benchcmp normalizes family totals by it)
+      println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"unit":"sec"}""")
       println(totalLine)
     }
   }

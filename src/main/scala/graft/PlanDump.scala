@@ -123,8 +123,16 @@ object PlanDump {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
+    // src_hash binds the dumped plans to the tree that produced them —
+    // round-17 verdict #2: PLANS.md went one commit stale (pre-bump
+    // fold tags in the t67/v43 dumps) because only the bench records
+    // were staleness-checked; tools/gate.sh now refuses a mismatch
+    val srcHash =
+      try scala.sys.process.Process(Seq("bash", "tools/srchash.sh")).!!.trim
+      catch { case _: Throwable => "unknown" }
     val md = new StringBuilder(
       "# PLANS — formatted physical plans (sf0.001, pre-AQE)\n\n" +
+        s"src_hash: $srcHash\n\n" +
         "Generated by `graft.PlanDump`; plan-shape assertions live in\n" +
         "`src/test/scala/graft/queries/PlanSpec.scala`, reasoning in `SCALE.md`.\n")
     Headline.foreach { name =>

@@ -59,12 +59,14 @@ def famsum(qs):
     w = sum(v["warm"] for v in qs.values() if isinstance(v.get("warm"), (int, float)))
     return [round(c, 3), round(w, 3)]
 
-queries, samples = {}, {}
+queries, samples, calib = {}, {}, []
 for p in sorted(glob.glob(out + "/detail_*_s1.json")):
     fam = re.search(r"detail_(\w+)_s1\.json$", p).group(1)
     per = []
     for s in range(1, n + 1):
-        per.append(json.load(open(f"{out}/detail_{fam}_s{s}.json"))["queries"])
+        rec_s = json.load(open(f"{out}/detail_{fam}_s{s}.json"))
+        per.append(rec_s["queries"])
+        calib += rec_s.get("calib", [])
     sums = [famsum(q) for q in per]
     # median by cold+warm total; ties resolve to the lowest sample index
     order = sorted(range(n), key=lambda i: (sums[i][0] + sums[i][1], i))
@@ -81,6 +83,9 @@ rec = {"metric": "detail", "unit": "sec",
                "'samples' holds every sample's [cold_sum, warm_sum].",
        "src_hash": src_hash,
        "samples": samples,
+       # every constituent run's probe samples (round-18 calibration):
+       # benchcmp --cold normalizes by median(calib)/CALIB_REF_S
+       "calib": calib,
        "queries": dict(sorted(queries.items())), "sf": sf}
 with open("bench_detail.json", "w") as f:
     f.write(json.dumps(rec, separators=(",", ":")) + "\n")

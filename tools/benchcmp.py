@@ -39,6 +39,12 @@ dissolve, real plan regressions survive. On red without --retry the
 script prints `RERUN_FAMILIES=<letters>` so the gate knows what to
 re-run.
 
+CALIBRATION (round-17 verdict #1): every lane divides each side's
+numbers by that side's own host-inflation factor — derived from the
+fixed-cost probe Bench runs at start/middle/end — before thresholding.
+See CALIB_REF_S below. Round 17 closed on a RED final gate waived in a
+SCALE.md prose note; the probe makes the contention call the GATE's.
+
 Sources:
 - gate log: sbt stdout of `runMain graft.Bench` — family records
   {"f":"q","ds":[...]} (integer deciseconds; null = id gap, -1 = failed)
@@ -67,6 +73,58 @@ COLD_FLOOR_S = 3.0
 MEMO_RED_RATIO, MEMO_RED_ABS_S = 2.0, 2.0
 MEMO_WARN_RATIO, MEMO_WARN_ABS_S = 1.5, 1.0
 MEMO_BUILD_FLOOR_S = 0.5
+# non-memo per-query cold drift (round-17 verdict #5: t04's isolated
+# cold tripled with zero source diff and got no attribution sentence
+# because only memo-flagged queries earned the WARN) — WARN-only,
+# floor 1.0 s: every flagged query owes a SCALE.md attribution line
+COLDQ_WARN_RATIO, COLDQ_WARN_ABS_S, COLDQ_FLOOR_S = 2.0, 1.0, 1.0
+# cleared-lane per-FAMILY build sums (round-17 advice #1: cost that
+# moves between queries within a family — attribution shifts when the
+# memo-served set changes — must stay visible round over round)
+CFAM_WARN_RATIO, CFAM_WARN_ABS_S = 1.5, 2.0
+CFAM_RED_RATIO, CFAM_RED_ABS_S = 2.0, 5.0
+CFAM_FLOOR_S = 2.0
+
+# Calibration probe (round-17 verdict #1): Bench times a deterministic
+# plan-trivial workload (600M-row integer range-sum, CPU-bound, no IO)
+# at run start/middle/end and emits {"metric":"calib","s":[...]} plus a
+# "calib" field in the JSON records. CALIB_REF_S pins the probe's
+# QUIET-WINDOW cost on this host (min of repeated samples in an idle
+# window — see SCALE.md "Host calibration probe"); inflation factor =
+# max(1, median(samples) / CALIB_REF_S), and family totals divide by it
+# before thresholding, so REDs that survive normalization are real plan
+# regressions, not host contention. The factor is clamped at 1 (a
+# faster-than-pinned window never inflates numbers) and capped at
+# CALIB_MAX_FACTOR (beyond that the window is too noisy to certify
+# ANYTHING — the run should be re-recorded, so the residual inflation
+# is left visible rather than silently absorbed).
+# Pinned 2026-08-16 (round 18): six samples over three back-to-back
+# k-family Bench runs read 0.379-0.437 s for the 1.2G-row probe; the
+# floor is the pin (an inflated pin would UNDER-normalize — the
+# conservative direction). Re-pin only with a SCALE.md note.
+CALIB_REF_S = 0.38
+CALIB_MAX_FACTOR = 3.0
+
+
+def parse_calib(text):
+    """Probe samples from bench stdout or a record's 'calib' field."""
+    vals = []
+    for m in re.finditer(r'\{"metric":"calib","s":\[([^\]]*)\]', text):
+        vals = [float(x) for x in m.group(1).split(",") if x.strip()]
+    return vals
+
+
+def calib_factor(samples, label=""):
+    """Host-inflation divisor for a run that carried probe samples."""
+    if not samples or CALIB_REF_S is None:
+        return 1.0
+    med = sorted(samples)[len(samples) // 2]
+    f = min(max(1.0, med / CALIB_REF_S), CALIB_MAX_FACTOR)
+    print(f"calib{(' ' + label) if label else ''}: probe median {med:.2f}s "
+          f"vs pinned {CALIB_REF_S:.2f}s -> host inflation factor {f:.2f}"
+          + (" (capped — window too noisy, prefer a re-record)"
+             if med / CALIB_REF_S > CALIB_MAX_FACTOR else ""))
+    return f
 
 
 def cold_sums(rec, names):
@@ -107,6 +165,10 @@ def cold_drift(detail_path, root):
     if head.get("sf") != cur.get("sf"):
         print(f"cold-drift: SF mismatch ({cur.get('sf')} vs HEAD {head.get('sf')}) — skipping")
         return 0
+    # normalize each record by its own probe inflation (records from
+    # before round 18 carry no 'calib' → factor 1)
+    fac_cur = calib_factor(cur.get("calib", []), "working-tree record")
+    fac_head = calib_factor(head.get("calib", []), "HEAD record")
     # common queries only, and only those with a NUMERIC cold in BOTH
     # records — a round's new queries must not inflate their family's
     # sum into a false WARN, and a "fail" cold on either side must drop
@@ -118,8 +180,10 @@ def cold_drift(detail_path, root):
     parts, warns = [], []
     for f in sorted(set(ref) & set(now)):
         parts.append(f"{f}:{ref[f]:.1f}->{now[f]:.1f}")
-        if ref[f] >= COLD_FLOOR_S and now[f] > COLD_THRESH * ref[f]:
-            warns.append(f"family {f} cold {now[f]:.1f}s > {COLD_THRESH}x ref {ref[f]:.1f}s")
+        rn, cn = ref[f] / fac_head, now[f] / fac_cur
+        if rn >= COLD_FLOOR_S and cn > COLD_THRESH * rn:
+            warns.append(f"family {f} cold {now[f]:.1f}s (norm {cn:.1f}s) > "
+                         f"{COLD_THRESH}x ref {ref[f]:.1f}s (norm {rn:.1f}s)")
     print(f"cold-drift vs HEAD bench_detail.json (sf {cur.get('sf')}): " + ", ".join(parts))
     for w in warns:
         print(f"cold-drift WARN: {w} — a fresh JVM pays this; check whether an "
@@ -133,17 +197,28 @@ def cold_drift(detail_path, root):
     # record (it reflects this tree's SparkEntry.memoServed).
     reds = []
     for n in sorted(both):
+        r = head["queries"][n]["cold"] / fac_head
+        c = cur["queries"][n]["cold"] / fac_cur
         if not cur["queries"][n].get("memo"):
+            # non-memo queries get the WARN too (round-17 verdict #5:
+            # t04's cold tripled with no source diff and no attribution
+            # because only memo-flagged queries were watched) — every
+            # trip owes a SCALE.md drift-attribution sentence
+            if r >= COLDQ_FLOOR_S and c > COLDQ_WARN_RATIO * r \
+                    and c - r >= COLDQ_WARN_ABS_S:
+                print(f"cold-drift WARN (per-query): {n} cold "
+                      f"{head['queries'][n]['cold']:.2f}s -> "
+                      f"{cur['queries'][n]['cold']:.2f}s (norm {r:.2f} -> {c:.2f}) "
+                      "— attribute it in SCALE.md (host window or real change)")
             continue
-        r, c = head["queries"][n]["cold"], cur["queries"][n]["cold"]
         if r < MEMO_BUILD_FLOOR_S:
             continue
         if c > MEMO_RED_RATIO * r and c - r >= MEMO_RED_ABS_S:
-            reds.append(f"{n} build {r:.2f}s -> {c:.2f}s")
+            reds.append(f"{n} build {r:.2f}s -> {c:.2f}s (calib-normalized)")
         elif c > MEMO_WARN_RATIO * r and c - r >= MEMO_WARN_ABS_S:
             print(f"memo-build WARN: {n} build (cold) {r:.2f}s -> {c:.2f}s "
-                  f"(> {MEMO_WARN_RATIO}x) — the warm readout hides this; "
-                  "check the build pipeline")
+                  f"(calib-normalized, > {MEMO_WARN_RATIO}x) — the warm "
+                  "readout hides this; check the build pipeline")
     # flag sanity: a memo-flagged query whose warm costs a large share of
     # its cold is either mis-flagged or its memo stopped serving
     for n in sorted(cur.get("queries", {})):
@@ -189,6 +264,8 @@ def cleared_drift(detail_path, root):
     if head.get("sf") != cur.get("sf"):
         print(f"cleared-drift: SF mismatch ({cur.get('sf')} vs HEAD {head.get('sf')}) — skipping")
         return 0
+    fac_cur = calib_factor(cur.get("calib", []), "working-tree record")
+    fac_head = calib_factor(head.get("calib", []), "HEAD record")
     both = [n for n in sorted(set(head.get("queries", {})) & set(cur.get("queries", {})))
             if isinstance(head["queries"][n].get("build"), (int, float))
             and isinstance(cur["queries"][n].get("build"), (int, float))]
@@ -202,16 +279,33 @@ def cleared_drift(detail_path, root):
           f"{len(both)} common builds): " +
           ", ".join(f"{f}:{a:.1f}->{b:.1f}" for f, (a, b) in sorted(sums.items())))
     reds = []
+    # per-FAMILY build sums (round-17 advice #1): a build regression in
+    # a shared pipeline can move between queries when the memo-served
+    # set changes and attribution shifts — per-query gates on common
+    # names never see cost that lands in a query with no HEAD
+    # reference, so the family SUM over common builds is gated too
+    for f, (a, b) in sorted(sums.items()):
+        an, bn = a / fac_head, b / fac_cur
+        if an < CFAM_FLOOR_S:
+            continue
+        if bn > CFAM_RED_RATIO * an and bn - an >= CFAM_RED_ABS_S:
+            reds.append(f"family {f} builds {a:.1f}s -> {b:.1f}s "
+                        f"(norm {an:.1f} -> {bn:.1f}, common builds)")
+        elif bn > CFAM_WARN_RATIO * an and bn - an >= CFAM_WARN_ABS_S:
+            print(f"cleared-family WARN: family {f} build sum {a:.1f}s -> "
+                  f"{b:.1f}s (norm {an:.1f} -> {bn:.1f}) — cost moved or grew "
+                  "within the family; attribute it in SCALE.md")
     for n in both:
-        r, c = head["queries"][n]["build"], cur["queries"][n]["build"]
+        r = head["queries"][n]["build"] / fac_head
+        c = cur["queries"][n]["build"] / fac_cur
         if r < MEMO_BUILD_FLOOR_S:
             continue
         if c > MEMO_RED_RATIO * r and c - r >= MEMO_RED_ABS_S:
-            reds.append(f"{n} build {r:.2f}s -> {c:.2f}s")
+            reds.append(f"{n} build {r:.2f}s -> {c:.2f}s (calib-normalized)")
         elif c > MEMO_WARN_RATIO * r and c - r >= MEMO_WARN_ABS_S:
             print(f"cleared-build WARN: {n} build {r:.2f}s -> {c:.2f}s "
-                  f"(> {MEMO_WARN_RATIO}x) — an uncached build path grew; "
-                  "check the pipeline (or re-record if host noise)")
+                  f"(calib-normalized, > {MEMO_WARN_RATIO}x) — an uncached "
+                  "build path grew; check the pipeline (or re-record if host noise)")
     new = [n for n in cur.get("queries", {}) if n not in head.get("queries", {})]
     if new:
         print(f"cleared-drift: {len(new)} builds with no HEAD reference "
@@ -268,12 +362,19 @@ def main():
         del args[i:i + 2]
     log_path = args[0]
     root = args[1] if len(args) > 1 else os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cur_total, cur_sf, cur_fams = parse_lines(open(log_path).read())
+    cur_text = open(log_path).read()
+    cur_total, cur_sf, cur_fams = parse_lines(cur_text)
     if cur_total is None:
         print("benchcmp RED: gate bench log has no total line")
         return 1
+    fac_cur = calib_factor(parse_calib(cur_text), "gate-run")
     if retry_path and os.path.exists(retry_path):
-        _, rsf, rfams = parse_lines(open(retry_path).read())
+        retry_text = open(retry_path).read()
+        # min-merged values come from whichever window was quieter —
+        # normalize by the smaller (less aggressive) factor so the
+        # discount is never applied twice
+        fac_cur = min(fac_cur, calib_factor(parse_calib(retry_text), "retry-run"))
+        _, rsf, rfams = parse_lines(retry_text)
         if rsf == cur_sf:
             for f, rds in rfams.items():
                 cds = cur_fams.get(f)
@@ -310,17 +411,26 @@ def main():
     if ref_sf != cur_sf:
         print(f"benchcmp: SF mismatch (gate {cur_sf} vs {ref_path} {ref_sf}) — skipping")
         return 0
+    # each side normalizes by ITS OWN inflation factor to a common
+    # quiet-window basis (pre-r18 references carry no probe → factor 1)
+    fac_ref = calib_factor(parse_calib(rec.get("tail", "")),
+                           os.path.basename(ref_path))
 
     red = []
-    if cur_total > THRESH * ref_total:
-        red.append(f"total {cur_total:.1f}s > {THRESH}x ref {ref_total:.1f}s "
+    cur_tn, ref_tn = cur_total / fac_cur, ref_total / fac_ref
+    if cur_tn > THRESH * ref_tn:
+        red.append(f"total {cur_total:.1f}s (norm {cur_tn:.1f}s) > {THRESH}x "
+                   f"ref {ref_total:.1f}s (norm {ref_tn:.1f}s) "
                    "(note: totals span each round's own query set)")
     common = {f: common_subtotals(ref_fams[f], cur_fams[f])
               for f in sorted(set(ref_fams) & set(cur_fams))}
     for f, (rv, cv) in common.items():
-        if rv >= FAMILY_FLOOR_S and cv > THRESH * rv:
-            red.append(f"family {f} {cv:.1f}s > {THRESH}x ref {rv:.1f}s (common queries only)")
-    print(f"benchcmp vs {os.path.basename(ref_path)} (sf {cur_sf}): "
+        rvn, cvn = rv / fac_ref, cv / fac_cur
+        if rvn >= FAMILY_FLOOR_S and cvn > THRESH * rvn:
+            red.append(f"family {f} {cv:.1f}s (norm {cvn:.1f}s) > {THRESH}x "
+                       f"ref {rv:.1f}s (norm {rvn:.1f}s) (common queries only)")
+    print(f"benchcmp vs {os.path.basename(ref_path)} (sf {cur_sf}, calib "
+          f"factors ref {fac_ref:.2f} cur {fac_cur:.2f}): "
           f"total {ref_total:.1f}s -> {cur_total:.1f}s; common-query families "
           + ", ".join(f"{f}:{r:.1f}->{c:.1f}" for f, (r, c) in common.items()))
     if red:

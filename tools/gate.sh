@@ -143,6 +143,19 @@ EOF
     exit 1
   fi
   echo "bench_detail.json matches this tree (all verify queries present, src_hash $SRC_HASH)"
+
+  echo "== gate: PLANS.md staleness (src_hash vs this tree) =="
+  # round-17 verdict #2: the committed plan dumps went one TextOps edit
+  # stale; PlanDump stamps the tree hash it ran on, same binding the
+  # bench records carry
+  PLANS_HASH=$(sed -n 's/^src_hash: //p' PLANS.md | head -1)
+  if [ "$PLANS_HASH" != "$SRC_HASH" ]; then
+    echo "GATE RED: PLANS.md is STALE (src_hash ${PLANS_HASH:-<none>} != tree $SRC_HASH)"
+    echo "  Regenerate on this tree: sbt \"runMain graft.PlanDump\" and commit it"
+    echo "  in the same snapshot."
+    exit 1
+  fi
+  echo "PLANS.md matches this tree (src_hash $PLANS_HASH)"
   # Cold-budget drift (round-14 brief #6): per-family cold sums of the
   # (freshly re-recorded) working-tree record vs the one at HEAD —
   # fresh-JVM cost regressions are invisible to every warm-focused
