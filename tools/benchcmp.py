@@ -98,11 +98,17 @@ CFAM_FLOOR_S = 2.0
 # CALIB_MAX_FACTOR (beyond that the window is too noisy to certify
 # ANYTHING — the run should be re-recorded, so the residual inflation
 # is left visible rather than silently absorbed).
-# Pinned 2026-08-16 (round 18): six samples over three back-to-back
-# k-family Bench runs read 0.379-0.437 s for the 1.2G-row probe; the
-# floor is the pin (an inflated pin would UNDER-normalize — the
-# conservative direction). Re-pin only with a SCALE.md note.
-CALIB_REF_S = 0.38
+# Pinned 2026-08-16 (round 18) at the DEFAULT session config every
+# graded lane actually runs (local[4] — gate.sh, bench_detail.sh,
+# bench_cleared.sh, and the driver all leave SPARK_GRAFT_CPUS unset):
+# the floor of 60 local[4] samples that day was 0.822 s for the
+# 1.2G-row probe (typical quiet reads 0.82-1.19). An initial pin of
+# 0.38 s was measured at SPARK_GRAFT_CPUS=32 — a config no graded lane
+# uses — and read a calm window as 2.6x inflated; the pin MUST match
+# the recording config. The floor is the pin (an inflated pin would
+# UNDER-normalize — the conservative direction). Re-pin only with a
+# SCALE.md note.
+CALIB_REF_S = 0.82
 CALIB_MAX_FACTOR = 3.0
 
 
