@@ -32,7 +32,7 @@ object Bench {
       .mkString("[", ",", "]")
 
   /** GRAFT_CLEARED_PASS=1 — the cleared-memo graded lane (round-16
-    * brief #2, finishing round-15 advice #1): 58/289 graded warms are
+    * brief #2, finishing round-15 advice #1): 63/294 graded warms are
     * memo/artifact READOUTS, so the full-run BENCH_r*.json increasingly
     * measures scans; the per-family isolated cold column was the only
     * automated guard on those queries' BUILD paths. This pass grades

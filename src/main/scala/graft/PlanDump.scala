@@ -87,8 +87,9 @@ object PlanDump {
     // round 18 additions (v44's registered plan is a census over the
     // rolled artifact written at build time — the load-bearing evidence
     // is the ROLL plan: corpus side artifact-scanned, delta-only fresh
-    // encode — dumped via UncachedBuilds)
-    "v44_ann_index_roll")
+    // encode — dumped via UncachedBuilds; v45's is the rolled-artifact
+    // serve plan, also via UncachedBuilds)
+    "v44_ann_index_roll", "v45_ann_rolled_serve")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —
@@ -112,6 +113,7 @@ object PlanDump {
     // m09's pair frame became a cross-run artifact (verdict #4), so
     // its banded build pipeline is the evidence now
     "v44_ann_index_roll" -> (graft.queries.VectorOps.rolledAnnUncached _),
+    "v45_ann_rolled_serve" -> (graft.queries.VectorOps.annRolledServeUncached _),
     "m09_chunk_simhash_pairs" -> (graft.multimodal.Multimodal.chunkSimhashPairsUncached _))
 
   def main(args: Array[String]): Unit = {

@@ -263,6 +263,7 @@ object VectorOps {
     resPqIndexCache.clear()
     annTopKCache.clear()
     annRollCache.clear()
+    annRolledServeCache.clear()
   }
 
   private val resPqIndexCache = scala.collection.concurrent.TrieMap
@@ -1482,12 +1483,19 @@ object VectorOps {
 
   /** v43's serve plan over the persisted index — the uncached evidence
     * (PlanDump / VectorArtifactSpec run against this). */
-  private[graft] def annPersistedTopKUncached(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annPersistedTopKUncached(s: SparkSession, d: String): DataFrame =
+    annServeOverIndex(s, d,
+      graft.sources.ArtifactStore.loadOrBuild(s, "ann_index",
+        graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnIndexFoldTag) {
+        annIndexUncached(s, d)
+      })
+
+  /** The ONE serve plan both persisted-index readers share (v43 over
+    * `ann_index`, v45 over `rolled_ann`): only query-side state is
+    * built fresh, the corpus arrives as `idx` — however it was
+    * maintained. */
+  private def annServeOverIndex(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val idx = graft.sources.ArtifactStore.loadOrBuild(s, "ann_index",
-      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnIndexFoldTag) {
-      annIndexUncached(s, d)
-    }
     // probes come from the deployed router artifact (the coarse half of
     // the same index family); the LUT quantizes ONLY ids < 64 — the
     // codebook rows plus the 10 queries — behind a pushed-down filter
@@ -1647,6 +1655,33 @@ object VectorOps {
     * hex) over the slice-encoder and roll defs plus the delta-split
     * constants; VectorArtifactSpec's tag-lock recomputes it. */
   private[graft] val AnnRollFoldTag = "anr-7d62c517"
+
+  /** v45 — SERVE FROM THE ROLLED INDEX: tomorrow's query path after
+    * v44's nightly roll, closing the lifecycle loop — build the index
+    * once (v43's backfill), serve it (v43), roll the delta in (v44),
+    * and SERVE THE ROLLED ARTIFACT (this query) without ever touching
+    * ann_index again. The plan is v43's serve plan verbatim
+    * ([[annServeOverIndex]] — one keyed join of the index scan against
+    * the 10,240-row broadcast LUT; only query-side state built fresh)
+    * pointed at `rolled_ann` instead of `ann_index`; because the roll
+    * is posting-for-posting the rebuild (v44's graded fact), the
+    * top-5 over it must equal v24's — so v45 shares v24's oracle
+    * VERBATIM (the q61/v43 convention), turning "the rolled index is
+    * immediately query-ready" into a cross-engine hash fact rather
+    * than a claim. */
+  def annRolledServeTopK(s: SparkSession, d: String): DataFrame = {
+    annRolledServeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    annRolledServeCache.getOrElseUpdate((s, d),
+      annRolledServeUncached(s, d).localCheckpoint())
+  }
+
+  private val annRolledServeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v45's serve plan over the rolled artifact — the uncached evidence
+    * (PlanDump / VectorArtifactSpec run against this). */
+  private[graft] def annRolledServeUncached(s: SparkSession, d: String): DataFrame =
+    annServeOverIndex(s, d, rolledAnn(s, d))
 
   /** Residual IVF-PQ top-5 — v24 upgraded to the full FAISS recipe:
     * the PQ codes quantize each vector's RESIDUAL against its cell
@@ -3006,6 +3041,9 @@ object VectorOps {
     // v44 folds the delta slice into the persisted corpus index; the
     // oracle is the full-rebuild census — roll ≡ rebuild as a hash fact
     "v44_ann_index_roll" -> QueryDef(annIndexRoll _, AnnRollCensusDuck),
+    // v45 serves top-k by scanning the ROLLED artifact — rolled ≡
+    // rebuild, so it shares v24's oracle verbatim (the v43 convention)
+    "v45_ann_rolled_serve" -> QueryDef(annRolledServeTopK _, IvfPqTopkDuck),
     "v25_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK _,
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

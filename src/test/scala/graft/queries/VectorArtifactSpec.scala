@@ -144,6 +144,31 @@ class VectorArtifactSpec extends AnyFunSuite {
     assert(r2 == r1, "artifact-served census must be identical")
   }
 
+  test("v45 rolled-index serve ≡ v24 in-session build, scans rolled_ann, never re-encodes") {
+    // the lifecycle loop-closer: after the v44 roll, tomorrow's top-k
+    // scans the ROLLED artifact and must answer exactly what the
+    // in-session pipeline answers (they share one oracle, so they must
+    // also agree in-JVM — the v43 contract, one artifact later)
+    val r24 = VectorOps.ivfPqTopK(spark, d).collect().map(_.toSeq).toSeq
+    val r45 = VectorOps.annRolledServeTopK(spark, d).collect().map(_.toSeq).toSeq
+    assert(r45.nonEmpty && r45 == r24,
+      "the rolled index must be immediately query-ready with v24's exact answers")
+    val serveInputs = VectorOps.annRolledServeUncached(spark, d).inputFiles
+    assert(serveInputs.exists(_.contains("rolled_ann")),
+      s"v45 must scan the ROLLED artifact: ${serveInputs.take(4).mkString(",")}")
+    assert(!serveInputs.exists(_.contains(java.io.File.separator + "ann_index")),
+      "v45 must not fall back to the pre-roll index")
+    VectorOps.clearCaches()
+    val builds0 = graft.sources.ArtifactStore.builds.get()
+    val loads0 = graft.sources.ArtifactStore.loads.get()
+    val again = VectorOps.annRolledServeTopK(spark, d).collect().map(_.toSeq).toSeq
+    assert(graft.sources.ArtifactStore.builds.get() == builds0,
+      "post-clear rolled serve must not rebuild anything")
+    assert(graft.sources.ArtifactStore.loads.get() > loads0,
+      "post-clear rolled serve must SCAN the persisted rolled_ann artifact")
+    assert(again == r45, "artifact-served top-k must be identical")
+  }
+
   test("v02: a cleared session is served from the cos_pairs artifact with identical rows") {
     val rows1 = VectorOps.cosineNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
     assert(rows1.nonEmpty, "fixture must have cosine near-dup pairs")
