@@ -86,7 +86,7 @@ CFAM_RED_RATIO, CFAM_RED_ABS_S = 2.0, 5.0
 CFAM_FLOOR_S = 2.0
 
 # Calibration probe (round-17 verdict #1): Bench times a deterministic
-# plan-trivial workload (600M-row integer range-sum, CPU-bound, no IO)
+# plan-trivial workload (1.2G-row integer range-sum, CPU-bound, no IO)
 # at run start/middle/end and emits {"metric":"calib","s":[...]} plus a
 # "calib" field in the JSON records. CALIB_REF_S pins the probe's
 # QUIET-WINDOW cost on this host (min of repeated samples in an idle
@@ -121,16 +121,22 @@ def parse_calib(text):
 
 
 def calib_factor(samples, label=""):
-    """Host-inflation divisor for a run that carried probe samples."""
+    """(divisor, uncertifiable) for a run that carried probe samples.
+    uncertifiable = the raw factor exceeded CALIB_MAX_FACTOR: beyond
+    the cap the window is too noisy for normalized thresholding to
+    mean anything — the MAIN gate lane refuses such a run outright
+    (re-record in a quieter window) instead of letting the capped
+    divisor absorb up to cap x threshold of real regression."""
     if not samples or CALIB_REF_S is None:
-        return 1.0
+        return 1.0, False
     med = sorted(samples)[len(samples) // 2]
-    f = min(max(1.0, med / CALIB_REF_S), CALIB_MAX_FACTOR)
+    raw = med / CALIB_REF_S
+    f = min(max(1.0, raw), CALIB_MAX_FACTOR)
     print(f"calib{(' ' + label) if label else ''}: probe median {med:.2f}s "
           f"vs pinned {CALIB_REF_S:.2f}s -> host inflation factor {f:.2f}"
-          + (" (capped — window too noisy, prefer a re-record)"
-             if med / CALIB_REF_S > CALIB_MAX_FACTOR else ""))
-    return f
+          + (" (UNCERTIFIABLE — raw factor beyond the cap; re-record)"
+             if raw > CALIB_MAX_FACTOR else ""))
+    return f, raw > CALIB_MAX_FACTOR
 
 
 def cold_sums(rec, names):
@@ -173,8 +179,8 @@ def cold_drift(detail_path, root):
         return 0
     # normalize each record by its own probe inflation (records from
     # before round 18 carry no 'calib' → factor 1)
-    fac_cur = calib_factor(cur.get("calib", []), "working-tree record")
-    fac_head = calib_factor(head.get("calib", []), "HEAD record")
+    fac_cur, _ = calib_factor(cur.get("calib", []), "working-tree record")
+    fac_head, _ = calib_factor(head.get("calib", []), "HEAD record")
     # common queries only, and only those with a NUMERIC cold in BOTH
     # records — a round's new queries must not inflate their family's
     # sum into a false WARN, and a "fail" cold on either side must drop
@@ -270,8 +276,8 @@ def cleared_drift(detail_path, root):
     if head.get("sf") != cur.get("sf"):
         print(f"cleared-drift: SF mismatch ({cur.get('sf')} vs HEAD {head.get('sf')}) — skipping")
         return 0
-    fac_cur = calib_factor(cur.get("calib", []), "working-tree record")
-    fac_head = calib_factor(head.get("calib", []), "HEAD record")
+    fac_cur, _ = calib_factor(cur.get("calib", []), "working-tree record")
+    fac_head, _ = calib_factor(head.get("calib", []), "HEAD record")
     both = [n for n in sorted(set(head.get("queries", {})) & set(cur.get("queries", {})))
             if isinstance(head["queries"][n].get("build"), (int, float))
             and isinstance(cur["queries"][n].get("build"), (int, float))]
@@ -373,13 +379,16 @@ def main():
     if cur_total is None:
         print("benchcmp RED: gate bench log has no total line")
         return 1
-    fac_cur = calib_factor(parse_calib(cur_text), "gate-run")
+    fac_cur, uncertifiable = calib_factor(parse_calib(cur_text), "gate-run")
     if retry_path and os.path.exists(retry_path):
         retry_text = open(retry_path).read()
         # min-merged values come from whichever window was quieter —
         # normalize by the smaller (less aggressive) factor so the
-        # discount is never applied twice
-        fac_cur = min(fac_cur, calib_factor(parse_calib(retry_text), "retry-run"))
+        # discount is never applied twice; a quiet retry also clears
+        # the uncertifiable flag (the merged mins came from it)
+        fac_retry, unc_retry = calib_factor(parse_calib(retry_text), "retry-run")
+        if fac_retry < fac_cur:
+            fac_cur, uncertifiable = fac_retry, unc_retry
         _, rsf, rfams = parse_lines(retry_text)
         if rsf == cur_sf:
             for f, rds in rfams.items():
@@ -419,10 +428,14 @@ def main():
         return 0
     # each side normalizes by ITS OWN inflation factor to a common
     # quiet-window basis (pre-r18 references carry no probe → factor 1)
-    fac_ref = calib_factor(parse_calib(rec.get("tail", "")),
-                           os.path.basename(ref_path))
+    fac_ref, _ = calib_factor(parse_calib(rec.get("tail", "")),
+                              os.path.basename(ref_path))
 
     red = []
+    if uncertifiable:
+        red.append("window uncertifiable: probe inflation beyond the "
+                   f"{CALIB_MAX_FACTOR}x cap — normalized thresholding is "
+                   "meaningless at this noise level; re-record in a quieter window")
     cur_tn, ref_tn = cur_total / fac_cur, ref_total / fac_ref
     if cur_tn > THRESH * ref_tn:
         red.append(f"total {cur_total:.1f}s (norm {cur_tn:.1f}s) > {THRESH}x "

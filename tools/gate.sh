@@ -63,6 +63,15 @@ grep '"metric":"total"' "$OUT/bench.log" | tail -1
 n_failed=$(grep '"metric":"total"' "$OUT/bench.log" | tail -1 | sed 's/.*"n_failed":\([0-9]*\).*/\1/')
 [ "${n_failed:-1}" = "0" ] || { echo "GATE RED: bench n_failed=$n_failed"; exit 1; }
 
+echo "== gate: benchcmp scenario self-test (calibration semantics) =="
+# hermetic check that the normalization machinery still (a) excuses
+# probe-matched uniform inflation, (b) REDs real regressions in calm
+# windows, (c) refuses uncertifiable windows — so a benchcmp edit can
+# never silently invert the gate's judgment
+python3 tools/test_benchcmp.py > "$OUT/benchcmp_selftest.log" 2>&1 \
+  || { cat "$OUT/benchcmp_selftest.log"; echo "GATE RED: benchcmp self-test"; exit 1; }
+tail -1 "$OUT/benchcmp_selftest.log"
+
 echo "== gate: bench-regression tripwire (vs last committed BENCH_r*.json) =="
 # on red, re-run the offending families ONCE before flipping the gate:
 # this host shows up to 3x contention swings on identical plans

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Hermetic scenario tests for the benchcmp calibration gate (round 18):
+the normalization must (a) excuse a UNIFORM slowdown whose probe reads
+matching inflation, (b) keep a REAL regression RED when the probe reads
+a calm window, (c) stay RED on inflation with NO probe (old-style logs
+get no benefit of the doubt), and (d) pass an identical re-run. Runs in
+a temp repo root with a synthetic BENCH reference, so it exercises the
+exact code path the gate trusts without touching committed records.
+Invoked by tools/gate.sh before the tripwire; exits non-zero on any
+scenario mismatch."""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BENCHCMP = os.path.join(HERE, "benchcmp.py")
+SF = "/root/testdata/sf0.1"
+
+# reference: three families, 10 queries x 1.0 s each
+REF_FAMS = {"q": [10] * 10, "t": [10] * 10, "v": [10] * 10}
+REF_TOTAL = sum(sum(ds) for ds in REF_FAMS.values()) / 10.0
+
+
+def emit(path, scale, calib=None):
+    lines = []
+    total = json.dumps({"metric": "total", "value": round(REF_TOTAL * scale, 3),
+                        "unit": "sec", "n_queries": 30, "n_failed": 0,
+                        "sf": SF}, separators=(",", ":"))
+    lines.append(total)
+    for f, ds in REF_FAMS.items():
+        lines.append(json.dumps(
+            {"f": f, "ds": [int(round(d * scale)) for d in ds]},
+            separators=(",", ":")))
+    if calib is not None:
+        lines.append(json.dumps({"metric": "calib", "s": calib, "unit": "sec"},
+                                separators=(",", ":")))
+    lines.append(total)
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+
+def run(log, root):
+    r = subprocess.run([sys.executable, BENCHCMP, log, root],
+                       capture_output=True, text=True)
+    return r.returncode, r.stdout
+
+
+def main():
+    # the pinned probe cost, read from benchcmp itself so a re-pin can
+    # never silently desynchronize the scenarios
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("benchcmp", BENCHCMP)
+    bc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bc)
+    ref_s = bc.CALIB_REF_S
+    if ref_s is None:
+        print("test_benchcmp: CALIB_REF_S unset — nothing to test")
+        return 0
+
+    with tempfile.TemporaryDirectory() as root:
+        ref_log = os.path.join(root, "ref.log")
+        emit(ref_log, 1.0)
+        with open(os.path.join(root, "BENCH_r1.json"), "w") as fh:
+            json.dump({"rc": 0, "tail": open(ref_log).read()}, fh)
+
+        fails = []
+
+        def check(name, scale, calib, want_rc):
+            log = os.path.join(root, name + ".log")
+            emit(log, scale, calib)
+            rc, out = run(log, root)
+            ok = (rc == want_rc)
+            print(f"  {name}: rc={rc} (want {want_rc}) {'OK' if ok else 'MISMATCH'}")
+            if not ok:
+                fails.append(name)
+                print(out)
+
+        print(f"test_benchcmp scenarios (pin {ref_s}s):")
+        # (a) uniform 1.6x slowdown, probe reads ~1.7x inflation -> green
+        check("uniform_inflation_with_probe", 1.6,
+              [round(ref_s * 1.7, 3)] * 3, 0)
+        # (b) real 2.2x regression, probe reads a calm ~1.05x window -> red
+        check("real_regression_calm_probe", 2.2,
+              [round(ref_s * 1.05, 3)] * 3, 1)
+        # (c) 1.6x slowdown with NO probe -> red (no benefit of the doubt)
+        check("inflation_no_probe", 1.6, None, 1)
+        # (d) identical re-run, no probe -> green (pre-r18 behavior intact)
+        check("identical_no_probe", 1.0, None, 0)
+        # (e) the factor cap: probe claims 10x but values are 4x — the
+        # capped factor (3) must NOT excuse the residual -> red
+        check("cap_blocks_excuse", 4.0, [round(ref_s * 10, 3)] * 3, 1)
+
+        if fails:
+            print("test_benchcmp FAILED: " + ", ".join(fails))
+            return 1
+    print("test_benchcmp: all scenarios behave")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
