@@ -187,7 +187,17 @@ object ArtifactStore {
               }
             val supersededTag = curTag.exists { t =>
               val suffix = stripDigests(name)
-              (suffix ne name) && suffix != t
+              // a residual 12-hex segment at the suffix head means a
+              // LEADING digest failed to strip — the advisory registry
+              // lost its line (recordKey best-effort append), not a
+              // tag bump. That dir is "can't prove stale", never
+              // "superseded": reaping it would delete a LIVE artifact
+              // of a multi-digest kind (round-18 review finding). Tag
+              // suffixes can't false-positive here: every fold tag is
+              // `<3-4 letters>-<8 hex>`, so a dash lands inside the
+              // first 12 chars.
+              (suffix ne name) && suffix != t &&
+                !suffix.matches("[0-9a-f]{12}-.*")
             }
             val stale =
               if (name.contains(".tmp-")) true

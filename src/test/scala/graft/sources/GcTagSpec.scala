@@ -56,6 +56,18 @@ class GcTagSpec extends AnyFunSuite {
     assert(Files.exists(cur2.resolve("_SUCCESS")),
       "two-digest current-tag dir must survive")
 
+    // an UNREGISTERED leading digest (the advisory registry lost its
+    // line) must make the dir "can't prove stale", never "superseded"
+    // — the pre-fix sweep deleted a LIVE two-digest artifact here
+    // (round-18 review finding)
+    val unreg = "0123456789ab" // hex-shaped, never registered
+    val liveUnreg = Paths.get(ArtifactStore.root, "gctagkind2", s"$dg-$unreg-tg-11111111")
+    Files.createDirectories(liveUnreg)
+    Files.writeString(liveUnreg.resolve("_SUCCESS"), "")
+    ArtifactStore.gc(retired = Set.empty, tags = Map("gctagkind2" -> "tg-11111111"))
+    assert(Files.exists(liveUnreg),
+      "a dir with an unregistered leading digest must be kept (conservative)")
+
     // cleanup the planted kinds
     for (k <- Seq("gctagkind", "gctagkind2", "gctagother")) {
       val p = Paths.get(ArtifactStore.root, k)
@@ -75,9 +87,11 @@ class GcTagSpec extends AnyFunSuite {
     // the call-site idiom is `loadOrBuild(s, "<kind>", key(...) + "-" +
     // [key(...) + "-" +] <X>FoldTag) { ... }`; a tagged kind missing
     // from currentTags re-opens the per-bump leak gc just closed
+    // the tag may be written bare (DeltaFoldTag) or qualified
+    // (TextOps.DeltaFoldTag) — both must register (review finding r18)
     val re = ("""loadOrBuild\(\s*[\w.]+,\s*"(\w+)",\s*""" +
       """(?:(?:graft\.sources\.)?ArtifactStore\.key\([^)]*\)\s*\+\s*(?:"-"\s*\+\s*)?)+""" +
-      """(\w+FoldTag)\)""").r
+      """((?:\w+\.)*\w+FoldTag)\)""").r
     val srcRoot = Paths.get("src/main/scala")
     val files = {
       val b = scala.collection.mutable.Buffer.empty[java.nio.file.Path]

@@ -62,16 +62,21 @@ def famsum(qs):
 queries, samples, calib = {}, {}, []
 for p in sorted(glob.glob(out + "/detail_*_s1.json")):
     fam = re.search(r"detail_(\w+)_s1\.json$", p).group(1)
-    per = []
+    per, cals = [], []
     for s in range(1, n + 1):
         rec_s = json.load(open(f"{out}/detail_{fam}_s{s}.json"))
         per.append(rec_s["queries"])
-        calib += rec_s.get("calib", [])
+        cals.append(rec_s.get("calib", []))
     sums = [famsum(q) for q in per]
     # median by cold+warm total; ties resolve to the lowest sample index
     order = sorted(range(n), key=lambda i: (sums[i][0] + sums[i][1], i))
     adopted = order[n // 2]
     queries.update(per[adopted])
+    # calib travels ONLY from adopted samples: the factor must describe
+    # the windows whose query numbers the record actually carries —
+    # rejected samples' probes would skew --cold's normalization toward
+    # windows whose numbers were discarded (review finding, round 18)
+    calib += cals[adopted]
     samples[fam] = {"sums": sums, "adopted": adopted}
     print(f"family {fam}: sums={sums} -> adopted sample {adopted + 1}")
 rec = {"metric": "detail", "unit": "sec",
@@ -83,7 +88,7 @@ rec = {"metric": "detail", "unit": "sec",
                "'samples' holds every sample's [cold_sum, warm_sum].",
        "src_hash": src_hash,
        "samples": samples,
-       # every constituent run's probe samples (round-18 calibration):
+       # ADOPTED samples' probe readings only (round-18 calibration):
        # benchcmp --cold normalizes by median(calib)/CALIB_REF_S
        "calib": calib,
        "queries": dict(sorted(queries.items())), "sf": sf}

@@ -129,7 +129,12 @@ def calib_factor(samples, label=""):
     divisor absorb up to cap x threshold of real regression."""
     if not samples or CALIB_REF_S is None:
         return 1.0, False
-    med = sorted(samples)[len(samples) // 2]
+    ss = sorted(samples)
+    # true median: even-length lists average the middle pair — a
+    # 2-probe single-family run must not adopt its WORST probe as the
+    # "median" and over-normalize (review finding, round 18)
+    med = ss[len(ss) // 2] if len(ss) % 2 else \
+        (ss[len(ss) // 2 - 1] + ss[len(ss) // 2]) / 2.0
     raw = med / CALIB_REF_S
     f = min(max(1.0, raw), CALIB_MAX_FACTOR)
     print(f"calib{(' ' + label) if label else ''}: probe median {med:.2f}s "
@@ -302,7 +307,9 @@ def cleared_drift(detail_path, root):
             continue
         if bn > CFAM_RED_RATIO * an and bn - an >= CFAM_RED_ABS_S:
             reds.append(f"family {f} builds {a:.1f}s -> {b:.1f}s "
-                        f"(norm {an:.1f} -> {bn:.1f}, common builds)")
+                        f"(norm {an:.1f} -> {bn:.1f}, common builds; "
+                        f"family thresholds > {CFAM_RED_RATIO}x and >= "
+                        f"+{CFAM_RED_ABS_S}s)")
         elif bn > CFAM_WARN_RATIO * an and bn - an >= CFAM_WARN_ABS_S:
             print(f"cleared-family WARN: family {f} build sum {a:.1f}s -> "
                   f"{b:.1f}s (norm {an:.1f} -> {bn:.1f}) — cost moved or grew "
@@ -382,14 +389,20 @@ def main():
     fac_cur, uncertifiable = calib_factor(parse_calib(cur_text), "gate-run")
     if retry_path and os.path.exists(retry_path):
         retry_text = open(retry_path).read()
+        _, rsf, rfams = parse_lines(retry_text)
         # min-merged values come from whichever window was quieter —
         # normalize by the smaller (less aggressive) factor so the
         # discount is never applied twice; a quiet retry also clears
-        # the uncertifiable flag (the merged mins came from it)
-        fac_retry, unc_retry = calib_factor(parse_calib(retry_text), "retry-run")
-        if fac_retry < fac_cur:
-            fac_cur, uncertifiable = fac_retry, unc_retry
-        _, rsf, rfams = parse_lines(retry_text)
+        # the uncertifiable flag (the merged mins came from it). A
+        # retry with NO probe samples or a mismatched SF adopts
+        # NOTHING: a crashed/empty retry log would otherwise read as
+        # factor (1.0, certifiable) and launder an uncertifiable
+        # refusal into a pass (review finding, round 18)
+        retry_calib = parse_calib(retry_text)
+        if retry_calib and rsf == cur_sf:
+            fac_retry, unc_retry = calib_factor(retry_calib, "retry-run")
+            if fac_retry < fac_cur:
+                fac_cur, uncertifiable = fac_retry, unc_retry
         if rsf == cur_sf:
             for f, rds in rfams.items():
                 cds = cur_fams.get(f)

@@ -91,6 +91,27 @@ def main():
         # (e) the factor cap: probe claims 10x but values are 4x — the
         # capped factor (3) must NOT excuse the residual -> red
         check("cap_blocks_excuse", 4.0, [round(ref_s * 10, 3)] * 3, 1)
+        # (f) an EMPTY/crashed retry log must not launder an
+        # uncertifiable refusal into a pass (review finding r18)
+        log_f = os.path.join(root, "uncertifiable.log")
+        emit(log_f, 1.2, [round(ref_s * 10, 3)] * 3)
+        empty_retry = os.path.join(root, "empty_retry.log")
+        open(empty_retry, "w").write("")
+        r = subprocess.run([sys.executable, BENCHCMP, log_f, root,
+                            "--retry", empty_retry],
+                           capture_output=True, text=True)
+        ok = r.returncode == 1
+        print(f"  empty_retry_keeps_refusal: rc={r.returncode} (want 1) "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("empty_retry_keeps_refusal")
+            print(r.stdout)
+        # (g) even-length probe lists take the TRUE median (middle-pair
+        # mean), not the worst probe: values 3.0x with probes
+        # [1.0x, 2.6x] -> median 1.8x -> normalized 1.67x -> red
+        # (the worst-probe bug normalized by 2.6x and passed)
+        check("even_median_not_worst_probe", 3.0,
+              [round(ref_s * 1.0, 3), round(ref_s * 2.6, 3)], 1)
 
         if fails:
             print("test_benchcmp FAILED: " + ", ".join(fails))
