@@ -89,7 +89,17 @@ object PlanDump {
     // is the ROLL plan: corpus side artifact-scanned, delta-only fresh
     // encode — dumped via UncachedBuilds; v45's is the rolled-artifact
     // serve plan, also via UncachedBuilds)
-    "v44_ann_index_roll", "v45_ann_rolled_serve")
+    "v44_ann_index_roll", "v45_ann_rolled_serve",
+    // round 19 additions (all four are artifact-maintenance queries
+    // whose registered plan is a census/readout over an artifact
+    // written at build time — the load-bearing evidence is the
+    // MAINTENANCE plan, dumped via UncachedBuilds: roll #2 scanning the
+    // ROLLED artifact with only shard-B fresh work, and the reaps'
+    // anti-join over the rolled scan. t71 stays out: its registered
+    // plan is a checkpoint scan over the composed censuses — the
+    // composition equality lives in TextArtifactSpec and its oracle)
+    "v46_ann_roll_roll", "v47_ann_reap", "t69_band_roll_roll",
+    "t70_band_reap")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —
@@ -114,7 +124,14 @@ object PlanDump {
     // its banded build pipeline is the evidence now
     "v44_ann_index_roll" -> (graft.queries.VectorOps.rolledAnnUncached _),
     "v45_ann_rolled_serve" -> (graft.queries.VectorOps.annRolledServeUncached _),
-    "m09_chunk_simhash_pairs" -> (graft.multimodal.Multimodal.chunkSimhashPairsUncached _))
+    "m09_chunk_simhash_pairs" -> (graft.multimodal.Multimodal.chunkSimhashPairsUncached _),
+    // round 19: the two-step rolls' evidence is roll #2's plan (corpus
+    // side = the ROLLED artifact, fresh work = one shard); the reaps'
+    // is the anti-join over the rolled artifact scan
+    "v46_ann_roll_roll" -> (graft.queries.VectorOps.rolledAnnS2Uncached _),
+    "v47_ann_reap" -> (graft.queries.VectorOps.reapedAnnUncached _),
+    "t69_band_roll_roll" -> (graft.queries.TextOps.rolledBandsS2Uncached _),
+    "t70_band_reap" -> (graft.queries.TextOps.reapedBandsUncached _))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

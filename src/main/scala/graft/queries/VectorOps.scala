@@ -264,6 +264,8 @@ object VectorOps {
     annTopKCache.clear()
     annRollCache.clear()
     annRolledServeCache.clear()
+    annRoll2Cache.clear()
+    annReapCache.clear()
   }
 
   private val resPqIndexCache = scala.collection.concurrent.TrieMap
@@ -1638,17 +1640,23 @@ object VectorOps {
   private val annRollCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The graded per-CELL census every index-maintenance query reads
+    * out: entries, distinct vectors, Σ vec_id, and a Σ(m+1)·code
+    * checksum that flips if ANY posting's code or subspace drifts —
+    * shared by v44 (one roll), v46 (roll∘roll), and v47 (reap), each
+    * against its own maintained artifact. */
+  private def annCellCensus(idx: DataFrame): DataFrame =
+    idx.groupBy("cell")
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(col("vec_id")).as("n_vecs"),
+        sum(col("vec_id")).cast("long").as("id_sum"),
+        sum((col("m") + 1) * col("code")).cast("long").as("code_checksum"))
+      .orderBy("cell")
+
   def annIndexRoll(s: SparkSession, d: String): DataFrame = {
     annRollCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     annRollCache.getOrElseUpdate((s, d),
-      rolledAnn(s, d)
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_entries"),
-          countDistinct(col("vec_id")).as("n_vecs"),
-          sum(col("vec_id")).cast("long").as("id_sum"),
-          sum((col("m") + 1) * col("code")).cast("long").as("code_checksum"))
-        .orderBy("cell")
-        .localCheckpoint())
+      annCellCensus(rolledAnn(s, d)).localCheckpoint())
   }
 
   /** corpus_ann/rolled_ann artifact fold-shape tag — sha256 (first 8
@@ -1682,6 +1690,135 @@ object VectorOps {
     * (PlanDump / VectorArtifactSpec run against this). */
   private[graft] def annRolledServeUncached(s: SparkSession, d: String): DataFrame =
     annServeOverIndex(s, d, rolledAnn(s, d))
+
+  // ——— v46: TWO-STEP roll-forward — the roll is closed under itself
+  // (round-18 verdict #1: v44 proves corpus ∪ delta ≡ rebuild for ONE
+  // step; the steady-state claim needs the induction — a roll whose
+  // corpus input is itself a ROLLED artifact) ———
+
+  /** Day-2's ingest shard for the two-step lifecycle: vec_id ≡ 3
+    * (mod 10). Day-3's shard reuses v44's residue (≡ 7), so
+    * {corpus₂, shard A, shard B} partition the id space exactly like
+    * v44's {corpus, delta} — the same full-rebuild census grades both
+    * lifecycles. */
+  private[queries] val VecShardARes = 3L
+
+  /** Day-1 corpus for the two-step lifecycle: everything outside BOTH
+    * ingest shards, encoded once against the frozen quantizers. */
+  private[graft] def corpusAnn2Uncached(s: SparkSession, d: String): DataFrame =
+    annEncodeSlice(s, d,
+      pmod(col("vec_id"), lit(VecDeltaMod)) =!= VecShardARes &&
+        pmod(col("vec_id"), lit(VecDeltaMod)) =!= VecDeltaRes)
+
+  private def corpusAnn2(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "corpus_ann2",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnRoll2FoldTag) {
+      corpusAnn2Uncached(s, d)
+    }
+
+  /** Roll #1 (day 2): corpus₂ artifact ∪ a fresh encode of shard A —
+    * v44's roll shape verbatim, persisted so roll #2 can read IT as
+    * its corpus. */
+  private[graft] def rolledAnnS1Uncached(s: SparkSession, d: String): DataFrame =
+    corpusAnn2(s, d).unionByName(
+      annEncodeSlice(s, d, pmod(col("vec_id"), lit(VecDeltaMod)) === VecShardARes))
+
+  private def rolledAnnS1(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "rolled_ann_s1",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnRoll2FoldTag) {
+      rolledAnnS1Uncached(s, d)
+    }
+
+  /** Roll #2 (day 3) — the induction step: the corpus side is the
+    * ROLLED artifact from day 2 (rolled_ann_s1 — NOT the day-1
+    * corpus_ann2, which this plan never touches), and the only fresh
+    * work is routing + encoding shard B. Because per-vector encodings
+    * depend only on the vector and the FROZEN quantizers, roll∘roll
+    * must be posting-for-posting the full rebuild — v46's census
+    * oracle (the same FULL-REBUILD census as v44's) turns that "must
+    * be" into a graded cross-engine equality, and VectorArtifactSpec
+    * asserts it in-engine at posting granularity plus the plan fact
+    * that roll #2 reads the rolled artifact. */
+  private[graft] def rolledAnnS2Uncached(s: SparkSession, d: String): DataFrame =
+    rolledAnnS1(s, d).unionByName(
+      annEncodeSlice(s, d, pmod(col("vec_id"), lit(VecDeltaMod)) === VecDeltaRes))
+
+  private def rolledAnnS2(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "rolled_ann_s2",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnRoll2FoldTag) {
+      rolledAnnS2Uncached(s, d)
+    }
+
+  private val annRoll2Cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v46 — the graded readout: the per-cell census over the twice-
+    * rolled artifact, against the SAME full-rebuild oracle as v44
+    * (corpus₂ ∪ shard A ∪ shard B = all vectors, so the census must be
+    * identical — one induction step more than v44 proves). */
+  def annRollTwoStep(s: SparkSession, d: String): DataFrame = {
+    annRoll2Cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    annRoll2Cache.getOrElseUpdate((s, d),
+      annCellCensus(rolledAnnS2(s, d)).localCheckpoint())
+  }
+
+  /** corpus_ann2/rolled_ann_s1/rolled_ann_s2 artifact fold-shape tag —
+    * sha256 (first 8 hex) over the slice-encoder, the two-step roll
+    * defs, and the shard constants; VectorArtifactSpec's tag-lock
+    * recomputes it. */
+  private[graft] val AnnRoll2FoldTag = "an2-4927fd27"
+
+  // ——— v47: DELETION reap — the lifecycle's missing CRUD leg
+  // (round-18 verdict #3: create=backfill, read=v43/v45, update=v44;
+  // retiring a doc set must not imply a full index rebuild) ———
+
+  /** The deletion set: vec_id ≡ 4 (mod 10) — a residue disjoint from
+    * both ingest shards, standing in for the tombstone list a
+    * production store accumulates (the q47 forget-cascade posture).
+    * Read as a pushed-down id-only scan of the embeddings fixture —
+    * O(|deletions|) rows reach the reap. */
+  private[queries] val VecDelRes = 4L
+
+  private[graft] def annDeletionSet(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(VecDeltaMod)) === VecDelRes)
+      .select("vec_id")
+
+  /** The reap: anti-join the deletion set's postings OUT of the rolled
+    * index — one hash anti-join keyed on vec_id, O(|index| scan +
+    * |deletions| build side), no re-route, no re-encode, no corpus
+    * rescan — persisted as the next roll of the index. Every surviving
+    * posting is byte-identical to its rolled_ann row (the anti-join
+    * can only drop rows), which VectorArtifactSpec asserts with a
+    * planted deleted vector. */
+  private[graft] def reapedAnnUncached(s: SparkSession, d: String): DataFrame =
+    rolledAnn(s, d).join(annDeletionSet(s, d), Seq("vec_id"), "left_anti")
+
+  private def reapedAnn(s: SparkSession, d: String): DataFrame =
+    graft.sources.ArtifactStore.loadOrBuild(s, "reaped_ann",
+      graft.sources.ArtifactStore.key(d, "embeddings.parquet") + "-" + AnnReapFoldTag) {
+      reapedAnnUncached(s, d)
+    }
+
+  private val annReapCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v47 — the graded readout: the per-cell census over the reaped
+    * artifact; the oracle is the v44 convention INVERTED — a full
+    * rebuild census over the FILTERED corpus (every vector except the
+    * deletion residue), so reap ≡ rebuild-without-the-deleted is a
+    * cross-engine hash fact. */
+  def annReapCensus(s: SparkSession, d: String): DataFrame = {
+    annReapCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    annReapCache.getOrElseUpdate((s, d),
+      annCellCensus(reapedAnn(s, d)).localCheckpoint())
+  }
+
+  /** reaped_ann artifact fold-shape tag — sha256 (first 8 hex) over
+    * the deletion-set and reap defs plus the roll tag's derivation
+    * (the reap consumes rolled_ann); VectorArtifactSpec's tag-lock
+    * recomputes it. */
+  private[graft] val AnnReapFoldTag = "anp-dc26b4fc"
 
   /** Residual IVF-PQ top-5 — v24 upgraded to the full FAISS recipe:
     * the PQ codes quantize each vector's RESIDUAL against its cell
@@ -2501,8 +2638,9 @@ object VectorOps {
         |    FROM cand) t WHERE rn = 1)""".stripMargin
 
   /** v24's oracle, shared verbatim by v43 (artifact-scan path must
-    * agree with the in-session build path). */
-  private lazy val IvfPqTopkDuck: String = IvfPqEncCtesDuck +
+    * agree with the in-session build path), and referenced by t71's
+    * nightly-maintenance serve check. */
+  private[queries] lazy val IvfPqTopkDuck: String = IvfPqEncCtesDuck +
       """,
         |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
         |adc AS (SELECT l.q_id, en.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
@@ -2521,13 +2659,28 @@ object VectorOps {
   /** v44's oracle — the FULL-REBUILD census: the same per-cell census
     * computed from scratch over ALL vectors (v24's enc ⋈ cells chain);
     * roll-forward ≡ rebuild is the claim. */
-  private lazy val AnnRollCensusDuck: String = IvfPqEncCtesDuck +
+  private[queries] lazy val AnnRollCensusDuck: String = IvfPqEncCtesDuck +
       """
         |SELECT cl.cell, COUNT(*) AS n_entries,
         |  COUNT(DISTINCT en.vec_id) AS n_vecs,
         |  CAST(SUM(en.vec_id) AS BIGINT) AS id_sum,
         |  CAST(SUM((en.m + 1) * en.code) AS BIGINT) AS code_checksum
         |FROM enc en JOIN cells cl ON cl.vec_id = en.vec_id
+        |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin
+
+  /** v47's oracle — the v44 convention inverted: the full-rebuild
+    * census over the FILTERED corpus (every vector except the deletion
+    * residue). Per-vector encodings are independent, so filtering the
+    * census postings ≡ rebuilding over the filtered corpus; the
+    * engine's anti-join reap must reproduce it posting-for-posting. */
+  private[queries] lazy val AnnReapCensusDuck: String = IvfPqEncCtesDuck +
+      s"""
+        |SELECT cl.cell, COUNT(*) AS n_entries,
+        |  COUNT(DISTINCT en.vec_id) AS n_vecs,
+        |  CAST(SUM(en.vec_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM((en.m + 1) * en.code) AS BIGINT) AS code_checksum
+        |FROM enc en JOIN cells cl ON cl.vec_id = en.vec_id
+        |WHERE en.vec_id % $VecDeltaMod <> $VecDelRes
         |GROUP BY cl.cell ORDER BY cl.cell""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
@@ -3038,6 +3191,14 @@ object VectorOps {
     // oracle is shared verbatim (the q61 convention), so the artifact
     // scan path and the in-session build path must agree to the hash
     "v43_ann_persisted_index" -> QueryDef(annPersistedIndexTopK _, IvfPqTopkDuck),
+    // v46 rolls a ROLLED artifact (roll #2's corpus input is
+    // rolled_ann_s1, never the day-1 corpus) — the induction step; its
+    // oracle is v44's full-rebuild census VERBATIM (the three slices
+    // partition the id space)
+    "v46_ann_roll_roll" -> QueryDef(annRollTwoStep _, AnnRollCensusDuck),
+    // v47 anti-joins the deletion set's postings out of the rolled
+    // index; oracle = full-rebuild census over the FILTERED corpus
+    "v47_ann_reap" -> QueryDef(annReapCensus _, AnnReapCensusDuck),
     // v44 folds the delta slice into the persisted corpus index; the
     // oracle is the full-rebuild census — roll ≡ rebuild as a hash fact
     "v44_ann_index_roll" -> QueryDef(annIndexRoll _, AnnRollCensusDuck),

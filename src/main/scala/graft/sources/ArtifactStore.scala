@@ -67,13 +67,22 @@ object ArtifactStore {
   def currentTags: Map[String, String] = Map(
     "minhash_sig" -> graft.queries.TextOps.SigFoldTag,
     "lsh_pairs" -> graft.queries.TextOps.LshPairsFoldTag,
+    "doc_sids" -> graft.queries.TextOps.DocSidsFoldTag,
     "corpus_sids" -> graft.queries.TextOps.DeltaFoldTag,
     "corpus_bands" -> graft.queries.TextOps.DeltaFoldTag,
     "rolled_bands" -> graft.queries.TextOps.DeltaFoldTag,
+    "corpus_bands2" -> graft.queries.TextOps.BandRoll2FoldTag,
+    "rolled_bands_s1" -> graft.queries.TextOps.BandRoll2FoldTag,
+    "rolled_bands_s2" -> graft.queries.TextOps.BandRoll2FoldTag,
+    "reaped_bands" -> graft.queries.TextOps.BandReapFoldTag,
     "cos_pairs" -> graft.queries.VectorOps.CosPairsFoldTag,
     "ann_index" -> graft.queries.VectorOps.AnnIndexFoldTag,
     "corpus_ann" -> graft.queries.VectorOps.AnnRollFoldTag,
     "rolled_ann" -> graft.queries.VectorOps.AnnRollFoldTag,
+    "corpus_ann2" -> graft.queries.VectorOps.AnnRoll2FoldTag,
+    "rolled_ann_s1" -> graft.queries.VectorOps.AnnRoll2FoldTag,
+    "rolled_ann_s2" -> graft.queries.VectorOps.AnnRoll2FoldTag,
+    "reaped_ann" -> graft.queries.VectorOps.AnnReapFoldTag,
     "edge_maint" -> graft.queries.StreamOps.EdgeMaintFoldTag,
     "inc_cc" -> graft.queries.StreamOps.IncCcFoldTag,
     "m_simhash_pairs" -> graft.multimodal.Multimodal.SimhashPairsFoldTag,

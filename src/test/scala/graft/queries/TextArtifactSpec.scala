@@ -23,8 +23,19 @@ class TextArtifactSpec extends AnyFunSuite {
   /** The banding layout shared by t03 and t67's postings. */
   private val BandSigs = Seq("def bandsOf(", "val BandKeys")
 
+  /** The postings-table derivation doc_sids adds on top of SigSigs. */
+  private val DocSidSigs = Seq("def sidsOf(", "def docSidsUncached(")
+
+  test("doc_sids artifact fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("dsd", src, SigSigs ++ DocSidSigs)
+    assert(TextOps.DocSidsFoldTag == want,
+      s"postings derivation changed: bump TextOps.DocSidsFoldTag to \"$want\" " +
+        "(the persisted doc_sids artifact must be invalidated with it)")
+  }
+
   test("minhash_sig artifact fold-shape tag is locked to the derivation source") {
-    val want = FoldTagLock.expectedTag("sig", src, SigSigs)
+    val want = FoldTagLock.expectedTag("sig", src,
+      SigSigs ++ DocSidSigs :+ "def signatureFrameUncached(")
     assert(TextOps.SigFoldTag == want,
       s"signature derivation changed: bump TextOps.SigFoldTag to \"$want\" " +
         "(the persisted minhash_sig artifact must be invalidated with it)")
@@ -32,7 +43,7 @@ class TextArtifactSpec extends AnyFunSuite {
 
   test("lsh_pairs artifact fold-shape tag is locked to the derivation source") {
     val want = FoldTagLock.expectedTag("lsh", src,
-      SigSigs ++ BandSigs :+ "def lshNearDupPairsUncached(")
+      SigSigs ++ DocSidSigs ++ BandSigs :+ "def lshNearDupPairsUncached(")
     assert(TextOps.LshPairsFoldTag == want,
       s"pair derivation changed: bump TextOps.LshPairsFoldTag to \"$want\" " +
         "(the persisted lsh_pairs artifact must be invalidated with it)")
@@ -40,14 +51,35 @@ class TextArtifactSpec extends AnyFunSuite {
 
   test("corpus_sids/corpus_bands/rolled_bands (t67/t68) fold-shape tag is locked to the derivation source") {
     val want = FoldTagLock.expectedTag("dlt", src,
-      SigSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
-        "def corpusDocs(", "def deltaDocs(", "def sidsOf(", "def deltaBands(",
+      SigSigs ++ DocSidSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
+        "def corpusDocs(", "def deltaDocs(", "def bandsOfSlice(", "def deltaBands(",
         "def corpusSidsUncached(", "def corpusBandsUncached(",
         "def deltaDedupUncached(", "def deltaDedupBuild(",
         "def rolledBandsUncached("))
     assert(TextOps.DeltaFoldTag == want,
       s"delta-index derivation changed: bump TextOps.DeltaFoldTag to \"$want\" " +
         "(the persisted corpus_sids/corpus_bands/rolled_bands artifacts must be invalidated with it)")
+  }
+
+  test("corpus_bands2/rolled_bands_s1/rolled_bands_s2 (t69) fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("bd2", src,
+      SigSigs ++ DocSidSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
+        "private[queries] val ShardARes", "def bandsOfSlice(",
+        "def corpusBands2Uncached(", "def rolledBandsS1Uncached(",
+        "def rolledBandsS2Uncached("))
+    assert(TextOps.BandRoll2FoldTag == want,
+      s"two-step roll derivation changed: bump TextOps.BandRoll2FoldTag to \"$want\" " +
+        "(the persisted corpus_bands2/rolled_bands_s1/rolled_bands_s2 artifacts must be invalidated with it)")
+  }
+
+  test("reaped_bands (t70) fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("bdp", src,
+      SigSigs ++ DocSidSigs ++ BandSigs ++ Seq("val DeltaMod", "val DeltaRes",
+        "private[queries] val DocDelRes", "def rolledBandsUncached(",
+        "def docDeletionSet(", "def reapedBandsUncached("))
+    assert(TextOps.BandReapFoldTag == want,
+      s"reap derivation changed: bump TextOps.BandReapFoldTag to \"$want\" " +
+        "(the persisted reaped_bands artifact must be invalidated with it)")
   }
 
   test("t68 roll-forward ≡ rebuild: the rolled index census equals a from-scratch banding of all docs") {
@@ -156,6 +188,92 @@ class TextArtifactSpec extends AnyFunSuite {
     assert(docScans > 0, "delta side must read the documents fixture")
     assert(!plan.contains("NOT (pmod(doc_id"),
       s"no corpus-residue scan of the raw fixture may appear in the serve plan:\n$plan")
+  }
+
+  /** inputFiles AFTER dropping every cached plan: a persisted subtree
+    * (this suite's builders pin scratch frames; Dataset.inputFiles
+    * reads the optimized plan) would otherwise substitute an
+    * InMemoryRelation over the very file scan under assertion. */
+  private def freshInputs(df: org.apache.spark.sql.DataFrame): Array[String] = {
+    spark.sharedState.cacheManager.clearCache()
+    df.inputFiles
+  }
+
+  test("t03 build reads the doc_sids postings artifact — the raw text is shingled exactly once") {
+    // materialize once so the artifact exists, then inspect the build
+    val rows = TextOps.lshNearDupPairs(spark, d).collect()
+    assert(rows.nonEmpty)
+    val inputs = freshInputs(TextOps.lshNearDupPairsUncached(spark, d))
+    assert(inputs.exists(_.contains("doc_sids")),
+      s"the pair build must read the materialized shingle table: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains("documents.parquet")),
+      "the pair build must never re-shingle raw text — signatures, sizes, " +
+        "and the exact-Jaccard verify all read doc_sids postings")
+  }
+
+  test("t69 roll∘roll ≡ rebuild in-engine; roll #2 reads the ROLLED artifact, never the day-1 corpus") {
+    // the induction step t68 alone can't show: the second roll's corpus
+    // input is itself a rolled artifact, and the result must STILL be
+    // posting-for-posting the single-roll (≡ rebuild, per t68's spec)
+    val twice = TextOps.rolledBandsS2Uncached(spark, d)
+      .collect().map(_.toSeq).toSet
+    val once = TextOps.rolledBandsUncached(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(twice.nonEmpty && twice == once,
+      "rolled_bands_s1 ∪ shard-B bands must be posting-for-posting the single roll / rebuild")
+    val census1 = TextOps.indexRoll(spark, d).collect().map(_.toSeq).toSeq
+    val census2 = TextOps.bandRollTwoStep(spark, d).collect().map(_.toSeq).toSeq
+    assert(census2 == census1, "the two lifecycles must grade to the identical census")
+    val inputs = freshInputs(TextOps.rolledBandsS2Uncached(spark, d))
+    assert(inputs.exists(_.contains("rolled_bands_s1")),
+      s"roll #2's corpus side must scan the ROLLED artifact: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains("corpus_bands2")),
+      "roll #2 must never rescan the day-1 corpus artifact — that is the induction")
+    assert(inputs.exists(_.contains("documents.parquet")),
+      "roll #2's fresh side shingles shard B from the documents fixture")
+  }
+
+  test("t70 planted deletion: reaped postings gone, survivors byte-identical, no re-shingle") {
+    import org.apache.spark.sql.functions._
+    val delIds = TextOps.docDeletionSet(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty, "fixture must have a non-trivial deletion set")
+    val reaped = TextOps.reapedBandsUncached(spark, d).collect().map(_.toSeq)
+    assert(reaped.forall(r => !delIds.contains(r.head.asInstanceOf[Long])),
+      "a deleted doc's postings must not survive the reap")
+    val rolled = TextOps.rolledBandsUncached(spark, d).collect().map(_.toSeq)
+    val expect = rolled.filterNot(r => delIds.contains(r.head.asInstanceOf[Long]))
+    assert(reaped.toSet == expect.toSet && reaped.size == expect.size,
+      "the reap must equal rolled_bands minus exactly the deletion set")
+    // O(|deletions|) fresh work: the reap scans the rolled artifact and
+    // an id-only slice of the fixture — never the corpus indices, and
+    // never a shingle explosion (no sid column anywhere in the plan)
+    val inputs = freshInputs(TextOps.reapedBandsUncached(spark, d))
+    assert(inputs.exists(_.contains("rolled_bands")),
+      s"the reap must scan the persisted rolled index: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains("corpus_bands")) &&
+      !inputs.exists(_.contains("doc_sids")),
+      "the reap must not rescan corpus indices or the postings table")
+  }
+
+  test("t71 nightly composition: stages present, each block equal to its standalone census") {
+    import org.apache.spark.sql.functions._
+    val out = TextOps.nightlyMaintenance(spark, d)
+    val byStage = out.collect().groupBy(_.getString(0))
+    assert(byStage.keySet == Set("a_delta_dedup", "b_band_roll", "c_ann_roll", "d_ann_serve"),
+      s"the night must run all four graded stages: ${byStage.keySet}")
+    // the composition must not re-derive anything: its band-roll block
+    // IS t68's census, its ann-roll block IS v44's (same frames mapped)
+    val bandBlock = byStage("b_band_roll").map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val t68 = TextOps.indexRoll(spark, d).collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(bandBlock == t68, "the composed band census must equal t68's")
+    val annBlock = byStage("c_ann_roll").map(r =>
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val v44 = VectorOps.annIndexRoll(spark, d).collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(annBlock == v44, "the composed ANN census must equal v44's")
   }
 
   test("lsh_pairs: a cleared session is served from the artifact with identical rows") {

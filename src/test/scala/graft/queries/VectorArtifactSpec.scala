@@ -169,6 +169,116 @@ class VectorArtifactSpec extends AnyFunSuite {
     assert(again == r45, "artifact-served top-k must be identical")
   }
 
+  test("corpus_ann2/rolled_ann_s1/rolled_ann_s2 (v46) fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("an2", src,
+      Seq("private[queries] val VecDeltaMod", "private[queries] val VecDeltaRes",
+        "private[queries] val VecShardARes", "def annEncodeSlice(",
+        "def corpusAnn2Uncached(", "def rolledAnnS1Uncached(",
+        "def rolledAnnS2Uncached("))
+    assert(VectorOps.AnnRoll2FoldTag == want,
+      s"two-step roll derivation changed: bump VectorOps.AnnRoll2FoldTag to \"$want\" " +
+        "(the persisted corpus_ann2/rolled_ann_s1/rolled_ann_s2 artifacts must be invalidated with it)")
+  }
+
+  test("reaped_ann (v47) fold-shape tag is locked to the derivation source") {
+    val want = FoldTagLock.expectedTag("anp", src,
+      Seq("private[queries] val VecDeltaMod", "private[queries] val VecDelRes",
+        "def annEncodeSlice(", "def corpusAnnUncached(", "def rolledAnnUncached(",
+        "def annDeletionSet(", "def reapedAnnUncached("))
+    assert(VectorOps.AnnReapFoldTag == want,
+      s"reap derivation changed: bump VectorOps.AnnReapFoldTag to \"$want\" " +
+        "(the persisted reaped_ann artifact must be invalidated with it)")
+  }
+
+  test("v46 roll∘roll ≡ rebuild in-engine: the twice-rolled index equals the full encode chain") {
+    // v44 proves ONE induction step; this is the induction — the
+    // second roll's corpus input is itself a rolled artifact, and the
+    // result must STILL be posting-for-posting the full rebuild
+    val rolled2 = VectorOps.rolledAnnS2Uncached(spark, d)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = VectorOps.annIndexUncached(spark, d)
+      .collect().map(_.toSeq).toSet
+    assert(rolled2.nonEmpty && rolled2 == rebuilt,
+      "rolled_ann_s1 ∪ shard-B-encode must be posting-for-posting the full rebuild")
+  }
+
+  test("v46 planted geometry: the three slices partition the id space; roll #2 reads the ROLLED artifact") {
+    import org.apache.spark.sql.functions._
+    val all = graft.tables.Tables.embeddings(spark, d)
+    val nAll = all.count()
+    val nA = all.filter(
+      pmod(col("vec_id"), lit(VectorOps.VecDeltaMod)) === VectorOps.VecShardARes).count()
+    val nB = all.filter(
+      pmod(col("vec_id"), lit(VectorOps.VecDeltaMod)) === VectorOps.VecDeltaRes).count()
+    assert(nA > 0 && nB > 0 && nA + nB < nAll,
+      s"fixture must have two non-trivial ingest shards ($nA, $nB of $nAll)")
+    assert(VectorOps.corpusAnn2Uncached(spark, d).count() == 8 * (nAll - nA - nB),
+      "day-1 corpus must hold 8 postings per non-shard vector")
+    assert(VectorOps.rolledAnnS1Uncached(spark, d).count() == 8 * (nAll - nB),
+      "roll #1 must add exactly shard A")
+    val s2 = VectorOps.rolledAnnS2Uncached(spark, d)
+    assert(s2.count() == 8 * nAll && s2.select("vec_id").distinct().count() == nAll,
+      "roll #2 must cover every vector exactly once")
+    // the induction's PLAN fact: roll #2 scans the ROLLED artifact —
+    // never the day-1 corpus artifact — and its only embeddings-fixture
+    // work is the shard-B slice (the routing/encode side). Drop cached
+    // plans first: a persisted subtree from an earlier test would
+    // substitute an InMemoryRelation over the scan under assertion.
+    spark.sharedState.cacheManager.clearCache()
+    val inputs = VectorOps.rolledAnnS2Uncached(spark, d).inputFiles
+    assert(inputs.exists(_.contains("rolled_ann_s1")),
+      s"roll #2's corpus side must scan the ROLLED artifact: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains("corpus_ann2")),
+      "roll #2 must never rescan the day-1 corpus artifact — that is the induction")
+    assert(inputs.exists(_.contains("embeddings.parquet")),
+      "roll #2's fresh side reads shard B from the embeddings fixture")
+  }
+
+  test("v46 census ≡ v44 census: the two lifecycles agree (same full-rebuild grade)") {
+    val one = VectorOps.annIndexRoll(spark, d).collect().map(_.toSeq).toSeq
+    val two = VectorOps.annRollTwoStep(spark, d).collect().map(_.toSeq).toSeq
+    assert(two.nonEmpty && two == one,
+      "one-roll and two-roll lifecycles must grade to the identical census")
+  }
+
+  test("v47 planted deletion: reaped postings are gone, survivors byte-identical, no corpus rescan") {
+    import org.apache.spark.sql.functions._
+    // the deletion residue must be real on the fixture
+    val delIds = VectorOps.annDeletionSet(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(delIds.nonEmpty, "fixture must have a non-trivial deletion set")
+    val reaped = VectorOps.reapedAnnUncached(spark, d).collect().map(_.toSeq)
+    // (a) every deleted vector's postings are GONE
+    assert(reaped.forall(r => !delIds.contains(r.head.asInstanceOf[Long])),
+      "a deleted vector's postings must not survive the reap")
+    // (b) every surviving posting is byte-identical to its rolled_ann
+    // row — the reap may only ever DROP rows, never rewrite one
+    val rolled = VectorOps.rolledAnnUncached(spark, d).collect().map(_.toSeq)
+    val expect = rolled.filterNot(r => delIds.contains(r.head.asInstanceOf[Long]))
+    assert(reaped.toSet == expect.toSet && reaped.size == expect.size,
+      "the reap must equal rolled_ann minus exactly the deletion set")
+    // (c) the reap plan scans the rolled artifact; its only
+    // embeddings-fixture read is the deletion-set slice (no re-encode,
+    // no corpus rescan — O(|deletions|) fresh work). Cache cleared so
+    // no persisted subtree hides the scans (the t03 lesson).
+    spark.sharedState.cacheManager.clearCache()
+    val inputs = VectorOps.reapedAnnUncached(spark, d).inputFiles
+    assert(inputs.exists(_.contains("rolled_ann")),
+      s"the reap must scan the persisted rolled index: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains("corpus_ann")),
+      "the reap must not rescan the corpus artifact")
+  }
+
+  test("v47 reap ≡ rebuild-over-filtered-corpus in-engine") {
+    import org.apache.spark.sql.functions._
+    val reaped = VectorOps.reapedAnnUncached(spark, d).collect().map(_.toSeq).toSet
+    val rebuilt = VectorOps.annIndexUncached(spark, d)
+      .filter(pmod(col("vec_id"), lit(VectorOps.VecDeltaMod)) =!= VectorOps.VecDelRes)
+      .collect().map(_.toSeq).toSet
+    assert(reaped.nonEmpty && reaped == rebuilt,
+      "anti-join reap must equal a full rebuild over the filtered corpus")
+  }
+
   test("v02: a cleared session is served from the cos_pairs artifact with identical rows") {
     val rows1 = VectorOps.cosineNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
     assert(rows1.nonEmpty, "fixture must have cosine near-dup pairs")
