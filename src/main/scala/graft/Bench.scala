@@ -51,7 +51,7 @@ object Bench {
     * the committed bench_cleared.json builds against HEAD's and goes
     * RED on the same thresholds as the memo-build gate. */
   private def clearedPass(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String): Unit = {
+      sfDir: String, cpus: String): Unit = {
     val qs = SparkEntry.all.toSeq
       .filter { case (k, _) => SparkEntry.memoServed(k) }
       .sortBy(_._1)
@@ -75,19 +75,32 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = rows.count(!_._2._2)
     val total = rows.collect { case (_, (t, true)) => t }.sum
-    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"calib":${calibJson(calib.toSeq)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpus,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DETAIL_OUT",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_cleared.json")),
       line + "\n")
     catch { case _: Throwable => println(line) }
-    println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"unit":"sec"}""")
+    println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpus,"unit":"sec"}""")
     println(s"""{"metric":"cleared_total","value":${ms(total)},"unit":"sec","n_queries":${rows.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_CALIB_ONLY=<n>: run ONLY the calibration probe n times and
+    // emit one calib line — the re-pin procedure for benchcmp's
+    // config-keyed CALIB_REF_BY_CPUS map (round-18 verdict #2: a pin is
+    // valid only at the session config it was floored on; measure the
+    // quiet-window floor AT that config, never extrapolate across one).
+    sys.env.get("GRAFT_CALIB_ONLY").map(_.trim.toInt).foreach { n =>
+      Harness.withSession(cpus) { spark =>
+        calibProbe(spark) // untimed: absorb the probe's own JIT/codegen
+        val xs = (1 to n).map(_ => calibProbe(spark))
+        println(s"""{"metric":"calib","s":${calibJson(xs)},"cpus":$cpus,"unit":"sec"}""")
+      }
+      return
+    }
     // SPARK_GRAFT_FAMILIES=t,v restricts the run to those query-family
     // prefixes — tools/bench_detail.sh uses it to record per-family
     // ISOLATED JVMs (the full-run record reads 2-3x high on queries that
@@ -144,7 +157,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty[String, Double] }
     Harness.withSession(cpus) { spark =>
       if (sys.env.get("GRAFT_CLEARED_PASS").contains("1")) {
-        clearedPass(spark, sfDir); return
+        clearedPass(spark, sfDir, cpus); return
       }
       // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
       // numbers measure the plan, not JVM cold start; sorted order keeps
@@ -300,7 +313,7 @@ object Bench {
         .map(f => "isolated-family-jvm:" + f.toSeq.sorted.mkString(""))
         .getOrElse("full-run-perfam")
       val detailLine =
-        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"sf":"$sfDir"}"""
+        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpus,"sf":"$sfDir"}"""
       // default destination is OUTSIDE the repo: the committed
       // bench_detail.json is the per-family-ISOLATED record
       // (tools/bench_detail.sh sets GRAFT_DETAIL_OUT explicitly), and a
@@ -360,8 +373,9 @@ object Bench {
           }
         }
       // calib travels adjacent to the trailing total so a tail clip
-      // keeps both (benchcmp normalizes family totals by it)
-      println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"unit":"sec"}""")
+      // keeps both (benchcmp normalizes family totals by it); "cpus"
+      // rides along so benchcmp can key the pin by the session config
+      println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpus,"unit":"sec"}""")
       println(totalLine)
     }
   }

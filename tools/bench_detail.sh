@@ -59,7 +59,7 @@ def famsum(qs):
     w = sum(v["warm"] for v in qs.values() if isinstance(v.get("warm"), (int, float)))
     return [round(c, 3), round(w, 3)]
 
-queries, samples, calib = {}, {}, []
+queries, samples, calib, cpus = {}, {}, [], None
 for p in sorted(glob.glob(out + "/detail_*_s1.json")):
     fam = re.search(r"detail_(\w+)_s1\.json$", p).group(1)
     per, cals = [], []
@@ -67,6 +67,7 @@ for p in sorted(glob.glob(out + "/detail_*_s1.json")):
         rec_s = json.load(open(f"{out}/detail_{fam}_s{s}.json"))
         per.append(rec_s["queries"])
         cals.append(rec_s.get("calib", []))
+        cpus = rec_s.get("cpus", cpus)
     sums = [famsum(q) for q in per]
     # median by cold+warm total; ties resolve to the lowest sample index
     order = sorted(range(n), key=lambda i: (sums[i][0] + sums[i][1], i))
@@ -89,8 +90,10 @@ rec = {"metric": "detail", "unit": "sec",
        "src_hash": src_hash,
        "samples": samples,
        # ADOPTED samples' probe readings only (round-18 calibration):
-       # benchcmp --cold normalizes by median(calib)/CALIB_REF_S
+       # benchcmp --cold normalizes by median(calib) over the pin for
+       # this record's session config ("cpus" — round-19 keyed pins)
        "calib": calib,
+       "cpus": cpus,
        "queries": dict(sorted(queries.items())), "sf": sf}
 with open("bench_detail.json", "w") as f:
     f.write(json.dumps(rec, separators=(",", ":")) + "\n")

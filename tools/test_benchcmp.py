@@ -23,7 +23,7 @@ REF_FAMS = {"q": [10] * 10, "t": [10] * 10, "v": [10] * 10}
 REF_TOTAL = sum(sum(ds) for ds in REF_FAMS.values()) / 10.0
 
 
-def emit(path, scale, calib=None):
+def emit(path, scale, calib=None, cpus=None):
     lines = []
     total = json.dumps({"metric": "total", "value": round(REF_TOTAL * scale, 3),
                         "unit": "sec", "n_queries": 30, "n_failed": 0,
@@ -34,8 +34,12 @@ def emit(path, scale, calib=None):
             {"f": f, "ds": [int(round(d * scale)) for d in ds]},
             separators=(",", ":")))
     if calib is not None:
-        lines.append(json.dumps({"metric": "calib", "s": calib, "unit": "sec"},
-                                separators=(",", ":")))
+        # key order matches Bench's emission ({"metric","s"[,"cpus"]}),
+        # which the parse_cpus regex relies on
+        s = json.dumps(calib, separators=(",", ":"))
+        tail = f',"cpus":{cpus},"unit":"sec"}}' if cpus is not None \
+            else ',"unit":"sec"}'
+        lines.append('{"metric":"calib","s":' + s + tail)
     lines.append(total)
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -112,10 +116,73 @@ def main():
         # (the worst-probe bug normalized by 2.6x and passed)
         check("even_median_not_worst_probe", 3.0,
               [round(ref_s * 1.0, 3), round(ref_s * 2.6, 3)], 1)
+        # (h) uncertifiable-only red still prints RERUN_FAMILIES (r18
+        # advice): nothing grew, the probe alone refused the window —
+        # the gate's single-retry path must get a quieter re-probe
+        log_h = os.path.join(root, "uncertifiable_only.log")
+        emit(log_h, 1.0, [round(ref_s * 10, 3)] * 3)
+        rc_h, out_h = run(log_h, root)
+        ok = rc_h == 1 and "RERUN_FAMILIES=" in out_h
+        print(f"  uncertifiable_only_emits_rerun: rc={rc_h} rerun="
+              f"{'yes' if 'RERUN_FAMILIES=' in out_h else 'NO'} "
+              f"(want 1/yes) {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("uncertifiable_only_emits_rerun")
+            print(out_h)
 
-        if fails:
-            print("test_benchcmp FAILED: " + ", ".join(fails))
-            return 1
+    # config-keyed pin scenarios run in their own roots (their reference
+    # records carry a different session config)
+    ref32 = bc.CALIB_REF_BY_CPUS[32]
+    with tempfile.TemporaryDirectory() as root:
+        ref_log = os.path.join(root, "ref.log")
+        emit(ref_log, 1.0, [round(ref32 * 1.0, 3)] * 3, cpus=32)
+        with open(os.path.join(root, "BENCH_r1.json"), "w") as fh:
+            json.dump({"rc": 0, "cpus": 32, "tail": open(ref_log).read()}, fh)
+        # (i) MATCHED cpus=32: uniform 1.6x slowdown whose probes read
+        # ~1.7x of the 32-cpu pin -> green. The default-config pin
+        # (0.82) would read these probes as factor 1 and RED the run —
+        # this scenario fails unless the pin is keyed by config.
+        log_i = os.path.join(root, "keyed_pin_32.log")
+        emit(log_i, 1.6, [round(ref32 * 1.7, 3)] * 3, cpus=32)
+        rc_i, out_i = run(log_i, root)
+        ok = rc_i == 0
+        print(f"  keyed_pin_cpus32_normalizes: rc={rc_i} (want 0) "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("keyed_pin_cpus32_normalizes")
+            print(out_i)
+        # (j) MISMATCHED configs (gate default-4 vs reference cpus=32):
+        # normalization must be REFUSED on both sides — per-side pins
+        # would excuse this 1.6x regression (cur probes read 1.7x of
+        # the 4-pin), so a green here means cross-config laundering
+        log_j = os.path.join(root, "mismatch_refusal.log")
+        emit(log_j, 1.6, [round(bc.CALIB_REF_S * 1.7, 3)] * 3)
+        rc_j, out_j = run(log_j, root)
+        ok = rc_j == 1 and "normalization REFUSED" in out_j
+        print(f"  mismatched_config_refuses_normalization: rc={rc_j} "
+              f"refused={'yes' if 'normalization REFUSED' in out_j else 'NO'} "
+              f"(want 1/yes) {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("mismatched_config_refuses_normalization")
+            print(out_j)
+
+    # (k) parse_calib accumulates across ALL calib lines (r18 advice:
+    # last-match-only dropped earlier probe sets), and parse_cpus
+    # refuses ambiguity on mixed-config concatenations
+    two = ('{"metric":"calib","s":[1.0,2.0],"cpus":4,"unit":"sec"}\n'
+           '{"metric":"calib","s":[3.0],"cpus":4,"unit":"sec"}\n')
+    ok = bc.parse_calib(two) == [1.0, 2.0, 3.0] and bc.parse_cpus(two) == 4
+    mixed = two + '{"metric":"calib","s":[9.0],"cpus":32,"unit":"sec"}\n'
+    ok = ok and bc.parse_cpus(mixed) is None and \
+        bc.parse_cpus('{"metric":"calib","s":[1.0],"unit":"sec"}') is None
+    print(f"  parse_calib_accumulates_and_cpus_unambiguous: "
+          f"{'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        fails.append("parse_calib_accumulates_and_cpus_unambiguous")
+
+    if fails:
+        print("test_benchcmp FAILED: " + ", ".join(fails))
+        return 1
     print("test_benchcmp: all scenarios behave")
     return 0
 
