@@ -61,7 +61,11 @@ object Bench {
     val calib = calibStart(spark)
     val rows = qs.zipWithIndex.map { case ((name, q), i) =>
       if (i == qs.size / 2) calib += calibProbe(spark)
-      Memos.clearAll()
+      // keep the SHARED armed deployment across the pass (round-19
+      // brief #4): g09/g10/g21 read one Derby lifetime — its build
+      // cost lands in g09 (first consumer in sorted order), the same
+      // attribution rule the un-wiped scratch artifact dir follows
+      Memos.clearAllKeepingSharedDeployments()
       val t0 = System.nanoTime()
       val ok = try { q.fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }

@@ -15,12 +15,30 @@ package graft
   * a silently-warm "cleared" pass. */
 object Memos {
   def clearAll(): Unit = {
+    queries.Generated.clearCaches()
+    clearAllExceptGenerated()
+  }
+
+  /** The cleared-lane clear (Bench GRAFT_CLEARED_PASS, round-19
+    * brief #4): everything clearAll clears EXCEPT the shared
+    * armed-deployment triple (see Generated.clearCachesKeeping-
+    * ArmedDeployment) — g09/g10/g21 are three readouts of ONE Derby
+    * deployment, and the lane's convention for pass-scoped shared
+    * state (its scratch artifact dir is likewise not wiped between
+    * queries) is that the build cost lands in the first consumer in
+    * sorted order. Harness teardown still uses clearAll, so nothing
+    * survives a session. */
+  def clearAllKeepingSharedDeployments(): Unit = {
+    queries.Generated.clearCachesKeepingArmedDeployment()
+    clearAllExceptGenerated()
+  }
+
+  private def clearAllExceptGenerated(): Unit = {
     queries.TextOps.clearCaches()
     queries.StreamOps.clearCaches()
     queries.EventOps.clearCaches()
     queries.Relational2.clearObservedCache()
     queries.VectorOps.clearCaches()
-    queries.Generated.clearCaches()
     queries.GraphOps.clearCaches()
     operators.CopyOnWrite.clearCaches()
     operators.MergeOnRead.clearCaches()

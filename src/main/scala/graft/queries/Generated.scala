@@ -602,7 +602,7 @@ object Generated {
   // cold/warm split keeps the true cost visible (the t16/s06
   // bench-honesty convention); Harness tears the memos down with the
   // session.
-  private val liveCache =
+  private[queries] val liveCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def liveMemo(s: SparkSession, key: String)(body: => DataFrame): DataFrame = {
@@ -610,7 +610,7 @@ object Generated {
     liveCache.getOrElseUpdate((s, key), body)
   }
 
-  private val armedFullCache =
+  private[queries] val armedFullCache =
     scala.collection.concurrent.TrieMap.empty[SparkSession, (DataFrame, DataFrame, DataFrame)]
 
   private def armedFull(s: SparkSession): (DataFrame, DataFrame, DataFrame) = {
@@ -644,7 +644,27 @@ object Generated {
 
   /** Teardown hook (Harness) — drop memoized audits with the session. */
   def clearCaches(): Unit = {
-    armedFullCache.clear(); liveCache.clear()
+    armedFullCache.clear()
+    clearCachesKeepingArmedDeployment()
+  }
+
+  /** The cleared-lane teardown (round-18 verdict #4, via
+    * Memos.clearAllKeepingSharedDeployments): identical to clearCaches
+    * EXCEPT the shared armed-deployment triple survives. g09/g10/g21
+    * are three READOUTS of one runArmedLinked Derby lifetime — the
+    * cleared lane clears memos before every query, so re-deploying the
+    * identical 77-table catalog before each of them graded the SAME
+    * build three times (g09 34.9 + g10 26.5 + g21 28.2 = 89.6 s of
+    * the 286 s r18 lane) while adding no information. The deployment
+    * is pass-scoped shared state — exactly like the lane's scratch
+    * artifact dir, which is also NOT wiped between queries — so its
+    * cost lands in its first consumer in sorted order (g09), the
+    * lane's standing attribution rule. Single-query Derby lifetimes
+    * (g07/g08/g13/g14/g15/g18/g19) stay per-query via liveCache:
+    * their isolation IS the semantics under grade (idempotency,
+    * rollback, OCC need their own database state). */
+  def clearCachesKeepingArmedDeployment(): Unit = {
+    liveCache.clear()
     // g20's bounds point into the federated DB dropped below — clear
     // BEFORE the drop so no caller can read a URL to a dead database
     partScanLock.synchronized(partScanCache.clear())

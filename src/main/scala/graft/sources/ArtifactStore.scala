@@ -23,7 +23,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object ArtifactStore {
 
-  def root: String = sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "artifacts")
+  def root: String =
+    rootOverride.getOrElse(sys.env.getOrElse("GRAFT_ARTIFACT_DIR", "artifacts"))
+
+  /** Test-only root redirection (round-18 advice: GcTagSpec used to
+    * plant/reap kinds in the REAL shared store and append dead temp-dir
+    * lines to the real _registry.tsv on every run). Set via
+    * [[withRootForTest]]; production code never touches it. */
+  @volatile private var rootOverride: Option[String] = None
+
+  /** Run `body` against an isolated artifact root (registry included):
+    * the in-memory registry mirror is reset on entry and on exit, so
+    * digests recorded against the temp root never leak into the real
+    * store's gc decisions and vice versa. Test use only; suites run
+    * sequentially in the forked test JVM, so the swap is race-free. */
+  def withRootForTest[T](dir: String)(body: => T): T = synchronized {
+    val prev = rootOverride
+    rootOverride = Some(dir)
+    registry.clear(); registryLoaded = false
+    try body
+    finally {
+      rootOverride = prev
+      registry.clear(); registryLoaded = false
+    }
+  }
 
   /** Derivation-code version, folded into every artifact key. The
     * fixture key (size+mtime) catches data changes; THIS catches code
@@ -232,6 +255,20 @@ object ArtifactStore {
     * _SUCCESS marker. */
   def loadOrBuild(s: SparkSession, kind: String, name: String)
       (build: => DataFrame): DataFrame = synchronized {
+    // Tagged kinds MUST key as `<digest(s)>-<currentTag>` with nothing
+    // AFTER the tag (round-18 advice): gc's superseded-tag reap tells a
+    // lost-registry digest from a stale tag only via the convention
+    // that tagged keys END with the bare tag — a call site appending a
+    // parameter after it (key + "-" + Tag + "-" + param) is invisible
+    // to GcTagSpec's static regex, and gc would reap that LIVE
+    // artifact. Enforced at the one choke point every build and load
+    // passes through; parameters belong BEFORE the tag or in the kind
+    // name (the capped_adj2 route).
+    currentTags.get(kind).foreach { tag =>
+      require(name.endsWith("-" + tag),
+        s"artifact kind '$kind' keyed '$name' must END with its registered " +
+          s"fold tag '-$tag' — append parameters before the tag or use a new kind")
+    }
     val dir = Paths.get(root, kind, name)
     if (!Files.exists(dir.resolve("_SUCCESS"))) {
       val tmp = Paths.get(root, kind,

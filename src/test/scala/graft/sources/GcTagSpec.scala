@@ -19,6 +19,11 @@ class GcTagSpec extends AnyFunSuite {
     val fix = Files.createTempDirectory("gctagfix").toString
     val data = Paths.get(fix, "t.parquet")
     Seq(1L, 2L).toDF("x").write.parquet(data.toString)
+    // isolated artifact root (round-18 advice): planted kinds and the
+    // temp-fixture digests this test registers must never touch the
+    // real shared store or append dead lines to its _registry.tsv
+    val isoRoot = Files.createTempDirectory("gctagroot").toString
+    ArtifactStore.withRootForTest(isoRoot) {
     val dg = ArtifactStore.key(fix, "t.parquet")
 
     // current-tag artifact + a planted stale-tag sibling (same digest,
@@ -68,19 +73,39 @@ class GcTagSpec extends AnyFunSuite {
     assert(Files.exists(liveUnreg),
       "a dir with an unregistered leading digest must be kept (conservative)")
 
-    // cleanup the planted kinds
-    for (k <- Seq("gctagkind", "gctagkind2", "gctagother")) {
-      val p = Paths.get(ArtifactStore.root, k)
-      if (Files.exists(p)) {
-        def rm(x: java.nio.file.Path): Unit = {
-          if (Files.isDirectory(x)) {
-            val st = Files.list(x); try st.forEach(rm(_)) finally st.close()
-          }
-          Files.deleteIfExists(x); ()
-        }
-        rm(p)
-      }
     }
+    // drop the whole isolated root — nothing of this test outlives it
+    def rm(x: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(x)) {
+        val st = Files.list(x); try st.forEach(rm(_)) finally st.close()
+      }
+      Files.deleteIfExists(x); ()
+    }
+    rm(Paths.get(isoRoot)); rm(Paths.get(fix))
+  }
+
+  test("loadOrBuild refuses a tagged kind whose key does not end with the registered tag") {
+    // round-18 advice: a call site appending a parameter AFTER the tag
+    // (key + "-" + Tag + "-" + param) is invisible to the static regex
+    // below, and gc's suffix compare would read the live dir as
+    // superseded — the format is now enforced at the loadOrBuild choke
+    // point, so such a call site fails its first test run instead
+    import spark.implicits._
+    val isoRoot = Files.createTempDirectory("gctagfmt").toString
+    ArtifactStore.withRootForTest(isoRoot) {
+      val tag = ArtifactStore.currentTags("doc_sids")
+      val ex = intercept[IllegalArgumentException] {
+        ArtifactStore.loadOrBuild(spark, "doc_sids",
+          s"0123456789ab-$tag-param7")(Seq(1L).toDF("x"))
+      }
+      assert(ex.getMessage.contains("must END with its registered"),
+        s"wrong refusal message: ${ex.getMessage}")
+      // the canonical shape still loads/builds fine
+      ArtifactStore.loadOrBuild(spark, "doc_sids",
+        s"0123456789ab-$tag")(Seq(1L).toDF("x")).collect()
+    }
+    Files.walk(Paths.get(isoRoot)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
   }
 
   test("every tagged loadOrBuild call site has a currentTags entry (static scan)") {
