@@ -37,8 +37,12 @@ object Bench {
     * measures scans; the per-family isolated cold column was the only
     * automated guard on those queries' BUILD paths. This pass grades
     * exactly the memo-served queries (SparkEntry.memoServed), calling
-    * Memos.clearAll() — the CacheHygieneSpec-enforced hook list —
-    * BEFORE each one, so every number is an uncached build in ONE
+    * Memos.clearAllKeepingSharedDeployments — the CacheHygieneSpec-
+    * enforced hook list, minus the g09/g10/g21 shared armed-deployment
+    * triple (round-19 brief #4: three readouts of ONE Derby lifetime;
+    * its build lands in g09, the first consumer in sorted order) —
+    * BEFORE each one, so every number is an uncached build (or, for
+    * g10/g21, a readout of the pass's shared deployment) in ONE
     * full-run record. tools/bench_cleared.sh runs it with
     * GRAFT_ARTIFACT_DIR pointed at a scratch dir, so cross-run
     * artifact-backed builds (s29/s31/s32, t67's postings, v43's index)
@@ -51,7 +55,7 @@ object Bench {
     * the committed bench_cleared.json builds against HEAD's and goes
     * RED on the same thresholds as the memo-build gate. */
   private def clearedPass(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, cpus: String): Unit = {
+      sfDir: String, cpusJson: String): Unit = {
     val qs = SparkEntry.all.toSeq
       .filter { case (k, _) => SparkEntry.memoServed(k) }
       .sortBy(_._1)
@@ -79,19 +83,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = rows.count(!_._2._2)
     val total = rows.collect { case (_, (t, true)) => t }.sum
-    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpus,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"cleared","unit":"sec","mode":"cleared-memo-fullrun","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("GRAFT_DETAIL_OUT",
         s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_bench_cleared.json")),
       line + "\n")
     catch { case _: Throwable => println(line) }
-    println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpus,"unit":"sec"}""")
+    println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpusJson,"unit":"sec"}""")
     println(s"""{"metric":"cleared_total","value":${ms(total)},"unit":"sec","n_queries":${rows.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // "cpus" is spliced into the JSON records/lines below; Harness also
+    // accepts non-numeric configs (local[*]) — those record null, which
+    // benchcmp treats as unknown-config, rather than corrupting the JSON
+    val cpusJson = if (cpus.nonEmpty && cpus.forall(_.isDigit)) cpus else "null"
     // GRAFT_CALIB_ONLY=<n>: run ONLY the calibration probe n times and
     // emit one calib line — the re-pin procedure for benchcmp's
     // config-keyed CALIB_REF_BY_CPUS map (round-18 verdict #2: a pin is
@@ -101,7 +109,7 @@ object Bench {
       Harness.withSession(cpus) { spark =>
         calibProbe(spark) // untimed: absorb the probe's own JIT/codegen
         val xs = (1 to n).map(_ => calibProbe(spark))
-        println(s"""{"metric":"calib","s":${calibJson(xs)},"cpus":$cpus,"unit":"sec"}""")
+        println(s"""{"metric":"calib","s":${calibJson(xs)},"cpus":$cpusJson,"unit":"sec"}""")
       }
       return
     }
@@ -161,7 +169,7 @@ object Bench {
     } catch { case _: Throwable => Map.empty[String, Double] }
     Harness.withSession(cpus) { spark =>
       if (sys.env.get("GRAFT_CLEARED_PASS").contains("1")) {
-        clearedPass(spark, sfDir, cpus); return
+        clearedPass(spark, sfDir, cpusJson); return
       }
       // untimed warmup: absorbs JIT/codegen/first-scan costs so per-query
       // numbers measure the plan, not JVM cold start; sorted order keeps
@@ -317,7 +325,7 @@ object Bench {
         .map(f => "isolated-family-jvm:" + f.toSeq.sorted.mkString(""))
         .getOrElse("full-run-perfam")
       val detailLine =
-        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpus,"sf":"$sfDir"}"""
+        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}"""
       // default destination is OUTSIDE the repo: the committed
       // bench_detail.json is the per-family-ISOLATED record
       // (tools/bench_detail.sh sets GRAFT_DETAIL_OUT explicitly), and a
@@ -379,7 +387,7 @@ object Bench {
       // calib travels adjacent to the trailing total so a tail clip
       // keeps both (benchcmp normalizes family totals by it); "cpus"
       // rides along so benchcmp can key the pin by the session config
-      println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpus,"unit":"sec"}""")
+      println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpusJson,"unit":"sec"}""")
       println(totalLine)
     }
   }

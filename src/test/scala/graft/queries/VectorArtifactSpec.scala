@@ -49,6 +49,16 @@ class VectorArtifactSpec extends AnyFunSuite {
   }
   val src = "src/main/scala/graft/queries/VectorOps.scala"
 
+  /** inputFiles AFTER dropping every cached plan (the t03 lesson —
+    * TextArtifactSpec has the same helper): Dataset.inputFiles reads
+    * the OPTIMIZED plan, and a persisted subtree from an earlier test
+    * substitutes an InMemoryRelation over the very scan under
+    * assertion. */
+  private def freshInputs(df: org.apache.spark.sql.DataFrame): Array[String] = {
+    spark.sharedState.cacheManager.clearCache()
+    df.inputFiles
+  }
+
   test("cos_pairs artifact fold-shape tag is locked to the derivation source") {
     val want = FoldTagLock.expectedTag("cos", src,
       Seq("def vecs(", "def cosineNearDupPairsUncached("))
@@ -221,11 +231,8 @@ class VectorArtifactSpec extends AnyFunSuite {
       "roll #2 must cover every vector exactly once")
     // the induction's PLAN fact: roll #2 scans the ROLLED artifact —
     // never the day-1 corpus artifact — and its only embeddings-fixture
-    // work is the shard-B slice (the routing/encode side). Drop cached
-    // plans first: a persisted subtree from an earlier test would
-    // substitute an InMemoryRelation over the scan under assertion.
-    spark.sharedState.cacheManager.clearCache()
-    val inputs = VectorOps.rolledAnnS2Uncached(spark, d).inputFiles
+    // work is the shard-B slice (the routing/encode side)
+    val inputs = freshInputs(VectorOps.rolledAnnS2Uncached(spark, d))
     assert(inputs.exists(_.contains("rolled_ann_s1")),
       s"roll #2's corpus side must scan the ROLLED artifact: ${inputs.take(4).mkString(",")}")
     assert(!inputs.exists(_.contains("corpus_ann2")),
@@ -259,10 +266,8 @@ class VectorArtifactSpec extends AnyFunSuite {
       "the reap must equal rolled_ann minus exactly the deletion set")
     // (c) the reap plan scans the rolled artifact; its only
     // embeddings-fixture read is the deletion-set slice (no re-encode,
-    // no corpus rescan — O(|deletions|) fresh work). Cache cleared so
-    // no persisted subtree hides the scans (the t03 lesson).
-    spark.sharedState.cacheManager.clearCache()
-    val inputs = VectorOps.reapedAnnUncached(spark, d).inputFiles
+    // no corpus rescan — O(|deletions|) fresh work)
+    val inputs = freshInputs(VectorOps.reapedAnnUncached(spark, d))
     assert(inputs.exists(_.contains("rolled_ann")),
       s"the reap must scan the persisted rolled index: ${inputs.take(4).mkString(",")}")
     assert(!inputs.exists(_.contains("corpus_ann")),

@@ -15,6 +15,11 @@ class ArtifactGcSpec extends AnyFunSuite {
     val fix = Files.createTempDirectory("gcfix").toString
     val data = Paths.get(fix, "t.parquet")
     Seq(1L, 2L).toDF("x").write.parquet(data.toString)
+    // isolated root (round-18 advice, the GcTagSpec fix applied here
+    // too): planted kinds and temp-fixture digests stay out of the
+    // real shared store and its _registry.tsv; TestFs deletes the root
+    // (and fix) even on assertion failure
+    TestFs.withTempRoot("gcroot", Paths.get(fix)) { _ =>
 
     // build an artifact keyed on the fixture's current state
     val k1 = ArtifactStore.key(fix, "t.parquet")
@@ -53,16 +58,10 @@ class ArtifactGcSpec extends AnyFunSuite {
     assert(Files.exists(dir2), "regenerated fixture's artifact survives")
 
     // deleted fixture → its key is stale too
-    def rm(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val st = Files.list(p); try st.forEach(rm(_)) finally st.close()
-      }
-      Files.deleteIfExists(p); ()
-    }
-    rm(Paths.get(fix))
+    TestFs.rmrf(Paths.get(fix))
     ArtifactStore.gc()
     assert(!Files.exists(dir2), "a deleted fixture's artifact is collected")
-    Files.deleteIfExists(unknown.resolve("_SUCCESS")); Files.deleteIfExists(unknown)
+    }
   }
 
   test("gc deletes retired kind dirs even when their digests still reproduce") {
@@ -70,16 +69,18 @@ class ArtifactGcSpec extends AnyFunSuite {
     val fix = Files.createTempDirectory("gcretired").toString
     val data = Paths.get(fix, "t.parquet")
     Seq(1L).toDF("x").write.parquet(data.toString)
-    // a renamed-away kind: its digest still reproduces (fixture
-    // unchanged), so the stale-key check alone would keep it forever
-    val k = ArtifactStore.key(fix, "t.parquet")
-    ArtifactStore.loadOrBuild(spark, "gcoldkind", k)(Seq(7L).toDF("y")).collect()
-    val oldDir = Paths.get(ArtifactStore.root, "gcoldkind")
-    assert(Files.exists(oldDir.resolve(k).resolve("_SUCCESS")))
-    val kept = ArtifactStore.gc()
-    assert(Files.exists(oldDir), s"live kind must survive default gc: $kept")
-    val deleted = ArtifactStore.gc(retired = Set("gcoldkind"))
-    assert(!Files.exists(oldDir), "retired kind dir must be deleted whole")
-    assert(deleted.exists(_.endsWith("gcoldkind")), deleted.mkString(", "))
+    TestFs.withTempRoot("gcroot2", Paths.get(fix)) { _ =>
+      // a renamed-away kind: its digest still reproduces (fixture
+      // unchanged), so the stale-key check alone would keep it forever
+      val k = ArtifactStore.key(fix, "t.parquet")
+      ArtifactStore.loadOrBuild(spark, "gcoldkind", k)(Seq(7L).toDF("y")).collect()
+      val oldDir = Paths.get(ArtifactStore.root, "gcoldkind")
+      assert(Files.exists(oldDir.resolve(k).resolve("_SUCCESS")))
+      val kept = ArtifactStore.gc()
+      assert(Files.exists(oldDir), s"live kind must survive default gc: $kept")
+      val deleted = ArtifactStore.gc(retired = Set("gcoldkind"))
+      assert(!Files.exists(oldDir), "retired kind dir must be deleted whole")
+      assert(deleted.exists(_.endsWith("gcoldkind")), deleted.mkString(", "))
+    }
   }
 }

@@ -21,9 +21,9 @@ class GcTagSpec extends AnyFunSuite {
     Seq(1L, 2L).toDF("x").write.parquet(data.toString)
     // isolated artifact root (round-18 advice): planted kinds and the
     // temp-fixture digests this test registers must never touch the
-    // real shared store or append dead lines to its _registry.tsv
-    val isoRoot = Files.createTempDirectory("gctagroot").toString
-    ArtifactStore.withRootForTest(isoRoot) {
+    // real shared store or append dead lines to its _registry.tsv;
+    // TestFs deletes the root (and fix) even on assertion failure
+    TestFs.withTempRoot("gctagroot", Paths.get(fix)) { _ =>
     val dg = ArtifactStore.key(fix, "t.parquet")
 
     // current-tag artifact + a planted stale-tag sibling (same digest,
@@ -74,14 +74,6 @@ class GcTagSpec extends AnyFunSuite {
       "a dir with an unregistered leading digest must be kept (conservative)")
 
     }
-    // drop the whole isolated root — nothing of this test outlives it
-    def rm(x: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(x)) {
-        val st = Files.list(x); try st.forEach(rm(_)) finally st.close()
-      }
-      Files.deleteIfExists(x); ()
-    }
-    rm(Paths.get(isoRoot)); rm(Paths.get(fix))
   }
 
   test("loadOrBuild refuses a tagged kind whose key does not end with the registered tag") {
@@ -91,8 +83,7 @@ class GcTagSpec extends AnyFunSuite {
     // superseded — the format is now enforced at the loadOrBuild choke
     // point, so such a call site fails its first test run instead
     import spark.implicits._
-    val isoRoot = Files.createTempDirectory("gctagfmt").toString
-    ArtifactStore.withRootForTest(isoRoot) {
+    TestFs.withTempRoot("gctagfmt") { _ =>
       val tag = ArtifactStore.currentTags("doc_sids")
       val ex = intercept[IllegalArgumentException] {
         ArtifactStore.loadOrBuild(spark, "doc_sids",
@@ -104,8 +95,6 @@ class GcTagSpec extends AnyFunSuite {
       ArtifactStore.loadOrBuild(spark, "doc_sids",
         s"0123456789ab-$tag")(Seq(1L).toDF("x")).collect()
     }
-    Files.walk(Paths.get(isoRoot)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => { Files.deleteIfExists(p); () })
   }
 
   test("every tagged loadOrBuild call site has a currentTags entry (static scan)") {

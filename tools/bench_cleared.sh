@@ -4,12 +4,16 @@
 # memo/artifact readouts, so their BUILD paths were gated only by the
 # per-family isolated cold column, and for cross-run-artifact and
 # Derby-lifetime queries even the cold is a read (round-16 advice).
-# This runs graft.Bench with GRAFT_CLEARED_PASS=1 — Memos.clearAll()
-# (the CacheHygieneSpec-enforced hook list) before EVERY memo-served
-# query — and GRAFT_ARTIFACT_DIR on a scratch dir so artifact-backed
-# builds actually rebuild. Every number in the record is an uncached
-# build; tools/benchcmp.py --cleared compares them against the record
-# at HEAD and goes RED on the memo-build thresholds.
+# This runs graft.Bench with GRAFT_CLEARED_PASS=1 —
+# Memos.clearAllKeepingSharedDeployments (the CacheHygieneSpec-enforced
+# hook list, minus the g09/g10/g21 shared armed-deployment triple,
+# which is pass-scoped like the scratch artifact dir) before EVERY
+# memo-served query — and GRAFT_ARTIFACT_DIR on a scratch dir so
+# artifact-backed builds actually rebuild. Every number in the record
+# is an uncached build, except g10/g21 which read the pass's shared
+# deployment (built in g09, the first consumer in sorted order);
+# tools/benchcmp.py --cleared compares against the record at HEAD and
+# goes RED on the memo-build thresholds.
 #
 # One sample (builds are multi-second; the 2x RED ratio absorbs host
 # noise). ~5-10 min at sf0.1. Like bench_detail.sh: run AFTER the last
@@ -37,11 +41,14 @@ python3 - "$OUT/cleared.json" "$SRC_HASH" <<'EOF'
 import json, sys
 rec = json.load(open(sys.argv[1]))
 rec["src_hash"] = sys.argv[2]
-rec["mode"] = ("cleared-memo-fullrun (tools/bench_cleared.sh): Memos.clearAll() "
-               "before each memo-served query and GRAFT_ARTIFACT_DIR on a scratch "
-               "dir, so every number is an uncached BUILD. A shared artifact's "
-               "build cost lands in its first consumer in sorted order — "
-               "deterministic, hence comparable round over round.")
+rec["mode"] = ("cleared-memo-fullrun (tools/bench_cleared.sh): "
+               "Memos.clearAllKeepingSharedDeployments before each memo-served "
+               "query and GRAFT_ARTIFACT_DIR on a scratch dir, so every number "
+               "is an uncached BUILD - except g10/g21, which read the pass's "
+               "shared armed deployment (round 19; built in g09). A shared "
+               "artifact's or deployment's build cost lands in its first "
+               "consumer in sorted order — deterministic, hence comparable "
+               "round over round.")
 with open("bench_cleared.json", "w") as f:
     f.write(json.dumps(rec, separators=(",", ":")) + "\n")
 fails = [n for n, q in rec["queries"].items() if q.get("build") == "fail"]

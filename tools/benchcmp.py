@@ -145,11 +145,16 @@ def parse_calib(text):
 
 def parse_cpus(text):
     """The session config ("cpus") from a log's calib lines. None when
-    absent (pre-r19 logs - every graded lane ran the default config) or
-    ambiguous (mixed-config concatenation: no single pin applies)."""
+    absent (pre-r19 logs - every graded lane ran the default config);
+    the sentinel "mixed" when the log concatenates runs of DIFFERENT
+    configs - no single pin applies, and calib_factor's pin lookup then
+    fails loudly (factor 1) instead of silently normalizing a pooled
+    sample set by one config's pin (review finding, round 19)."""
     seen = {int(m.group(1)) for m in
             re.finditer(r'\{"metric":"calib","s":\[[^\]]*\],"cpus":(\d+)', text)}
-    return seen.pop() if len(seen) == 1 else None
+    if not seen:
+        return None
+    return seen.pop() if len(seen) == 1 else "mixed"
 
 
 def calib_factor(samples, label="", cpus=None):

@@ -173,8 +173,12 @@ def main():
            '{"metric":"calib","s":[3.0],"cpus":4,"unit":"sec"}\n')
     ok = bc.parse_calib(two) == [1.0, 2.0, 3.0] and bc.parse_cpus(two) == 4
     mixed = two + '{"metric":"calib","s":[9.0],"cpus":32,"unit":"sec"}\n'
-    ok = ok and bc.parse_cpus(mixed) is None and \
+    # a mixed-config log must yield the "mixed" sentinel (its pin lookup
+    # fails loudly -> factor 1), never silently adopt the default pin
+    ok = ok and bc.parse_cpus(mixed) == "mixed" and \
         bc.parse_cpus('{"metric":"calib","s":[1.0],"unit":"sec"}') is None
+    fm, unc = bc.calib_factor([9.9, 9.9, 9.9], "mixed-log", "mixed")
+    ok = ok and fm == 1.0 and not unc
     print(f"  parse_calib_accumulates_and_cpus_unambiguous: "
           f"{'OK' if ok else 'MISMATCH'}")
     if not ok:
