@@ -99,7 +99,11 @@ object PlanDump {
     // plan is a checkpoint scan over the composed censuses — the
     // composition equality lives in TextArtifactSpec and its oracle)
     "v46_ann_roll_roll", "v47_ann_reap", "t69_band_roll_roll",
-    "t70_band_reap")
+    "t70_band_reap",
+    // v48/t72 serve FROM the reaped artifacts (deletions immediately
+    // invisible to queries) — their evidence is the serve/dedup plan
+    // over the reaped scan, dumped via UncachedBuilds
+    "v48_ann_reaped_serve", "t72_reaped_delta_dedup")
 
   /** Registered names whose fn now serves a memo (plan = checkpoint
     * scan) but whose UNCACHED build plan is the load-bearing evidence —
@@ -131,7 +135,9 @@ object PlanDump {
     "v46_ann_roll_roll" -> (graft.queries.VectorOps.rolledAnnS2Uncached _),
     "v47_ann_reap" -> (graft.queries.VectorOps.reapedAnnUncached _),
     "t69_band_roll_roll" -> (graft.queries.TextOps.rolledBandsS2Uncached _),
-    "t70_band_reap" -> (graft.queries.TextOps.reapedBandsUncached _))
+    "t70_band_reap" -> (graft.queries.TextOps.reapedBandsUncached _),
+    "v48_ann_reaped_serve" -> (graft.queries.VectorOps.annReapedServeUncached _),
+    "t72_reaped_delta_dedup" -> (graft.queries.TextOps.reapedDeltaDedupUncached _))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

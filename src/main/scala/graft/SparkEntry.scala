@@ -38,10 +38,10 @@ object SparkEntry {
     "t16_dup_clusters", "t22_token_budget_select", "t34_cc_star_clusters",
     "t42_stopword_quality", "t58_curation_waterfall", "t62_trained_quality_scorer",
     "t67_delta_dedup", "t68_index_roll", "t69_band_roll_roll",
-    "t70_band_reap", "t71_nightly_maintenance",
+    "t70_band_reap", "t71_nightly_maintenance", "t72_reaped_delta_dedup",
     "v02_cosine_near_dup_pairs", "v38_ivf_compaction_rebuild",
     "v43_ann_persisted_index", "v44_ann_index_roll", "v45_ann_rolled_serve",
-    "v46_ann_roll_roll", "v47_ann_reap",
+    "v46_ann_roll_roll", "v47_ann_reap", "v48_ann_reaped_serve",
     "m07_chunk_near_dup", "m09_chunk_simhash_pairs", "m10_media_dup_clusters",
     "g07_jdbc_roundtrip", "g08_armed_wave_load", "g09_armed_full_catalog",
     "g10_deferred_fk_link", "g13_merge_upsert", "g14_schema_evolution",

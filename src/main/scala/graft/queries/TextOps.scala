@@ -318,6 +318,7 @@ object TextOps {
     bandRoll2Cache.clear() // checkpoint-backed censuses — nothing to unpersist
     bandReapCache.clear()
     nightlyCache.clear()
+    reapedDedupCache.clear()
     simhashPairsCache.clear()
     clustersCache.clear()
     starClustersCache.clear()
@@ -891,14 +892,28 @@ object TextOps {
     * checkpointed. Without the reuse the corpus postings artifact was
     * scanned and semi-join-shuffled three times (sizes + both
     * verification sides) — measured 7.6 s vs 2.x s at sf0.1. */
-  private def deltaDedupBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+  private def deltaDedupBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
+    deltaDedupBuildOver(s, d, corpusBands(s, d))
+
+  /** The t67 plan over an EXPLICIT corpus candidate index — t67 passes
+    * `corpus_bands`, t72 the REAPED index (`reaped_bands`). The
+    * verification postings stay candidate-restricted (left-semi), so a
+    * tombstoned corpus doc — whose band postings are absent from the
+    * reaped index — can never become a candidate and its sids are
+    * never read: the candidate index IS the deletion gate. */
+  private def deltaDedupBuildOver(s: SparkSession, d: String,
+      cb: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val cs = corpusSids(s, d)
-    val cb = corpusBands(s, d)
     val dsh = sidsOf(deltaDocs(s, d)).persist()
     val dbands = bandsOf(dsh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*))
     val onBand = (x: String, y: String) =>
       BandKeys.map(k => col(s"$x.$k") === col(s"$y.$k")).reduce(_ && _)
-    val dc = dbands.as("x").join(cb.as("y"), onBand("x", "y"))
+    // the self-guard matters only when `cb` contains the delta docs
+    // themselves (t72's reaped index = the ROLLED index minus
+    // tombstones): a delta doc meeting its own postings is not a pair.
+    // For t67 (corpus-only index) the predicate is vacuously true.
+    val dc = dbands.as("x").join(cb.as("y"),
+        onBand("x", "y") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
     val dd = dbands.as("x").join(dbands.as("y"),
@@ -990,7 +1005,7 @@ object TextOps {
     * sha256 (first 8 hex) over the shared signature-derivation region
     * plus the delta-index defs; TextArtifactSpec's tag-lock recomputes
     * it. */
-  private[graft] val DeltaFoldTag = "dlt-67a31cd4"
+  private[graft] val DeltaFoldTag = "dlt-2e992893"
 
   // ——— t69: TWO-STEP band-index roll — the roll is closed under
   // itself (round-18 verdict #1, text modality): t68 proves
@@ -1169,6 +1184,41 @@ object TextOps {
         .localCheckpoint()
     })
   }
+
+  // ——— t72: delta-dedup SERVED FROM THE REAPED INDEX — the takedown-
+  // compliance fact the reap exists for: a tombstoned corpus doc must
+  // stop producing duplicate matches the moment the reap lands ———
+
+  private val reapedDedupCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** t72 — t67's incremental dedup pointed at the REAPED candidate
+    * index: identical plan ([[deltaDedupBuildOver]] — one shared def),
+    * corpus side `reaped_bands` instead of `corpus_bands`. A deleted
+    * doc's band postings are gone, so it can never become a candidate
+    * and its verification sids are never read — pairs against deleted
+    * docs vanish from the result with NO other pair changing (the
+    * oracle states exactly that: t67's batch semantics with
+    * deletion-touching pairs excluded, everything else byte-equal).
+    * The deletion and delta residues are disjoint (4 vs 7 mod 10), so
+    * delta↔delta pairs are untouched — only delta↔deleted-corpus
+    * matches disappear, which TextArtifactSpec pins with a planted
+    * delta↔deleted duplicate. */
+  def reapedDeltaDedup(s: SparkSession, d: String): DataFrame = {
+    reapedDedupCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    reapedDedupCache.getOrElseUpdate((s, d), {
+      val (plan, scratch) = reapedDeltaDedupBuild(s, d)
+      val out = plan.localCheckpoint()
+      scratch.foreach(_.unpersist())
+      out
+    })
+  }
+
+  private def reapedDeltaDedupBuild(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) =
+    deltaDedupBuildOver(s, d, reapedBands(s, d))
+
+  private[graft] def reapedDeltaDedupUncached(s: SparkSession, d: String): DataFrame =
+    reapedDeltaDedupBuild(s, d)._1
 
   /** Per-source MinHash sketches + pairwise source similarity — the
     * MERGEABLE-SKETCH pattern: a source's sketch is min-per-slot over
@@ -3802,9 +3852,12 @@ object TextOps {
                s"mh${BandRows * b + r} AS h$r").mkString(", ") + " FROM sig")
            .mkString(" UNION ALL\n  ")})""".stripMargin
 
-  /** t67's oracle — the batch LSH chain over ALL documents, restricted
-    * to delta-touching pairs; reused by t71's composition. */
-  private[queries] lazy val DeltaDedupDuck: String =
+  /** The t67 oracle tail, parameterized by an extra pair predicate:
+    * "" is t67's oracle (the batch LSH chain over ALL documents,
+    * restricted to delta-touching pairs; reused by t71's composition);
+    * the deletion exclusion is t72's — the batch semantics minus
+    * deletion-touching pairs, everything else byte-equal. */
+  private def deltaDedupDuckWhere(extra: String): String =
     s"""$BandsCtesDuck,
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |         FROM bands x JOIN bands y
@@ -3823,8 +3876,14 @@ object TextOps {
        |JOIN sizes za ON za.doc_id = i.a_id
        |JOIN sizes zb ON zb.doc_id = i.b_id
        |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.5
-       |  AND (i.a_id % $DeltaMod = $DeltaRes OR i.b_id % $DeltaMod = $DeltaRes)
+       |  AND (i.a_id % $DeltaMod = $DeltaRes OR i.b_id % $DeltaMod = $DeltaRes)$extra
        |ORDER BY 1, 2""".stripMargin
+
+  private[queries] lazy val DeltaDedupDuck: String = deltaDedupDuckWhere("")
+
+  /** t72's oracle — every pair touching the deletion residue excluded. */
+  private[queries] lazy val ReapedDeltaDedupDuck: String = deltaDedupDuckWhere(
+    s"\n  AND i.a_id % $DeltaMod <> $DocDelRes AND i.b_id % $DeltaMod <> $DocDelRes")
 
   /** t68's oracle — the FULL-REBUILD per-band census over all
     * documents; shared VERBATIM by t69 (roll∘roll must still equal the
@@ -4050,6 +4109,10 @@ object TextOps {
     // v45); its oracle is the UNION of the steps' own oracles, each
     // normalized to the shared (stage, key, ...) census row
     "t71_nightly_maintenance" -> QueryDef(nightlyMaintenance _, NightlyDuck),
+
+    // t72 serves t67's dedup from the REAPED candidate index —
+    // deletion-touching pairs must vanish, everything else byte-equal
+    "t72_reaped_delta_dedup" -> QueryDef(reapedDeltaDedup _, ReapedDeltaDedupDuck),
 
     "t04_simhash" -> QueryDef(simhash _,
       s"""$SimhashCtesDuck

@@ -266,6 +266,7 @@ object VectorOps {
     annRolledServeCache.clear()
     annRoll2Cache.clear()
     annReapCache.clear()
+    annReapedServeCache.clear()
   }
 
   private val resPqIndexCache = scala.collection.concurrent.TrieMap
@@ -1492,11 +1493,12 @@ object VectorOps {
         annIndexUncached(s, d)
       })
 
-  /** The ONE serve plan both persisted-index readers share (v43 over
-    * `ann_index`, v45 over `rolled_ann`): only query-side state is
-    * built fresh, the corpus arrives as `idx` — however it was
-    * maintained. */
-  private def annServeOverIndex(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
+  /** The ONE serve plan every persisted-index reader shares (v43 over
+    * `ann_index`, v45 over `rolled_ann`, v48 over `reaped_ann`): only
+    * query-side state is built fresh, the corpus arrives as `idx` —
+    * however it was maintained. private[graft] so VectorArtifactSpec
+    * can drive it with a hand-filtered rebuild for the v48 equality. */
+  private[graft] def annServeOverIndex(s: SparkSession, d: String, idx: DataFrame): DataFrame = {
     graft.functions.VectorExpressions.register(s)
     // probes come from the deployed router artifact (the coarse half of
     // the same index family); the LUT quantizes ONLY ids < 64 — the
@@ -1819,6 +1821,36 @@ object VectorOps {
     * (the reap consumes rolled_ann); VectorArtifactSpec's tag-lock
     * recomputes it. */
   private[graft] val AnnReapFoldTag = "anp-dc26b4fc"
+
+  /** v48 — SERVE FROM THE REAPED INDEX: the takedown-compliance fact
+    * the reap exists for — a deleted vector must stop being SERVED the
+    * moment the reap lands, not at the next rebuild. The plan is the
+    * ONE shared serve def ([[annServeOverIndex]] — v43/v45's plan
+    * verbatim) pointed at `reaped_ann`; the oracle is the full
+    * IVF-PQ top-k recomputed over the FILTERED corpus (v24's chain
+    * with the deletion residue excluded from the index side — queries
+    * themselves are external and still arrive for every q_id), so
+    * "deletions are immediately invisible to queries" is a
+    * cross-engine hash fact: any tombstoned vector still surfacing in
+    * a top-5, or any surviving neighbor shifting rank incorrectly,
+    * hash-mismatches. VectorArtifactSpec additionally asserts
+    * in-engine that v48 ≡ a serve over the filtered full rebuild, that
+    * no deleted id appears among the hits, and that the result
+    * MATERIALLY differs from v24's (the fixture must actually have
+    * deleted vectors in pre-reap top-5s, or the grade is vacuous). */
+  def annReapedServeTopK(s: SparkSession, d: String): DataFrame = {
+    annReapedServeCache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    annReapedServeCache.getOrElseUpdate((s, d),
+      annReapedServeUncached(s, d).localCheckpoint())
+  }
+
+  private val annReapedServeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** v48's serve plan over the reaped artifact — the uncached evidence
+    * (PlanDump / VectorArtifactSpec run against this). */
+  private[graft] def annReapedServeUncached(s: SparkSession, d: String): DataFrame =
+    annServeOverIndex(s, d, reapedAnn(s, d))
 
   /** Residual IVF-PQ top-5 — v24 upgraded to the full FAISS recipe:
     * the PQ codes quantize each vector's RESIDUAL against its cell
@@ -2637,24 +2669,32 @@ object VectorOps {
         |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
         |    FROM cand) t WHERE rn = 1)""".stripMargin
 
-  /** v24's oracle, shared verbatim by v43 (artifact-scan path must
-    * agree with the in-session build path), and referenced by t71's
-    * nightly-maintenance serve check. */
-  private[queries] lazy val IvfPqTopkDuck: String = IvfPqEncCtesDuck +
-      """,
+  /** The IVF-PQ top-5 oracle tail, parameterized by an extra index-
+    * side predicate: "" is v24's oracle (shared verbatim by v43/v45 —
+    * artifact-scan paths must agree with the in-session build path,
+    * and t71's serve check references it); the deletion-residue
+    * exclusion is v48's (the top-k over the FILTERED corpus). */
+  private def ivfPqTopkDuckWhere(extra: String): String = IvfPqEncCtesDuck +
+      s""",
         |lut AS (SELECT vec_id AS q_id, m, j, ip AS qip FROM cand WHERE vec_id < 10),
         |adc AS (SELECT l.q_id, en.vec_id, CAST(SUM(l.qip) AS BIGINT) AS ascore
         |  FROM enc en
         |  JOIN cells cl ON cl.vec_id = en.vec_id
         |  JOIN probes pr ON pr.pcell = cl.cell
         |  JOIN lut l ON l.q_id = pr.q_id AND l.m = en.m AND l.j = en.code
-        |  WHERE en.vec_id <> pr.q_id
+        |  WHERE en.vec_id <> pr.q_id$extra
         |  GROUP BY l.q_id, en.vec_id),
         |top AS (SELECT q_id, vec_id, ascore,
         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ascore DESC, vec_id ASC) AS rk
         |  FROM adc)
         |SELECT q_id, rk, vec_id AS hit_id, ascore
         |FROM top WHERE rk <= 5 ORDER BY q_id, rk""".stripMargin
+
+  private[queries] lazy val IvfPqTopkDuck: String = ivfPqTopkDuckWhere("")
+
+  /** v48's oracle — the serve over the filtered corpus. */
+  private[queries] lazy val ReapedTopkDuck: String =
+    ivfPqTopkDuckWhere(s" AND en.vec_id % $VecDeltaMod <> $VecDelRes")
 
   /** v44's oracle — the FULL-REBUILD census: the same per-cell census
     * computed from scratch over ALL vectors (v24's enc ⋈ cells chain);
@@ -3199,6 +3239,10 @@ object VectorOps {
     // v47 anti-joins the deletion set's postings out of the rolled
     // index; oracle = full-rebuild census over the FILTERED corpus
     "v47_ann_reap" -> QueryDef(annReapCensus _, AnnReapCensusDuck),
+    // v48 serves top-k from the REAPED artifact — deletions must be
+    // immediately invisible to queries; oracle = the full IVF-PQ top-k
+    // recomputed over the filtered corpus
+    "v48_ann_reaped_serve" -> QueryDef(annReapedServeTopK _, ReapedTopkDuck),
     // v44 folds the delta slice into the persisted corpus index; the
     // oracle is the full-rebuild census — roll ≡ rebuild as a hash fact
     "v44_ann_index_roll" -> QueryDef(annIndexRoll _, AnnRollCensusDuck),

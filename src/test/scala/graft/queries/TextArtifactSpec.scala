@@ -55,7 +55,7 @@ class TextArtifactSpec extends AnyFunSuite {
         "def corpusDocs(", "def deltaDocs(", "def bandsOfSlice(", "def deltaBands(",
         "def corpusSidsUncached(", "def corpusBandsUncached(",
         "def deltaDedupUncached(", "def deltaDedupBuild(",
-        "def rolledBandsUncached("))
+        "def deltaDedupBuildOver(", "def rolledBandsUncached("))
     assert(TextOps.DeltaFoldTag == want,
       s"delta-index derivation changed: bump TextOps.DeltaFoldTag to \"$want\" " +
         "(the persisted corpus_sids/corpus_bands/rolled_bands artifacts must be invalidated with it)")
@@ -254,6 +254,46 @@ class TextArtifactSpec extends AnyFunSuite {
     assert(!inputs.exists(_.contains("corpus_bands")) &&
       !inputs.exists(_.contains("doc_sids")),
       "the reap must not rescan corpus indices or the postings table")
+  }
+
+  test("t72 planted takedown: delta↔deleted matches vanish, all other pairs byte-equal") {
+    import spark.implicits._
+    // The m13/planted-t67 evidence bar applied to the reap's SERVE
+    // side: plant a duplicate pair that crosses the delta↔deletion
+    // boundary and grade against hand-known truth.
+    //   docs 3 (corpus) & 7 (delta):  text A → stays in both
+    //   docs 24 (corpus, DELETED: ≡4 mod 10) & 37 (delta ≡7): text C
+    //     → t67 reports the match; t72 MUST NOT (takedown compliance)
+    //   docs 17 & 27 (both delta):    text B → stays in both
+    val A = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val B = "completely different delta payload about streaming ingestion of text"
+    val C = "a tombstoned corpus document whose duplicate match must stop serving"
+    val dir = java.nio.file.Files.createTempDirectory("graft_t72plant")
+      .toFile.getAbsolutePath
+    Seq(
+      (3L, A, "en", "fx"), (7L, A, "en", "fx"),
+      (24L, C, "en", "fx"), (37L, C, "en", "fx"),
+      (17L, B, "en", "fx"), (27L, B, "en", "fx"),
+      (5L, "unrelated corpus text number five with plenty of words inside", "en", "fx"),
+      (8L, "another unrelated corpus document with its own distinct wording", "en", "fx"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t67 = TextOps.deltaDedup(spark, dir).collect().map(_.toSeq).toSeq
+    assert(t67.map(r => (r(0), r(1))) == Seq((3L, 7L), (17L, 27L), (24L, 37L)),
+      s"fixture self-check: t67 must report the deleted-corpus match too: $t67")
+    val t72 = TextOps.reapedDeltaDedup(spark, dir).collect().map(_.toSeq).toSeq
+    assert(t72.map(r => (r(0), r(1))) == Seq((3L, 7L), (17L, 27L)),
+      s"the tombstoned doc's match must vanish and nothing else: $t72")
+    // byte-equality of the survivors: the reap may only REMOVE pairs
+    assert(t72 == t67.filterNot(r => r(0) == 24L || r(1) == 24L),
+      "surviving pairs must be byte-identical to t67's")
+    // the candidate side is the REAPED artifact, never corpus_bands
+    val inputs = freshInputs(TextOps.reapedDeltaDedupUncached(spark, dir))
+    assert(inputs.exists(_.contains("reaped_bands")),
+      s"t72 must read the reaped candidate index: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains(
+      java.io.File.separator + "corpus_bands" + java.io.File.separator)),
+      "t72 must not fall back to the un-reaped candidate index")
   }
 
   test("t71 nightly composition: stages present, each block equal to its standalone census") {

@@ -284,6 +284,39 @@ class VectorArtifactSpec extends AnyFunSuite {
       "anti-join reap must equal a full rebuild over the filtered corpus")
   }
 
+  test("v48 reaped serve: deletions immediately invisible, ≡ filtered-rebuild serve, scans reaped_ann") {
+    import org.apache.spark.sql.functions._
+    val delIds = VectorOps.annDeletionSet(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    val r48 = VectorOps.annReapedServeTopK(spark, d).collect()
+    assert(r48.nonEmpty)
+    // (a) the compliance fact: no tombstoned vector may be served
+    assert(r48.forall(r => !delIds.contains(r.getLong(2))),
+      "a deleted vector must never appear in a post-reap top-5")
+    // (b) non-vacuity: the pre-reap top-5s must actually contain
+    // deleted vectors, or (a) grades nothing (fixture check: 5 such
+    // hits at sf0.001, 9 at sf0.01 — measured via the oracle chain)
+    val r24 = VectorOps.ivfPqTopK(spark, d).collect()
+    assert(r24.exists(r => delIds.contains(r.getLong(2))),
+      "fixture must surface deleted vectors in PRE-reap top-5s")
+    // (c) ≡ a serve over the filtered FULL REBUILD in-engine (the
+    // cross-engine statement is v48's oracle; this pins it in-JVM)
+    val want = VectorOps.annServeOverIndex(spark, d,
+        VectorOps.annIndexUncached(spark, d).filter(
+          pmod(col("vec_id"), lit(VectorOps.VecDeltaMod)) =!= VectorOps.VecDelRes))
+      .collect().map(_.toSeq).toSeq
+    assert(r48.map(_.toSeq).toSeq == want,
+      "reaped-index serve must equal the serve over a filtered rebuild")
+    // (d) the plan scans the REAPED artifact — never the rolled or
+    // pre-roll index
+    val inputs = freshInputs(VectorOps.annReapedServeUncached(spark, d))
+    assert(inputs.exists(_.contains("reaped_ann")),
+      s"v48 must scan the reaped artifact: ${inputs.take(4).mkString(",")}")
+    assert(!inputs.exists(_.contains("rolled_ann")) &&
+      !inputs.exists(_.contains(java.io.File.separator + "ann_index")),
+      "v48 must not fall back to a pre-reap index")
+  }
+
   test("v02: a cleared session is served from the cos_pairs artifact with identical rows") {
     val rows1 = VectorOps.cosineNearDupPairs(spark, d).collect().map(_.toSeq).toSeq
     assert(rows1.nonEmpty, "fixture must have cosine near-dup pairs")
