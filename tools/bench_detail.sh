@@ -59,7 +59,7 @@ def famsum(qs):
     w = sum(v["warm"] for v in qs.values() if isinstance(v.get("warm"), (int, float)))
     return [round(c, 3), round(w, 3)]
 
-queries, samples, calib, cpus = {}, {}, [], None
+queries, samples, calib, calib_fams, cpus = {}, {}, [], {}, None
 for p in sorted(glob.glob(out + "/detail_*_s1.json")):
     fam = re.search(r"detail_(\w+)_s1\.json$", p).group(1)
     per, cals = [], []
@@ -78,6 +78,8 @@ for p in sorted(glob.glob(out + "/detail_*_s1.json")):
     # rejected samples' probes would skew --cold's normalization toward
     # windows whose numbers were discarded (review finding, round 18)
     calib += cals[adopted]
+    if cals[adopted]:
+        calib_fams[fam] = cals[adopted]
     samples[fam] = {"sums": sums, "adopted": adopted}
     print(f"family {fam}: sums={sums} -> adopted sample {adopted + 1}")
 rec = {"metric": "detail", "unit": "sec",
@@ -93,6 +95,12 @@ rec = {"metric": "detail", "unit": "sec",
        # benchcmp --cold normalizes by median(calib) over the pin for
        # this record's session config ("cpus" — round-19 keyed pins)
        "calib": calib,
+       # the same probes LABELED by family (round 19): the flat list's
+       # record-wide median under-normalizes a family whose adopted
+       # sample ran hot while the rest were quiet (r19: t's sample at
+       # probe 1.78/1.50 drew t13/t22 WARNs its quiet sibling refuted)
+       # — benchcmp --cold prefers a family's own factor when present
+       "calib_by_family": calib_fams,
        "cpus": cpus,
        "queries": dict(sorted(queries.items())), "sf": sf}
 with open("bench_detail.json", "w") as f:

@@ -157,7 +157,7 @@ def parse_cpus(text):
     return seen.pop() if len(seen) == 1 else "mixed"
 
 
-def calib_factor(samples, label="", cpus=None):
+def calib_factor(samples, label="", cpus=None, quiet=False):
     """(divisor, uncertifiable) for a run that carried probe samples,
     against the pin for the run's OWN session config (None = the
     default config; an unpinned config normalizes by 1, loudly).
@@ -169,7 +169,7 @@ def calib_factor(samples, label="", cpus=None):
     eff_cpus = DEFAULT_CPUS if cpus is None else cpus
     pin = CALIB_REF_BY_CPUS.get(eff_cpus)
     if not samples or pin is None:
-        if samples and pin is None:
+        if samples and pin is None and not quiet:
             print(f"calib{(' ' + label) if label else ''}: NO PIN for "
                   f"cpus={eff_cpus} - not normalizing (add a floored pin "
                   "to CALIB_REF_BY_CPUS with a SCALE.md provenance note)")
@@ -182,10 +182,11 @@ def calib_factor(samples, label="", cpus=None):
         (ss[len(ss) // 2 - 1] + ss[len(ss) // 2]) / 2.0
     raw = med / pin
     f = min(max(1.0, raw), CALIB_MAX_FACTOR)
-    print(f"calib{(' ' + label) if label else ''}: probe median {med:.2f}s "
-          f"vs pinned {pin:.2f}s (cpus {eff_cpus}) -> host inflation factor {f:.2f}"
-          + (" (UNCERTIFIABLE - raw factor beyond the cap; re-record)"
-             if raw > CALIB_MAX_FACTOR else ""))
+    if not quiet:
+        print(f"calib{(' ' + label) if label else ''}: probe median {med:.2f}s "
+              f"vs pinned {pin:.2f}s (cpus {eff_cpus}) -> host inflation factor {f:.2f}"
+              + (" (UNCERTIFIABLE - raw factor beyond the cap; re-record)"
+                 if raw > CALIB_MAX_FACTOR else ""))
     return f, raw > CALIB_MAX_FACTOR
 
 
@@ -248,6 +249,40 @@ def cold_drift(detail_path, root):
     # before round 18 carry no 'calib' → factor 1), each against the
     # pin for its own session config (round-19 keyed pins)
     fac_cur, fac_head = record_factors(cur, head, "cold-drift")
+    # per-FAMILY factors (round 19): the flat calib list pools every
+    # family's probes, so its record-wide median under-normalizes a
+    # family whose adopted sample ran hot in an otherwise-quiet
+    # recording (r19: t's sample at probe 1.78/1.50 vs record median
+    # 1.12 drew t13/t22 WARNs that t's own quiet sibling sample
+    # refuted). When a record labels probes by family
+    # ('calib_by_family', written by bench_detail.sh since r19), that
+    # family normalizes by ITS OWN window; unlabeled families (and
+    # whole pre-r19 records) keep the record-wide factor. Skipped
+    # entirely when the two records' session configs mismatch — the
+    # same refusal record_factors just applied to the global factors.
+    fam_fac_cur, fam_fac_head = {}, {}
+    ccp, hcp = cur.get("cpus"), head.get("cpus")
+    if (DEFAULT_CPUS if ccp is None else ccp) == \
+            (DEFAULT_CPUS if hcp is None else hcp):
+        for rec, out, rcp in ((cur, fam_fac_cur, ccp),
+                              (head, fam_fac_head, hcp)):
+            cbf = rec.get("calib_by_family")
+            if isinstance(cbf, dict):
+                for fam, ss in cbf.items():
+                    if ss:
+                        out[fam], _ = calib_factor(ss, cpus=rcp, quiet=True)
+    if fam_fac_cur or fam_fac_head:
+        fams_lbl = sorted(set(fam_fac_cur) | set(fam_fac_head))
+        print("cold-drift family factors (cur/HEAD): " + ", ".join(
+            f"{f} {fam_fac_cur.get(f, fac_cur):.2f}/"
+            f"{fam_fac_head.get(f, fac_head):.2f}" for f in fams_lbl)
+            + " — unlabeled families use the record-wide medians")
+
+    def fc(fam):
+        return fam_fac_cur.get(fam, fac_cur)
+
+    def fh(fam):
+        return fam_fac_head.get(fam, fac_head)
     # common queries only, and only those with a NUMERIC cold in BOTH
     # records — a round's new queries must not inflate their family's
     # sum into a false WARN, and a "fail" cold on either side must drop
@@ -259,7 +294,7 @@ def cold_drift(detail_path, root):
     parts, warns = [], []
     for f in sorted(set(ref) & set(now)):
         parts.append(f"{f}:{ref[f]:.1f}->{now[f]:.1f}")
-        rn, cn = ref[f] / fac_head, now[f] / fac_cur
+        rn, cn = ref[f] / fh(f), now[f] / fc(f)
         if rn >= COLD_FLOOR_S and cn > COLD_THRESH * rn:
             warns.append(f"family {f} cold {now[f]:.1f}s (norm {cn:.1f}s) > "
                          f"{COLD_THRESH}x ref {ref[f]:.1f}s (norm {rn:.1f}s)")
@@ -276,8 +311,8 @@ def cold_drift(detail_path, root):
     # record (it reflects this tree's SparkEntry.memoServed).
     reds = []
     for n in sorted(both):
-        r = head["queries"][n]["cold"] / fac_head
-        c = cur["queries"][n]["cold"] / fac_cur
+        r = head["queries"][n]["cold"] / fh(n[:1])
+        c = cur["queries"][n]["cold"] / fc(n[:1])
         if not cur["queries"][n].get("memo"):
             # non-memo queries get the WARN too (round-17 verdict #5:
             # t04's cold tripled with no source diff and no attribution

@@ -184,6 +184,77 @@ def main():
     if not ok:
         fails.append("parse_calib_accumulates_and_cpus_unambiguous")
 
+    # --cold family-keyed calibration scenarios (round 19): the merged
+    # detail record's flat calib list pools all families' probes, so a
+    # single family whose adopted sample ran hot is under-normalized by
+    # the record-wide median (r19's t13/t22 WARNs). With
+    # 'calib_by_family' labels, that family's own factor must excuse
+    # its window — and a REAL regression under quiet labeled probes
+    # must stay RED. Runs against a temp git repo because --cold reads
+    # the reference record from HEAD.
+    pin = bc.CALIB_REF_S
+
+    def detail_rec(colds, cbf):
+        """A minimal bench_detail-shaped record: one memo query per
+        family at the given cold, quiet flat probes for every family
+        NOT in cbf plus cbf's own samples (exactly how bench_detail.sh
+        pools adopted samples into the flat list)."""
+        flat = []
+        for f in sorted(colds):
+            flat += (cbf or {}).get(f, [pin, pin])
+        return {"sf": SF, "cpus": None, "calib": flat,
+                **({"calib_by_family": cbf} if cbf is not None else {}),
+                "queries": {f + "01_q": {"cold": c, "warm": 0.05,
+                                         "memo": True}
+                            for f, c in colds.items()}}
+
+    def run_cold(name, head_rec, cur_rec, want_rc, want_str=None,
+                 ban_str=None):
+        with tempfile.TemporaryDirectory() as root:
+            with open(os.path.join(root, "bench_detail.json"), "w") as fh:
+                json.dump(head_rec, fh)
+            env = {**os.environ, "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL":
+                   "t@t", "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL":
+                   "t@t"}
+            for cmd in (["git", "init", "-q"],
+                        ["git", "add", "bench_detail.json"],
+                        ["git", "commit", "-qm", "ref"]):
+                subprocess.run(cmd, cwd=root, env=env, check=True,
+                               capture_output=True)
+            cur_path = os.path.join(root, "cur_detail.json")
+            with open(cur_path, "w") as fh:
+                json.dump(cur_rec, fh)
+            r = subprocess.run([sys.executable, BENCHCMP, "--cold",
+                                cur_path, root],
+                               capture_output=True, text=True)
+            ok = r.returncode == want_rc \
+                and (want_str is None or want_str in r.stdout) \
+                and (ban_str is None or ban_str not in r.stdout)
+            print(f"  {name}: rc={r.returncode} (want {want_rc}) "
+                  f"{'OK' if ok else 'MISMATCH'}")
+            if not ok:
+                fails.append(name)
+                print(r.stdout)
+
+    quiet_cbf = {"q": [pin, pin], "v": [pin, pin]}
+    # (l) t's adopted sample ran 3x hot (probes labeled) and its build
+    # reads 3x raw; q/v quiet — the flat median is QUIET (factor 1),
+    # so without labels this REDs; t's own factor must excuse it
+    run_cold("family_factor_excuses_hot_family",
+             detail_rec({"q": 2.0, "t": 2.0, "v": 2.0},
+                        {**quiet_cbf, "t": [pin, pin]}),
+             detail_rec({"q": 2.0, "t": 6.0, "v": 2.0},
+                        {**quiet_cbf, "t": [3 * pin, 3 * pin]}),
+             0, want_str="family factors", ban_str="memo-build RED")
+    # (m) same 3x t build but t's labeled probes are QUIET, and the
+    # HEAD record predates labels entirely (no calib_by_family) — the
+    # regression is real and must stay RED through the fallback path
+    run_cold("real_regression_quiet_family_probes_red",
+             detail_rec({"q": 2.0, "t": 2.0, "v": 2.0}, None),
+             detail_rec({"q": 2.0, "t": 6.0, "v": 2.0},
+                        {**quiet_cbf, "t": [pin, pin]}),
+             1, want_str="memo-build RED")
+
     if fails:
         print("test_benchcmp FAILED: " + ", ".join(fails))
         return 1
