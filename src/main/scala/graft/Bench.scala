@@ -209,11 +209,23 @@ object Bench {
                  catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // Per-family probe brackets (round-19 verdict #2): the full-run
+      // lane — the record that adjudicates rounds — carried only 3
+      // global probes and could not localize a contended stretch to the
+      // families running inside it (r19's t/v/p/e question). Now one
+      // sample lands BETWEEN every two family groups: famProbes(i) is
+      // family i's left bracket, famProbes(i+1) its right. All samples
+      // still pool into the global calib list (same record-wide median
+      // semantics, denser sampling); the per-family pairs additionally
+      // travel as "calib_by_family" in the detail record and as a
+      // {"metric":"calib_fam"} stdout line, the same shape
+      // tools/bench_detail.sh gave the cold lane in round 19.
+      val famProbes = scala.collection.mutable.Buffer(calib.head)
       val (cold, warm) = {
         val c = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
         val w = scala.collection.mutable.Map.empty[String, (Double, Boolean)]
         families.zipWithIndex.foreach { case ((_, qs), fi) =>
-          if (fi == families.size / 2 && fi > 0) calib += calibProbe(spark)
+          if (fi > 0) { val v = calibProbe(spark); calib += v; famProbes += v }
           qs.foreach { case (name, fn) => c(name) = time(fn) }
           qs.foreach { case (name, fn) => w(name) = time(fn) }
           // Targeted third sample for NOISE SUSPECTS only, while the
@@ -279,6 +291,11 @@ object Bench {
         (c.toMap, w.toMap)
       }
       calib += calibProbe(spark)
+      famProbes += calib.last
+      // {"e":[before,after],...} — each family's bracketing probe pair
+      val calibFamJson = families.map(_._1).zipWithIndex.map { case (f, i) =>
+        "\"" + f + "\":" + calibJson(Seq(famProbes(i), famProbes(i + 1)))
+      }.mkString("{", ",", "}")
       // headline stays min-of-2 per query OVER SUCCESSFUL PASSES: the
       // host is a shared microVM with bursty contention (up to 3x swings
       // on identical plans), and the min is the contention-free estimate.
@@ -325,7 +342,7 @@ object Bench {
         .map(f => "isolated-family-jvm:" + f.toSeq.sorted.mkString(""))
         .getOrElse("full-run-perfam")
       val detailLine =
-        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"cpus":$cpusJson,"sf":"$sfDir"}"""
+        s"""{"metric":"detail","unit":"sec","mode":"$mode","queries":$detail,"calib":${calibJson(calib.toSeq)},"calib_by_family":$calibFamJson,"cpus":$cpusJson,"sf":"$sfDir"}"""
       // default destination is OUTSIDE the repo: the committed
       // bench_detail.json is the per-family-ISOLATED record
       // (tools/bench_detail.sh sets GRAFT_DETAIL_OUT explicitly), and a
@@ -386,7 +403,10 @@ object Bench {
         }
       // calib travels adjacent to the trailing total so a tail clip
       // keeps both (benchcmp normalizes family totals by it); "cpus"
-      // rides along so benchcmp can key the pin by the session config
+      // rides along so benchcmp can key the pin by the session config.
+      // calib_fam precedes it (least load-bearing of the tail lines —
+      // a clip that loses it still leaves the global-factor protocol).
+      println(s"""{"metric":"calib_fam","m":$calibFamJson,"cpus":$cpusJson,"unit":"sec"}""")
       println(s"""{"metric":"calib","s":${calibJson(calib.toSeq)},"cpus":$cpusJson,"unit":"sec"}""")
       println(totalLine)
     }

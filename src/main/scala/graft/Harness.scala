@@ -14,6 +14,19 @@ object Harness {
       // strategy, and the ASOF JOIN SQL syntax (q61 parses through it)
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark's compiled-codegen cache holds 100 generated classes by
+      // default — sized for a handful of hot queries, not a 301-query
+      // registry (~5 WholeStageCodegen units each): by the time a
+      // family's warm pass runs, its cold pass's classes are evicted and
+      // every unit recompiles through Janino again (~10–50 ms each).
+      // The cache is value-keyed on the generated source, so a bigger
+      // cache changes NOTHING about plans or results — only whether a
+      // repeat invocation recompiles. Driver-side memory, and the same
+      // win on a production driver serving a large query surface;
+      // env-overridable for A/B (static conf: first session in the JVM
+      // owns it, which Harness already requires).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.sql.session.timeZone", "UTC")
       // events fixture carries TIMESTAMP(NANOS) parquet timestamps; read
       // as raw longs and normalize in graft.tables.Tables.events

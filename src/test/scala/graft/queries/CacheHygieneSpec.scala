@@ -138,12 +138,16 @@ class CacheHygieneSpec extends AnyFunSuite {
       val delegated = "\\b(clear\\w+)\\(\\)".r.findAllMatchIn(body0)
         .map(_.group(1)).filterNot(_ == hook).toSeq.distinct
       val body = body0 + delegated.flatMap { dn =>
-        val di = text.indexOf(s"def $dn")
-        if (di < 0) None else {
-          val r2 = text.substring(di + 4)
-          val e2 = r2.indexOf("\n  def ")
-          Some(if (e2 >= 0) r2.substring(0, e2) else r2)
-        }
+        // exact-name match (round-19 advice): indexOf("def " + dn)
+        // prefix-matches a LONGER method name defined earlier (e.g.
+        // `def clearX` binding to `def clearXKeepingY`), appending the
+        // wrong body and potentially masking a missing clear line
+        s"(?m)def ${java.util.regex.Pattern.quote(dn)}\\s*[(:=]".r
+          .findFirstMatchIn(text).map { m =>
+            val r2 = text.substring(m.start + 4)
+            val e2 = r2.indexOf("\n  def ")
+            if (e2 >= 0) r2.substring(0, e2) else r2
+          }
       }.mkString("\n", "\n", "")
       trieMapFields(mod).collect {
         case (field, _) if !s"\\b${java.util.regex.Pattern.quote(field)}\\b".r

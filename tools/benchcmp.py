@@ -133,25 +133,61 @@ CALIB_REF_S = CALIB_REF_BY_CPUS[DEFAULT_CPUS]
 CALIB_MAX_FACTOR = 3.0
 
 
+def _calib_lines(text, metric):
+    """json.loads every stdout/tail line carrying the given calib
+    metric (round-19 advice: the old position-sensitive regexes
+    silently yielded None the moment a key was reordered or added —
+    the lines are full JSON objects, so parse them as JSON). Yields
+    dicts; lines that do not parse are skipped."""
+    needle = '{"metric":"%s"' % metric
+    for line in text.splitlines():
+        i = line.find(needle)
+        if i < 0:
+            continue
+        try:
+            rec = json.loads(line[i:])
+        except ValueError:
+            continue
+        if rec.get("metric") == metric:
+            yield rec
+
+
 def parse_calib(text):
     """Probe samples from bench stdout or a record's 'calib' field -
     accumulated across ALL calib lines (round-18 advice: last-match-only
     silently dropped every earlier probe set in a concatenated log)."""
     vals = []
-    for m in re.finditer(r'\{"metric":"calib","s":\[([^\]]*)\]', text):
-        vals.extend(float(x) for x in m.group(1).split(",") if x.strip())
+    for rec in _calib_lines(text, "calib"):
+        vals.extend(float(x) for x in rec.get("s", []))
     return vals
+
+
+def parse_calib_fam(text):
+    """{family: [probe samples]} pooled from every calib_fam line
+    (round-19 verdict #2: the full-run lane now emits one probe between
+    family groups; each family's pair of bracketing samples lets the
+    gate localize a contended stretch to the families inside it)."""
+    fams = {}
+    for rec in _calib_lines(text, "calib_fam"):
+        for f, ss in (rec.get("m") or {}).items():
+            fams.setdefault(f, []).extend(float(x) for x in ss)
+    return fams
 
 
 def parse_cpus(text):
     """The session config ("cpus") from a log's calib lines. None when
-    absent (pre-r19 logs - every graded lane ran the default config);
-    the sentinel "mixed" when the log concatenates runs of DIFFERENT
-    configs - no single pin applies, and calib_factor's pin lookup then
-    fails loudly (factor 1) instead of silently normalizing a pooled
-    sample set by one config's pin (review finding, round 19)."""
-    seen = {int(m.group(1)) for m in
-            re.finditer(r'\{"metric":"calib","s":\[[^\]]*\],"cpus":(\d+)', text)}
+    the key is ABSENT (pre-r19 logs - every graded lane ran the default
+    config); the sentinel "unknown" when the key is present but null
+    (a non-numeric config like local[*] - round-19 advice: such a run
+    must NOT be normalized by the default-4 pin, the cross-config
+    laundering the keyed-pin design refuses elsewhere); the sentinel
+    "mixed" when the log concatenates runs of DIFFERENT configs - no
+    single pin applies. Both sentinels make calib_factor's pin lookup
+    fail loudly (factor 1) instead of silently borrowing a pin."""
+    seen = set()
+    for rec in _calib_lines(text, "calib"):
+        if "cpus" in rec:
+            seen.add("unknown" if rec["cpus"] is None else int(rec["cpus"]))
     if not seen:
         return None
     return seen.pop() if len(seen) == 1 else "mixed"
@@ -278,11 +314,19 @@ def cold_drift(detail_path, root):
             f"{fam_fac_head.get(f, fac_head):.2f}" for f in fams_lbl)
             + " — unlabeled families use the record-wide medians")
 
-    def fc(fam):
-        return fam_fac_cur.get(fam, fac_cur)
+    def fam_key(facs, name):
+        """Family key for a query name: the LONGEST calib_by_family key
+        that prefixes it (round-19 advice: deriving via name[:1] would
+        silently borrow another family's factor the day a family name
+        grows past one character — the record side accepts \\w+)."""
+        ks = [k for k in facs if name.startswith(k)]
+        return max(ks, key=len) if ks else name[:1]
 
-    def fh(fam):
-        return fam_fac_head.get(fam, fac_head)
+    def fc(name):
+        return fam_fac_cur.get(fam_key(fam_fac_cur, name), fac_cur)
+
+    def fh(name):
+        return fam_fac_head.get(fam_key(fam_fac_head, name), fac_head)
     # common queries only, and only those with a NUMERIC cold in BOTH
     # records — a round's new queries must not inflate their family's
     # sum into a false WARN, and a "fail" cold on either side must drop
@@ -311,8 +355,8 @@ def cold_drift(detail_path, root):
     # record (it reflects this tree's SparkEntry.memoServed).
     reds = []
     for n in sorted(both):
-        r = head["queries"][n]["cold"] / fh(n[:1])
-        c = cur["queries"][n]["cold"] / fc(n[:1])
+        r = head["queries"][n]["cold"] / fh(n)
+        c = cur["queries"][n]["cold"] / fc(n)
         if not cur["queries"][n].get("memo"):
             # non-memo queries get the WARN too (round-17 verdict #5:
             # t04's cold tripled with no source diff and no attribution
@@ -565,6 +609,24 @@ def main():
               f"{os.path.basename(ref_path)} cpus {ref_cpus}) - "
               "normalization REFUSED on both sides; comparing raw numbers")
         fac_cur, fac_ref = 1.0, 1.0
+        fam_fac_cur, fam_fac_ref = {}, {}
+    else:
+        # per-FAMILY factors (round-19 verdict #2): each side's calib_fam
+        # lines label the probes bracketing every family group, so a
+        # family that ran inside a contended stretch normalizes by ITS
+        # OWN window instead of the record-wide median (the same
+        # treatment cold_drift gives calib_by_family records). Unlabeled
+        # families (pre-r20 references) keep the record-wide factor.
+        fam_fac_cur = {f: calib_factor(ss, cpus=cur_cpus, quiet=True)[0]
+                       for f, ss in parse_calib_fam(cur_text).items() if ss}
+        fam_fac_ref = {f: calib_factor(ss, cpus=ref_cpus, quiet=True)[0]
+                       for f, ss in parse_calib_fam(rec.get("tail", "")).items() if ss}
+        if fam_fac_cur or fam_fac_ref:
+            fams_lbl = sorted(set(fam_fac_cur) | set(fam_fac_ref))
+            print("benchcmp family factors (cur/ref): " + ", ".join(
+                f"{f} {fam_fac_cur.get(f, fac_cur):.2f}/"
+                f"{fam_fac_ref.get(f, fac_ref):.2f}" for f in fams_lbl)
+                + " — unlabeled families use the record-wide medians")
 
     red = []
     if uncertifiable:
@@ -579,7 +641,8 @@ def main():
     common = {f: common_subtotals(ref_fams[f], cur_fams[f])
               for f in sorted(set(ref_fams) & set(cur_fams))}
     for f, (rv, cv) in common.items():
-        rvn, cvn = rv / fac_ref, cv / fac_cur
+        rvn = rv / fam_fac_ref.get(f, fac_ref)
+        cvn = cv / fam_fac_cur.get(f, fac_cur)
         if rvn >= FAMILY_FLOOR_S and cvn > THRESH * rvn:
             red.append(f"family {f} {cv:.1f}s (norm {cvn:.1f}s) > {THRESH}x "
                        f"ref {rv:.1f}s (norm {rvn:.1f}s) (common queries only)")

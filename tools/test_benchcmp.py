@@ -23,23 +23,31 @@ REF_FAMS = {"q": [10] * 10, "t": [10] * 10, "v": [10] * 10}
 REF_TOTAL = sum(sum(ds) for ds in REF_FAMS.values()) / 10.0
 
 
-def emit(path, scale, calib=None, cpus=None):
+def emit(path, scale, calib=None, cpus=None, calib_fam=None, fam_scale=None):
+    """fam_scale overrides `scale` per family; calib_fam emits the
+    round-20 {"metric":"calib_fam"} per-family probe line."""
+    fam_scale = fam_scale or {}
+    total_s = sum(sum(d * fam_scale.get(f, scale) for d in ds)
+                  for f, ds in REF_FAMS.items()) / 10.0
     lines = []
-    total = json.dumps({"metric": "total", "value": round(REF_TOTAL * scale, 3),
+    total = json.dumps({"metric": "total", "value": round(total_s, 3),
                         "unit": "sec", "n_queries": 30, "n_failed": 0,
                         "sf": SF}, separators=(",", ":"))
     lines.append(total)
     for f, ds in REF_FAMS.items():
+        s = fam_scale.get(f, scale)
         lines.append(json.dumps(
-            {"f": f, "ds": [int(round(d * scale)) for d in ds]},
+            {"f": f, "ds": [int(round(d * s)) for d in ds]},
             separators=(",", ":")))
+    cpus_frag = f',"cpus":{cpus}' if cpus is not None else ''
+    if calib_fam is not None:
+        m = json.dumps(calib_fam, separators=(",", ":"))
+        lines.append('{"metric":"calib_fam","m":' + m + cpus_frag
+                     + ',"unit":"sec"}')
     if calib is not None:
-        # key order matches Bench's emission ({"metric","s"[,"cpus"]}),
-        # which the parse_cpus regex relies on
         s = json.dumps(calib, separators=(",", ":"))
-        tail = f',"cpus":{cpus},"unit":"sec"}}' if cpus is not None \
-            else ',"unit":"sec"}'
-        lines.append('{"metric":"calib","s":' + s + tail)
+        lines.append('{"metric":"calib","s":' + s + cpus_frag
+                     + ',"unit":"sec"}')
     lines.append(total)
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -165,6 +173,48 @@ def main():
         if not ok:
             fails.append("mismatched_config_refuses_normalization")
             print(out_j)
+
+    # main-lane per-family probes (round-20, closing round-19 verdict
+    # #2): the gate run's calib_fam line labels each family's
+    # bracketing probes, so a family that ran inside a contended
+    # stretch of an otherwise-quiet run is excused by ITS OWN window —
+    # and a family whose labeled probes are quiet stays RED.
+    with tempfile.TemporaryDirectory() as root:
+        ref_log = os.path.join(root, "ref.log")
+        emit(ref_log, 1.0)
+        with open(os.path.join(root, "BENCH_r1.json"), "w") as fh:
+            json.dump({"rc": 0, "tail": open(ref_log).read()}, fh)
+        # (n) t ran 2.2x slow inside a 2.3x-probed stretch; q/v quiet.
+        # The record-wide median (quiet) would RED family t — its own
+        # labeled bracket must excuse it.
+        quiet = round(ref_s, 3)
+        hot = round(ref_s * 2.3, 3)
+        log_n = os.path.join(root, "famfac_excuse.log")
+        emit(log_n, 1.0, calib=[quiet, quiet, hot, hot, quiet],
+             fam_scale={"t": 2.2},
+             calib_fam={"q": [quiet, quiet], "t": [hot, hot],
+                        "v": [hot, quiet]})
+        rc_n, out_n = run(log_n, root)
+        ok = rc_n == 0 and "family factors" in out_n
+        print(f"  main_lane_family_factor_excuses: rc={rc_n} (want 0) "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("main_lane_family_factor_excuses")
+            print(out_n)
+        # (o) same 2.2x t but t's OWN labeled probes are quiet — a real
+        # regression; the hot brackets elsewhere must not launder it.
+        log_o = os.path.join(root, "famfac_red.log")
+        emit(log_o, 1.0, calib=[quiet, hot, quiet, quiet, quiet],
+             fam_scale={"t": 2.2},
+             calib_fam={"q": [quiet, hot], "t": [quiet, quiet],
+                        "v": [quiet, quiet]})
+        rc_o, out_o = run(log_o, root)
+        ok = rc_o == 1 and "family t" in out_o
+        print(f"  main_lane_quiet_family_stays_red: rc={rc_o} (want 1) "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("main_lane_quiet_family_stays_red")
+            print(out_o)
 
     # (k) parse_calib accumulates across ALL calib lines (r18 advice:
     # last-match-only dropped earlier probe sets), and parse_cpus
