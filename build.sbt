@@ -40,6 +40,11 @@ def defaultHeapGb: Long = {
   math.max(4L, math.min(24L, physGb / 4))
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // GC: MEASURED AND LEFT AT G1 (round 20). -XX:+UseParallelGC read
+  // ~-12% on an isolated t+v A/B (34.3/32.9 vs 36.9/38.6 s) but did
+  // not replicate at full-run level (98.2 s G1 vs 100.0 s ParallelGC,
+  // matched quiet probes; per-family deltas contradictory at e +5.1 /
+  // k -2.3). A config ships only on a consistent win.
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // pin the JVM default TZ too (round-16 advice): literal bounds built

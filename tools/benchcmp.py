@@ -116,17 +116,27 @@ CFAM_FLOOR_S = 2.0
 # conservative direction; re-pin only with a SCALE.md note):
 #   4: 2026-08-16 (round 18) - the floor of 60 local[4] idle-window
 #      samples was 0.822 s (typical quiet in-run reads 0.82-1.19).
-#   32: 2026-08-16 (round 19) - quiet-window floor of the cpus=32
-#      IN-RUN protocol: r18 driver probes [0.468, 0.374, 0.474] in a
-#      certifiably calm window, the r18 judge-rerun median 0.42, and a
-#      round-19 in-run re-measure [0.344, 0.433]; pinned 0.42 (the
-#      higher/conservative end). An idle-loop floor at cpus=32 reads
-#      0.241 - a DIFFERENT protocol (no bench co-activity), recorded
-#      for context only, not the reference class.
+#      Re-validated 2026-08-19 (round 20): a 20-sample idle loop in a
+#      mildly loaded window floored at 0.926 - the 0.82 pin stands
+#      (the cache fix below does not move cpus=4: the idle loop's
+#      probe class was never evicted, and 0.82 remains the floor).
+#   32: 2026-08-19 (round 20) - RE-PINNED 0.42 -> 0.26 after the
+#      codegen-cache fix (Harness pins codegen.cache.maxEntries=4096):
+#      the r19 pin was floored while every IN-RUN probe recompiled its
+#      generated class through the thrashed 100-entry cache; with the
+#      class staying cached, the in-run protocol now reads at the idle
+#      floor (pre-fix idle 0.241 - previously a different protocol
+#      class, now the same). Evidence: post-fix in-run probes across
+#      five quiet sf0.1 runs [0.345,0.259,0.215 / 0.367,0.230 /
+#      0.389,0.237 / 0.329,0.209 / 0.481,0.211,0.258] - quiet medians
+#      0.23-0.26; pinned 0.26 (the higher/conservative end; an
+#      inflated pin UNDER-normalizes). Pre-r20 cpus=32 records carry
+#      thrash-inflated probes and normalize LENIENTLY under this pin -
+#      the conservative direction for cross-round compares.
 # Re-pin procedure: GRAFT_CALIB_ONLY=<n> SPARK_GRAFT_CPUS=<c>
 # `runMain graft.Bench` is the idle-loop measure; a single-family
 # bench run at <c> gives in-run probes.
-CALIB_REF_BY_CPUS = {4: 0.82, 32: 0.42}
+CALIB_REF_BY_CPUS = {4: 0.82, 32: 0.26}
 DEFAULT_CPUS = 4
 # legacy alias: the default-config pin (test_benchcmp scales by it)
 CALIB_REF_S = CALIB_REF_BY_CPUS[DEFAULT_CPUS]
