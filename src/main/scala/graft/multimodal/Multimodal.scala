@@ -384,32 +384,42 @@ object Multimodal {
   private val HexUpper = Array.tabulate(256)(i => f"$i%02X")
   private val HexLower = Array.tabulate(256)(i => f"$i%02x")
 
+  /** The per-payload CDC chunk loop — ONE body shared by the deployed
+    * census chunker ([[chunkMedia]], hence the m06/m07/m09 memo) and
+    * the m12 tuning curve's multi-mask pass, so the curve's mask-16
+    * point can never drift from the deployed census. Emits
+    * (chunk_len, chunk_md5) per chunk of one payload at one mask. */
+  private[multimodal] def chunkOne(c: Array[Byte], mask: Int): Seq[(Long, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var start = 0
+    def close(endExcl: Int): Unit = if (endExcl > start) {
+      val hex = new java.lang.StringBuilder((endExcl - start) * 2)
+      var j = start
+      while (j < endExcl) { hex.append(HexUpper(c(j) & 0xff)); j += 1 }
+      md.reset()
+      val dig = md.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      val sb = new java.lang.StringBuilder(32)
+      var k = 0
+      while (k < dig.length) { sb.append(HexLower(dig(k) & 0xff)); k += 1 }
+      out += (((endExcl - start).toLong, sb.toString))
+      start = endExcl
+    }
+    var i = 0
+    while (i < c.length) {
+      if ((c(i) & 0xff) % mask == 0) close(i + 1)
+      i += 1
+    }
+    close(c.length)
+    out.toSeq
+  }
+
   def chunkMedia(media: Dataset[MediaRow], mask: Int = 16): Dataset[Chunk] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val c = m.content
-      val out = scala.collection.mutable.ArrayBuffer.empty[Chunk]
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var start = 0
-      def close(endExcl: Int): Unit = if (endExcl > start) {
-        val hex = new java.lang.StringBuilder((endExcl - start) * 2)
-        var j = start
-        while (j < endExcl) { hex.append(HexUpper(c(j) & 0xff)); j += 1 }
-        md.reset()
-        val dig = md.digest(hex.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
-        val sb = new java.lang.StringBuilder(32)
-        var k = 0
-        while (k < dig.length) { sb.append(HexLower(dig(k) & 0xff)); k += 1 }
-        out += Chunk(m.media_id, m.kind, (endExcl - start).toLong, sb.toString)
-        start = endExcl
+      chunkOne(m.content, mask).map { case (len, dig) =>
+        Chunk(m.media_id, m.kind, len, dig)
       }
-      var i = 0
-      while (i < c.length) {
-        if ((c(i) & 0xff) % mask == 0) close(i + 1)
-        i += 1
-      }
-      close(c.length)
-      out
     }
   }
 
@@ -424,23 +434,36 @@ object Multimodal {
     * (m06) and the curve share one chunker body, so the curve's mask-16
     * point can never drift from the deployed census.
     *
-    * Scale: three typed per-partition passes over the payloads (the
-    * dial re-chunks by definition); payloads never shuffle — each pass
-    * reduces to one 5-column aggregate plus a distinct-digest agg. */
+    * Scale: ONE typed per-partition pass over the payloads for the
+    * whole curve (round 20; previously three — one per mask): the
+    * payload DECODE/scan is the heavy term and re-chunking at another
+    * mask is byte-local CPU, so the three mask loops run inside one
+    * flatMap over one scan (guide §2.3: make every pass but the
+    * cheapest operate once over the heavy bytes), emitting narrow
+    * (mask, chunk_len, chunk_md5) rows — payloads still never shuffle,
+    * and the per-mask census reduces to two keyed aggregates over the
+    * one checkpointed chunk frame. The chunk loop body is [[chunkOne]],
+    * shared verbatim with the deployed m06 census chunker. */
   def cdcMaskCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Seq(8, 16, 32).map { mask =>
-      val ch = chunkMedia(syntheticMedia(spark, dir).as[MediaRow], mask).toDF()
-        .localCheckpoint() // feeds the total AND the distinct agg
-      val uq = ch.select("chunk_md5", "chunk_len").distinct()
-        .agg(count(lit(1)).as("n_unique"), sum("chunk_len").as("unique_bytes"))
-      ch.agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("sum_bytes"))
-        .crossJoin(uq)
-        .select(lit(mask).as("mask"), col("n_chunks"), col("n_unique"),
-          col("sum_bytes"), col("unique_bytes"),
-          round(col("unique_bytes").cast("double") / col("sum_bytes").cast("double"), 6)
-            .as("dedup_ratio"))
-    }.reduce(_ unionByName _).orderBy("mask")
+    val masks = Seq(8, 16, 32)
+    val ch = syntheticMedia(spark, dir).as[MediaRow].flatMap { m =>
+      masks.flatMap { k =>
+        chunkOne(m.content, k).map { case (len, dig) => (k, len, dig) }
+      }
+    }.toDF("mask", "chunk_len", "chunk_md5")
+      .localCheckpoint() // feeds the per-mask totals AND the distinct agg
+    val uq = ch.distinct()
+      .groupBy("mask")
+      .agg(count(lit(1)).as("n_unique"), sum("chunk_len").as("unique_bytes"))
+    ch.groupBy("mask")
+      .agg(count(lit(1)).as("n_chunks"), sum("chunk_len").as("sum_bytes"))
+      .join(uq, Seq("mask"))
+      .select(col("mask"), col("n_chunks"), col("n_unique"),
+        col("sum_bytes"), col("unique_bytes"),
+        round(col("unique_bytes").cast("double") / col("sum_bytes").cast("double"), 6)
+          .as("dedup_ratio"))
+      .orderBy("mask")
   }
 
   /** Chunk-overlap near-duplicate pairs — the storage-level NEAR-dedup

@@ -172,6 +172,28 @@ class MultimodalSpec extends AnyFunSuite {
       "fixture self-check: doc 2 must carry doc 0's sampled F1 run at an unsampled offset")
   }
 
+  test("m12 one-scan multi-mask pass ≡ three single-mask chunkMedia passes (round-20 optimization lock)") {
+    // the curve now chunks all three masks inside ONE payload scan; its
+    // per-mask census must stay row-identical to what three independent
+    // chunkMedia passes (the deployed m06 chunker) produce
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val curve = graft.multimodal.Multimodal.cdcMaskCurve(spark, d).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expect = Seq(8, 16, 32).map { mask =>
+      val ch = graft.multimodal.Multimodal.chunkMedia(
+        graft.multimodal.Multimodal.syntheticMedia(spark, d)
+          .as[graft.multimodal.Multimodal.MediaRow], mask)
+        .collect()
+      val uq = ch.map(c => (c.chunk_md5, c.chunk_len)).distinct
+      (mask, ch.length.toLong, uq.length.toLong,
+        ch.map(_.chunk_len).sum, uq.map(_._2).sum)
+    }.toSet
+    assert(curve == expect,
+      s"one-scan curve drifted from the per-mask chunkMedia census:\n$curve\nvs\n$expect")
+  }
+
   test("m12 curve invariants: bytes conserved per mask; chunk count falls as the mask widens") {
     val rows = graft.multimodal.Multimodal
       .cdcMaskCurve(spark, "/root/testdata/sf0.001").collect()
