@@ -374,6 +374,20 @@ object Bench {
       val totalLine =
         s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${best.size},"n_failed":${failed.size},"sf":"$sfDir"}"""
       println(totalLine)
+      // NAMED per-query headline timings (round-20 verdict #2,
+      // additions-only): the driver's PERF comparator joins rounds on
+      // query NAMES, which the positional family arrays cannot provide —
+      // PERF.per_query and .scaling sat empty for two rounds. Full
+      // registry names, min-of-2 seconds, one line (~8 KB). Printed
+      // HERE — before the family records — so the ~2 KB tail-clip
+      // window still ends with the compact family/calib/total lines
+      // (the tail cannot hold 301 named rows by construction; this
+      // line serves full-stdout consumers). Queries with no successful
+      // pass are absent, same rule as the headline total.
+      val pqJson = best.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"per_query","q":$pqJson,"cpus":$cpusJson,"unit":"sec","sf":"$sfDir"}""")
       // numOf is total: a name with no digits after the family char maps
       // to None and is skipped from the positional record (it still
       // appears in total and bench_detail.json) — '"".toInt' here used to

@@ -303,7 +303,7 @@ object Multimodal {
   /** m_simhash_pairs artifact fold-shape tag — sha256 (first 8 hex)
     * over the chunker + SimHash + banded-pair derivation source;
     * MediaArtifactSpec's tag-lock recomputes it. */
-  private[graft] val SimhashPairsFoldTag = "msp-dcd37715"
+  private[graft] val SimhashPairsFoldTag = "msp-3234c428"
 
   /** Real (non-stub) metadata extraction over the binary column —
     * length, digest, sniffed prefix. Pure built-in expressions. */

@@ -53,7 +53,7 @@ object MediaOps {
 
   /** media_clusters artifact fold-shape tag — sha256 (first 8 hex)
     * over the cross-file derivation (see mediaDupClusters). */
-  private[graft] val MediaClustersFoldTag = "mdc-1ba878d8"
+  private[graft] val MediaClustersFoldTag = "mdc-63121122"
 
   private val mediaClustersCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), org.apache.spark.sql.DataFrame]

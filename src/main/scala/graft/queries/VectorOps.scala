@@ -2147,23 +2147,40 @@ object VectorOps {
     // than 5 eligible neighbors would silently misstate recall if the
     // constant and the data ever disagreed (round-6 advice)
     val exn = exact.agg(count(lit(1)).as("n_exact"))
-    Seq(1, 2, 4).map { np =>
-      val probes = aff.filter(col("vec_id") < 10 && col("crn") <= np)
-        .select(col("vec_id").as("q_id"), col("cid").as("pcell"))
-      val hits = base.join(broadcast(q.join(probes, "q_id")),
-          col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
-        .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(col("cos").desc, col("vec_id").asc)))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id").as("hit_id"))
-      exact.join(hits, Seq("q_id", "hit_id"), "left_semi")
-        .agg(count(lit(1)).as("n_found"))
-        .crossJoin(broadcast(exn))
-        .select(lit(np).as("nprobe"), col("n_found"),
-          round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
-    }.reduce(_ unionByName _).orderBy("nprobe")
+    // One plan, not three (v37's expansion discipline, round-20's named
+    // lever): candidates at nprobe=1/2 are SUBSETS of the nprobe=4 set —
+    // a vector's probe rank pr is the crn of its cell in the query's
+    // probe list (unique: a vector lives in one cell, probe cells are
+    // distinct per query) — so the corpus-side candidate join and the
+    // cosines compute ONCE at np_max=4, and a 3-row broadcast range-join
+    // expands each candidate to every nprobe ≥ pr. ONE window ranks per
+    // (query, nprobe) over the metadata-sized candidate rows; per-point
+    // recall is a keyed aggregate. Semantics proven identical: same rows
+    // per (q_id, nprobe) partition, same (cos desc, hit_id asc) order,
+    // inner-join-with-truth count ≡ the old per-point left_semi count
+    // because (q_id, hit_id) is unique in the candidate frame.
+    import s.implicits._
+    val probes = aff.filter(col("vec_id") < 10 && col("crn") <= 4)
+      .select(col("vec_id").as("q_id"), col("cid").as("pcell"), col("crn").as("pr"))
+    val cand = base.join(broadcast(q.join(probes, "q_id")),
+        col("cell") === col("pcell") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("q_id"), col("pr"), col("vec_id").as("hit_id"), col("cos"))
+      .localCheckpoint() // feeds the expansion; |queries|-bounded rows
+    val nps = Seq(1, 2, 4).toDF("nprobe")
+    val found = cand.join(broadcast(nps), col("pr") <= col("nprobe"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id", "nprobe")
+          .orderBy(col("cos").desc, col("hit_id").asc)))
+      .filter(col("rk") <= 5)
+      .join(exact, Seq("q_id", "hit_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_found"))
+    nps.join(found, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("n_found"))
+      .crossJoin(broadcast(exn))
+      .select(col("nprobe"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy("nprobe")
   }
 
   /** v30 — Matryoshka (truncated-dimension) recall curve: recall@5 of
@@ -2284,22 +2301,36 @@ object VectorOps {
     val exact = cosineTopK(s, d).filter(col("rk") <= 5)
       .select(col("q_id"), col("hit_id"))
     val exn = exact.agg(count(lit(1)).as("n_exact"))
-    Seq(1, 3, 5, 8).map { t =>
-      val probes = ranked.filter(col("prn") <= t)
-      val hits = base.join(broadcast(probes),
-          col("pb") === col("bucket") && col("q_id") =!= col("vec_id"))
-        .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("q_id")
-            .orderBy(col("cos").desc, col("vec_id").asc)))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("vec_id").as("hit_id"))
-      exact.join(hits, Seq("q_id", "hit_id"), "left_semi")
-        .agg(count(lit(1)).as("n_found"))
-        .crossJoin(broadcast(exn))
-        .select(lit(t).as("n_probes"), col("n_found"),
-          round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
-    }.reduce(_ unionByName _).orderBy("n_probes")
+    // One plan, not four (v37's expansion discipline, round-20's named
+    // lever): the probed-bucket candidate sets are NESTED in T — a base
+    // vector matches at most one probe rank per query (one bucket per
+    // vector, distinct pb per query since pb = qb0 XOR distinct masks) —
+    // so the corpus-side bucket join and the cosines compute ONCE at
+    // T_max=8 carrying prn, and a 4-row broadcast range-join expands
+    // each candidate to every T ≥ its prn. ONE window ranks per
+    // (query, T); per-point recall is a keyed aggregate. Inner-join-
+    // with-truth count ≡ the old per-point left_semi count because
+    // (q_id, hit_id) is unique in the candidate frame.
+    import s.implicits._
+    val cand = base.join(broadcast(ranked.filter(col("prn") <= 8)),
+        col("pb") === col("bucket") && col("q_id") =!= col("vec_id"))
+      .withColumn("cos", round(dot("qv", "v") / (col("qn") * col("nrm")), 6))
+      .select(col("q_id"), col("prn"), col("vec_id").as("hit_id"), col("cos"))
+      .localCheckpoint() // feeds the expansion; |queries|-bounded rows
+    val ts = Seq(1, 3, 5, 8).toDF("n_probes")
+    val found = cand.join(broadcast(ts), col("prn") <= col("n_probes"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id", "n_probes")
+          .orderBy(col("cos").desc, col("hit_id").asc)))
+      .filter(col("rk") <= 5)
+      .join(exact, Seq("q_id", "hit_id"))
+      .groupBy("n_probes").agg(count(lit(1)).as("n_found"))
+    ts.join(found, Seq("n_probes"), "left")
+      .na.fill(0L, Seq("n_found"))
+      .crossJoin(broadcast(exn))
+      .select(col("n_probes"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_exact"), 6).as("recall"))
+      .orderBy("n_probes")
   }
 
   /** MMR (maximal marginal relevance) diverse top-5 for query vector 0:
@@ -2568,17 +2599,27 @@ object VectorOps {
       .select(col("q_id").as("tq"), col("hit_id").as("th"))
       .localCheckpoint()
     val nTruth = truth.count() // derived denominator
-    Seq(10, 20, 40).map { t =>
-      val top5 = cand.filter(col("hrn") <= t)
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("q_id").orderBy(col("cos").desc, col("hit_id").asc)))
-        .filter(col("rk") <= 5)
-      top5.join(truth, col("q_id") === col("tq") && col("hit_id") === col("th"))
-        .agg(count(lit(1)).as("n_hits"))
-        .select(lit(t.toLong).as("shortlist"), col("n_hits"),
-          lit(nTruth).as("n_truth"),
-          round(col("n_hits") / lit(nTruth.toDouble), 6).as("recall"))
-    }.reduce(_ unionByName _).orderBy("shortlist")
+    // One window, not three (v37's expansion discipline, round-20's
+    // named lever): the shortlist sets are NESTED in t (hrn ≤ 10 ⊂ 20 ⊂
+    // 40), so a 3-row broadcast range-join expands the one checkpointed
+    // candidate frame per curve point and ONE window ranks per
+    // (shortlist, query); per-point hits are a keyed aggregate over the
+    // same inner truth join as before.
+    import s.implicits._
+    val sizes = Seq(10L, 20L, 40L).toDF("shortlist")
+    val found = cand.join(broadcast(sizes), col("hrn") <= col("shortlist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("shortlist", "q_id")
+          .orderBy(col("cos").desc, col("hit_id").asc)))
+      .filter(col("rk") <= 5)
+      .join(truth, col("q_id") === col("tq") && col("hit_id") === col("th"))
+      .groupBy("shortlist").agg(count(lit(1)).as("n_hits"))
+    sizes.join(found, Seq("shortlist"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("shortlist"), col("n_hits"),
+        lit(nTruth).as("n_truth"),
+        round(col("n_hits") / lit(nTruth.toDouble), 6).as("recall"))
+      .orderBy("shortlist")
   }
 
   private val BinaryCurveDuck: String =

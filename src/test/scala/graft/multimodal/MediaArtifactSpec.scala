@@ -17,9 +17,13 @@ class MediaArtifactSpec extends AnyFunSuite {
   val srcTo = "src/main/scala/graft/queries/TextOps.scala"
 
   test("m_simhash_pairs artifact fold-shape tag is locked to the derivation source") {
+    // "def chunkOne(" (round-21, ADVICE): the chunk-loop body moved out
+    // of chunkMedia in round 20 — without it in the region list a future
+    // edit to the chunk logic would change artifact contents without
+    // churning the tag, and stale artifacts would be served.
     val want = FoldTagLock.expectedTag("msp", srcMm,
-      Seq("def syntheticMedia(", "def chunkMedia(", "def chunkFrame(",
-        "def chunkSimhash(", "def chunkSimhashPairsUncached("))
+      Seq("def syntheticMedia(", "def chunkOne(", "def chunkMedia(",
+        "def chunkFrame(", "def chunkSimhash(", "def chunkSimhashPairsUncached("))
     assert(Multimodal.SimhashPairsFoldTag == want,
       s"pair derivation changed: bump Multimodal.SimhashPairsFoldTag to \"$want\" " +
         "(the persisted m_simhash_pairs artifact must be invalidated with it)")
@@ -27,8 +31,9 @@ class MediaArtifactSpec extends AnyFunSuite {
 
   test("media_clusters artifact fold-shape tag is locked across all three contributing modules") {
     val want = FoldTagLock.expectedTagMulti("mdc", Seq(
-      srcMm -> Seq("def syntheticMedia(", "def chunkMedia(", "def chunkFrame(",
-        "def chunkSimhash(", "def chunkSimhashPairsUncached("),
+      // chunkOne added round-21 (ADVICE) — see the msp lock above
+      srcMm -> Seq("def syntheticMedia(", "def chunkOne(", "def chunkMedia(",
+        "def chunkFrame(", "def chunkSimhash(", "def chunkSimhashPairsUncached("),
       srcTo -> Seq("def ccPointerJumping("),
       srcMo -> Seq("def mediaDupClustersUncached(")))
     assert(MediaOps.MediaClustersFoldTag == want,

@@ -310,13 +310,24 @@ def cold_drift(detail_path, root):
     ccp, hcp = cur.get("cpus"), head.get("cpus")
     if (DEFAULT_CPUS if ccp is None else ccp) == \
             (DEFAULT_CPUS if hcp is None else hcp):
-        for rec, out, rcp in ((cur, fam_fac_cur, ccp),
-                              (head, fam_fac_head, hcp)):
+        for rec, out, rcp, side in ((cur, fam_fac_cur, ccp, "cur"),
+                                    (head, fam_fac_head, hcp, "HEAD")):
             cbf = rec.get("calib_by_family")
             if isinstance(cbf, dict):
                 for fam, ss in cbf.items():
                     if ss:
-                        out[fam], _ = calib_factor(ss, cpus=rcp, quiet=True)
+                        fac, unc = calib_factor(ss, cpus=rcp, quiet=True)
+                        # a family bracket beyond the cap is UNCERTIFIABLE
+                        # (round-20 advice: the capped divisor would excuse
+                        # up to cap*THRESH of real regression) — leave the
+                        # family unlabeled so it falls back to the
+                        # record-wide factor, and say so
+                        if unc:
+                            print(f"cold-drift: family {fam} ({side}) probe "
+                                  f"bracket beyond the {CALIB_MAX_FACTOR}x cap "
+                                  "- uncertifiable; using the record-wide factor")
+                        else:
+                            out[fam] = fac
     if fam_fac_cur or fam_fac_head:
         fams_lbl = sorted(set(fam_fac_cur) | set(fam_fac_head))
         print("cold-drift family factors (cur/HEAD): " + ", ".join(
@@ -539,6 +550,10 @@ def main():
     cur_cpus = parse_cpus(cur_text)
     fac_cur, uncertifiable = calib_factor(parse_calib(cur_text), "gate-run",
                                           cur_cpus)
+    # set when a retry's mins are merged under a comparable config —
+    # the per-family factor adoption below (round-20 advice) mirrors
+    # the record-wide fac_retry rule and needs the retry's calib_fam
+    retry_fam_text = None
     if retry_path and os.path.exists(retry_path):
         retry_text = open(retry_path).read()
         _, rsf, rfams = parse_lines(retry_text)
@@ -558,6 +573,7 @@ def main():
                                                 cur_cpus)
             if fac_retry < fac_cur:
                 fac_cur, uncertifiable = fac_retry, unc_retry
+            retry_fam_text = retry_text
         if rsf == cur_sf:
             for f, rds in rfams.items():
                 cds = cur_fams.get(f)
@@ -627,10 +643,49 @@ def main():
         # OWN window instead of the record-wide median (the same
         # treatment cold_drift gives calib_by_family records). Unlabeled
         # families (pre-r20 references) keep the record-wide factor.
-        fam_fac_cur = {f: calib_factor(ss, cpus=cur_cpus, quiet=True)[0]
-                       for f, ss in parse_calib_fam(cur_text).items() if ss}
-        fam_fac_ref = {f: calib_factor(ss, cpus=ref_cpus, quiet=True)[0]
-                       for f, ss in parse_calib_fam(rec.get("tail", "")).items() if ss}
+        # a family bracket beyond the cap is UNCERTIFIABLE (round-20
+        # advice: calib_factor's refuse-beyond-cap policy applies per
+        # family too — a silently capped divisor would excuse up to
+        # cap*THRESH of real regression for that family while the
+        # record-wide median still certifies the run). Such a family is
+        # left unlabeled, falling back to the record-wide factor, loudly.
+        def fam_factors(fam_calib, cpus, side):
+            out = {}
+            for f, ss in fam_calib.items():
+                if not ss:
+                    continue
+                fac, unc = calib_factor(ss, cpus=cpus, quiet=True)
+                if unc:
+                    print(f"benchcmp: family {f} ({side}) probe bracket "
+                          f"beyond the {CALIB_MAX_FACTOR}x cap - "
+                          "uncertifiable; using the record-wide factor")
+                else:
+                    out[f] = fac
+            return out
+        fam_fac_cur = fam_factors(parse_calib_fam(cur_text), cur_cpus, "gate")
+        fam_fac_ref = fam_factors(parse_calib_fam(rec.get("tail", "")),
+                                  ref_cpus, "ref")
+        # round-20 advice (low): when retry per-query mins were merged,
+        # the gate run's hot family bracket must not divide subtotals
+        # whose mins came from the quieter retry — that applies the
+        # discount twice per family. Mirror the record-wide fac_retry
+        # adoption: parse the retry's calib_fam lines (same SF + same
+        # session config, checked at merge time) and take the min of the
+        # two certifiable family factors.
+        if retry_fam_text is not None:
+            for f, ss in parse_calib_fam(retry_fam_text).items():
+                if not ss:
+                    continue
+                fac_r, unc_r = calib_factor(ss, cpus=cur_cpus, quiet=True)
+                if unc_r:
+                    continue
+                if f in fam_fac_cur:
+                    fam_fac_cur[f] = min(fam_fac_cur[f], fac_r)
+                else:
+                    # the gate's bracket for f was uncertifiable (or
+                    # unlabeled): the quiet retry's factor is the one
+                    # matching where the merged mins came from
+                    fam_fac_cur[f] = min(fac_r, fac_cur)
         if fam_fac_cur or fam_fac_ref:
             fams_lbl = sorted(set(fam_fac_cur) | set(fam_fac_ref))
             print("benchcmp family factors (cur/ref): " + ", ".join(

@@ -215,6 +215,56 @@ def main():
         if not ok:
             fails.append("main_lane_quiet_family_stays_red")
             print(out_o)
+        # (p) round-20 advice (medium): a family bracket BEYOND the 3x
+        # cap is uncertifiable — it must NOT be silently capped and used
+        # as that family's divisor (capped 3.0 would excuse this real
+        # 2.0x t regression); the family falls back to the record-wide
+        # (quiet) factor and REDs. Total stays under THRESH (1.33x) so
+        # only the per-family path is exercised.
+        vhot = round(ref_s * 10, 3)
+        log_p = os.path.join(root, "famfac_beyond_cap.log")
+        emit(log_p, 1.0, calib=[quiet, quiet, vhot, vhot, quiet],
+             fam_scale={"t": 2.0},
+             calib_fam={"q": [quiet, quiet], "t": [vhot, vhot],
+                        "v": [vhot, quiet]})
+        rc_p, out_p = run(log_p, root)
+        ok = rc_p == 1 and "family t" in out_p and "uncertifiable" in out_p
+        print(f"  family_bracket_beyond_cap_not_capped: rc={rc_p} (want 1) "
+              f"{'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("family_bracket_beyond_cap_not_capped")
+            print(out_p)
+        # (q) round-20 advice (low): when retry mins are merged, the
+        # family factor must be min(gate, retry) — dividing retry-sourced
+        # mins by the gate's hot t bracket (2.2x) would excuse this real
+        # 2.0x regression that the QUIET retry window confirmed.
+        hot22 = round(ref_s * 2.2, 3)
+        log_q = os.path.join(root, "famfac_retry_min.log")
+        emit(log_q, 1.0, calib=[quiet, quiet, hot22, hot22, quiet],
+             fam_scale={"t": 2.0},
+             calib_fam={"q": [quiet, quiet], "t": [hot22, hot22],
+                        "v": [hot22, quiet]})
+        retry_q = os.path.join(root, "famfac_retry_min_retry.log")
+        with open(retry_q, "w") as fh:
+            fh.write(json.dumps({"metric": "total", "value": 20.0,
+                                 "unit": "sec", "n_queries": 10,
+                                 "n_failed": 0, "sf": SF},
+                                separators=(",", ":")) + "\n")
+            fh.write(json.dumps({"f": "t", "ds": [20] * 10},
+                                separators=(",", ":")) + "\n")
+            fh.write('{"metric":"calib_fam","m":{"t":[%s,%s]},"unit":"sec"}\n'
+                     % (quiet, quiet))
+            fh.write('{"metric":"calib","s":[%s,%s],"unit":"sec"}\n'
+                     % (quiet, quiet))
+        r_q = subprocess.run([sys.executable, BENCHCMP, log_q, root,
+                              "--retry", retry_q],
+                             capture_output=True, text=True)
+        ok = r_q.returncode == 1 and "family t" in r_q.stdout
+        print(f"  retry_merge_takes_min_family_factor: rc={r_q.returncode} "
+              f"(want 1) {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            fails.append("retry_merge_takes_min_family_factor")
+            print(r_q.stdout)
 
     # (k) parse_calib accumulates across ALL calib lines (r18 advice:
     # last-match-only dropped earlier probe sets), and parse_cpus
