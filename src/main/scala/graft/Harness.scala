@@ -13,7 +13,15 @@ object Harness {
       // the engine's extensions: custom SQL functions, the as-of planner
       // strategy, and the ASOF JOIN SQL syntax (q61 parses through it)
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // default: one reduce partition per core (the build-round posture).
+      // GRAFT_SHUFFLE_PARTITIONS decouples the two for measurement and
+      // for deployments where reduce width should track data, not cores
+      // (round-20 verdict #4: the 8-core driver run beat the 32-core one
+      // at sf0.1 because frontier-sized iterative shuffles pay per-task
+      // scheduler constants × partitions; the A/B instrument and any
+      // production override live here, the bench default is unchanged).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", cpus))
       // Spark's compiled-codegen cache holds 100 generated classes by
       // default — sized for a handful of hot queries, not a 301-query
       // registry (~5 WholeStageCodegen units each): by the time a

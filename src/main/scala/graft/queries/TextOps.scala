@@ -829,7 +829,7 @@ object TextOps {
   /** Fresh band keys of exactly the docs matching `pred` — shingle →
     * sign → band of an ingest slice; shared by t67/t68's delta and the
     * two-step roll's shards (t69), so every slice bands identically. */
-  private def bandsOfSlice(s: SparkSession, d: String, pred: Column): DataFrame =
+  private[queries] def bandsOfSlice(s: SparkSession, d: String, pred: Column): DataFrame =
     bandsOf(sidsOf(documents(s, d).filter(pred))
       .groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*))
 
@@ -973,7 +973,7 @@ object TextOps {
   private[graft] def rolledBandsUncached(s: SparkSession, d: String): DataFrame =
     corpusBands(s, d).unionByName(deltaBands(s, d))
 
-  private def rolledBands(s: SparkSession, d: String): DataFrame =
+  private[queries] def rolledBands(s: SparkSession, d: String): DataFrame =
     graft.sources.ArtifactStore.loadOrBuild(s, "rolled_bands",
       graft.sources.ArtifactStore.key(d, "documents.parquet") + "-" + DeltaFoldTag) {
       rolledBandsUncached(s, d)
